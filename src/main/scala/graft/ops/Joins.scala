@@ -1,0 +1,205 @@
+package graft.ops
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY §2.4 J1–J5): interval joins, broadcast
+  * dimension enrichment, dynamic config routing, outer joins.
+  *
+  * Scale notes: the interval joins are equi-joins on the order key with
+  * a residual time-range predicate — at cluster scale they shuffle both
+  * sides on the key (no cross product). Dimension enrichment broadcasts
+  * every dim (`customer` at sf100 would bucket instead — kept broadcast
+  * here because all dims fit comfortably under the 8 GB broadcast cap
+  * at the target scale's dim cardinalities).
+  */
+object Joins {
+
+  /** J1 — symmetric interval join (`app/dwm/OrderWideApp.java:59-66`,
+    * [-5, +5] scaled to days): lineitem shipped within ±5 days of its
+    * order's date. */
+  val j1IntervalJoin = QueryDef(
+    "j1_interval_join",
+    Some("""SELECT o.o_orderpriority,
+           |  COUNT(*) AS n_pairs,
+           |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+           |FROM orders o
+           |JOIN lineitem l
+           |  ON l.l_orderkey = o.o_orderkey
+           | AND l.l_shipdate BETWEEN o.o_orderdate - INTERVAL 5 DAY AND o.o_orderdate + INTERVAL 5 DAY
+           |GROUP BY o.o_orderpriority
+           |ORDER BY o.o_orderpriority""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.table(spark, dir, "orders")
+      val l = Tables.table(spark, dir, "lineitem")
+      o.join(l,
+          l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate").between(
+            o("o_orderdate") - expr("INTERVAL 5 DAY"),
+            o("o_orderdate") + expr("INTERVAL 5 DAY")))
+        .groupBy(o("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+        .orderBy("o_orderpriority")
+    })
+
+  /** J2 — asymmetric interval join (`app/dwm/PaymentWideApp.java:75-83`,
+    * [0, +15 min] scaled to days): ship strictly after order, within 15
+    * days. */
+  val j2IntervalJoinAsym = QueryDef(
+    "j2_interval_join_asym",
+    Some("""SELECT o.o_orderstatus,
+           |  COUNT(*) AS n_pairs,
+           |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           |FROM orders o
+           |JOIN lineitem l
+           |  ON l.l_orderkey = o.o_orderkey
+           | AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 15 DAY
+           |GROUP BY o.o_orderstatus
+           |ORDER BY o.o_orderstatus""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.table(spark, dir, "orders")
+      val l = Tables.table(spark, dir, "lineitem")
+      o.join(l,
+          l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate").between(
+            o("o_orderdate"),
+            o("o_orderdate") + expr("INTERVAL 15 DAY")))
+        .groupBy(o("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("total_qty"))
+        .orderBy("o_orderstatus")
+    })
+
+  /** J3 — dimension-enrichment chain, broadcast-join form of the
+    * reference's async Phoenix/Redis lookups
+    * (`app/function/DimAsyncFunction.java:20-56`,
+    * `app/dwm/OrderWideApp.java:69-171`): fact orders enriched with
+    * customer → nation → region. */
+  val j3DimEnrich = QueryDef(
+    "j3_dim_enrich",
+    Some("""SELECT r.r_name, n.n_name,
+           |  COUNT(*) AS n_orders,
+           |  COUNT(DISTINCT c.c_custkey) AS n_customers,
+           |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+           |FROM orders o
+           |JOIN customer c ON o.o_custkey = c.c_custkey
+           |JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |JOIN region r ON n.n_regionkey = r.r_regionkey
+           |GROUP BY r.r_name, n.n_name
+           |ORDER BY r.r_name, n.n_name""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.table(spark, dir, "orders")
+      val c = Tables.table(spark, dir, "customer")
+      val n = Tables.table(spark, dir, "nation")
+      val r = Tables.table(spark, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), n("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(c("c_custkey")).as("n_customers"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total_spent"))
+        .orderBy("r_name", "n_name")
+    })
+
+  /** J4 — dynamic routing via broadcast config join
+    * (`app/dwd/BaseDbApp.java:61-72`,
+    * `app/function/TableProcessFunction.java:131-158`): a small config
+    * table maps source record type → sink table/type; unmatched records
+    * are dropped (no routing entry). */
+  val j4DynamicRoute = QueryDef(
+    "j4_dynamic_route",
+    Some("""SELECT c.sink_type, c.sink_table, COUNT(*) AS n
+           |FROM events e
+           |JOIN (VALUES ('click', 'dwd_click_log', 'kafka'),
+           |             ('view', 'dwd_page_log', 'kafka'),
+           |             ('purchase', 'dwd_order_info', 'hbase'),
+           |             ('signup', 'dwd_user_info', 'hbase')) AS c(event_type, sink_table, sink_type)
+           |  ON e.event_type = c.event_type
+           |GROUP BY c.sink_type, c.sink_table
+           |ORDER BY c.sink_type, c.sink_table""".stripMargin),
+    (spark, dir) => {
+      import spark.implicits._
+      val config = Seq(
+        ("click", "dwd_click_log", "kafka"),
+        ("view", "dwd_page_log", "kafka"),
+        ("purchase", "dwd_order_info", "hbase"),
+        ("signup", "dwd_user_info", "hbase"))
+        .toDF("event_type", "sink_table", "sink_type")
+      Tables.events(spark, dir)
+        .join(broadcast(config), "event_type")
+        .groupBy("sink_type", "sink_table")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("sink_type", "sink_table")
+    })
+
+  /** J5 — outer join with null-side handling
+    * (`gmall-flink-cdc/.../TestFlinkSQLJoin.java:17-44`): customers left
+    * joined to their orders; customers with no orders keep a zero row.
+    */
+  val j5OuterJoin = QueryDef(
+    "j5_outer_join",
+    Some("""SELECT c.c_custkey,
+           |  COUNT(o.o_orderkey) AS n_orders,
+           |  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spent
+           |FROM customer c
+           |LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_custkey
+           |ORDER BY c.c_custkey""".stripMargin),
+    (spark, dir) => {
+      val c = Tables.table(spark, dir, "customer")
+      val o = Tables.table(spark, dir, "orders")
+      c.join(o, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy(c("c_custkey"))
+        .agg(
+          count(o("o_orderkey")).as("n_orders"),
+          expr("CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)").as("spent"))
+        .orderBy("c_custkey")
+    })
+
+  /** Anti join (beyond the reference surface; NOT EXISTS): customers
+    * with no orders in 1995. */
+  val j5AntiJoin = QueryDef(
+    "j5_anti_join",
+    Some("""SELECT c.c_custkey, c.c_name
+           |FROM customer c
+           |WHERE NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey
+           |                    AND EXTRACT(year FROM o.o_orderdate) = 1995)
+           |ORDER BY c.c_custkey""".stripMargin),
+    (spark, dir) => {
+      val c = Tables.table(spark, dir, "customer")
+      val o = Tables.table(spark, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+      c.join(o, o("o_custkey") === c("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    })
+
+  /** Semi join (EXISTS): customers that ordered in 1995, with no
+    * duplication from the order side. */
+  val j5SemiJoin = QueryDef(
+    "j5_semi_join",
+    Some("""SELECT c.c_custkey, c.c_mktsegment
+           |FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey
+           |                AND EXTRACT(year FROM o.o_orderdate) = 1995)
+           |ORDER BY c.c_custkey""".stripMargin),
+    (spark, dir) => {
+      val c = Tables.table(spark, dir, "customer")
+      val o = Tables.table(spark, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+      c.join(o, o("o_custkey") === c("c_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    })
+
+  val defs: Seq[QueryDef] = Seq(
+    j1IntervalJoin, j2IntervalJoinAsym, j3DimEnrich, j4DynamicRoute,
+    j5OuterJoin, j5AntiJoin, j5SemiJoin)
+}

@@ -1,0 +1,21 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver testdata (TESTDATA.md). */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright. Read the nanos as Long (legacy
+    * flag) and truncate to microseconds — identical to DuckDB's
+    * `CAST(ts AS TIMESTAMP)` (both floor for positive epochs).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
