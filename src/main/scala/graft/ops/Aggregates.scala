@@ -168,7 +168,7 @@ object Aggregates {
     * sum(if(cond, x, 0)) per hour-of-day. */
   val a7ConditionalAgg = QueryDef(
     "a7_conditional_agg",
-    Some("""SELECT CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+    Some("""SELECT CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
            |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
            |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
            |  COUNT(*) AS total
@@ -177,7 +177,7 @@ object Aggregates {
            |ORDER BY hr""".stripMargin),
     (spark, dir) =>
       Tables.events(spark, dir)
-        .groupBy(hour(col("ts")).as("hr"))
+        .groupBy(hour(col("ts")).cast("long").as("hr"))
         .agg(
           sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("new_users"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),

@@ -45,7 +45,7 @@ object Core {
     "p1_json_props",
     Some("""SELECT event_id,
            |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END AS is_dirty
+           |  CAST(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dirty
            |FROM events
            |ORDER BY event_id""".stripMargin),
     (spark, dir) => {
@@ -54,7 +54,7 @@ object Core {
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
       parsed
-        .withColumn("is_dirty", when(col("k").isNull, 1).otherwise(0))
+        .withColumn("is_dirty", when(col("k").isNull, 1L).otherwise(0L))
         .orderBy("event_id")
     })
 
@@ -114,10 +114,10 @@ object Core {
     Some("""SELECT event_id,
            |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str,
            |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS ts_date,
-           |  CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
-           |  CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS dom,
-           |  CAST(EXTRACT(month FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS mon,
-           |  CAST(EXTRACT(year FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS yr,
+           |  CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+           |  CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS dom,
+           |  CAST(EXTRACT(month FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS mon,
+           |  CAST(EXTRACT(year FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS yr,
            |  CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_sec,
            |  strftime(make_timestamp(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS ts_roundtrip,
            |  event_type || '_' || CAST(user_id AS VARCHAR) AS tagged
@@ -128,10 +128,10 @@ object Core {
         col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
         date_format(col("ts"), "yyyy-MM-dd").as("ts_date"),
-        hour(col("ts")).as("hr"),
-        dayofmonth(col("ts")).as("dom"),
-        month(col("ts")).as("mon"),
-        year(col("ts")).as("yr"),
+        hour(col("ts")).cast("long").as("hr"),
+        dayofmonth(col("ts")).cast("long").as("dom"),
+        month(col("ts")).cast("long").as("mon"),
+        year(col("ts")).cast("long").as("yr"),
         unix_timestamp(col("ts")).as("epoch_sec"),
         from_unixtime(unix_timestamp(col("ts"))).as("ts_roundtrip"),
         concat(col("event_type"), lit("_"), col("user_id")).as("tagged"))

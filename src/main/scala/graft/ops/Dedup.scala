@@ -1,0 +1,210 @@
+package graft.ops
+
+import graft.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators (north-star surface
+  * beyond the reference): exact hash dedup, bag-of-words fingerprint
+  * dedup, MinHash+LSH candidate generation, n-gram Jaccard verification,
+  * SimHash signatures, embedding-cosine near-dup.
+  *
+  * Scale design: every operator is a pure shuffle-on-key pipeline — no
+  * driver-side loops, no cross products except through LSH band buckets
+  * (candidate pairs, not all pairs). MinHash signatures are built from
+  * md5 over 3-word shingles so the Spark and DuckDB results are
+  * bit-identical (lexicographic min over identical hex strings).
+  */
+object Dedup {
+
+  /** 3-word shingle relation: (doc_id, s) distinct. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))")).as("s"))
+      .distinct()
+
+  /** Per-(doc, seed) MinHash: lexicographic min of md5(seed:shingle). */
+  private def minhash(spark: SparkSession, dir: String, k: Int): DataFrame =
+    shingles(spark, dir)
+      .crossJoin(broadcast(spark.range(k).toDF("seed")))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed"), lit(":"), col("s")))).as("h"))
+
+  /** LSH bands: signature split into 2 bands of 4 hashes; docs sharing a
+    * band value are candidate near-dup pairs. */
+  private def bandPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhash(spark, dir, 8)
+      .groupBy("doc_id")
+      .agg(
+        concat((0 to 3).map(i => min(when(col("seed") === i, col("h")))): _*).as("band0"),
+        concat((4 to 7).map(i => min(when(col("seed") === i, col("h")))): _*).as("band1"))
+    val bands = sig.select(col("doc_id"), lit(0).as("band_id"), col("band0").as("sig"))
+      .unionByName(sig.select(col("doc_id"), lit(1).as("band_id"), col("band1").as("sig")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Shared oracle CTE prefix: shingles → minhash → bands → candidate
+    * pairs, mirroring the builders above hash-for-hash. */
+  private val lshCtes =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM g),
+      |seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+      |mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS h FROM sh, seeds GROUP BY doc_id, seed),
+      |sig AS (SELECT doc_id,
+      |  min(CASE WHEN seed=0 THEN h END)||min(CASE WHEN seed=1 THEN h END)||min(CASE WHEN seed=2 THEN h END)||min(CASE WHEN seed=3 THEN h END) AS band0,
+      |  min(CASE WHEN seed=4 THEN h END)||min(CASE WHEN seed=5 THEN h END)||min(CASE WHEN seed=6 THEN h END)||min(CASE WHEN seed=7 THEN h END) AS band1
+      |  FROM mh GROUP BY doc_id),
+      |bands AS (SELECT doc_id, 0 AS band_id, band0 AS sig FROM sig
+      |          UNION ALL SELECT doc_id, 1, band1 FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bands a JOIN bands b
+      |           ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Exact dedup: hash-groupBy on content; survivor = min doc_id. */
+  val dedupExact = QueryDef(
+    "dedup_exact",
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+           |FROM documents
+           |GROUP BY md5(text)
+           |ORDER BY keep_id""".stripMargin),
+    (spark, dir) =>
+      Tables.table(spark, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"))
+
+  /** Bag-of-words fingerprint dedup: md5 over the sorted distinct token
+    * set — catches token-reordered copies exact dedup misses. */
+  val dedupFingerprint = QueryDef(
+    "dedup_fingerprint",
+    Some("""SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+           |  min(doc_id) AS keep_id, COUNT(*) AS n_copies
+           |FROM documents
+           |GROUP BY 1
+           |ORDER BY keep_id""".stripMargin),
+    (spark, dir) =>
+      Tables.table(spark, dir, "documents")
+        .groupBy(md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id"))
+
+  /** MinHash + LSH near-dup candidate pairs (shingle → minhash → band →
+    * bucket join). */
+  val dedupMinhashLsh = QueryDef(
+    "dedup_minhash_lsh",
+    Some(s"""$lshCtes
+            |SELECT doc_a, doc_b FROM cand
+            |ORDER BY doc_a, doc_b""".stripMargin),
+    (spark, dir) => bandPairs(spark, dir).orderBy("doc_a", "doc_b"))
+
+  /** n-gram Jaccard verification over the LSH candidates: exact shingle
+    * set Jaccard, thresholded — the verify stage of the dedup pipeline
+    * (candidates only, never all pairs). */
+  val dedupJaccardNgram = QueryDef(
+    "dedup_jaccard_ngram",
+    Some(s"""$lshCtes,
+            |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS both
+            |          FROM cand c
+            |          JOIN sh a ON a.doc_id = c.doc_a
+            |          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+            |          GROUP BY c.doc_a, c.doc_b)
+            |SELECT i.doc_a, i.doc_b,
+            |  ROUND(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 6) AS jaccard
+            |FROM inter i
+            |JOIN sizes sa ON sa.doc_id = i.doc_a
+            |JOIN sizes sb ON sb.doc_id = i.doc_b
+            |WHERE CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both) >= 0.4
+            |ORDER BY doc_a, doc_b""".stripMargin),
+    (spark, dir) => {
+      val sh = shingles(spark, dir).cache()
+      val cand = bandPairs(spark, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
+        .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("b.s") === col("a.s"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("both"))
+      val jac = col("both").cast("double") /
+        (col("sa.n") + col("sb.n") - col("both"))
+      inter
+        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .filter(jac >= 0.4)
+        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    })
+
+  /** SimHash: 16-bit signature from per-token md5 nibbles; documents
+    * with equal signatures are near-dup candidates. The bit source is
+    * the high bit of hex nibble b of md5(token) — identical across
+    * engines. */
+  val dedupSimhash: QueryDef = {
+    val bits = 16
+    val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    def sqlBit(b: Int) =
+      s"CASE WHEN SUM(CASE WHEN substr(md5(w), ${b + 1}, 1) IN ('${high.mkString("','")}') THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END"
+    val oracleSig = (0 until bits).map(sqlBit).mkString(" || ")
+    def sparkBit(b: Int): Column =
+      when(sum(when(substring(md5(col("w")), b + 1, 1).isin(high: _*), 1).otherwise(-1)) > 0, "1").otherwise("0")
+    QueryDef(
+      "dedup_simhash",
+      Some(s"""SELECT doc_id, $oracleSig AS simhash
+              |FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+              |WHERE length(w) > 0
+              |GROUP BY doc_id
+              |ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        Tables.table(spark, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .distinct()
+          .groupBy("doc_id")
+          .agg(concat((0 until bits).map(sparkBit): _*).as("simhash"))
+          .orderBy("doc_id"))
+  }
+
+  /** Embedding-cosine near-dup: all pairs above a cosine threshold.
+    * Baseline (brute-force) path — the LSH-bucketed scale path is
+    * `sim_topk_lsh` in Similarity. Dot products are per-row left folds
+    * (deterministic in both engines). */
+  val dedupEmbeddingCosine = QueryDef(
+    "dedup_embedding_cosine",
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+           |SELECT va, vb, ROUND(cos, 6) AS cos_sim FROM (
+           |  SELECT a.vec_id AS va, b.vec_id AS vb,
+           |    list_reduce(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+           |    / (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+           |     * sqrt(list_reduce(list_transform(generate_series(1, 64), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS cos
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |WHERE cos > 0.30
+           |ORDER BY va, vb""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.table(spark, dir, "embeddings")
+        .withColumn("norm", sqrt(Similarity.dot(col("embedding"), col("embedding"))))
+      val a = e.as("a")
+      val b = e.as("b")
+      val cos = Similarity.dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.norm") * col("b.norm"))
+      a.join(b, col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), cos.as("cos"))
+        .filter(col("cos") > 0.30)
+        .select(col("va"), col("vb"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy("va", "vb")
+    })
+
+  val defs: Seq[QueryDef] = Seq(
+    dedupExact, dedupFingerprint, dedupMinhashLsh, dedupJaccardNgram,
+    dedupSimhash, dedupEmbeddingCosine)
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.QueryDef
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (north-star surface): media payloads are
+  * opaque `binary` columns with typed metadata travelling alongside.
+  * The real-decode step (image/audio libs) is STUBBED with a
+  * deterministic fake — the Spark-side plumbing (schema, batch-shaped
+  * partition processing, metadata extraction) is real and tested.
+  *
+  * At cluster scale the payload column stays columnar in parquet, the
+  * decode runs per-partition (batch-at-a-time, the `mapInPandas` shape),
+  * and metadata-only queries never touch the payload bytes thanks to
+  * parquet column pruning.
+  */
+object Multimodal {
+
+  /** One media record: payload plus typed metadata. */
+  case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Fake-decoded frame metadata (what a real decoder would emit). */
+  case class DecodedMeta(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      n_frames: Long)
+
+  /** STUB decode: a real implementation would hand each partition's
+    * batch of payloads to an image/audio codec (the `mapInPandas`
+    * pattern); this one derives deterministic fake dimensions from the
+    * byte length so the pipeline shape — per-partition batch iteration
+    * over binary payloads — is exercised end-to-end without the codec
+    * dependency. */
+  def decodeStub(records: Iterator[MediaRecord]): Iterator[DecodedMeta] =
+    records.map { r =>
+      val n = r.payload.length.toLong
+      DecodedMeta(r.doc_id, r.media_type, n,
+        width = 16 + n % 624,
+        height = 16 + (n * 7) % 464,
+        n_frames = 1 + n % 16)
+    }
+
+  /** documents → Dataset[MediaRecord]: text bytes stand in for media
+    * payloads (binary column + metadata columns). */
+  def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Typed per-partition decode pipeline (the mapPartitions path —
+    * exercised by ScalaTest; the declared query below is the
+    * expression-only equivalent the oracle can check). */
+  def decodePipeline(spark: SparkSession, dir: String): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    mediaRecords(spark, dir).mapPartitions(decodeStub)
+  }
+
+  /** Declared query: binary payload metadata + fake-decode fields,
+    * expression form (bit-identical to the stub). */
+  val mmBinaryMeta = QueryDef(
+    "mm_binary_meta",
+    Some("""SELECT doc_id,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |  CAST(16 + octet_length(encode(text)) % 624 AS BIGINT) AS width,
+           |  CAST(16 + (octet_length(encode(text)) * 7) % 464 AS BIGINT) AS height,
+           |  CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val n = octet_length(encode(col("text"), "UTF-8")).cast("long")
+      Tables.table(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
+          n.as("n_bytes"),
+          (lit(16) + n % 624).as("width"),
+          (lit(16) + (n * 7) % 464).as("height"),
+          (lit(1) + n % 16).as("n_frames"))
+        .orderBy("doc_id")
+    })
+
+  /** Metadata-only aggregate over the media table: per media_type byte
+    * totals — the query shape that must prune the payload column at
+    * scan time. */
+  val mmMetaAgg = QueryDef(
+    "mm_meta_agg",
+    Some("""SELECT media_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes
+           |FROM (SELECT text, CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type
+           |      FROM documents)
+           |GROUP BY media_type
+           |ORDER BY media_type""".stripMargin),
+    (spark, dir) =>
+      Tables.table(spark, dir, "documents")
+        .select(
+          when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n"), sum(col("nb")).as("total_bytes"))
+        .orderBy("media_type"))
+
+  val defs: Seq[QueryDef] = Seq(mmBinaryMeta, mmMetaAgg)
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.QueryDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (north-star surface): brute-force cosine top-k as the exact
+  * baseline; a sign-bit LSH-bucketed variant as the scale path
+  * (candidates restricted to the query's hyperplane bucket — at
+  * cluster scale the bucket column is the partition/bucketing key, so
+  * a query probes one partition instead of the full corpus).
+  */
+object Similarity {
+
+  /** Deterministic dot product: per-row left fold over the zipped
+    * arrays in double (same fold order as the DuckDB list_reduce
+    * mirror, so results are bit-identical). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+
+  private val duckDot =
+    "list_reduce(list_transform(generate_series(1, 64), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)), (x, y) -> x + y)"
+  private def dd(a: String, b: String) = duckDot.format(a, b)
+
+  /** Brute-force cosine top-k for a fixed query vector (vec_id 0). */
+  val simTopkBruteforce = QueryDef(
+    "sim_topk_bruteforce",
+    Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            |SELECT e.vec_id, ROUND(${dd("e.embedding", "q.qe")}
+            |  / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})), 6) AS cos_sim
+            |FROM embeddings e, q
+            |WHERE e.vec_id <> 0
+            |ORDER BY ${dd("e.embedding", "q.qe")}
+            |  / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, e.vec_id
+            |LIMIT 10""".stripMargin),
+    (spark, dir) => {
+      val e = withNorm(spark, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("norm").as("qnorm"))
+      val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cos.as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+    })
+
+  /** Sign-bit LSH bucket: 8 bits from the signs of the first 8
+    * dimensions (a fixed axis-aligned hyperplane family). */
+  private def bucketExpr(prefix: String): String =
+    (1 to 8).map(i => s"CASE WHEN $prefix[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  private def sparkBucket(c: Column): Column =
+    concat((1 to 8).map(i => when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
+
+  /** LSH-bucketed ANN: search only the query's sign-bit bucket. */
+  val simTopkLsh = QueryDef(
+    "sim_topk_lsh",
+    Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket FROM embeddings),
+            |q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+            |SELECT e.vec_id, ROUND(${dd("e.embedding", "q.qe")}
+            |  / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})), 6) AS cos_sim
+            |FROM b e, q
+            |WHERE e.vec_id <> 0 AND e.bucket = q.qb
+            |ORDER BY ${dd("e.embedding", "q.qe")}
+            |  / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, e.vec_id
+            |LIMIT 10""".stripMargin),
+    (spark, dir) => {
+      val e = withNorm(spark, dir)
+        .withColumn("bucket", sparkBucket(col("embedding")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("norm").as("qnorm"), col("bucket").as("qb"))
+      val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), col("bucket") === col("qb"))
+        .select(col("vec_id"), cos.as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh)
+}

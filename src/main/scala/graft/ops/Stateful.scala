@@ -18,14 +18,14 @@ object Stateful {
   val t1NewUserFix = QueryDef(
     "t1_new_user_fix",
     Some("""SELECT user_id, event_id,
-           |  CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
-           |       THEN 1 ELSE 0 END AS is_new
+           |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+           |       THEN 1 ELSE 0 END AS BIGINT) AS is_new
            |FROM events
            |ORDER BY user_id, event_id""".stripMargin),
     (spark, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables.events(spark, dir)
-        .withColumn("is_new", when(row_number().over(w) === 1, 1).otherwise(0))
+        .withColumn("is_new", when(row_number().over(w) === 1, 1L).otherwise(0L))
         .select("user_id", "event_id", "is_new")
         .orderBy("user_id", "event_id")
     })

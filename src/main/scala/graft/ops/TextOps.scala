@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * surface): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting. All pure column expressions — fully
+  * codegen'd, no UDFs.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Language-ID heuristic: stopword-hit ratio over tokens (the
+    * n-gram-profile approach degenerates to a stopword profile on this
+    * space-delimited corpus); `lang` column kept for accuracy eyeball.
+    */
+  val textLangid = QueryDef(
+    "text_langid",
+    Some(s"""SELECT doc_id, lang,
+            |  CAST(SUM(CASE WHEN w IN ($stopSqlList) THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
+            |  COUNT(*) AS n_tokens,
+            |  CASE WHEN CAST(SUM(CASE WHEN w IN ($stopSqlList) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.05
+            |       THEN 'en-like' ELSE 'other' END AS predicted
+            |FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+            |WHERE length(w) > 0
+            |GROUP BY doc_id, lang
+            |ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val hits = sum(when(col("w").isin(stopwords: _*), 1).otherwise(0))
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "lang")
+        .agg(
+          hits.cast("long").as("stop_hits"),
+          count(lit(1)).as("n_tokens"))
+        .withColumn("predicted",
+          when(col("stop_hits").cast("double") / col("n_tokens") >= 0.05, "en-like")
+            .otherwise("other"))
+        .orderBy("doc_id")
+    })
+
+  /** Quality scoring: length / token / stopword-ratio features with a
+    * thresholded composite score — the filter stage of a data-quality
+    * pipeline. */
+  val textQuality = QueryDef(
+    "text_quality",
+    Some(s"""WITH f AS (
+            |  SELECT doc_id,
+            |    length(text) AS n_chars_actual,
+            |    len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS n_words,
+            |    len(list_filter(string_split(text, ' '), w -> w IN ($stopSqlList))) AS n_stop
+            |  FROM documents)
+            |SELECT doc_id, n_chars_actual,
+            |  CAST(n_words AS BIGINT) AS n_words,
+            |  ROUND(CAST(n_chars_actual AS DOUBLE) / n_words, 4) AS chars_per_word,
+            |  ROUND(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+            |  CASE WHEN n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words BETWEEN 0.01 AND 0.6
+            |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+            |FROM f
+            |ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val words = filter(split(col("text"), " "), w => length(w) > 0)
+      val stops = filter(split(col("text"), " "), w => w.isin(stopwords: _*))
+      Tables.table(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          size(words).as("n_words_i"),
+          size(stops).as("n_stop_i"))
+        .select(
+          col("doc_id"),
+          col("n_chars_actual"),
+          col("n_words_i").cast("long").as("n_words"),
+          round(col("n_chars_actual").cast("double") / col("n_words_i"), 4).as("chars_per_word"),
+          round(col("n_stop_i").cast("double") / col("n_words_i"), 4).as("stop_ratio"),
+          when(col("n_words_i") >= 20 &&
+            (col("n_stop_i").cast("double") / col("n_words_i")).between(0.01, 0.6), 1L)
+            .otherwise(0L).as("keep"))
+        .orderBy("doc_id")
+    })
+
+  /** Token counting: whitespace tokens, a BPE-ish subword estimate
+    * (4-char chunks of the alphabetic runs), and corpus totals per
+    * source. */
+  val textTokens = QueryDef(
+    "text_tokens",
+    Some("""SELECT source,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(len(list_filter(string_split(text, ' '), w -> length(w) > 0))) AS BIGINT) AS ws_tokens,
+           |  CAST(SUM(CAST(ceil(length(replace(text, ' ', '')) / 4.0) AS BIGINT)) AS BIGINT) AS subword_est
+           |FROM documents
+           |GROUP BY source
+           |ORDER BY source""".stripMargin),
+    (spark, dir) =>
+      Tables.table(spark, dir, "documents")
+        .select(
+          col("source"),
+          size(filter(split(col("text"), " "), w => length(w) > 0)).as("ws_tokens_i"),
+          ceil(length(regexp_replace(col("text"), " ", "")) / 4.0).as("subword_i"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens_i")).cast("long").as("ws_tokens"),
+          sum(col("subword_i")).cast("long").as("subword_est"))
+        .orderBy("source"))
+
+  /** Document fingerprinting: md5 over the sorted distinct token set
+    * (a deterministic content fingerprint; the grouping form lives in
+    * dedup_fingerprint). */
+  val textFingerprint = QueryDef(
+    "text_fingerprint",
+    Some("""SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+           |  len(list_distinct(string_split(text, ' '))) AS vocab
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    (spark, dir) =>
+      Tables.table(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("vocab"))
+        .orderBy("doc_id"))
+
+  val defs: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint)
+}

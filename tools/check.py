@@ -51,6 +51,9 @@ def main(out_dir: str, sf_dir: str) -> int:
             print(f"FAIL {name}: rows want={len(w)} got={len(g)}")
             n_fail += 1
             continue
+        dtw, dtg = [str(t) for t in w.dtypes], [str(t) for t in g.dtypes]
+        if dtw != dtg:
+            print(f"WARN {name}: dtypes want={dtw} got={dtg}")
         # exact compare, mimicking a hash over values
         try:
             pd.testing.assert_frame_equal(w, g, check_dtype=False,
