@@ -1,0 +1,195 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row for the streaming forms (the page-log shape of the
+  * reference: mid → user_id, page/last_page_id → event_type,
+  * epoch ts → event-time timestamp). */
+case class Ev(
+    user_id: Long,
+    event_id: Long,
+    ts: Timestamp,
+    event_type: String,
+    value: Double,
+    is_new: Int)
+
+/** Structured-Streaming forms of the reference's stateful
+  * record-at-a-time operators (SURVEY §2.6) and its windowed/joined
+  * stream topology (§2.4/§2.5/§2.7). The batch analogs declared in
+  * `graft.ops.Stateful` are the oracle-checkable forms; these prove the
+  * streaming capability with real keyed state, watermarks and timeouts
+  * (exercised via MemoryStream in ScalaTest).
+  *
+  * Scale notes: all operators are keyed — state lives partitioned by
+  * key in the state store, so a 1000-executor cluster shards it by the
+  * groupBy hash. No operator holds unbounded state: T1 keeps one
+  * boolean per key, T2 one date-set per key with a TTL timeout, T3 one
+  * pending event per key with an event-time timeout.
+  */
+object StreamOps {
+
+  /** T1 — new-user correction (`app/dwd/BaseLogApp.java:72-101`):
+    * first event per user keeps is_new=1, all later ones are rewritten
+    * to 0. State: has-seen flag per key. */
+  def newUserFix(ds: Dataset[Ev]): Dataset[Ev] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, Ev](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, events: Iterator[Ev], state: GroupState[Boolean]) =>
+          val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = sorted.iterator.map { e =>
+            val seen = state.getOption.getOrElse(false)
+            if (!seen) state.update(true)
+            e.copy(is_new = if (seen) 0 else 1)
+          }
+          out
+      }
+  }
+
+  /** T2 — UV/first-visit-of-day dedup with 24 h state TTL
+    * (`app/dwm/UniqueVisitApp.java:49-88`): emit only the first event
+    * per (user, day). State: set of seen dates, evicted wholesale by a
+    * processing-time timeout (the reference's OnCreateAndWrite TTL). */
+  def uvDedup(ds: Dataset[Ev], ttlMs: Option[Long] = Some(24L * 3600 * 1000)): Dataset[Ev] = {
+    import ds.sparkSession.implicits._
+    // TTL enabled → processing-time timeout evicts idle keys (the
+    // reference's 24 h OnCreateAndWrite TTL). Note: a pending
+    // processing-time timeout keeps the no-data micro-batch loop alive,
+    // so tests that drain with processAllAvailable pass ttlMs=None.
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Set[String], Ev](OutputMode.Append, timeoutConf) {
+        (_: Long, events: Iterator[Ev], state: GroupState[Set[String]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Set.empty[String])
+            val out = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+              val day = e.ts.toLocalDateTime.toLocalDate.toString
+              if (seen.contains(day)) None
+              else { seen += day; Some(e) }
+            }
+            state.update(seen)
+            ttlMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
+  /** T3 — CEP bounce detection (`app/dwm/UserJumpDetailApp.java:57-86`):
+    * a session-start (event_type='view') is a bounce iff the next event
+    * is also a session-start within `gapMs`, or no event arrives within
+    * `gapMs` (the CEP timeout branch, fired here by an event-time
+    * timeout against the watermark). State: the pending session-start.
+    */
+  def bounceDetect(ds: Dataset[Ev], gapMs: Long = 30L * 60 * 1000): Dataset[Ev] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "1 second")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Ev, Ev](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, events: Iterator[Ev], state: GroupState[Ev]) =>
+          if (state.hasTimedOut) {
+            // No successor within the gap → timeout branch emits the
+            // pending start as a bounce.
+            val pending = state.get
+            state.remove()
+            Iterator.single(pending)
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[Ev]
+            var pending = state.getOption
+            for (e <- sorted) {
+              pending match {
+                case Some(p) =>
+                  val isStart = e.event_type == "view"
+                  if (e.ts.getTime - p.ts.getTime > gapMs) {
+                    out += p // gap exceeded → p bounced
+                    pending = if (isStart) Some(e) else None
+                  } else if (isStart) {
+                    out += p // consecutive starts within gap → p bounced
+                    pending = Some(e)
+                  } else {
+                    pending = None // followed by a non-start → not a bounce
+                  }
+                case None =>
+                  if (e.event_type == "view") pending = Some(e)
+              }
+            }
+            pending match {
+              case Some(p) =>
+                state.update(p)
+                state.setTimeoutTimestamp(p.ts.getTime + gapMs)
+              case None =>
+                state.remove()
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** A1/A2/W1/W3 streaming form — watermarked tumbling window
+    * aggregation (`app/dws/VisitorStatsApp.java:94-117`), append mode.
+    */
+  def windowedStats(ds: Dataset[Ev], window_ : String = "10 seconds",
+      watermark: String = "2 seconds"): DataFrame =
+    ds.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(
+        col("window.start").as("stt"), col("window.end").as("edt"),
+        col("event_type"), col("n"), col("total_value"), col("approx_users"))
+
+  /** J1 streaming form — stream-stream interval join with watermark
+    * state eviction (`app/dwm/OrderWideApp.java:59-66`): left and right
+    * events match when right.ts ∈ [left.ts − 5 s, left.ts + 5 s]. */
+  def intervalJoin(left: Dataset[Ev], right: Dataset[Ev]): DataFrame = {
+    val l = left.withWatermark("ts", "5 seconds").toDF()
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", "5 seconds").toDF()
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+    l.join(r, expr(
+      """l_user = r_user AND
+        |r_ts BETWEEN l_ts - INTERVAL 5 SECONDS AND l_ts + INTERVAL 5 SECONDS""".stripMargin))
+  }
+
+  /** J4/K2 streaming form — per-micro-batch dynamic routing
+    * (`app/dwd/BaseDbApp.java:61-89`): each batch joins the (hot-
+    * reloadable) config and is fanned out per sink. The sink callback
+    * receives (sinkTable, rows) — in production a Kafka topic / JDBC
+    * table per config row; config is re-read every batch, the
+    * idiomatic substitute for broadcast-state hot reload. */
+  def dynamicRoute(
+      ds: Dataset[Ev],
+      loadConfig: () => DataFrame,
+      sink: (String, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Ev] =
+    ds.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Ev], _: Long) =>
+        val routed = batch.toDF().join(broadcast(loadConfig()), "event_type")
+        val tables = routed.select("sink_table").distinct()
+          .collect().map(_.getString(0)).sorted
+        for (t <- tables) sink(t, routed.filter(col("sink_table") === t))
+    }
+
+  /** K2 shape — the per-row-topic Kafka producer contract: Spark's
+    * kafka sink routes on a `topic` column; this builds that frame. */
+  def toKafkaShape(routed: DataFrame): DataFrame =
+    routed.select(
+      col("sink_table").as("topic"),
+      col("event_id").cast("string").as("key"),
+      to_json(struct(col("user_id"), col("event_type"), col("value"))).as("value"))
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Semantic unit tests for the non-relational operators. */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("multimodal decode pipeline matches the expression-form query") {
+    val viaMapPartitions = Multimodal.decodePipeline(spark, sf("sf0.001"))
+      .toDF().orderBy("doc_id")
+      .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")
+    val viaExpressions = Multimodal.mmBinaryMeta.fn(spark, sf("sf0.001"))
+    assert(viaMapPartitions.collect().toSeq === viaExpressions.collect().toSeq)
+  }
+
+  test("dot product is exact on known vectors") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("d"))
+    assert(df.head().getDouble(0) === 32.0)
+  }
+
+  test("minhash LSH flags a near-duplicate pair, not unrelated docs") {
+    val text1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val text2 = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("lsh").toString
+    Seq((0L, text1), (1L, text2), (2L, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.dedupMinhashLsh.fn(spark, tmp)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("exact dedup groups identical texts under one survivor") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
+    Seq((5L, "a b c"), (9L, "a b c"), (7L, "x y z"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.dedupExact.fn(spark, tmp)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(rows === Set((5L, 2L), (7L, 1L)))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Ev, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Streaming forms of the stateful operators, exercised with
+  * MemoryStream: keyed state across micro-batches, event-time timeouts
+  * against the watermark, watermarked window aggregation, stream-stream
+  * interval join, per-batch dynamic routing. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var n = 0
+  private def name(): String = { n += 1; s"stream_out_$n" }
+
+  // Base all event times at 2024-01-01: an initial watermark of 0
+  // (epoch) drops epoch-0 rows as late.
+  private val base = 1704067200L
+
+  private def ev(user: Long, id: Long, sec: Long, typ: String): Ev =
+    Ev(user, id, new Timestamp((base + sec) * 1000L), typ, 1.0, 1)
+
+  test("T1 newUserFix keeps is_new only on first event per key, across batches") {
+    val in = MemoryStream[Ev]
+    val q = StreamOps.newUserFix(in.toDS())
+      .writeStream.format("memory").queryName(name()).outputMode("append").start()
+    in.addData(ev(1, 1, 0, "view"), ev(1, 2, 10, "click"), ev(2, 3, 5, "view"))
+    q.processAllAvailable()
+    in.addData(ev(1, 4, 20, "view"), ev(2, 5, 15, "click"))
+    q.processAllAvailable()
+    val out = spark.table(s"stream_out_$n").as[Ev].collect()
+      .map(e => e.event_id -> e.is_new).toMap
+    q.stop()
+    assert(out === Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 0))
+  }
+
+  test("T2 uvDedup emits only first event per (user, day), across batches") {
+    val in = MemoryStream[Ev]
+    val q = StreamOps.uvDedup(in.toDS(), ttlMs = None)
+      .writeStream.format("memory").queryName(name()).outputMode("append").start()
+    val day = 86400L
+    in.addData(ev(1, 1, 10, "view"), ev(1, 2, 20, "view"), ev(1, 3, day + 5, "view"))
+    q.processAllAvailable()
+    in.addData(ev(1, 4, day + 50, "view"), ev(2, 5, 30, "view"))
+    q.processAllAvailable()
+    val ids = spark.table(s"stream_out_$n").as[Ev].collect().map(_.event_id).toSet
+    q.stop()
+    assert(ids === Set(1L, 3L, 5L)) // 2 same-day dup, 4 same-day dup next batch
+  }
+
+  test("T3 bounceDetect: consecutive-starts, gap-exceeded and timeout branches") {
+    val in = MemoryStream[Ev]
+    val q = StreamOps.bounceDetect(in.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName(name()).outputMode("append").start()
+    in.addData(
+      ev(1, 10, 0, "view"), ev(1, 11, 10, "view"), ev(1, 12, 20, "click"),
+      ev(2, 20, 0, "view"), ev(2, 21, 200, "click"),
+      ev(3, 30, 0, "view"))
+    q.processAllAvailable()
+    // advance the watermark past user 3's timeout (0 s + 60 s)
+    in.addData(ev(4, 40, 600, "click"))
+    q.processAllAvailable()
+    // timeouts fire in the batch after the watermark passes them
+    in.addData(ev(4, 41, 601, "click"))
+    q.processAllAvailable()
+    val ids = spark.table(s"stream_out_$n").as[Ev].collect().map(_.event_id).toSet
+    q.stop()
+    // 10: followed by start 11 within gap → bounce. 11: followed by click → no.
+    // 20: next event 200 s later > gap → bounce. 30: no successor → timeout bounce.
+    assert(ids === Set(10L, 20L, 30L))
+  }
+
+  test("windowed agg with watermark emits closed windows in append mode") {
+    val in = MemoryStream[Ev]
+    val q = StreamOps.windowedStats(in.toDS())
+      .writeStream.format("memory").queryName(name()).outputMode("append").start()
+    in.addData(ev(1, 1, 1, "view"), ev(2, 2, 3, "view"), ev(1, 3, 11, "click"))
+    q.processAllAvailable()
+    in.addData(ev(1, 4, 100, "view")) // watermark → 98 s, closes earlier windows
+    q.processAllAvailable()
+    val rows = spark.table(s"stream_out_$n")
+      .select(col("event_type"), col("n")).as[(String, Long)].collect().toMap
+    q.stop()
+    assert(rows("view") === 2L)  // [0,10) window
+    assert(rows("click") === 1L) // [10,20) window
+  }
+
+  test("stream-stream interval join matches within ±5 s on the key") {
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    val q = StreamOps.intervalJoin(l.toDS(), r.toDS())
+      .writeStream.format("memory").queryName(name()).outputMode("append").start()
+    l.addData(ev(1, 1, 10, "order"), ev(2, 2, 10, "order"))
+    r.addData(ev(1, 101, 13, "detail"), ev(1, 102, 30, "detail"), ev(2, 103, 6, "detail"))
+    q.processAllAvailable()
+    val pairs = spark.table(s"stream_out_$n")
+      .select(col("l_id"), col("r_id")).as[(Long, Long)].collect().toSet
+    q.stop()
+    // (1,101): Δ3 s ok; (1,102): Δ20 s out; (2,103): Δ4 s ok
+    assert(pairs === Set((1L, 101L), (2L, 103L)))
+  }
+
+  test("dynamic routing fans each batch out per config sink table") {
+    val in = MemoryStream[Ev]
+    val counts = mutable.Map[String, Long]().withDefaultValue(0L)
+    val config = () => Seq(
+      ("view", "dwd_page_log"), ("click", "dwd_click_log"))
+      .toDF("event_type", "sink_table")
+    val q = StreamOps.dynamicRoute(in.toDS(), config,
+      (table, df) => counts.synchronized { counts(table) += df.count() }).start()
+    in.addData(ev(1, 1, 0, "view"), ev(1, 2, 1, "click"),
+      ev(2, 3, 2, "view"), ev(2, 4, 3, "error")) // error: no config → dropped
+    q.processAllAvailable()
+    q.stop()
+    assert(counts.toMap === Map("dwd_page_log" -> 2L, "dwd_click_log" -> 1L))
+  }
+
+  test("kafka sink shape carries per-row topic routing (K2)") {
+    val routed = Seq((1L, "view", 1.5, "dwd_page_log"))
+      .toDF("user_id", "event_type", "value", "sink_table")
+      .withColumn("event_id", lit(7L))
+    val shaped = StreamOps.toKafkaShape(routed)
+    assert(shaped.columns.toSeq === Seq("topic", "key", "value"))
+    val row = shaped.collect().head
+    assert(row.getString(0) === "dwd_page_log")
+    assert(row.getString(1) === "7")
+    assert(row.getString(2).contains("\"event_type\":\"view\""))
+  }
+}
