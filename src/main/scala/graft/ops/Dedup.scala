@@ -26,21 +26,28 @@ object Dedup {
         explode(expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))")).as("s"))
       .distinct()
 
-  /** Per-(doc, seed) MinHash: lexicographic min of md5(seed:shingle). */
-  private def minhash(spark: SparkSession, dir: String, k: Int): DataFrame =
-    shingles(spark, dir)
-      .crossJoin(broadcast(spark.range(k).toDF("seed")))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed"), lit(":"), col("s")))).as("h"))
+  /** 8 independent 32-bit MinHash functions from two md5 calls per
+    * shingle: hash i is the lexicographic min over shingles of the i-th
+    * 8-hex-char slice of md5(s) (i<4) / md5('x'||s) (i≥4). One groupBy
+    * with 8 min aggregates — map-side partial mins shrink the shuffle
+    * to one row per (doc, partition), no per-seed row explosion. */
+  private def minhashSig(sh: DataFrame): DataFrame = {
+    val h1 = md5(col("s"))
+    val h2 = md5(concat(lit("x"), col("s")))
+    def slice(h: org.apache.spark.sql.Column, i: Int) = substring(h, 8 * i + 1, 8)
+    sh.groupBy("doc_id")
+      .agg(
+        concat((0 to 3).map(i => min(slice(h1, i)).as(s"h$i")): _*).as("band0"),
+        concat((0 to 3).map(i => min(slice(h2, i)).as(s"h${i + 4}")): _*).as("band1"))
+  }
 
   /** LSH bands: signature split into 2 bands of 4 hashes; docs sharing a
     * band value are candidate near-dup pairs. */
-  private def bandPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhash(spark, dir, 8)
-      .groupBy("doc_id")
-      .agg(
-        concat((0 to 3).map(i => min(when(col("seed") === i, col("h")))): _*).as("band0"),
-        concat((4 to 7).map(i => min(when(col("seed") === i, col("h")))): _*).as("band1"))
+  private def bandPairs(sh: DataFrame, spark: SparkSession): DataFrame = {
+    // The band self-join references the signature relation twice; cache
+    // it (one row per doc) so the minhash pipeline runs once, not once
+    // per join side.
+    val sig = minhashSig(sh).cache()
     val bands = sig.select(col("doc_id"), lit(0).as("band_id"), col("band0").as("sig"))
       .unionByName(sig.select(col("doc_id"), lit(1).as("band_id"), col("band1").as("sig")))
     val a = bands.as("a")
@@ -59,12 +66,10 @@ object Dedup {
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |g AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM g),
-      |seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
-      |mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS h FROM sh, seeds GROUP BY doc_id, seed),
       |sig AS (SELECT doc_id,
-      |  min(CASE WHEN seed=0 THEN h END)||min(CASE WHEN seed=1 THEN h END)||min(CASE WHEN seed=2 THEN h END)||min(CASE WHEN seed=3 THEN h END) AS band0,
-      |  min(CASE WHEN seed=4 THEN h END)||min(CASE WHEN seed=5 THEN h END)||min(CASE WHEN seed=6 THEN h END)||min(CASE WHEN seed=7 THEN h END) AS band1
-      |  FROM mh GROUP BY doc_id),
+      |  min(substr(md5(s), 1, 8))||min(substr(md5(s), 9, 8))||min(substr(md5(s), 17, 8))||min(substr(md5(s), 25, 8)) AS band0,
+      |  min(substr(md5('x' || s), 1, 8))||min(substr(md5('x' || s), 9, 8))||min(substr(md5('x' || s), 17, 8))||min(substr(md5('x' || s), 25, 8)) AS band1
+      |  FROM sh GROUP BY doc_id),
       |bands AS (SELECT doc_id, 0 AS band_id, band0 AS sig FROM sig
       |          UNION ALL SELECT doc_id, 1, band1 FROM sig),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -106,7 +111,7 @@ object Dedup {
     Some(s"""$lshCtes
             |SELECT doc_a, doc_b FROM cand
             |ORDER BY doc_a, doc_b""".stripMargin),
-    (spark, dir) => bandPairs(spark, dir).orderBy("doc_a", "doc_b"))
+    (spark, dir) => bandPairs(shingles(spark, dir), spark).orderBy("doc_a", "doc_b"))
 
   /** n-gram Jaccard verification over the LSH candidates: exact shingle
     * set Jaccard, thresholded — the verify stage of the dedup pipeline
@@ -128,8 +133,10 @@ object Dedup {
             |WHERE CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both) >= 0.4
             |ORDER BY doc_a, doc_b""".stripMargin),
     (spark, dir) => {
+      // One shingle scan feeds both the LSH candidate generation and
+      // the exact-Jaccard verification.
       val sh = shingles(spark, dir).cache()
-      val cand = bandPairs(spark, dir)
+      val cand = bandPairs(sh, spark)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand
         .join(sh.as("a"), col("a.doc_id") === col("doc_a"))

@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic dot product: per-row left fold over the zipped
-    * arrays in double (same fold order as the DuckDB list_reduce
-    * mirror, so results are bit-identical). */
+  /** Deterministic dot product: sequential left fold in double, as a
+    * codegen'd Catalyst expression (graft.functions.VecDot). Same fold
+    * order as the DuckDB list_reduce mirror and as `dotHof`, so results
+    * are bit-identical across all three. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VecMath.vec_dot(a, b)
+
+  /** Declarative (higher-order-function) form of `dot` — kept as the
+    * reference implementation the codegen expression is tested against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
