@@ -14,7 +14,8 @@ object SparkEntry {
   /** Registry of all declared queries. */
   val allDefs: Seq[QueryDef] =
     Core.defs ++ Stateful.defs ++ Joins.defs ++ Aggregates.defs ++
-      Dedup.defs ++ Similarity.defs ++ TextOps.defs ++ Multimodal.defs
+      Dedup.defs ++ Similarity.defs ++ TextOps.defs ++ Multimodal.defs ++
+      Cdc.defs ++ WindowOps.defs ++ PipelineOps.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names in registry")

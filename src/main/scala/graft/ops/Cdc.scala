@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.QueryDef
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC surface (SURVEY §2.1 S2/S3/S5): the reference captures MySQL
+  * binlog rows, wraps them in a JSON envelope
+  * `{tableName, type: insert|update|delete, data, before}`
+  * (`app/function/MyDeserializationSchema.java:23-73`) and downstream
+  * consumers parse + apply them. Here a deterministic change stream is
+  * derived from `orders` (insert for every row, update for open orders,
+  * delete for every 97th key), serialized through a JSON `data` payload
+  * exactly like the envelope, then compacted to final table state:
+  * latest-per-key wins, deletes drop the row.
+  *
+  * Scale: changelog compaction is one shuffle on the primary key
+  * (row_number over pk) — the standard CDC-merge shape that scales
+  * linearly with the log and is AQE-skew-splittable.
+  */
+object Cdc {
+
+  val s3CdcApply = QueryDef(
+    "s3_cdc_apply",
+    Some("""WITH ins AS (
+           |  SELECT o_orderkey AS pk, 1 AS seq, 'insert' AS op,
+           |    to_json(struct_pack(status := o_orderstatus, total := o_totalprice)) AS data
+           |  FROM orders),
+           |upd AS (
+           |  SELECT o_orderkey AS pk, 2 AS seq, 'update' AS op,
+           |    to_json(struct_pack(status := 'P', total := o_totalprice)) AS data
+           |  FROM orders WHERE o_orderstatus = 'O'),
+           |del AS (
+           |  SELECT o_orderkey AS pk, 3 AS seq, 'delete' AS op, NULL AS data
+           |  FROM orders WHERE o_orderkey % 97 = 0),
+           |cdc AS (SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del),
+           |latest AS (
+           |  SELECT * FROM cdc
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1)
+           |SELECT pk,
+           |  json_extract_string(data, '$.status') AS status,
+           |  CAST(json_extract_string(data, '$.total') AS DOUBLE) AS total
+           |FROM latest
+           |WHERE op <> 'delete'
+           |ORDER BY pk""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.table(spark, dir, "orders")
+      // S2: synthesize the change stream (stand-in for binlog capture).
+      val ins = o.select(
+        col("o_orderkey").as("pk"), lit(1).as("seq"), lit("insert").as("op"),
+        to_json(struct(col("o_orderstatus").as("status"), col("o_totalprice").as("total"))).as("data"))
+      val upd = o.filter(col("o_orderstatus") === "O").select(
+        col("o_orderkey").as("pk"), lit(2).as("seq"), lit("update").as("op"),
+        to_json(struct(lit("P").as("status"), col("o_totalprice").as("total"))).as("data"))
+      val del = o.filter(col("o_orderkey") % 97 === 0).select(
+        col("o_orderkey").as("pk"), lit(3).as("seq"), lit("delete").as("op"),
+        lit(null).cast("string").as("data"))
+      val cdc = ins.unionByName(upd).unionByName(del)
+      // S3 + apply: parse the JSON envelope payload, keep latest per
+      // key, drop deletes.
+      val w = Window.partitionBy("pk").orderBy(col("seq").desc)
+      cdc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "delete")
+        .select(
+          col("pk"),
+          get_json_object(col("data"), "$.status").as("status"),
+          get_json_object(col("data"), "$.total").cast("double").as("total"))
+        .orderBy("pk")
+    })
+
+  val defs: Seq[QueryDef] = Seq(s3CdcApply)
+}

@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.QueryDef
+import org.apache.spark.sql.functions._
+
+/** Window-shape extensions beyond the reference's tumbling windows
+  * (SURVEY §2.7 notes the reference has no sliding or session windows —
+  * these complete the windowing surface a Flink-class engine offers):
+  * sliding windows, session windows, and ROLLUP grouping sets.
+  */
+object WindowOps {
+
+  /** Sliding (hopping) window: 30 min length, 10 min hop — each event
+    * lands in exactly 3 windows. Oracle mirrors via 3 shifted
+    * time_buckets. */
+  val wSlidingWindow = QueryDef(
+    "w_sliding_window",
+    Some("""SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS stt,
+           |  strftime(b + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+           |  COUNT(*) AS n,
+           |  COUNT(DISTINCT user_id) AS users
+           |FROM (SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) - k.k * INTERVAL 10 MINUTE AS b,
+           |             user_id
+           |      FROM events CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) k)
+           |GROUP BY b
+           |ORDER BY stt""".stripMargin),
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("edt"),
+          col("n"), col("users"))
+        .orderBy("stt"))
+
+  /** Session window with a 30 min inactivity gap per user: Spark's
+    * session_window merges an event into the open session iff its time
+    * is strictly before last_event + gap, and stamps end = last + gap.
+    * Oracle mirrors with the lag/cumulative-sum islands pattern (new
+    * session when the gap is >= 30 min). */
+  val wSessionWindow = QueryDef(
+    "w_session_window",
+    Some("""WITH e AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+           |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+           |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL 30 MINUTE
+           |         THEN 1 ELSE 0 END AS new_s
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (
+           |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                             ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM e)
+           |SELECT user_id,
+           |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           |  COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM s
+           |GROUP BY user_id, sid
+           |ORDER BY user_id, session_start""".stripMargin),
+    (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total_value"))
+        .select(
+          col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start"))
+
+  /** ROLLUP grouping sets over the dim hierarchy (beyond the reference,
+    * which has no grouping sets): per (region, nation), per region, and
+    * grand total in one pass. */
+  val a11Rollup = QueryDef(
+    "a11_rollup",
+    Some("""SELECT COALESCE(r.r_name, '(all)') AS region,
+           |  COALESCE(n.n_name, '(all)') AS nation,
+           |  COUNT(*) AS n_customers,
+           |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+           |FROM customer c
+           |JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |JOIN region r ON n.n_regionkey = r.r_regionkey
+           |GROUP BY ROLLUP(r.r_name, n.n_name)
+           |ORDER BY region, nation""".stripMargin),
+    (spark, dir) => {
+      val c = Tables.table(spark, dir, "customer")
+      val n = Tables.table(spark, dir, "nation")
+      val r = Tables.table(spark, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("total_acctbal"))
+        .select(
+          coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          col("n_customers"), col("total_acctbal"))
+        .orderBy("region", "nation")
+    })
+
+  val defs: Seq[QueryDef] = Seq(wSlidingWindow, wSessionWindow, a11Rollup)
+}

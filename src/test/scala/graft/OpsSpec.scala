@@ -23,9 +23,9 @@ class OpsSpec extends SparkSuite {
   }
 
   test("minhash LSH flags a near-duplicate pair, not unrelated docs") {
-    val text1 = (1 to 40).map(i => s"tok$i").mkString(" ")
-    val text2 = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
-    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val text1 = (1 to 150).map(i => s"tok$i").mkString(" ")
+    val text2 = (1 to 150).map(i => if (i == 150) "changed" else s"tok$i").mkString(" ")
+    val other = (1 to 150).map(i => s"other$i").mkString(" ")
     val tmp = java.nio.file.Files.createTempDirectory("lsh").toString
     Seq((0L, text1), (1L, text2), (2L, other))
       .toDF("doc_id", "text")

@@ -121,6 +121,52 @@ class StreamingSpec extends SparkSuite {
     assert(counts.toMap === Map("dwd_page_log" -> 2L, "dwd_click_log" -> 1L))
   }
 
+  test("file streaming source drives the windowed agg (S1 analog)") {
+    // No Kafka broker in this environment: a file source is the
+    // stand-in stream transport, same readStream → transform → sink
+    // topology.
+    val dir = java.nio.file.Files.createTempDirectory("filesrc").toString
+    Seq(ev(1, 1, 1, "view"), ev(2, 2, 3, "view"), ev(1, 3, 100, "view"))
+      .toDF().write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream
+      .schema(Seq.empty[Ev].toDF().schema)
+      .parquet(s"$dir/in").as[Ev]
+    val q = StreamOps.windowedStats(src)
+      .writeStream.format("memory").queryName(name()).outputMode("append").start()
+    q.processAllAvailable()
+    val rows = spark.table(s"stream_out_$n")
+      .select(col("event_type"), col("n")).as[(String, Long)].collect()
+    q.stop()
+    // watermark from the single batch closes the [0,10) window only
+    assert(rows.toSeq === Seq(("view", 2L)))
+  }
+
+  test("two-stage layered pipeline: DWD split → (file boundary) → DWS agg") {
+    // The reference's layers talk through Kafka topics; here the layer
+    // boundary is a parquet directory: stage 1 routes the page branch
+    // out, stage 2 independently consumes it for windowed stats.
+    val dir = java.nio.file.Files.createTempDirectory("layers").toString
+    Seq(ev(1, 1, 1, "view"), ev(1, 2, 2, "error"), ev(2, 3, 4, "view"),
+      ev(2, 4, 200, "view"))
+      .toDF().write.mode("overwrite").parquet(s"$dir/ods")
+    val ods = spark.readStream
+      .schema(Seq.empty[Ev].toDF().schema).parquet(s"$dir/ods").as[Ev]
+    val q1 = ods.filter(col("event_type") =!= "error") // DWD split: page branch
+      .writeStream.format("parquet")
+      .option("path", s"$dir/dwd_page")
+      .option("checkpointLocation", s"$dir/ckpt1").outputMode("append").start()
+    q1.processAllAvailable(); q1.stop()
+    val dwd = spark.readStream
+      .schema(Seq.empty[Ev].toDF().schema).parquet(s"$dir/dwd_page").as[Ev]
+    val q2 = StreamOps.windowedStats(dwd)
+      .writeStream.format("memory").queryName(name()).outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.table(s"stream_out_$n")
+      .select(col("event_type"), col("n")).as[(String, Long)].collect()
+    // dirty row never crossed the layer boundary; late window still open
+    assert(rows.toSeq === Seq(("view", 2L)))
+  }
+
   test("kafka sink shape carries per-row topic routing (K2)") {
     val routed = Seq((1L, "view", 1.5, "dwd_page_log"))
       .toDF("user_id", "event_type", "value", "sink_table")
