@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Similarity
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests (ScalaCheck generators, fixed seeds for
+  * determinism): algebraic invariants the operator library must hold
+  * regardless of data. */
+case class PropEvent(user_id: Long, event_id: Long, ts: Timestamp,
+    event_type: String, value: Double)
+
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val genEvents: Gen[List[PropEvent]] = {
+    val base = 1704067200L
+    val genE = for {
+      u <- Gen.choose(0L, 5L)
+      id <- Gen.choose(0L, 100000L)
+      sec <- Gen.choose(0L, 7L * 86400)
+      t <- Gen.oneOf("view", "click", "purchase", "signup", "error")
+      v <- Gen.choose(0, 99999).map(_ / 100.0)
+    } yield PropEvent(u, id, new Timestamp((base + sec) * 1000L), t, v)
+    Gen.listOfN(300, genE)
+  }
+
+  private def sample(i: Int): List[PropEvent] =
+    genEvents(Gen.Parameters.default, Seed(42L + i)).get
+      // distinct event ids make window-function order deterministic
+      .groupBy(_.event_id).map(_._2.head).toList
+
+  test("zero-padded union aggregation equals direct conditional aggregation") {
+    for (i <- 0 until 5) {
+      val ev = sample(i).toDF()
+      val branches = Seq("view", "click", "purchase").map { t =>
+        ev.filter(col("event_type") === t)
+          .select(
+            col("ts"),
+            (if (t == "view") lit(1L) else lit(0L)).as("pv"),
+            (if (t == "click") lit(1L) else lit(0L)).as("ck"),
+            (if (t == "purchase") lit(1L) else lit(0L)).as("oc"))
+      }
+      val viaUnion = branches.reduce(_ unionByName _)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(sum("pv").as("pv"), sum("ck").as("ck"), sum("oc").as("oc"))
+        .select(col("window.start").as("w"), col("pv"), col("ck"), col("oc"))
+      val direct = ev.filter(col("event_type").isin("view", "click", "purchase"))
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("pv"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ck"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("oc"))
+        .select(col("window.start").as("w"), col("pv"), col("ck"), col("oc"))
+      assert(viaUnion.orderBy("w").collect().toSeq ===
+        direct.orderBy("w").collect().toSeq, s"sample $i")
+    }
+  }
+
+  test("symmetric interval join commutes") {
+    for (i <- 0 until 3) {
+      val ev = sample(i).toDF()
+      val l = ev.select(col("user_id").as("lu"), col("event_id").as("li"), col("ts").as("lts"))
+      val r = ev.select(col("user_id").as("ru"), col("event_id").as("ri"), col("ts").as("rts"))
+      val cond = col("lu") === col("ru") &&
+        col("rts").between(col("lts") - expr("INTERVAL 1 HOUR"), col("lts") + expr("INTERVAL 1 HOUR"))
+      val ab = l.join(r, cond).select(col("li"), col("ri"))
+        .as[(Long, Long)].collect().toSet
+      val ba = r.join(l, cond).select(col("li"), col("ri"))
+        .as[(Long, Long)].collect().toSet
+      assert(ab === ba, s"sample $i")
+    }
+  }
+
+  test("first-per-day dedup is idempotent and never grows") {
+    for (i <- 0 until 3) {
+      val ev = sample(i).toDF()
+      def dedup(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("user_id"), to_date(col("ts")))
+          .orderBy("ts", "event_id")
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      }
+      val once = dedup(ev).cache()
+      val twice = dedup(once)
+      assert(once.count() <= ev.count())
+      assert(twice.collect().toSet === once.collect().toSet, s"sample $i")
+    }
+  }
+
+  test("vec_dot is commutative and matches scalar computation") {
+    val genVec = Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 100.0f))
+    for (i <- 0 until 5) {
+      val a = genVec(Gen.Parameters.default, Seed(7L + i)).get.toArray
+      val b = genVec(Gen.Parameters.default, Seed(77L + i)).get.toArray
+      val df = Seq((a, b)).toDF("a", "b").select(
+        Similarity.dot(col("a"), col("b")).as("ab"),
+        Similarity.dot(col("b"), col("a")).as("ba"))
+      val row = df.head()
+      val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      assert(row.getDouble(0) === row.getDouble(1), s"sample $i")
+      assert(row.getDouble(0) === expected, s"sample $i")
+    }
+  }
+
+  test("salted aggregation equals plain aggregation on generated data") {
+    for (i <- 0 until 3) {
+      val ev = sample(i).toDF()
+      val salted = graft.ops.ScaleOps.saltedSum(
+        ev, col("event_type"), col("event_id"), 8,
+        Map("s" -> col("value").cast("decimal(18,2)")))
+        .select(col("k"), col("s").cast("double"))
+      val plain = ev.groupBy(col("event_type").as("k"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      assert(salted.orderBy("k").collect().toSeq ===
+        plain.orderBy("k").collect().toSeq, s"sample $i")
+    }
+  }
+}

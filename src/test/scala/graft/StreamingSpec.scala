@@ -121,6 +121,22 @@ class StreamingSpec extends SparkSuite {
     assert(counts.toMap === Map("dwd_page_log" -> 2L, "dwd_click_log" -> 1L))
   }
 
+  test("dropDuplicatesWithinWatermark covers the T2 dedup as a built-in") {
+    val in = MemoryStream[Ev]
+    val deduped = in.toDS()
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "day")
+    val q = deduped.writeStream.format("memory")
+      .queryName(name()).outputMode("append").start()
+    in.addData(ev(1, 1, 10, "view"), ev(1, 2, 500, "view"), ev(2, 3, 20, "view"))
+    q.processAllAvailable()
+    val ids = spark.table(s"stream_out_$n")
+      .select(col("event_id")).as[Long].collect().toSet
+    q.stop()
+    assert(ids === Set(1L, 3L)) // same user+day dup 2 suppressed
+  }
+
   test("file streaming source drives the windowed agg (S1 analog)") {
     // No Kafka broker in this environment: a file source is the
     // stand-in stream transport, same readStream → transform → sink
