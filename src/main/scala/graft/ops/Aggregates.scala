@@ -246,7 +246,30 @@ object Aggregates {
         .withColumn("avg_value", round(col("total_value") / col("n"), 2))
         .orderBy("event_type"))
 
+  /** A5 typed form — the distinct-set accumulator as a custom
+    * `Aggregator` (graft.functions.DistinctLongCount), checked against
+    * the relational COUNT(DISTINCT) oracle. */
+  val a5TypedDistinct = QueryDef(
+    "a5_typed_distinct",
+    Some("""SELECT o_orderstatus,
+           |  COUNT(DISTINCT o_custkey) AS n_customers,
+           |  COUNT(*) AS n_orders
+           |FROM orders
+           |GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin),
+    (spark, dir) => {
+      val distinctCustomers =
+        udaf(new graft.functions.DistinctLongCount, org.apache.spark.sql.Encoders.scalaLong)
+      Tables.table(spark, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          distinctCustomers(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     a1ProductStats, a2VisitorStats, a3ProvinceStats, a4KeywordStats,
-    a6TopN, a7ConditionalAgg, a8WeightedScore, a9GrandTotal, a10RatioMetrics)
+    a5TypedDistinct, a6TopN, a7ConditionalAgg, a8WeightedScore,
+    a9GrandTotal, a10RatioMetrics)
 }

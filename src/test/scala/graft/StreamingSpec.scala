@@ -121,6 +121,24 @@ class StreamingSpec extends SparkSuite {
     assert(counts.toMap === Map("dwd_page_log" -> 2L, "dwd_click_log" -> 1L))
   }
 
+  test("stream-static broadcast dim join (J3 streaming form)") {
+    // The reference's async dim lookups become a stream-static join:
+    // the static side is re-resolved per micro-batch (dim hot reload).
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val joined = in.toDS().toDF()
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("event_id"), col("tier"))
+    val q = joined.writeStream.format("memory")
+      .queryName(name()).outputMode("append").start()
+    in.addData(ev(1, 1, 0, "view"), ev(2, 2, 1, "view"), ev(3, 3, 2, "view"))
+    q.processAllAvailable()
+    val rows = spark.table(s"stream_out_$n")
+      .as[(Long, Option[String])].collect().toMap
+    q.stop()
+    assert(rows === Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
+
   test("dropDuplicatesWithinWatermark covers the T2 dedup as a built-in") {
     val in = MemoryStream[Ev]
     val deduped = in.toDS()
