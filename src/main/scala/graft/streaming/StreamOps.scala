@@ -152,6 +152,33 @@ object StreamOps {
         col("window.start").as("stt"), col("window.end").as("edt"),
         col("event_type"), col("n"), col("total_value"), col("approx_users"))
 
+  /** The full ProductStats topology in streaming form
+    * (`app/dws/ProductStatsApp.java:82-330`): per-metric zero-padded
+    * branches unioned, watermarked tumbling aggregation with window
+    * stamps, then broadcast dim enrichment (stream-static join). */
+  def productStats(ds: Dataset[Ev], dim: DataFrame,
+      window_ : String = "10 seconds", watermark: String = "2 seconds"): DataFrame = {
+    val pv = ds.filter(col("event_type") === "view").select(
+      col("ts"), col("user_id"),
+      lit(1L).as("pv_ct"), lit(0L).as("order_ct"),
+      lit(0.0).cast("decimal(18,2)").as("order_amount"))
+    val orders = ds.filter(col("event_type") === "purchase").select(
+      col("ts"), col("user_id"),
+      lit(0L).as("pv_ct"), lit(1L).as("order_ct"),
+      col("value").cast("decimal(18,2)").as("order_amount"))
+    pv.unionByName(orders)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("user_id"))
+      .agg(
+        sum("pv_ct").as("pv_ct"),
+        sum("order_ct").as("order_ct"),
+        sum("order_amount").cast("double").as("order_amount"))
+      .select(
+        col("window.start").as("stt"), col("window.end").as("edt"),
+        col("user_id"), col("pv_ct"), col("order_ct"), col("order_amount"))
+      .join(broadcast(dim), Seq("user_id"), "left")
+  }
+
   /** J1 streaming form — stream-stream interval join with watermark
     * state eviction (`app/dwm/OrderWideApp.java:59-66`): left and right
     * events match when right.ts ∈ [left.ts − 5 s, left.ts + 5 s]. */

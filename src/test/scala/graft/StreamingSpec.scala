@@ -121,6 +121,26 @@ class StreamingSpec extends SparkSuite {
     assert(counts.toMap === Map("dwd_page_log" -> 2L, "dwd_click_log" -> 1L))
   }
 
+  test("streaming ProductStats topology: branch union → window agg → dim join") {
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = StreamOps.productStats(in.toDS(), dim)
+      .writeStream.format("memory").queryName(name()).outputMode("append").start()
+    in.addData(
+      ev(1, 1, 1, "view"), ev(1, 2, 3, "purchase").copy(value = 20.5),
+      ev(2, 3, 5, "view"), ev(1, 4, 6, "click")) // click branch not projected
+    q.processAllAvailable()
+    in.addData(ev(2, 5, 100, "view")) // advance watermark, close [0,10)
+    q.processAllAvailable()
+    val rows = spark.table(s"stream_out_$n")
+      .select(col("user_id"), col("pv_ct"), col("order_ct"), col("order_amount"), col("tier"))
+      .as[(Long, Long, Long, Double, String)].collect().toSet
+    q.stop()
+    assert(rows === Set(
+      (1L, 1L, 1L, 20.5, "gold"),
+      (2L, 1L, 0L, 0.0, "silver")))
+  }
+
   test("stream-static broadcast dim join (J3 streaming form)") {
     // The reference's async dim lookups become a stream-static join:
     // the static side is re-resolved per micro-batch (dim hot reload).
