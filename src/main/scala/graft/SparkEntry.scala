@@ -15,7 +15,8 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     Core.defs ++ Stateful.defs ++ Joins.defs ++ Aggregates.defs ++
       Dedup.defs ++ Similarity.defs ++ TextOps.defs ++ Multimodal.defs ++
-      Cdc.defs ++ WindowOps.defs ++ PipelineOps.defs ++ ScaleOps.defs
+      Cdc.defs ++ WindowOps.defs ++ PipelineOps.defs ++ ScaleOps.defs ++
+      Analytics.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names in registry")

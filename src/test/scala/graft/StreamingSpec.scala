@@ -106,6 +106,37 @@ class StreamingSpec extends SparkSuite {
     assert(pairs === Set((1L, 101L), (2L, 103L)))
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-padded rows after watermark") {
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    val lw = l.toDS().withWatermark("ts", "5 seconds").toDF()
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val rw = r.toDS().withWatermark("ts", "5 seconds").toDF()
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+    val joined = lw.join(rw, expr(
+      """l_user = r_user AND
+        |r_ts BETWEEN l_ts - INTERVAL 5 SECONDS AND l_ts + INTERVAL 5 SECONDS""".stripMargin),
+      "leftOuter")
+    val q = joined.writeStream.format("memory")
+      .queryName(name()).outputMode("append").start()
+    l.addData(ev(1, 1, 10, "order"), ev(2, 2, 10, "order"))
+    r.addData(ev(1, 101, 12, "detail"))
+    q.processAllAvailable()
+    // advance both watermarks far past the join window so the
+    // unmatched left row (user 2) can be emitted with nulls
+    l.addData(ev(9, 90, 1000, "order"))
+    r.addData(ev(9, 91, 1000, "detail"))
+    q.processAllAvailable()
+    l.addData(ev(9, 92, 1100, "order"))
+    r.addData(ev(9, 93, 1100, "detail"))
+    q.processAllAvailable()
+    val rows = spark.table(s"stream_out_$n")
+      .select(col("l_id"), col("r_id")).as[(Long, Option[Long])].collect().toMap
+    q.stop()
+    assert(rows(1L) === Some(101L))
+    assert(rows.get(2L).flatten === None) // null-padded after eviction
+  }
+
   test("dynamic routing fans each batch out per config sink table") {
     val in = MemoryStream[Ev]
     val counts = mutable.Map[String, Long]().withDefaultValue(0L)
