@@ -95,5 +95,55 @@ object Similarity {
         .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
     })
 
-  val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh)
+  /** IVF-style ANN: coarse quantization by the `label` cluster column —
+    * centroids are per-dimension means, the query probes only the 2
+    * nearest clusters, exact cosine runs inside them. At cluster scale
+    * `label` is the partition key, so a probe touches 2 partitions of
+    * the corpus instead of all of it. Centroid means are plain double
+    * averages (cluster choice is robust to last-bit noise); the output
+    * cosines stay on the deterministic vec_dot fold. */
+  val simTopkIvf = QueryDef(
+    "sim_topk_ivf",
+    Some(s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            |cent AS (SELECT label, dim, avg(CAST(embedding[dim] AS DOUBLE)) AS cv
+            |         FROM embeddings CROSS JOIN dims GROUP BY label, dim),
+            |qd AS (SELECT dim, CAST(qe[dim] AS DOUBLE) AS qv FROM q CROSS JOIN dims),
+            |dist AS (SELECT c.label, SUM((c.cv - qd.qv) * (c.cv - qd.qv)) AS d2
+            |         FROM cent c JOIN qd ON qd.dim = c.dim GROUP BY c.label),
+            |top2 AS (SELECT label FROM dist ORDER BY d2, label LIMIT 2)
+            |SELECT e.vec_id, ROUND(${dd("e.embedding", "q.qe")}
+            |  / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})), 6) AS cos_sim
+            |FROM embeddings e JOIN top2 ON e.label = top2.label, q
+            |WHERE e.vec_id <> 0
+            |ORDER BY ${dd("e.embedding", "q.qe")}
+            |  / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, e.vec_id
+            |LIMIT 10""".stripMargin),
+    (spark, dir) => {
+      val e = withNorm(spark, dir)
+      val exploded = Tables.table(spark, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
+      val cent = exploded.groupBy("label", "dim").agg(avg(col("v")).as("cv"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("norm").as("qnorm"))
+      val qd = q.select(posexplode(col("qe")))
+        .select(col("pos").as("dim"), col("col").cast("double").as("qv"))
+      val top2 = cent.join(qd, "dim")
+        .groupBy("label")
+        .agg(sum((col("cv") - col("qv")) * (col("cv") - col("qv"))).as("d2"))
+        .orderBy(col("d2"), col("label"))
+        .limit(2)
+        .select("label")
+      val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(top2), "label")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cos.as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf)
 }

@@ -212,6 +212,45 @@ object StreamOps {
         for (t <- tables) sink(t, routed.filter(col("sink_table") === t))
     }
 
+  /** K4 streaming form — dimension upsert sink
+    * (`app/function/DimSinkFunction.java:33-67`): each micro-batch is
+    * MERGE-compacted into versioned parquet state — latest change per
+    * key wins, deletes drop the row. Versioned directories make the
+    * swap atomic-by-pointer (no read-while-overwrite); a real
+    * deployment would use a table format's MERGE, this is the same
+    * shape on raw parquet. Returns the writer; the state lives under
+    * `stateDir/v<batchId>`, readable via `latestDimState`. */
+  def dimUpsert(cdc: DataFrame, stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    cdc.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = latestDimState(spark, stateDir)
+        val base = prev.getOrElse(batch.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          batch.schema.add("is_state", "boolean")))
+        import org.apache.spark.sql.expressions.Window
+        val merged = base
+          .unionByName(batch.withColumn("is_state", lit(false)))
+          // state rows sort before this batch's changes; within the
+          // batch, higher seq wins
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("pk").orderBy(col("is_state"), col("seq").desc)))
+          .filter(col("rn") === 1 && col("op") =!= "delete")
+          .drop("rn").withColumn("is_state", lit(true))
+        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    }
+
+  /** Latest compacted dim state written by `dimUpsert`, if any. */
+  def latestDimState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val d = new java.io.File(stateDir)
+    val versions = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong)
+    if (versions.isEmpty) None
+    else Some(spark.read.parquet(s"$stateDir/v${versions.max}"))
+  }
+
   /** K2 shape — the per-row-topic Kafka producer contract: Spark's
     * kafka sink routes on a `topic` column; this builds that frame. */
   def toKafkaShape(routed: DataFrame): DataFrame =

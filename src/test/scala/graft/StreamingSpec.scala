@@ -252,6 +252,21 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq === Seq(("view", 2L)))
   }
 
+  test("streaming dim upsert compacts latest-per-key state across batches (K4)") {
+    val stateDir = java.nio.file.Files.createTempDirectory("dimstate").toString
+    val in = MemoryStream[(Long, Long, String, String)]
+    val cdc = in.toDS().toDF("pk", "seq", "op", "payload")
+    val q = StreamOps.dimUpsert(cdc, stateDir).start()
+    in.addData((1L, 1L, "insert", "a"), (2L, 1L, "insert", "b"))
+    q.processAllAvailable()
+    in.addData((1L, 2L, "update", "a2"), (2L, 2L, "delete", ""), (3L, 1L, "insert", "c"))
+    q.processAllAvailable()
+    q.stop()
+    val state = StreamOps.latestDimState(spark, stateDir).get
+      .select(col("pk"), col("payload")).as[(Long, String)].collect().toMap
+    assert(state === Map(1L -> "a2", 3L -> "c")) // 2 deleted, 1 updated
+  }
+
   test("kafka sink shape carries per-row topic routing (K2)") {
     val routed = Seq((1L, "view", 1.5, "dwd_page_log"))
       .toDF("user_id", "event_type", "value", "sink_table")
