@@ -126,5 +126,55 @@ object TextOps {
           size(array_distinct(split(col("text"), " "))).cast("long").as("vocab"))
         .orderBy("doc_id"))
 
-  val defs: Seq[QueryDef] = Seq(textLangid, textQuality, textTokens, textFingerprint)
+  /** Text normalization for training-data prep: lowercase, strip
+    * non-alphanumerics, collapse whitespace — the cleaning stage before
+    * tokenization. */
+  val textClean = QueryDef(
+    "text_clean",
+    Some("""SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean,
+           |  length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS clean_len
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val clean = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), clean.as("clean"), length(clean).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    })
+
+  /** Fixed-size chunking with overlap (50-token windows, stride 40) —
+    * the training-sample splitter. Emits chunk coordinates + sizes, one
+    * row per chunk, computed entirely inside the row (no shuffle until
+    * the final sort). */
+  val textChunk = QueryDef(
+    "text_chunk",
+    Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents),
+           |c AS (SELECT doc_id, len(ws) AS n_tokens,
+           |        unnest(generate_series(0, CAST(greatest(ceil((len(ws) - 50) / 40.0), 0) AS BIGINT))) AS chunk_id,
+           |        ws
+           |      FROM w)
+           |SELECT doc_id, chunk_id,
+           |  CAST(chunk_id * 40 AS BIGINT) AS start_tok,
+           |  CAST(least(chunk_id * 40 + 50, n_tokens) - chunk_id * 40 AS BIGINT) AS chunk_len,
+           |  ws[chunk_id * 40 + 1] AS first_tok
+           |FROM c
+           |ORDER BY doc_id, chunk_id""".stripMargin),
+    (spark, dir) =>
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+          explode(expr("sequence(0, CAST(greatest(ceil((size(ws) - 50) / 40.0), 0) AS BIGINT))")).as("chunk_id"),
+          col("ws"))
+        .select(
+          col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * 40).cast("long").as("start_tok"),
+          (least(col("chunk_id") * 40 + 50, col("n_tokens")) - col("chunk_id") * 40).cast("long").as("chunk_len"),
+          element_at(col("ws"), (col("chunk_id") * 40 + 1).cast("int")).as("first_tok"))
+        .orderBy("doc_id", "chunk_id"))
+
+  val defs: Seq[QueryDef] = Seq(
+    textLangid, textQuality, textTokens, textFingerprint, textClean, textChunk)
 }

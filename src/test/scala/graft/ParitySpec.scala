@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.{Ev, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming forms must agree with their batch analogs on real
+  * data — the backfill/replay contract: one logic, two execution modes.
+  */
+class ParitySpec extends SparkSuite {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def realEvents: Seq[Ev] =
+    graft.ops.Tables.events(spark, sf("sf0.001"))
+      .withColumn("is_new", lit(1))
+      .select("user_id", "event_id", "ts", "event_type", "value", "is_new")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+
+  test("streaming uvDedup equals the batch first-per-day analog on sf0.001") {
+    val events = realEvents
+    val in = MemoryStream[Ev]
+    val q = StreamOps.uvDedup(in.toDS(), ttlMs = None)
+      .writeStream.format("memory").queryName("parity_uv").outputMode("append").start()
+    // feed in two chronological batches (state must carry across)
+    val (b1, b2) = events.splitAt(events.size / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    val streaming = spark.table("parity_uv").as[Ev].collect()
+      .map(e => (e.user_id, e.event_id)).toSet
+    q.stop()
+    val batch = SparkEntry.queries("t2_uv_dedup")(spark, sf("sf0.001"))
+      .select(col("user_id"), col("first_event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(streaming === batch)
+  }
+
+  test("streaming newUserFix equals the batch row_number analog on sf0.001") {
+    val events = realEvents
+    val in = MemoryStream[Ev]
+    val q = StreamOps.newUserFix(in.toDS())
+      .writeStream.format("memory").queryName("parity_nu").outputMode("append").start()
+    val (b1, b2) = events.splitAt(events.size / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    val streaming = spark.table("parity_nu").as[Ev].collect()
+      .map(e => (e.event_id, e.is_new)).toMap
+    q.stop()
+    val batch = SparkEntry.queries("t1_new_user_fix")(spark, sf("sf0.001"))
+      .select(col("event_id"), col("is_new"))
+      .as[(Long, Long)].collect().toMap
+    assert(streaming.view.mapValues(_.toLong).toMap === batch)
+  }
+}

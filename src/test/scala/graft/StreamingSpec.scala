@@ -252,6 +252,30 @@ class StreamingSpec extends SparkSuite {
     assert(rows.toSeq === Seq(("view", 2L)))
   }
 
+  test("stateful query resumes keyed state from checkpoint after restart") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    Seq(ev(1, 1, 10, "view"), ev(1, 2, 20, "view"))
+      .toDF().write.parquet(s"$dir/in/b1")
+    def start() = StreamOps.uvDedup(
+      spark.readStream.schema(Seq.empty[Ev].toDF().schema)
+        .parquet(s"$dir/in/*").as[Ev], ttlMs = None)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // second run, same checkpoint: the seen-dates state must survive,
+    // so the same-day duplicate (id 3) is suppressed and only the
+    // next-day event (id 4) passes
+    Seq(ev(1, 3, 30, "view"), ev(1, 4, 86400 + 10, "view"))
+      .toDF().write.parquet(s"$dir/in/b2")
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.parquet(s"$dir/out").as[Ev].collect().map(_.event_id).toSet
+    assert(ids === Set(1L, 4L))
+  }
+
   test("streaming dim upsert compacts latest-per-key state across batches (K4)") {
     val stateDir = java.nio.file.Files.createTempDirectory("dimstate").toString
     val in = MemoryStream[(Long, Long, String, String)]
