@@ -114,42 +114,39 @@ object Dedup {
     (spark, dir) => bandPairs(shingles(spark, dir), spark).orderBy("doc_a", "doc_b"))
 
   /** n-gram Jaccard verification over the LSH candidates: exact shingle
-    * set Jaccard, thresholded — the verify stage of the dedup pipeline
-    * (candidates only, never all pairs). */
+    * set Jaccard, thresholded — the verify stage of the dedup pipeline.
+    * Runs on candidates only, never all pairs, and per pair as an array
+    * intersection (set sizes are document-bounded), not a shingle-level
+    * join explosion. */
   val dedupJaccardNgram = QueryDef(
     "dedup_jaccard_ngram",
     Some(s"""$lshCtes,
-            |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-            |inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS both
-            |          FROM cand c
-            |          JOIN sh a ON a.doc_id = c.doc_a
-            |          JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-            |          GROUP BY c.doc_a, c.doc_b)
-            |SELECT i.doc_a, i.doc_b,
-            |  ROUND(CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both), 6) AS jaccard
-            |FROM inter i
-            |JOIN sizes sa ON sa.doc_id = i.doc_a
-            |JOIN sizes sb ON sb.doc_id = i.doc_b
-            |WHERE CAST(i.both AS DOUBLE) / (sa.n + sb.n - i.both) >= 0.4
+            |sets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id),
+            |j AS (SELECT c.doc_a, c.doc_b,
+            |        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+            |          / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jac
+            |      FROM cand c
+            |      JOIN sets sa ON sa.doc_id = c.doc_a
+            |      JOIN sets sb ON sb.doc_id = c.doc_b)
+            |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+            |FROM j
+            |WHERE jac >= 0.4
             |ORDER BY doc_a, doc_b""".stripMargin),
     (spark, dir) => {
       // One shingle scan feeds both the LSH candidate generation and
       // the exact-Jaccard verification.
       val sh = shingles(spark, dir).cache()
       val cand = bandPairs(sh, spark)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.as("a"), col("a.doc_id") === col("doc_a"))
-        .join(sh.as("b"), col("b.doc_id") === col("doc_b") && col("b.s") === col("a.s"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("both"))
-      val jac = col("both").cast("double") /
-        (col("sa.n") + col("sb.n") - col("both"))
-      inter
-        .join(sizes.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sizes.as("sb"), col("sb.doc_id") === col("doc_b"))
-        .filter(jac >= 0.4)
-        .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+      val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+      val inter = size(array_intersect(col("sa.ss"), col("sb.ss")))
+      val jac = inter.cast("double") /
+        (size(col("sa.ss")) + size(col("sb.ss")) - inter)
+      cand
+        .join(sets.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sets.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+        .filter(col("jac") >= 0.4)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     })
 

@@ -109,5 +109,28 @@ object Multimodal {
         .agg(count(lit(1)).as("n"), sum(col("nb")).as("total_bytes"))
         .orderBy("media_type"))
 
-  val defs: Seq[QueryDef] = Seq(mmBinaryMeta, mmMetaAgg)
+  /** Frame sampling: every 4th frame index of each (fake-decoded) video
+    * payload — one output row per sampled frame, generated row-locally
+    * (the shape that feeds frame batches to a downstream vision
+    * encoder). */
+  val mmFrameSample = QueryDef(
+    "mm_frame_sample",
+    Some("""WITH m AS (
+           |  SELECT doc_id, CAST(1 + octet_length(encode(text)) % 16 AS BIGINT) AS n_frames
+           |  FROM documents WHERE doc_id % 2 = 0)
+           |SELECT doc_id, unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx, n_frames
+           |FROM m
+           |ORDER BY doc_id, frame_idx""".stripMargin),
+    (spark, dir) => {
+      val n = (lit(1) + octet_length(encode(col("text"), "UTF-8")) % 16).cast("long")
+      Tables.table(spark, dir, "documents")
+        .filter(col("doc_id") % 2 === 0) // the 'image/video' half
+        .select(col("doc_id"), n.as("n_frames"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, n_frames - 1, 4)")).as("frame_idx"),
+          col("n_frames"))
+        .orderBy("doc_id", "frame_idx")
+    })
+
+  val defs: Seq[QueryDef] = Seq(mmBinaryMeta, mmMetaAgg, mmFrameSample)
 }
