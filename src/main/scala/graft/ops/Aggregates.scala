@@ -138,6 +138,29 @@ object Aggregates {
         .orderBy(col("ct").desc, col("word"))
         .limit(100))
 
+  /** D1 SQL surface — the UDTF used through SQL, Flink's
+    * `LATERAL TABLE(splitFunction(...))` (`app/dws/KeywordStatsApp.java:50-54`)
+    * as Spark SQL `LATERAL VIEW explode(split(...))`. */
+  val a4bLateralView = QueryDef(
+    "a4b_lateral_view",
+    Some("""SELECT word, COUNT(*) AS ct
+           |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+           |WHERE length(word) > 0
+           |GROUP BY word
+           |ORDER BY ct DESC, word
+           |LIMIT 50""".stripMargin),
+    (spark, dir) => {
+      Tables.table(spark, dir, "documents").createOrReplaceTempView("v_documents")
+      spark.sql(
+        """SELECT word, COUNT(*) AS ct
+          |FROM v_documents
+          |LATERAL VIEW explode(split(text, ' ')) t AS word
+          |WHERE length(word) > 0
+          |GROUP BY word
+          |ORDER BY ct DESC, word
+          |LIMIT 50""".stripMargin)
+    })
+
   /** A6 — ADS top-N ranking (`ProductStatsMapper.java:23-26`): GROUP BY
     * + HAVING + ORDER BY DESC + LIMIT over brand revenue. */
   val a6TopN = QueryDef(
@@ -270,6 +293,6 @@ object Aggregates {
 
   val defs: Seq[QueryDef] = Seq(
     a1ProductStats, a2VisitorStats, a3ProvinceStats, a4KeywordStats,
-    a5TypedDistinct, a6TopN, a7ConditionalAgg, a8WeightedScore,
-    a9GrandTotal, a10RatioMetrics)
+    a4bLateralView, a5TypedDistinct, a6TopN, a7ConditionalAgg,
+    a8WeightedScore, a9GrandTotal, a10RatioMetrics)
 }

@@ -199,7 +199,66 @@ object Joins {
         .orderBy("c_custkey")
     })
 
+  /** As-of join (beyond the reference; the temporal-lookup shape its
+    * dim enrichment approximates): each purchase matched to the user's
+    * latest view at-or-before it (time-to-conversion). Spark has no
+    * native as-of join — implemented as the union + carry-forward
+    * window technique: tag both sides, sort per key by (ts, side),
+    * carry the last view forward, keep purchase rows. One shuffle on
+    * the key, no per-key quadratic blowup. The oracle is DuckDB's
+    * native ASOF LEFT JOIN — an independent implementation the
+    * rewrite must agree with exactly. */
+  val j6AsofJoin = QueryDef(
+    "j6_asof_join",
+    Some("""WITH views AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS view_id
+           |  FROM events WHERE event_type = 'view'
+           |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP) ORDER BY event_id) = 1),
+           |p AS (
+           |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT p.event_id, v.view_id,
+           |  CASE WHEN v.view_id IS NULL THEN NULL
+           |       ELSE date_diff('second', v.ts, p.ts) END AS gap_sec
+           |FROM p ASOF LEFT JOIN views v
+           |  ON p.user_id = v.user_id AND v.ts <= p.ts
+           |ORDER BY p.event_id""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(spark, dir)
+      // dedupe same-(user, ts) views so the as-of pick is unambiguous
+      val vw = Window.partitionBy("user_id", "ts").orderBy("view_id")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+        .withColumn("rn", row_number().over(vw)).filter(col("rn") === 1).drop("rn")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val tagged = views.select(
+          col("user_id"), col("ts"), lit(0).as("tag"),
+          col("view_id"), col("ts").as("view_ts"),
+          lit(null).cast("long").as("event_id"))
+        .unionByName(purchases.select(
+          col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("long").as("view_id"),
+          lit(null).cast("timestamp").as("view_ts"),
+          col("event_id")))
+      // views sort before purchases at equal ts (ASOF <= includes ties)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("tag"), coalesce(col("view_id"), col("event_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_view", last(col("view_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(
+          col("event_id"),
+          col("asof_view").as("view_id"),
+          when(col("asof_view").isNull, lit(null).cast("long"))
+            .otherwise(unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts"))).as("gap_sec"))
+        .orderBy("event_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     j1IntervalJoin, j2IntervalJoinAsym, j3DimEnrich, j4DynamicRoute,
-    j5OuterJoin, j5AntiJoin, j5SemiJoin)
+    j5OuterJoin, j5AntiJoin, j5SemiJoin, j6AsofJoin)
 }

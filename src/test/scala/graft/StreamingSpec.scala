@@ -106,6 +106,24 @@ class StreamingSpec extends SparkSuite {
     assert(pairs === Set((1L, 101L), (2L, 103L)))
   }
 
+  test("update output mode re-emits refined window aggregates") {
+    val in = MemoryStream[Ev]
+    val agg = in.toDS()
+      .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("stt"), col("event_type"), col("n"))
+    val q = agg.writeStream.format("memory")
+      .queryName(name()).outputMode("update").start()
+    in.addData(ev(1, 1, 1, "view"))
+    q.processAllAvailable()
+    in.addData(ev(2, 2, 3, "view")) // same window refined: n 1 → 2
+    q.processAllAvailable()
+    val ns = spark.table(s"stream_out_$n")
+      .select(col("n")).as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(ns === Seq(1L, 2L)) // initial emission plus the update
+  }
+
   test("stream-stream LEFT OUTER interval join emits null-padded rows after watermark") {
     val l = MemoryStream[Ev]
     val r = MemoryStream[Ev]
