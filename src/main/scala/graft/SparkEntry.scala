@@ -21,9 +21,11 @@ object SparkEntry {
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names in registry")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The layered DWD→DWM→DWS→ADS pipeline is the engine's
+    * signature shape. */
   def entry(spark: SparkSession): DataFrame =
-    Core.q1Agg.fn(spark, "/root/testdata/sf0.001")
+    PipelineOps.pipelineDwsE2e.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
