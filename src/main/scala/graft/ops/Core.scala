@@ -68,7 +68,7 @@ object Core {
            |ORDER BY event_id""".stripMargin),
     (spark, dir) => {
       val sinkColumns = "event_id,event_type,value" // config row, CSV form
-      val cols = sinkColumns.split(",").map(c => col(c.trim))
+      val cols = sinkColumns.split(",").toIndexedSeq.map(c => col(c.trim))
       Tables.events(spark, dir).select(cols: _*).orderBy("event_id")
     })
 

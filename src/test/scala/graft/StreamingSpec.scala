@@ -91,6 +91,27 @@ class StreamingSpec extends SparkSuite {
     assert(rows("click") === 1L) // [10,20) window
   }
 
+  test("OrderWide analog: stream-stream interval join chained with dim enrich") {
+    // The reference's DWM centerpiece (OrderWideApp): order×detail
+    // interval join, then dimension enrichment — here one continuous
+    // query: stream-stream join feeding a stream-static broadcast join.
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("l_user", "tier")
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    val wide = StreamOps.intervalJoin(l.toDS(), r.toDS())
+      .join(broadcast(dim), Seq("l_user"), "left")
+      .select(col("l_id"), col("r_id"), col("tier"))
+    val q = wide.writeStream.format("memory")
+      .queryName(name()).outputMode("append").start()
+    l.addData(ev(1, 1, 10, "order"), ev(2, 2, 10, "order"))
+    r.addData(ev(1, 101, 12, "detail"), ev(2, 102, 14, "detail"))
+    q.processAllAvailable()
+    val rows = spark.table(s"stream_out_$n")
+      .as[(Long, Long, String)].collect().toSet
+    q.stop()
+    assert(rows === Set((1L, 101L, "gold"), (2L, 102L, "silver")))
+  }
+
   test("stream-stream interval join matches within ±5 s on the key") {
     val l = MemoryStream[Ev]
     val r = MemoryStream[Ev]
