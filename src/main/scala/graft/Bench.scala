@@ -16,14 +16,21 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // Two runs per query, report the faster (steady-state: the first
     // run pays one-time whole-stage-codegen compilation, which on a
-    // long-lived cluster amortizes to zero).
+    // long-lived cluster amortizes to zero). A failing query reports
+    // -1 so a breakage can't masquerade as a fast run.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+        }
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -38,7 +38,11 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"vec_dot: vector length mismatch ($n vs ${y.numElements()})")
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -54,7 +58,11 @@ case class VecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
@@ -74,8 +82,14 @@ object VecMath {
   def vec_dot(a: Column, b: Column): Column =
     GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  private[graft] def build(exprs: Seq[Expression]): VecDot = {
+    require(exprs.length == 2,
+      s"vec_dot expects exactly 2 arguments, got ${exprs.length}")
+    VecDot(exprs.head, exprs(1))
+  }
+
   /** Register `vec_dot` for SQL use in this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+      "vec_dot", build, "built-in")
 }

@@ -54,6 +54,7 @@ object TextOps {
             |    len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS n_words,
             |    len(list_filter(string_split(text, ' '), w -> w IN ($stopSqlList))) AS n_stop
             |  FROM documents)
+            |-- empty docs are filtered, not scored (ANSI-safe: no /0)
             |SELECT doc_id, n_chars_actual,
             |  CAST(n_words AS BIGINT) AS n_words,
             |  ROUND(CAST(n_chars_actual AS DOUBLE) / n_words, 4) AS chars_per_word,
@@ -61,6 +62,7 @@ object TextOps {
             |  CASE WHEN n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words BETWEEN 0.01 AND 0.6
             |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
             |FROM f
+            |WHERE n_words > 0
             |ORDER BY doc_id""".stripMargin),
     (spark, dir) => {
       val words = filter(split(col("text"), " "), w => length(w) > 0)
@@ -71,6 +73,7 @@ object TextOps {
           length(col("text")).cast("long").as("n_chars_actual"),
           size(words).as("n_words_i"),
           size(stops).as("n_stop_i"))
+        .filter(col("n_words_i") > 0)
         .select(
           col("doc_id"),
           col("n_chars_actual"),
@@ -150,11 +153,13 @@ object TextOps {
     * the final sort). */
   val textChunk = QueryDef(
     "text_chunk",
-    Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents),
+    Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+           |           FROM documents),
+           |w2 AS (SELECT * FROM w WHERE len(ws) > 0),
            |c AS (SELECT doc_id, len(ws) AS n_tokens,
            |        unnest(generate_series(0, CAST(greatest(ceil((len(ws) - 50) / 40.0), 0) AS BIGINT))) AS chunk_id,
            |        ws
-           |      FROM w)
+           |      FROM w2)
            |SELECT doc_id, chunk_id,
            |  CAST(chunk_id * 40 AS BIGINT) AS start_tok,
            |  CAST(least(chunk_id * 40 + 50, n_tokens) - chunk_id * 40 AS BIGINT) AS chunk_len,
@@ -165,6 +170,7 @@ object TextOps {
       Tables.table(spark, dir, "documents")
         .select(col("doc_id"),
           filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
+        .filter(size(col("ws")) > 0)
         .select(col("doc_id"), size(col("ws")).as("n_tokens"),
           explode(expr("sequence(0, CAST(greatest(ceil((size(ws) - 50) / 40.0), 0) AS BIGINT))")).as("chunk_id"),
           col("ws"))

@@ -73,7 +73,11 @@ object StreamOps {
           } else {
             var seen = state.getOption.getOrElse(Set.empty[String])
             val out = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
-              val day = e.ts.toLocalDateTime.toLocalDate.toString
+              // day boundary in UTC, matching the engine's pinned
+              // session timezone (NOT the JVM default zone, which
+              // would diverge from the batch to_date analog)
+              val day = e.ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+                .toLocalDate.toString
               if (seen.contains(day)) None
               else { seen += day; Some(e) }
             }
@@ -206,10 +210,15 @@ object StreamOps {
       sink: (String, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Ev] =
     ds.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Ev], _: Long) =>
+        // persist the routed batch: the fan-out loop runs one job per
+        // sink table and must not re-read the source / re-join per sink
         val routed = batch.toDF().join(broadcast(loadConfig()), "event_type")
-        val tables = routed.select("sink_table").distinct()
-          .collect().map(_.getString(0)).sorted
-        for (t <- tables) sink(t, routed.filter(col("sink_table") === t))
+          .persist()
+        try {
+          val tables = routed.select("sink_table").distinct()
+            .collect().map(_.getString(0)).sorted
+          for (t <- tables) sink(t, routed.filter(col("sink_table") === t))
+        } finally routed.unpersist()
     }
 
   /** K4 streaming form — dimension upsert sink
@@ -231,10 +240,12 @@ object StreamOps {
         import org.apache.spark.sql.expressions.Window
         val merged = base
           .unionByName(batch.withColumn("is_state", lit(false)))
-          // state rows sort before this batch's changes; within the
-          // batch, higher seq wins
+          // Highest change seq wins across state and batch — an
+          // at-least-once source may replay an older change in a later
+          // batch, and it must NOT overwrite newer compacted state. On
+          // equal seq the batch row (is_state=false) wins the tie.
           .withColumn("rn", row_number().over(
-            Window.partitionBy("pk").orderBy(col("is_state"), col("seq").desc)))
+            Window.partitionBy("pk").orderBy(col("seq").desc, col("is_state"))))
           .filter(col("rn") === 1 && col("op") =!= "delete")
           .drop("rn").withColumn("is_state", lit(true))
         merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")

@@ -36,6 +36,19 @@ class OpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("text quality/chunk queries survive empty documents under ANSI mode") {
+    val tmp = java.nio.file.Files.createTempDirectory("emptydoc").toString
+    Seq((0L, "", "en", "s", 0L), (1L, "   ", "en", "s", 3L),
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "), "en", "s", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val quality = graft.ops.TextOps.textQuality.fn(spark, tmp).collect()
+    assert(quality.map(_.getLong(0)).toSeq === Seq(2L)) // empties filtered, no /0
+    val chunks = graft.ops.TextOps.textChunk.fn(spark, tmp).collect()
+    assert(chunks.forall(_.getLong(0) == 2L)) // no out-of-bounds element_at
+    assert(chunks.length === 2) // 60 tokens → chunks at 0 and 40
+  }
+
   test("exact dedup groups identical texts under one survivor") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
     Seq((5L, "a b c"), (9L, "a b c"), (7L, "x y z"))
