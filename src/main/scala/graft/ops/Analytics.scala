@@ -82,5 +82,103 @@ object Analytics {
           round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
         .orderBy("o_orderstatus"))
 
-  val defs: Seq[QueryDef] = Seq(a12Pivot, a13Retention, a14Percentile)
+  /** Analytic window functions (rank / dense_rank / lag) — supplier
+    * revenue leaderboard within each nation. The reference has no
+    * analytic functions; these complete the ADS surface. */
+  val a15WindowRank = QueryDef(
+    "a15_window_rank",
+    Some("""WITH rev AS (
+           |  SELECT s.s_suppkey, n.n_name,
+           |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+           |  FROM lineitem l
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+           |  GROUP BY s.s_suppkey, n.n_name)
+           |SELECT n_name, s_suppkey, revenue,
+           |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+           |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           |  ROUND(revenue - COALESCE(LAG(revenue) OVER w, revenue), 2) AS gap_to_prev
+           |FROM rev
+           |WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, s_suppkey)
+           |ORDER BY n_name, rnk, s_suppkey""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val l = Tables.table(spark, dir, "lineitem")
+      val s = Tables.table(spark, dir, "supplier")
+      val n = Tables.table(spark, dir, "nation")
+      val rev = l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+        .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .groupBy(s("s_suppkey"), n("n_name"))
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+      val w = Window.partitionBy("n_name").orderBy(col("revenue").desc, col("s_suppkey"))
+      rev.select(
+          col("n_name"), col("s_suppkey"), col("revenue"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          round(col("revenue") - coalesce(lag(col("revenue"), 1).over(w), col("revenue")), 2).as("gap_to_prev"))
+        .orderBy("n_name", "rnk", "s_suppkey")
+    })
+
+  /** Running totals: monthly GMV per order status with a cumulative
+    * frame — exact because the cumulative sum runs over decimal
+    * partials. */
+  val a16RunningTotal = QueryDef(
+    "a16_running_total",
+    Some("""WITH m AS (
+           |  SELECT o_orderstatus, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+           |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS gmv
+           |  FROM orders GROUP BY 1, 2)
+           |SELECT o_orderstatus, mon,
+           |  CAST(gmv AS DOUBLE) AS gmv,
+           |  CAST(SUM(gmv) OVER (PARTITION BY o_orderstatus ORDER BY mon
+           |                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_gmv
+           |FROM m
+           |ORDER BY o_orderstatus, mon""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.table(spark, dir, "orders")
+        .groupBy(col("o_orderstatus"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("mon"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("gmv"))
+      val w = Window.partitionBy("o_orderstatus").orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.select(
+          col("o_orderstatus"), col("mon"),
+          col("gmv").cast("double").as("gmv"),
+          sum(col("gmv")).over(w).cast("double").as("running_gmv"))
+        .orderBy("o_orderstatus", "mon")
+    })
+
+  /** INTERSECT — customers active in both 1995 and 1996 (set-op
+    * surface beyond the reference's unions). */
+  val u4Intersect = QueryDef(
+    "u4_intersect",
+    Some("""SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+           |INTERSECT
+           |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+           |ORDER BY o_custkey""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.table(spark, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .intersect(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+        .orderBy("o_custkey")
+    })
+
+  /** EXCEPT — customers active in 1995 but gone in 1996 (churn). */
+  val u5Except = QueryDef(
+    "u5_except",
+    Some("""SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+           |EXCEPT
+           |SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+           |ORDER BY o_custkey""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.table(spark, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .except(o.filter(year(col("o_orderdate")) === 1996).select("o_custkey"))
+        .orderBy("o_custkey")
+    })
+
+  val defs: Seq[QueryDef] = Seq(
+    a12Pivot, a13Retention, a14Percentile, a15WindowRank, a16RunningTotal,
+    u4Intersect, u5Except)
 }
