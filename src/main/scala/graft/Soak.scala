@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-soak harness: synthesizes an N× blowup of the events and
+  * documents tables (key cardinality scaled with volume, timestamps
+  * jittered so replicas aren't identical) and times a representative
+  * query set against it — evidence that the operator shapes scale
+  * linearly, not just that they pass at sf0.1.
+  *
+  * Usage: runMain graft.Soak [factor] [baseSfDir]
+  */
+object Soak {
+  private val queries = Seq(
+    "t1_new_user_fix", "t2_uv_dedup", "t3_bounce_detect",
+    "a1_product_stats", "a2_visitor_stats", "a8_weighted_score",
+    "w_session_window", "a13_retention", "j6_asof_join",
+    "text_tokens", "text_chunk", "dedup_minhash_lsh", "dedup_simhash")
+
+  def blowUp(spark: SparkSession, baseDir: String, outDir: String, f: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    ev.crossJoin(spark.range(f.toLong).toDF("r"))
+      .select(
+        (col("event_id") * f + col("r")).as("event_id"),
+        // keep ns-long ts column shape; jitter replicas by r seconds
+        (col("ts") + col("r") * lit(1000000000L)).as("ts"),
+        (col("user_id") * f + col("r")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    docs.crossJoin(spark.range(f.toLong).toDF("r"))
+      .select(
+        (col("doc_id") * f + col("r")).as("doc_id"),
+        // perturb the first token per replica so docs aren't exact dups
+        concat(lit("r"), col("r"), lit(" "), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val soakDir = s"/tmp/graft-soak-x$factor"
+    blowUp(spark, baseDir, soakDir, factor)
+
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.min
+    }
+    println(f"[soak] factor=$factor (events ${100000L * factor} rows)")
+    for (name <- queries) {
+      val fn = SparkEntry.queries(name)
+      val base = time(fn, baseDir)
+      val big = time(fn, soakDir)
+      println(f"[soak] $name%-22s base=$base%6.2fs x$factor=$big%6.2fs ratio=${big / base}%5.2f")
+    }
+    spark.stop()
+  }
+}
