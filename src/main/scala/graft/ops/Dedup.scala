@@ -208,7 +208,71 @@ object Dedup {
         .orderBy("va", "vb")
     })
 
+  /** Near-dup cluster formation: connected components over the
+    * Jaccard-confirmed pair graph; every clustered doc maps to its
+    * component's minimum doc_id (the canonical survivor). Spark side:
+    * driver-coordinated iterative transitive closure (the Pregel-style
+    * loop — iterations bounded by component diameter, each one a
+    * shuffle-join; components here are tiny, at 100 TB this is the
+    * standard big-data CC algorithm). Oracle: recursive CTE to the same
+    * fixpoint — both compute true components, so results agree by
+    * definition, not by implementation coincidence. */
+  val dedupClusters = QueryDef(
+    "dedup_clusters",
+    Some(s"""$lshCtes,
+            |sets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id),
+            |edges AS (SELECT c.doc_a, c.doc_b
+            |          FROM cand c
+            |          JOIN sets sa ON sa.doc_id = c.doc_a
+            |          JOIN sets sb ON sb.doc_id = c.doc_b
+            |          WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+            |            / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.4),
+            |walk AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            |         UNION SELECT doc_b, doc_a FROM edges),
+            |reach AS (
+            |  SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM walk)
+            |  UNION
+            |  SELECT r.src, w.b FROM reach r JOIN walk w ON r.dst = w.a)
+            |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_rep
+            |FROM reach
+            |GROUP BY src
+            |ORDER BY doc_id""".stripMargin.replace("WITH w AS", "WITH RECURSIVE w AS")),
+    (spark, dir) => {
+      val sh = shingles(spark, dir).cache()
+      val cand = bandPairs(sh, spark)
+      val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+      val inter = size(array_intersect(col("sa.ss"), col("sb.ss")))
+      val jac = inter.cast("double") /
+        (size(col("sa.ss")) + size(col("sb.ss")) - inter)
+      val edges = cand
+        .join(sets.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sets.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .filter(jac >= 0.4)
+        .select(col("doc_a"), col("doc_b"))
+      val walk = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .distinct().cache()
+      // iterative transitive closure to the fixpoint
+      var reach = walk.select(col("a").as("src"), col("a").as("dst")).distinct().cache()
+      var n = reach.count()
+      var converged = false
+      while (!converged) {
+        val next = reach
+          .join(walk, reach("dst") === walk("a"))
+          .select(col("src"), col("b").as("dst"))
+          .unionByName(reach)
+          .distinct().cache()
+        val m = next.count()
+        converged = m == n
+        reach = next
+        n = m
+      }
+      reach.groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst")).cast("long").as("cluster_rep"))
+        .orderBy("doc_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhashLsh, dedupJaccardNgram,
-    dedupSimhash, dedupEmbeddingCosine)
+    dedupSimhash, dedupEmbeddingCosine, dedupClusters)
 }
