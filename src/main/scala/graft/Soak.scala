@@ -19,8 +19,7 @@ object Soak {
     "text_tokens", "text_chunk", "dedup_minhash_lsh", "dedup_simhash")
 
   def blowUp(spark: SparkSession, baseDir: String, outDir: String, f: Int): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val ev = graft.ops.Tables.eventsRawNanos(spark, baseDir)
     ev.crossJoin(spark.range(f.toLong).toDF("r"))
       .select(
         (col("event_id") * f + col("r")).as("event_id"),

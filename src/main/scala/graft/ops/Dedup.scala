@@ -118,37 +118,50 @@ object Dedup {
     * Runs on candidates only, never all pairs, and per pair as an array
     * intersection (set sizes are document-bounded), not a shingle-level
     * join explosion. */
+  /** Single source of truth for the confirmed-pair threshold: both the
+    * pair listing and cluster formation build on exactly these edges. */
+  private val jaccardThreshold = 0.4
+
+  /** Shared oracle CTEs: candidate pairs scored with exact shingle-set
+    * Jaccard (column `jac`). */
+  private val jaccardCtes =
+    s"""$lshCtes,
+       |sets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id),
+       |j AS (SELECT c.doc_a, c.doc_b,
+       |        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+       |          / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jac
+       |      FROM cand c
+       |      JOIN sets sa ON sa.doc_id = c.doc_a
+       |      JOIN sets sb ON sb.doc_id = c.doc_b)""".stripMargin
+
+  /** LSH candidate pairs scored with exact Jaccard (`doc_a, doc_b,
+    * jac`). One shingle scan feeds both the candidate generation and
+    * the verification. */
+  private def scoredPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val cand = bandPairs(sh, spark)
+    val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+    val inter = size(array_intersect(col("sa.ss"), col("sb.ss")))
+    val jac = inter.cast("double") /
+      (size(col("sa.ss")) + size(col("sb.ss")) - inter)
+    cand
+      .join(sets.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sets.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+  }
+
   val dedupJaccardNgram = QueryDef(
     "dedup_jaccard_ngram",
-    Some(s"""$lshCtes,
-            |sets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id),
-            |j AS (SELECT c.doc_a, c.doc_b,
-            |        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-            |          / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jac
-            |      FROM cand c
-            |      JOIN sets sa ON sa.doc_id = c.doc_a
-            |      JOIN sets sb ON sb.doc_id = c.doc_b)
+    Some(s"""$jaccardCtes
             |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
             |FROM j
-            |WHERE jac >= 0.4
+            |WHERE jac >= $jaccardThreshold
             |ORDER BY doc_a, doc_b""".stripMargin),
-    (spark, dir) => {
-      // One shingle scan feeds both the LSH candidate generation and
-      // the exact-Jaccard verification.
-      val sh = shingles(spark, dir).cache()
-      val cand = bandPairs(sh, spark)
-      val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
-      val inter = size(array_intersect(col("sa.ss"), col("sb.ss")))
-      val jac = inter.cast("double") /
-        (size(col("sa.ss")) + size(col("sb.ss")) - inter)
-      cand
-        .join(sets.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sets.as("sb"), col("sb.doc_id") === col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), jac.as("jac"))
-        .filter(col("jac") >= 0.4)
+    (spark, dir) =>
+      scoredPairs(spark, dir)
+        .filter(col("jac") >= jaccardThreshold)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    })
+        .orderBy("doc_a", "doc_b"))
 
   /** SimHash: 16-bit signature from per-token md5 nibbles; documents
     * with equal signatures are near-dup candidates. The bit source is
@@ -219,14 +232,8 @@ object Dedup {
     * definition, not by implementation coincidence. */
   val dedupClusters = QueryDef(
     "dedup_clusters",
-    Some(s"""$lshCtes,
-            |sets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id),
-            |edges AS (SELECT c.doc_a, c.doc_b
-            |          FROM cand c
-            |          JOIN sets sa ON sa.doc_id = c.doc_a
-            |          JOIN sets sb ON sb.doc_id = c.doc_b
-            |          WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-            |            / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.4),
+    Some(s"""$jaccardCtes,
+            |edges AS (SELECT doc_a, doc_b FROM j WHERE jac >= $jaccardThreshold),
             |walk AS (SELECT doc_a AS a, doc_b AS b FROM edges
             |         UNION SELECT doc_b, doc_a FROM edges),
             |reach AS (
@@ -238,21 +245,15 @@ object Dedup {
             |GROUP BY src
             |ORDER BY doc_id""".stripMargin.replace("WITH w AS", "WITH RECURSIVE w AS")),
     (spark, dir) => {
-      val sh = shingles(spark, dir).cache()
-      val cand = bandPairs(sh, spark)
-      val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
-      val inter = size(array_intersect(col("sa.ss"), col("sb.ss")))
-      val jac = inter.cast("double") /
-        (size(col("sa.ss")) + size(col("sb.ss")) - inter)
-      val edges = cand
-        .join(sets.as("sa"), col("sa.doc_id") === col("doc_a"))
-        .join(sets.as("sb"), col("sb.doc_id") === col("doc_b"))
-        .filter(jac >= 0.4)
+      val edges = scoredPairs(spark, dir)
+        .filter(col("jac") >= jaccardThreshold)
         .select(col("doc_a"), col("doc_b"))
       val walk = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
         .distinct().cache()
-      // iterative transitive closure to the fixpoint
+      // iterative transitive closure to the fixpoint; superseded
+      // iterations are unpersisted so only the final frontier stays
+      // cached
       var reach = walk.select(col("a").as("src"), col("a").as("dst")).distinct().cache()
       var n = reach.count()
       var converged = false
@@ -264,12 +265,20 @@ object Dedup {
           .distinct().cache()
         val m = next.count()
         converged = m == n
+        if (!converged) reach.unpersist()
         reach = next
         n = m
       }
-      reach.groupBy(col("src").as("doc_id"))
+      val out = reach.groupBy(col("src").as("doc_id"))
         .agg(min(col("dst")).cast("long").as("cluster_rep"))
         .orderBy("doc_id")
+        // materialize off the cached lineage, then release the
+        // iteration caches (localCheckpoint cuts the union/join-deep
+        // lineage accumulated by the loop)
+        .localCheckpoint()
+      reach.unpersist()
+      walk.unpersist()
+      out
     })
 
   val defs: Seq[QueryDef] = Seq(

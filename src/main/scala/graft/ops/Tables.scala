@@ -13,9 +13,14 @@ object Tables {
     * flag) and truncate to microseconds — identical to DuckDB's
     * `CAST(ts AS TIMESTAMP)` (both floor for positive epochs).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRawNanos(spark, sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Raw form with `ts` as the nanos Long — for tooling (Soak) that
+    * needs the on-disk shape; everything else uses `events`. */
+  def eventsRawNanos(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

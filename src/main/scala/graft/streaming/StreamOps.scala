@@ -233,7 +233,7 @@ object StreamOps {
     cdc.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val prev = latestDimState(spark, stateDir)
+        val prev = rawDimState(spark, stateDir)
         val base = prev.getOrElse(batch.sparkSession.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           batch.schema.add("is_state", "boolean")))
@@ -246,13 +246,17 @@ object StreamOps {
           // equal seq the batch row (is_state=false) wins the tie.
           .withColumn("rn", row_number().over(
             Window.partitionBy("pk").orderBy(col("seq").desc, col("is_state"))))
-          .filter(col("rn") === 1 && col("op") =!= "delete")
+          // Deletes stay in state as TOMBSTONES (filtered on the read
+          // side): dropping them here would let an at-least-once replay
+          // of an older change resurrect a deleted key.
+          .filter(col("rn") === 1)
           .drop("rn").withColumn("is_state", lit(true))
         merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
     }
 
-  /** Latest compacted dim state written by `dimUpsert`, if any. */
-  def latestDimState(spark: org.apache.spark.sql.SparkSession,
+  /** Latest raw compacted state incl. delete tombstones — the merge
+    * input; external readers use `latestDimState`. */
+  private def rawDimState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Option[DataFrame] = {
     val d = new java.io.File(stateDir)
     val versions = Option(d.listFiles()).getOrElse(Array.empty)
@@ -261,6 +265,12 @@ object StreamOps {
     if (versions.isEmpty) None
     else Some(spark.read.parquet(s"$stateDir/v${versions.max}"))
   }
+
+  /** Latest compacted dim state written by `dimUpsert` (tombstones
+    * filtered out), if any. */
+  def latestDimState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] =
+    rawDimState(spark, stateDir).map(_.filter(col("op") =!= "delete"))
 
   /** K2 shape — the per-row-topic Kafka producer contract: Spark's
     * kafka sink routes on a `topic` column; this builds that frame. */

@@ -324,14 +324,15 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     in.addData((1L, 2L, "update", "a2"), (2L, 2L, "delete", ""), (3L, 1L, "insert", "c"))
     q.processAllAvailable()
-    // an at-least-once source replays an OLDER change for pk 1 — it
-    // must not overwrite the newer compacted state
-    in.addData((1L, 1L, "insert", "a"))
+    // an at-least-once source replays OLDER changes: for live pk 1 the
+    // newer state must win; for DELETED pk 2 the tombstone must block
+    // resurrection
+    in.addData((1L, 1L, "insert", "a"), (2L, 1L, "insert", "b"))
     q.processAllAvailable()
     q.stop()
     val state = StreamOps.latestDimState(spark, stateDir).get
       .select(col("pk"), col("payload")).as[(Long, String)].collect().toMap
-    assert(state === Map(1L -> "a2", 3L -> "c")) // 2 deleted, 1 updated, replay ignored
+    assert(state === Map(1L -> "a2", 3L -> "c")) // replays ignored, 2 stays deleted
   }
 
   test("kafka sink shape carries per-row topic routing (K2)") {
