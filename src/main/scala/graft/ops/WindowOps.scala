@@ -104,5 +104,28 @@ object WindowOps {
         .orderBy("region", "nation")
     })
 
-  val defs: Seq[QueryDef] = Seq(wSlidingWindow, wSessionWindow, a11Rollup)
+  /** CUBE grouping sets: all combinations of (status, priority) plus
+    * both marginals and the grand total in one pass. */
+  val a11bCube = QueryDef(
+    "a11b_cube",
+    Some("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           |  COALESCE(o_orderpriority, '(all)') AS priority,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv
+           |FROM orders
+           |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+           |ORDER BY status, priority""".stripMargin),
+    (spark, dir) =>
+      Tables.table(spark, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("gmv"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("gmv"))
+        .orderBy("status", "priority"))
+
+  val defs: Seq[QueryDef] = Seq(wSlidingWindow, wSessionWindow, a11Rollup, a11bCube)
 }
