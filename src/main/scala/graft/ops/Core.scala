@@ -3,6 +3,8 @@ package graft.ops
 import graft.QueryDef
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Projections, filters, row-level transforms and the scalar-function
   * layer (SURVEY §2.3 P1/P4/P5/P7, §2.9 F1–F14), re-expressed as batch
   * DataFrame pipelines over the driver testdata.
@@ -154,6 +156,30 @@ object Core {
         .agg(count(lit(1)).as("n"))
         .orderBy("age_years"))
 
+  /** F5 — true MAP<STRING,STRING> access (the reference's `page['item']`
+    * SQL map indexing, `app/dws/KeywordStatsApp.java:43-46`): props
+    * parsed as a map column, element access + key introspection. */
+  val f15MapOps = QueryDef(
+    "f15_map_ops",
+    Some("""SELECT event_id,
+           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+           |  array_to_string(json_keys(props), ',') AS keys
+           |FROM events
+           |ORDER BY event_id""".stripMargin),
+    (spark, dir) => {
+      val m = from_json(col("props"), "map<string,string>",
+        Map.empty[String, String].asJava)
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          element_at(m, "k").cast("long").as("k_val"),
+          size(map_keys(m)).cast("long").as("n_keys"),
+          array_join(map_keys(m), ",").as("keys"))
+        .orderBy("event_id")
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q1Agg, p1JsonProps, p5Whitelist, p7LogSplit, fScalarDatetime, f13Age)
+    Seq(q1Agg, p1JsonProps, p5Whitelist, p7LogSplit, fScalarDatetime,
+      f13Age, f15MapOps)
 }
