@@ -178,7 +178,41 @@ object Analytics {
         .orderBy("o_custkey")
     })
 
+  /** Statistical aggregates with cross-engine-exact results: mean /
+    * population variance / stddev derived from decimal moment sums
+    * (sum(x), sum(x²) exact and order-independent; the final double
+    * arithmetic is written identically in both engines). */
+  val a18Stats = QueryDef(
+    "a18_stats",
+    Some("""WITH m AS (
+           |  SELECT event_type, COUNT(*) AS n,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           |    CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+           |  FROM events GROUP BY event_type)
+           |SELECT event_type, n,
+           |  ROUND(sx / n, 6) AS mean,
+           |  ROUND(sxx / n - (sx / n) * (sx / n), 6) AS var_pop,
+           |  ROUND(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS stddev_pop
+           |FROM m
+           |ORDER BY event_type""".stripMargin),
+    (spark, dir) => {
+      val m = Tables.events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double").as("sxx"))
+      val mean = col("sx") / col("n")
+      val varPop = col("sxx") / col("n") - mean * mean
+      m.select(
+          col("event_type"), col("n"),
+          round(mean, 6).as("mean"),
+          round(varPop, 6).as("var_pop"),
+          round(sqrt(varPop), 6).as("stddev_pop"))
+        .orderBy("event_type")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     a12Pivot, a13Retention, a14Percentile, a15WindowRank, a16RunningTotal,
-    u4Intersect, u5Except)
+    a18Stats, u4Intersect, u5Except)
 }

@@ -49,6 +49,27 @@ class OpsSpec extends SparkSuite {
     assert(chunks.length === 2) // 60 tokens → chunks at 0 and 40
   }
 
+  test("as-of join: purchase before any view gets a null match; ties prefer latest") {
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("asof").toString
+    val base = 1704067200L
+    def t(sec: Long) = new Timestamp((base + sec) * 1000L)
+    // user 1: purchase@5 before its first view@10; view@20, purchase@25
+    // (latest-at-or-before wins, not the earliest view)
+    Seq(
+      (1L, t(5), 1L, "purchase", 1.0, "{}"),
+      (2L, t(10), 1L, "view", 1.0, "{}"),
+      (3L, t(20), 1L, "view", 1.0, "{}"),
+      (4L, t(25), 1L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", expr("CAST(unix_micros(ts) * 1000 AS LONG)")) // ns shape
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = graft.ops.Joins.j6AsofJoin.fn(spark, tmp)
+      .select(col("event_id"), col("view_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(rows === Map(1L -> None, 4L -> Some(3L)))
+  }
+
   test("exact dedup groups identical texts under one survivor") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
     Seq((5L, "a b c"), (9L, "a b c"), (7L, "x y z"))
