@@ -181,6 +181,56 @@ object TextOps {
           element_at(col("ws"), (col("chunk_id") * 40 + 1).cast("int")).as("first_tok"))
         .orderBy("doc_id", "chunk_id"))
 
+  /** Reproducible train/val/test split assignment: content-hash
+    * deciles, so the split is a pure function of the document (stable
+    * across runs, engines, and partitionings — the property that makes
+    * dataset splits auditable). */
+  val sampleSplit = QueryDef(
+    "sample_split",
+    Some("""WITH s AS (
+           |  SELECT doc_id,
+           |    CASE WHEN substr(md5(text), 1, 2) < '1a' THEN 'test'
+           |         WHEN substr(md5(text), 1, 2) < '34' THEN 'val'
+           |         ELSE 'train' END AS split
+           |  FROM documents)
+           |SELECT split, COUNT(*) AS n, CAST(min(doc_id) AS BIGINT) AS first_doc
+           |FROM s
+           |GROUP BY split
+           |ORDER BY split""".stripMargin),
+    (spark, dir) => {
+      val bucket = substring(md5(col("text")), 1, 2)
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          when(bucket < "1a", "test")
+            .when(bucket < "34", "val")
+            .otherwise("train").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).cast("long").as("first_doc"))
+        .orderBy("split")
+    })
+
+  /** Stratified sampling: a fixed quota per source, chosen by
+    * content-hash order (deterministic, no RNG state) — the balanced
+    * subcorpus builder. */
+  val sampleStratified = QueryDef(
+    "sample_stratified",
+    Some("""SELECT source, doc_id
+           |FROM (SELECT source, doc_id,
+           |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+           |      FROM documents)
+           |WHERE rn <= 20
+           |ORDER BY source, doc_id""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      Tables.table(spark, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
-    textLangid, textQuality, textTokens, textFingerprint, textClean, textChunk)
+    textLangid, textQuality, textTokens, textFingerprint, textClean,
+    textChunk, sampleSplit, sampleStratified)
 }
