@@ -212,7 +212,27 @@ object Analytics {
         .orderBy("event_type")
     })
 
+  /** Scalar + IN subqueries (Catalyst subquery rewriting): customers
+    * above the global average balance who ordered in 1995. */
+  val a19Subquery = QueryDef(
+    "a19_subquery",
+    Some("""SELECT c_custkey, c_mktsegment
+           |FROM customer
+           |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
+           |  AND c_custkey IN (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995)
+           |ORDER BY c_custkey""".stripMargin),
+    (spark, dir) => {
+      Tables.table(spark, dir, "customer").createOrReplaceTempView("v_customer")
+      Tables.table(spark, dir, "orders").createOrReplaceTempView("v_orders")
+      spark.sql(
+        """SELECT c_custkey, c_mktsegment
+          |FROM v_customer
+          |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM v_customer)
+          |  AND c_custkey IN (SELECT o_custkey FROM v_orders WHERE year(o_orderdate) = 1995)
+          |ORDER BY c_custkey""".stripMargin)
+    })
+
   val defs: Seq[QueryDef] = Seq(
     a12Pivot, a13Retention, a14Percentile, a15WindowRank, a16RunningTotal,
-    a18Stats, u4Intersect, u5Except)
+    a18Stats, a19Subquery, u4Intersect, u5Except)
 }

@@ -52,5 +52,39 @@ object ScaleOps {
         .orderBy("k")
     })
 
-  val defs: Seq[QueryDef] = Seq(scaleSaltedAgg)
+  /** Salted join: the big side gets a deterministic salt, the small
+    * side is replicated across all salt values, and the join runs on
+    * (key, salt) — spreading one hot key over `buckets` tasks. The
+    * oracle is the UNsalted join: results must be identical. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltCol: Column, buckets: Int): DataFrame = {
+    val spark = big.sparkSession
+    val salted = big.withColumn("salt", pmod(saltCol, lit(buckets)))
+    val replicated = small.crossJoin(
+      broadcast(spark.range(buckets.toLong).toDF("salt")))
+    salted.join(replicated, Seq(key, "salt")).drop("salt")
+  }
+
+  val scaleSaltedJoin = QueryDef(
+    "scale_salted_join",
+    Some("""SELECT p.p_brand,
+           |  COUNT(*) AS n_items,
+           |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           |FROM lineitem l
+           |JOIN part p ON l.l_partkey = p.p_partkey
+           |GROUP BY p.p_brand
+           |ORDER BY p.p_brand""".stripMargin),
+    (spark, dir) => {
+      val l = Tables.table(spark, dir, "lineitem")
+        .withColumnRenamed("l_partkey", "p_partkey")
+      val p = Tables.table(spark, dir, "part")
+      saltedJoin(l, p, "p_partkey", col("l_orderkey"), 8)
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("total_qty"))
+        .orderBy("p_brand")
+    })
+
+  val defs: Seq[QueryDef] = Seq(scaleSaltedAgg, scaleSaltedJoin)
 }

@@ -245,6 +245,22 @@ class StreamingSpec extends SparkSuite {
     assert(ids === Set(1L, 3L)) // same user+day dup 2 suppressed
   }
 
+  test("Trigger.AvailableNow drains a backlog and terminates on its own") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("availnow").toString
+    Seq(ev(1, 1, 1, "view"), ev(2, 2, 3, "click"), ev(1, 3, 7, "view"))
+      .toDF().write.mode("overwrite").parquet(s"$dir/in")
+    val src = spark.readStream
+      .schema(Seq.empty[Ev].toDF().schema).parquet(s"$dir/in").as[Ev]
+    val q = src.filter(col("event_type") === "view")
+      .writeStream.format("memory").queryName(name())
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // the backfill trigger processes everything available, then stops
+    assert(q.awaitTermination(60000L), "query did not self-terminate")
+    val ids = spark.table(s"stream_out_$n").as[Ev].collect().map(_.event_id).toSet
+    assert(ids === Set(1L, 3L))
+  }
+
   test("file streaming source drives the windowed agg (S1 analog)") {
     // No Kafka broker in this environment: a file source is the
     // stand-in stream transport, same readStream → transform → sink
