@@ -179,7 +179,79 @@ object Core {
         .orderBy("event_id")
     })
 
+  /** Q3-style shipping priority: 3-way join, date-bounded, top-10 by
+    * revenue — the classic mid-complexity analytic plan (filters pushed
+    * to all three scans, broadcast dims, TakeOrdered top-k). */
+  val q3Shipping = QueryDef(
+    "q3_shipping_priority",
+    Some("""SELECT l.l_orderkey,
+           |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           |  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           |  o.o_orderpriority
+           |FROM customer c
+           |JOIN orders o ON c.c_custkey = o.o_custkey
+           |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           |WHERE c.c_mktsegment = 'BUILDING'
+           |  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+           |  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+           |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+           |ORDER BY revenue DESC, l.l_orderkey
+           |LIMIT 10""".stripMargin),
+    (spark, dir) => {
+      val c = Tables.table(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.table(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      val l = Tables.table(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+        .select(
+          col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    })
+
+  /** Q5-style local supplier volume: the 6-table star join with the
+    * customer-and-supplier-same-nation constraint. */
+  val q5LocalSupplier = QueryDef(
+    "q5_local_supplier_volume",
+    Some("""SELECT n.n_name,
+           |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+           |FROM customer c
+           |JOIN orders o ON c.c_custkey = o.o_custkey
+           |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+           |JOIN nation n ON s.s_nationkey = n.n_nationkey
+           |JOIN region r ON n.n_regionkey = r.r_regionkey
+           |WHERE r.r_name = 'ASIA'
+           |  AND EXTRACT(year FROM o.o_orderdate) = 1996
+           |GROUP BY n.n_name
+           |ORDER BY revenue DESC, n.n_name""".stripMargin),
+    (spark, dir) => {
+      val c = Tables.table(spark, dir, "customer")
+      val o = Tables.table(spark, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1996)
+      val l = Tables.table(spark, dir, "lineitem")
+      val s = Tables.table(spark, dir, "supplier")
+      val n = Tables.table(spark, dir, "nation")
+      val r = Tables.table(spark, dir, "region").filter(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(s),
+          l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+        .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q1Agg, p1JsonProps, p5Whitelist, p7LogSplit, fScalarDatetime,
-      f13Age, f15MapOps)
+    Seq(q1Agg, q3Shipping, q5LocalSupplier, p1JsonProps, p5Whitelist,
+      p7LogSplit, fScalarDatetime, f13Age, f15MapOps)
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Storage-layout behaviors the engine depends on at 100 TB: partition
+  * pruning on partitioned output, and schema evolution across file
+  * generations. */
+class StorageSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("date-partitioned output is partition-pruned on read") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    graft.ops.Tables.events(spark, sf("sf0.001"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$dir/events_by_day")
+    val read = spark.read.parquet(s"$dir/events_by_day")
+      .filter(col("day") === "2024-01-05")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // only one day's directory is read
+    assert(read.select("day").distinct().count() === 1)
+    assert(read.count() > 0)
+  }
+
+  test("mergeSchema reads across file generations with evolved schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/gen/v1")
+    Seq((2L, "beta", "en")).toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/gen/v2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/gen/*")
+    assert(merged.columns.toSet === Set("doc_id", "text", "lang"))
+    val rows = merged.select("doc_id", "lang")
+      .as[(Long, Option[String])].collect().toMap
+    assert(rows === Map(1L -> None, 2L -> Some("en")))
+  }
+}
