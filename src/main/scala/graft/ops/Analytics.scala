@@ -232,7 +232,66 @@ object Analytics {
           |ORDER BY c_custkey""".stripMargin)
     })
 
+  /** Calendar gap-filling: a generated date spine left-joined to daily
+    * activity, so quiet days appear as explicit zeros (dashboards and
+    * training-data audits both need the dense series). */
+  val a20GapFill = QueryDef(
+    "a20_gap_fill",
+    Some("""WITH spine AS (
+           |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY))::DATE AS day),
+           |daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    COUNT(*) AS n,
+           |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+           |              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchases
+           |  FROM events GROUP BY 1)
+           |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           |  COALESCE(d.n, 0) AS n,
+           |  COALESCE(d.purchases, 0.0) AS purchases
+           |FROM spine s LEFT JOIN daily d ON d.day = s.day
+           |ORDER BY day""".stripMargin),
+    (spark, dir) => {
+      val spine = spark.range(1)
+        .select(explode(expr(
+          "sequence(DATE '2024-01-01', DATE '2024-01-31', INTERVAL 1 DAY)")).as("day"))
+      val daily = Tables.events(spark, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("""CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                 |         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)""".stripMargin).as("purchases"))
+      spine.join(daily, Seq("day"), "left")
+        .select(
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("purchases"), lit(0.0)).as("purchases"))
+        .orderBy("day")
+    })
+
+  /** Schema-evolving union: two corpus generations with different
+    * columns merged by name, missing columns null-padded (the
+    * `unionByName(allowMissingColumns)` ingestion pattern; DuckDB
+    * mirror is UNION ALL BY NAME). */
+  val u6UnionEvolved = QueryDef(
+    "u6_union_evolved",
+    Some("""SELECT doc_id, lang, COUNT(*) AS n
+           |FROM (
+           |  SELECT doc_id, lang FROM documents WHERE doc_id % 2 = 0
+           |  UNION ALL BY NAME
+           |  SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+           |GROUP BY doc_id, lang
+           |ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val d = Tables.table(spark, dir, "documents")
+      val gen1 = d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+      val gen2 = d.filter(col("doc_id") % 2 === 1).select("doc_id")
+      gen1.unionByName(gen2, allowMissingColumns = true)
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("doc_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     a12Pivot, a13Retention, a14Percentile, a15WindowRank, a16RunningTotal,
-    a18Stats, a19Subquery, u4Intersect, u5Except)
+    a18Stats, a19Subquery, a20GapFill, u4Intersect, u5Except, u6UnionEvolved)
 }

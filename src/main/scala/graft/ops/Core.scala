@@ -251,7 +251,35 @@ object Core {
         .orderBy(col("revenue").desc, col("n_name"))
     })
 
+  /** Q4-style correlated EXISTS: orders with at least one lineitem
+    * shipped more than 60 days after the order date, counted per
+    * priority (Catalyst rewrites the correlated EXISTS to a semi join).
+    */
+  val q4OrderPriority = QueryDef(
+    "q4_order_priority",
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_late_orders
+           |FROM orders o
+           |WHERE EXISTS (
+           |  SELECT 1 FROM lineitem l
+           |  WHERE l.l_orderkey = o.o_orderkey
+           |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin),
+    (spark, dir) => {
+      Tables.table(spark, dir, "orders").createOrReplaceTempView("v_orders")
+      Tables.table(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      spark.sql(
+        """SELECT o_orderpriority, COUNT(*) AS n_late_orders
+          |FROM v_orders o
+          |WHERE EXISTS (
+          |  SELECT 1 FROM v_lineitem l
+          |  WHERE l.l_orderkey = o.o_orderkey
+          |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q1Agg, q3Shipping, q5LocalSupplier, p1JsonProps, p5Whitelist,
-      p7LogSplit, fScalarDatetime, f13Age, f15MapOps)
+    Seq(q1Agg, q3Shipping, q4OrderPriority, q5LocalSupplier, p1JsonProps,
+      p5Whitelist, p7LogSplit, fScalarDatetime, f13Age, f15MapOps)
 }
