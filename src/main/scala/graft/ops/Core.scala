@@ -3,8 +3,6 @@ package graft.ops
 import graft.QueryDef
 import org.apache.spark.sql.functions._
 
-import scala.jdk.CollectionConverters._
-
 /** Projections, filters, row-level transforms and the scalar-function
   * layer (SURVEY §2.3 P1/P4/P5/P7, §2.9 F1–F14), re-expressed as batch
   * DataFrame pipelines over the driver testdata.
@@ -168,8 +166,10 @@ object Core {
            |FROM events
            |ORDER BY event_id""".stripMargin),
     (spark, dir) => {
-      val m = from_json(col("props"), "map<string,string>",
-        Map.empty[String, String].asJava)
+      val m = from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
       Tables.events(spark, dir)
         .select(
           col("event_id"),
@@ -204,7 +204,9 @@ object Core {
         .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
       val l = Tables.table(spark, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
-      broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+      // customer scales with SF — no forced broadcast; AQE picks the
+      // strategy from runtime sizes
+      c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, l("l_orderkey") === o("o_orderkey"))
         .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
         .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
@@ -242,7 +244,9 @@ object Core {
       val r = Tables.table(spark, dir, "region").filter(col("r_name") === "ASIA")
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(s),
+        // supplier scales with SF — unhinted; nation/region are fixed
+        // tiny dims and stay broadcast
+        .join(s,
           l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
         .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))

@@ -59,10 +59,12 @@ object ScaleOps {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltCol: Column, buckets: Int): DataFrame = {
     val spark = big.sparkSession
-    val salted = big.withColumn("salt", pmod(saltCol, lit(buckets)))
+    // unique temp name: a caller column named "salt" must survive
+    val saltName = "__graft_salt"
+    val salted = big.withColumn(saltName, pmod(saltCol, lit(buckets)))
     val replicated = small.crossJoin(
-      broadcast(spark.range(buckets.toLong).toDF("salt")))
-    salted.join(replicated, Seq(key, "salt")).drop("salt")
+      broadcast(spark.range(buckets.toLong).toDF(saltName)))
+    salted.join(replicated, Seq(key, saltName)).drop(saltName)
   }
 
   val scaleSaltedJoin = QueryDef(
