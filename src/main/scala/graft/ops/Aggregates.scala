@@ -161,6 +161,30 @@ object Aggregates {
           |LIMIT 50""".stripMargin)
     })
 
+  /** D1 full parity — the word split as a REAL custom Catalyst
+    * Generator (`graft.functions.SplitWords`) invoked through SQL
+    * LATERAL VIEW, the exact shape of Flink's
+    * `LATERAL TABLE(splitFunction(full_word))`. */
+  val d1CustomUdtf = QueryDef(
+    "d1_custom_udtf",
+    Some("""SELECT word, COUNT(DISTINCT doc_id) AS docs
+           |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+           |WHERE length(word) > 0
+           |GROUP BY word
+           |ORDER BY docs DESC, word
+           |LIMIT 30""".stripMargin),
+    (spark, dir) => {
+      graft.functions.SplitWords.register(spark)
+      Tables.table(spark, dir, "documents").createOrReplaceTempView("v_documents")
+      spark.sql(
+        """SELECT word, COUNT(DISTINCT doc_id) AS docs
+          |FROM v_documents
+          |LATERAL VIEW split_words(text) t AS word
+          |GROUP BY word
+          |ORDER BY docs DESC, word
+          |LIMIT 30""".stripMargin)
+    })
+
   /** A6 — ADS top-N ranking (`ProductStatsMapper.java:23-26`): GROUP BY
     * + HAVING + ORDER BY DESC + LIMIT over brand revenue. */
   val a6TopN = QueryDef(
@@ -294,5 +318,5 @@ object Aggregates {
   val defs: Seq[QueryDef] = Seq(
     a1ProductStats, a2VisitorStats, a3ProvinceStats, a4KeywordStats,
     a4bLateralView, a5TypedDistinct, a6TopN, a7ConditionalAgg,
-    a8WeightedScore, a9GrandTotal, a10RatioMetrics)
+    a8WeightedScore, a9GrandTotal, a10RatioMetrics, d1CustomUdtf)
 }
