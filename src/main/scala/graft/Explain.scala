@@ -23,7 +23,9 @@ object Explain {
     if (doExplain) fn(spark, sfDir).explain("formatted")
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // full-plan evaluation — .count() would let Catalyst prune
+      // projections/sorts and time a thinner plan than declared
+      val n = Bench.evaluateFully(fn(spark, sfDir))
       println(f"[explain] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
     spark.stop()

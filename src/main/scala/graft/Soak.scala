@@ -54,13 +54,16 @@ object Soak {
     val soakDir = s"/tmp/graft-soak-x$factor"
     blowUp(spark, baseDir, soakDir, factor)
 
+    // 3 full-plan evaluations (no count-pruning), median of the two
+    // post-warmup runs — same discipline as Bench so soak ratios are
+    // comparable round over round.
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        Bench.evaluateFully(fn(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }
-      runs.min
+      Bench.median(runs.drop(1))
     }
     println(f"[soak] factor=$factor (events ${100000L * factor} rows)")
     for (name <- queries) {

@@ -44,15 +44,19 @@ object Core {
   val p1JsonProps = QueryDef(
     "p1_json_props",
     Some("""SELECT event_id,
-           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           |  CAST(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dirty
+           |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           |  CAST(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dirty
            |FROM events
            |ORDER BY event_id""".stripMargin),
     (spark, dir) => {
+      // try_cast (not cast): under Spark 4 ANSI mode a NON-NUMERIC k
+      // value would throw mid-job — the dirty-data contract instead
+      // routes it to the dirty branch (is_dirty=1), mirrored by
+      // TRY_CAST in the oracle so both engines agree on dirtiness.
       val parsed = Tables.events(spark, dir)
         .select(
           col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
       parsed
         .withColumn("is_dirty", when(col("k").isNull, 1L).otherwise(0L))
         .orderBy("event_id")

@@ -46,18 +46,23 @@ object Dedup {
   private def bandPairs(sh: DataFrame, spark: SparkSession): DataFrame = {
     // The band self-join references the signature relation twice; cache
     // it (one row per doc) so the minhash pipeline runs once, not once
-    // per join side.
+    // per join side. The pair relation is materialized eagerly
+    // (localCheckpoint) so the signature cache can be released here
+    // instead of leaking into the session's storage pool.
     val sig = minhashSig(sh).cache()
     val bands = sig.select(col("doc_id"), lit(0).as("band_id"), col("band0").as("sig"))
       .unionByName(sig.select(col("doc_id"), lit(1).as("band_id"), col("band1").as("sig")))
     val a = bands.as("a")
     val b = bands.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.sig") === col("b.sig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint()
+    sig.unpersist()
+    pairs
   }
 
   /** Shared oracle CTE prefix: shingles → minhash → bands → candidate
@@ -144,10 +149,16 @@ object Dedup {
     val inter = size(array_intersect(col("sa.ss"), col("sb.ss")))
     val jac = inter.cast("double") /
       (size(col("sa.ss")) + size(col("sb.ss")) - inter)
-    cand
+    // Materialize the scored pairs off the shingle cache, then release
+    // it — callers get a compact checkpointed relation, not a lazy plan
+    // pinning a cached shingle table in the storage pool.
+    val scored = cand
       .join(sets.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sets.as("sb"), col("sb.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      .localCheckpoint()
+    sh.unpersist()
+    scored
   }
 
   val dedupJaccardNgram = QueryDef(
@@ -192,10 +203,20 @@ object Dedup {
           .orderBy("doc_id"))
   }
 
+  /** Hard ceiling for the quadratic all-pairs cosine baseline: above
+    * this corpus size the O(n²) join cannot be invoked accidentally —
+    * the caller is pointed at the scale paths instead. Overridable for
+    * deliberate larger runs via GRAFT_COSINE_MAX_ROWS. */
+  private[graft] val cosineMaxRows: Long =
+    sys.env.get("GRAFT_COSINE_MAX_ROWS").map(_.toLong).getOrElse(100000L)
+
   /** Embedding-cosine near-dup: all pairs above a cosine threshold.
     * Baseline (brute-force) path — the LSH-bucketed scale path is
     * `sim_topk_lsh` in Similarity. Dot products are per-row left folds
-    * (deterministic in both engines). */
+    * (deterministic in both engines). Guarded: refuses to run above
+    * [[cosineMaxRows]] input rows, because the all-pairs join is the
+    * declared NON-scale exact baseline (use `sim_topk_lsh` /
+    * `sim_topk_ivf` or MinHash-LSH dedup on a large corpus). */
   val dedupEmbeddingCosine = QueryDef(
     "dedup_embedding_cosine",
     Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings)
@@ -208,6 +229,13 @@ object Dedup {
            |WHERE cos > 0.30
            |ORDER BY va, vb""".stripMargin),
     (spark, dir) => {
+      // guard the quadratic baseline: parquet row-count is
+      // metadata-only, so the check is cheap relative to the join
+      val nRows = Tables.table(spark, dir, "embeddings").count()
+      require(nRows <= cosineMaxRows,
+        s"dedup_embedding_cosine is the O(n²) exact baseline and refuses $nRows rows " +
+          s"(cap $cosineMaxRows; set GRAFT_COSINE_MAX_ROWS to override). " +
+          "Use sim_topk_lsh / sim_topk_ivf / dedup_minhash_lsh at scale.")
       val e = Tables.table(spark, dir, "embeddings")
         .withColumn("norm", sqrt(Similarity.dot(col("embedding"), col("embedding"))))
       val a = e.as("a")
@@ -224,10 +252,13 @@ object Dedup {
   /** Near-dup cluster formation: connected components over the
     * Jaccard-confirmed pair graph; every clustered doc maps to its
     * component's minimum doc_id (the canonical survivor). Spark side:
-    * driver-coordinated iterative transitive closure (the Pregel-style
-    * loop — iterations bounded by component diameter, each one a
-    * shuffle-join; components here are tiny, at 100 TB this is the
-    * standard big-data CC algorithm). Oracle: recursive CTE to the same
+    * min-label propagation — every node carries exactly ONE label (its
+    * current component minimum); each iteration pushes labels across
+    * edges and keeps the per-node min. State is O(V) rows at every
+    * iteration (a transitive-closure reach set would be O(V²) per
+    * component — fatal on a 100 TB corpus where one boilerplate family
+    * can span millions of docs), and the iteration count is bounded by
+    * the component diameter. Oracle: recursive CTE to the same
     * fixpoint — both compute true components, so results agree by
     * definition, not by implementation coincidence. */
   val dedupClusters = QueryDef(
@@ -244,42 +275,43 @@ object Dedup {
             |FROM reach
             |GROUP BY src
             |ORDER BY doc_id""".stripMargin.replace("WITH w AS", "WITH RECURSIVE w AS")),
-    (spark, dir) => {
-      val edges = scoredPairs(spark, dir)
+    (spark, dir) => connectedComponents(
+      scoredPairs(spark, dir)
         .filter(col("jac") >= jaccardThreshold)
-        .select(col("doc_a"), col("doc_b"))
-      val walk = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .distinct().cache()
-      // iterative transitive closure to the fixpoint; superseded
-      // iterations are unpersisted so only the final frontier stays
-      // cached
-      var reach = walk.select(col("a").as("src"), col("a").as("dst")).distinct().cache()
-      var n = reach.count()
-      var converged = false
-      while (!converged) {
-        val next = reach
-          .join(walk, reach("dst") === walk("a"))
-          .select(col("src"), col("b").as("dst"))
-          .unionByName(reach)
-          .distinct().cache()
-        val m = next.count()
-        converged = m == n
-        if (!converged) reach.unpersist()
-        reach = next
-        n = m
-      }
-      val out = reach.groupBy(col("src").as("doc_id"))
-        .agg(min(col("dst")).cast("long").as("cluster_rep"))
-        .orderBy("doc_id")
-        // materialize off the cached lineage, then release the
-        // iteration caches (localCheckpoint cuts the union/join-deep
-        // lineage accumulated by the loop)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").cast("long").as("cluster_rep"))
+      .orderBy("doc_id"))
+
+  /** Min-label-propagation connected components over an undirected edge
+    * list (`doc_a`, `doc_b`). Returns one row per node: (node, label)
+    * with label = the component's minimum node id. Per-iteration state
+    * is exactly |V| rows; each iteration is one shuffle-join + one
+    * min-aggregate, checkpointed so the lineage stays flat. Labels are
+    * monotonically non-increasing, so convergence = "no label
+    * decreased this round". */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val walk = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = walk.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val msgs = labels.join(walk, labels("node") === walk("a"))
+        .select(col("b").as("node"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      reach.unpersist()
-      walk.unpersist()
-      out
-    })
+      // labels only ever decrease → any change is a strict decrease
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") < col("o.label"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhashLsh, dedupJaccardNgram,

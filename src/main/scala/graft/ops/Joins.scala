@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * Scale notes: the interval joins are equi-joins on the order key with
   * a residual time-range predicate — at cluster scale they shuffle both
   * sides on the key (no cross product). Dimension enrichment broadcasts
-  * every dim (`customer` at sf100 would bucket instead — kept broadcast
-  * here because all dims fit comfortably under the 8 GB broadcast cap
-  * at the target scale's dim cardinalities).
+  * only the fixed-cardinality dims (`nation` = 25 rows, `region` = 5 —
+  * size-invariant under SF). `customer` SCALES with SF (~15 M rows /
+  * multi-GB at sf100), so it is deliberately left unhinted: AQE
+  * broadcasts it while its runtime size is under the threshold and
+  * falls back to a shuffle join beyond — the same treatment as q3/q5.
   */
 object Joins {
 
@@ -95,7 +97,10 @@ object Joins {
       val c = Tables.table(spark, dir, "customer")
       val n = Tables.table(spark, dir, "nation")
       val r = Tables.table(spark, dir, "region")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // customer unhinted: it scales with SF, so forcing a broadcast
+      // would OOM at sf100 — AQE picks broadcast vs shuffle from the
+      // measured size. nation/region stay hinted (fixed 25/5 rows).
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(r("r_name"), n("n_name"))
