@@ -16,7 +16,8 @@ object Soak {
     "t1_new_user_fix", "t2_uv_dedup", "t3_bounce_detect",
     "a1_product_stats", "a2_visitor_stats", "a8_weighted_score",
     "w_session_window", "a13_retention", "j6_asof_join",
-    "text_tokens", "text_chunk", "dedup_minhash_lsh", "dedup_simhash")
+    "text_tokens", "text_chunk", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters")
 
   def blowUp(spark: SparkSession, baseDir: String, outDir: String, f: Int): Unit = {
     val ev = graft.ops.Tables.eventsRawNanos(spark, baseDir)

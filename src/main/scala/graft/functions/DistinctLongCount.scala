@@ -8,8 +8,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * close (`bean/ProductStats.java:82-90`,
   * `app/dws/ProductStatsApp.java:255-257`). This is the same shape as a
   * reusable `Aggregator`: exact distinct count with a mergeable set
-  * buffer (partial-aggregation friendly; for sketch-sized cardinalities
-  * at 100 TB swap the buffer for an HLL and keep the interface). */
+  * buffer (partial-aggregation friendly). The buffer is unbounded —
+  * this is the exact/oracle form for bounded-cardinality keys; the
+  * memory-bounded scale path behind the same interface is
+  * [[HllDistinctLongCount]] (fixed 4 KiB HLL registers per key). */
 class DistinctLongCount extends Aggregator[Long, Set[Long], Long] {
   override def zero: Set[Long] = Set.empty
   override def reduce(b: Set[Long], a: Long): Set[Long] = b + a

@@ -95,13 +95,64 @@ object Similarity {
         .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
     })
 
+  /** Build-once IVF index: `centroids` is one row per coarse cluster
+    * (label, cent: array<double> of per-dimension means), materialized
+    * eagerly (localCheckpoint) so every probe scans the tiny persisted
+    * relation — a probe plan NEVER re-aggregates the corpus. `corpus`
+    * is the cluster-assigned embedding relation with precomputed norms.
+    * At cluster scale: centroids live on < 1 MB (k_coarse rows), the
+    * corpus is written partitioned by `label`, so a probe reads
+    * `nprobe` partitions of the corpus and nothing else. */
+  final case class IvfIndex(centroids: DataFrame, corpus: DataFrame)
+
+  /** Phase 1 — index construction (run once per corpus version):
+    * per-dimension centroid means via one posexplode + two
+    * aggregations, then checkpointed. This is the ONLY place the
+    * full-corpus explode happens. */
+  def buildIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    val corpus = withNorm(spark, dir)
+    val centroids = Tables.table(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
+      .groupBy("label", "dim").agg(avg(col("v")).as("cv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("cent"))
+      .localCheckpoint()
+    IvfIndex(centroids, corpus)
+  }
+
+  /** Phase 2 — probe (run per query): squared distance from the query
+    * to each centroid is a sequential zip_with fold (deterministic, no
+    * explode), the `nprobe` nearest clusters are broadcast, and exact
+    * cosine runs only inside those clusters. */
+  def ivfProbe(index: IvfIndex, queryVecId: Long, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val q = index.corpus.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), col("norm").as("qnorm"))
+    val d2 = aggregate(
+      zip_with(col("cent"), col("qe"),
+        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val topClusters = index.centroids.crossJoin(broadcast(q))
+      .select(col("label"), d2.as("d2"))
+      .orderBy(col("d2"), col("label"))
+      .limit(nprobe)
+      .select("label")
+    val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
+    index.corpus.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(topClusters), "label")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cos.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** IVF-style ANN: coarse quantization by the `label` cluster column —
-    * centroids are per-dimension means, the query probes only the 2
-    * nearest clusters, exact cosine runs inside them. At cluster scale
-    * `label` is the partition key, so a probe touches 2 partitions of
-    * the corpus instead of all of it. Centroid means are plain double
-    * averages (cluster choice is robust to last-bit noise); the output
-    * cosines stay on the deterministic vec_dot fold. */
+    * the query probes only the 2 nearest clusters, exact cosine runs
+    * inside them. Composed as buildIvfIndex (once) + ivfProbe (per
+    * query); the oracle recomputes the same centroids inline (SQL has
+    * no index lifetime), which agrees because the means are identical.
+    */
   val simTopkIvf = QueryDef(
     "sim_topk_ivf",
     Some(s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
@@ -119,31 +170,7 @@ object Similarity {
             |ORDER BY ${dd("e.embedding", "q.qe")}
             |  / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, e.vec_id
             |LIMIT 10""".stripMargin),
-    (spark, dir) => {
-      val e = withNorm(spark, dir)
-      val exploded = Tables.table(spark, dir, "embeddings")
-        .select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
-      val cent = exploded.groupBy("label", "dim").agg(avg(col("v")).as("cv"))
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qe"), col("norm").as("qnorm"))
-      val qd = q.select(posexplode(col("qe")))
-        .select(col("pos").as("dim"), col("col").cast("double").as("qv"))
-      val top2 = cent.join(qd, "dim")
-        .groupBy("label")
-        .agg(sum((col("cv") - col("qv")) * (col("cv") - col("qv"))).as("d2"))
-        .orderBy(col("d2"), col("label"))
-        .limit(2)
-        .select("label")
-      val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
-      e.filter(col("vec_id") =!= 0)
-        .join(broadcast(top2), "label")
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), cos.as("cos"))
-        .orderBy(col("cos").desc, col("vec_id"))
-        .limit(10)
-        .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
-    })
+    (spark, dir) => ivfProbe(buildIvfIndex(spark, dir), queryVecId = 0))
 
   val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf)
 }

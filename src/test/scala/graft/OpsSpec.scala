@@ -70,6 +70,22 @@ class OpsSpec extends SparkSuite {
     assert(rows === Map(1L -> None, 4L -> Some(3L)))
   }
 
+  test("IVF probe runs against the prebuilt index, never re-exploding the corpus") {
+    val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))
+    val probe = Similarity.ivfProbe(idx, 0)
+    val plan = probe.queryExecution.executedPlan.toString
+    // probe-side proof: no Generate (posexplode) anywhere — the only
+    // corpus explode lives in buildIvfIndex, run once
+    assert(!plan.contains("Generate"), plan.linesIterator.take(30).mkString("\n"))
+    // centroids come from the checkpointed index relation, not a scan
+    assert(plan.contains("ExistingRDD"))
+    // build once, probe many: a second query reuses the same index
+    val r0 = probe.collect()
+    val r1 = Similarity.ivfProbe(idx, 1).collect()
+    assert(r0.length === 10 && r1.length === 10)
+    assert(!r1.map(_.getLong(0)).contains(1L)) // query vector excluded
+  }
+
   test("exact dedup groups identical texts under one survivor") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
     Seq((5L, "a b c"), (9L, "a b c"), (7L, "x y z"))

@@ -108,6 +108,46 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("connected components collapse one big adversarial cluster with O(V) state") {
+    // Adversarial shape for clustering: ONE component spanning every
+    // node (a web corpus with a shared boilerplate family). A
+    // transitive-closure reach set would materialize ~V·depth pairs and
+    // grow quadratically on denser graphs; min-label propagation keeps
+    // exactly V label rows per iteration and converges in the tree
+    // depth (~log V here). Two shifted trees also prove components
+    // don't bleed into each other.
+    val n = 4096L
+    def tree(offset: Long) = spark.range(1, n)
+      .select((col("id") + offset).as("doc_a"),
+        ((col("id") / 2).cast("long") + offset).as("doc_b"))
+    val edges = tree(0).unionByName(tree(1000000))
+    val labels = graft.ops.Dedup.connectedComponents(edges).cache()
+    assert(labels.count() === 2 * n)
+    val reps = labels.select("label").distinct().as[Long].collect().sorted.toSeq
+    assert(reps === Seq(0L, 1000000L))
+    labels.unpersist()
+  }
+
+  test("HLL distinct sketch tracks the exact set-buffer aggregator within error bound") {
+    import org.apache.spark.sql.functions.udaf
+    val exact = udaf(new graft.functions.DistinctLongCount,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sketch = udaf(new graft.functions.HllDistinctLongCount(12),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // p=12 → stderr ≈ 1.04/√4096 ≈ 1.6 %; assert within 5 % (≈3σ)
+    // across cardinalities spanning the linear-counting and raw-HLL
+    // estimator regimes, with duplicates and partition-order variance.
+    for ((n, i) <- Seq(500L, 20000L, 200000L).zipWithIndex) {
+      val ids = spark.range(n * 3).select(
+        (org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col("id") + (i * 1000)), lit(n.toInt))
+          .cast("long")).as("v"))
+      val row = ids.agg(exact(col("v")).as("ex"), sketch(col("v")).as("sk")).head()
+      val (ex, sk) = (row.getLong(0), row.getLong(1))
+      assert(math.abs(sk - ex).toDouble / ex <= 0.05, s"n=$n exact=$ex sketch=$sk")
+    }
+  }
+
   test("salted aggregation equals plain aggregation on generated data") {
     for (i <- 0 until 3) {
       val ev = sample(i).toDF()
