@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** One declared pattern stage: events matching `cond`, repeated `reps`
+  * times (strictly consecutively). */
+final case class CepStage(name: String, cond: Ev => Boolean, reps: Int)
+    extends Serializable
+
+/** Generic CEP pattern combinator — the reference's Flink-CEP surface
+  * (`Pattern.begin("start").where(cond).times(2).consecutive()
+  * .within(gap)` with matched + timeout branches,
+  * `gmall-realtime/.../app/dwm/UserJumpDetailApp.java:57-86`; the
+  * `begin/next` two-stage variant
+  * `app/testt/dwm/Dwm_Jump_Detail.java:59-71`) re-expressed as a
+  * builder compiled onto `flatMapGroupsWithState` by [[Cep.pattern]].
+  *
+  * Contiguity is STRICT (Flink's `next`): an event that matches the
+  * run's next condition advances it, any other event kills it. That is
+  * the only contiguity the reference uses; `followedBy` relaxation is
+  * deliberately out of surface. */
+final class CepPattern private (
+    private[streaming] val stages: Vector[CepStage],
+    private[streaming] val withinMs: Option[Long]) extends Serializable {
+
+  /** Strictly-consecutive next stage (Flink `.next(name).where(cond)`).
+    */
+  def next(name: String, cond: Ev => Boolean): CepPattern =
+    new CepPattern(stages :+ CepStage(name, cond, 1), withinMs)
+
+  /** Repeat the last declared stage n times (Flink `.times(n)`). */
+  def times(n: Int): CepPattern = {
+    require(n >= 1, s"times($n)")
+    new CepPattern(stages.init :+ stages.last.copy(reps = n), withinMs)
+  }
+
+  /** Contiguity marker for `times` repeats. Flink needs the explicit
+    * switch (its default for times() is relaxed); this engine is
+    * always strict, so the call is a documented identity kept for API
+    * parity with the reference pattern. */
+  def consecutive(): CepPattern = this
+
+  /** Whole-match time bound: last event must arrive within `ms` of the
+    * first, else the partial run is routed to the timeout branch. */
+  def within(ms: Long): CepPattern = new CepPattern(stages, Some(ms))
+  def within(d: java.time.Duration): CepPattern = within(d.toMillis)
+
+  /** Stage list with `times` expanded — element i names the stage the
+    * i-th matched event is recorded under in the select map. */
+  private[streaming] def expanded: Vector[(String, Ev => Boolean)] =
+    stages.flatMap(s => Vector.fill(s.reps)(s.name -> s.cond))
+}
+
+object CepPattern {
+  def begin(name: String, cond: Ev => Boolean): CepPattern =
+    new CepPattern(Vector(CepStage(name, cond, 1)), None)
+}
+
+object Cep {
+
+  /** Run `pat` per key over the event stream. Complete matches map
+    * through `select` (stage name → matched events, in match order);
+    * partial runs whose within-window closes map through `onTimeout`
+    * (the CEP timeout side output — both branches land in ONE output
+    * stream, the `select.union(sideOutput)` the reference performs
+    * explicitly). Timeouts fire either when a later event for the key
+    * proves the window closed, or via an event-time timer once the
+    * watermark passes the deadline (so a key that goes silent still
+    * emits its timeout branch).
+    *
+    * Scale: state per key is the list of live partial runs — bounded
+    * by pattern length × runs started inside one within-window, and
+    * sharded across executors by the key hash like every keyed
+    * operator here. */
+  def pattern[Out: Encoder](
+      ds: Dataset[Ev],
+      pat: CepPattern,
+      select: Map[String, Seq[Ev]] => Out,
+      onTimeout: Seq[Ev] => Option[Out],
+      watermark: String = "1 second"): Dataset[Out] = {
+    import ds.sparkSession.implicits._
+    val conds = pat.expanded
+    require(conds.nonEmpty, "empty pattern")
+    val within = pat.withinMs
+    implicit val stateEnc: Encoder[List[List[Ev]]] = Encoders.kryo[List[List[Ev]]]
+
+    def grouped(run: List[Ev]): Map[String, Seq[Ev]] =
+      conds.map(_._1).zip(run).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSeq }
+
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[List[Ev]], Out](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, events: Iterator[Ev],
+            state: org.apache.spark.sql.streaming.GroupState[List[List[Ev]]]) =>
+          val out = List.newBuilder[Out]
+
+          def expire(partials: List[List[Ev]], nowMs: Long): List[List[Ev]] =
+            within match {
+              case Some(w) =>
+                val (dead, alive) = partials.partition(p => nowMs - p.head.ts.getTime > w)
+                dead.foreach(p => onTimeout(p).foreach(out += _))
+                alive
+              case None => partials
+            }
+
+          var partials = state.getOption.getOrElse(Nil)
+          if (state.hasTimedOut) {
+            // watermark passed a deadline: close expired runs only
+            partials = expire(partials, state.getCurrentWatermarkMs())
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            for (e <- sorted) {
+              // runs whose window closed before e cannot accept it
+              partials = expire(partials, e.ts.getTime)
+              val advanced = List.newBuilder[List[Ev]]
+              def offer(run: List[Ev]): Unit = {
+                val next = run :+ e
+                if (next.length == conds.length) out += select(grouped(next))
+                else advanced += next
+              }
+              for (p <- partials)
+                if (conds(p.length)._2(e)) offer(p)
+                // else: strict contiguity — the run dies silently
+              if (conds.head._2(e)) offer(Nil) // every event may start a run
+              partials = advanced.result()
+            }
+          }
+          if (partials.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(partials)
+            within.foreach { w =>
+              val deadline = partials.map(_.head.ts.getTime).min + w
+              // the timer must sit strictly past the current watermark
+              state.setTimeoutTimestamp(math.max(deadline, state.getCurrentWatermarkMs() + 1))
+            }
+          }
+          out.result().iterator
+      }
+  }
+}

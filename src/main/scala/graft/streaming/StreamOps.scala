@@ -90,55 +90,21 @@ object StreamOps {
 
   /** T3 — CEP bounce detection (`app/dwm/UserJumpDetailApp.java:57-86`):
     * a session-start (event_type='view') is a bounce iff the next event
-    * is also a session-start within `gapMs`, or no event arrives within
-    * `gapMs` (the CEP timeout branch, fired here by an event-time
-    * timeout against the watermark). State: the pending session-start.
-    */
+    * is also a session-start within `gapMs` (two consecutive starts =
+    * the matched branch), or no event arrives within `gapMs` (the CEP
+    * timeout branch). Expressed on the generic [[CepPattern]]
+    * combinator exactly as the reference writes it:
+    * begin("start").where(isStart).times(2).consecutive().within(gap),
+    * select = first matched start, timeout = the pending start. */
   def bounceDetect(ds: Dataset[Ev], gapMs: Long = 30L * 60 * 1000): Dataset[Ev] = {
     import ds.sparkSession.implicits._
-    ds.withWatermark("ts", "1 second")
-      .as[Ev]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Ev, Ev](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: Long, events: Iterator[Ev], state: GroupState[Ev]) =>
-          if (state.hasTimedOut) {
-            // No successor within the gap → timeout branch emits the
-            // pending start as a bounce.
-            val pending = state.get
-            state.remove()
-            Iterator.single(pending)
-          } else {
-            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val out = Seq.newBuilder[Ev]
-            var pending = state.getOption
-            for (e <- sorted) {
-              pending match {
-                case Some(p) =>
-                  val isStart = e.event_type == "view"
-                  if (e.ts.getTime - p.ts.getTime > gapMs) {
-                    out += p // gap exceeded → p bounced
-                    pending = if (isStart) Some(e) else None
-                  } else if (isStart) {
-                    out += p // consecutive starts within gap → p bounced
-                    pending = Some(e)
-                  } else {
-                    pending = None // followed by a non-start → not a bounce
-                  }
-                case None =>
-                  if (e.event_type == "view") pending = Some(e)
-              }
-            }
-            pending match {
-              case Some(p) =>
-                state.update(p)
-                state.setTimeoutTimestamp(p.ts.getTime + gapMs)
-              case None =>
-                state.remove()
-            }
-            out.result().iterator
-          }
-      }
+    val pat = CepPattern
+      .begin("start", (e: Ev) => e.event_type == "view")
+      .times(2).consecutive()
+      .within(gapMs)
+    Cep.pattern[Ev](ds, pat,
+      select = m => m("start").head,
+      onTimeout = partial => Some(partial.head))
   }
 
   /** A1/A2/W1/W3 streaming form — watermarked tumbling window

@@ -76,6 +76,44 @@ class StreamingSpec extends SparkSuite {
     assert(ids === Set(10L, 20L, 30L))
   }
 
+  test("CEP combinator: three-stage funnel with matched and timeout branches") {
+    import graft.streaming.{Cep, CepPattern}
+    val in = MemoryStream[Ev]
+    // a second, different pattern on the same combinator bounceDetect
+    // uses: strict view → click → purchase funnel within 60 s, with
+    // abandoned (timeout) runs surfaced on the same output stream
+    val pat = CepPattern
+      .begin("view", (e: Ev) => e.event_type == "view")
+      .next("click", (e: Ev) => e.event_type == "click")
+      .next("purchase", (e: Ev) => e.event_type == "purchase")
+      .within(60000L)
+    val out = Cep.pattern[(String, Long)](in.toDS(), pat,
+      select = m => ("funnel", m("view").head.event_id),
+      onTimeout = p => Some(("abandoned", p.head.event_id)))
+    val q = out.writeStream.format("memory")
+      .queryName(name()).outputMode("append").start()
+    in.addData(
+      // user 1 completes the funnel within the window
+      ev(1, 1, 0, "view"), ev(1, 2, 10, "click"), ev(1, 3, 20, "purchase"),
+      // user 2 stalls after the click → timeout branch
+      ev(2, 4, 0, "view"), ev(2, 5, 10, "click"),
+      // user 3: first run killed by the second view (strict
+      // contiguity), second run completes
+      ev(3, 6, 0, "view"), ev(3, 7, 10, "view"),
+      ev(3, 8, 20, "click"), ev(3, 9, 30, "purchase"))
+    q.processAllAvailable()
+    // advance the watermark past user 2's deadline; timers fire in the
+    // following batch
+    in.addData(ev(9, 90, 600, "error"))
+    q.processAllAvailable()
+    in.addData(ev(9, 91, 601, "error"))
+    q.processAllAvailable()
+    val rows = spark.table(s"stream_out_$n").as[(String, Long)].collect().toSet
+    q.stop()
+    assert(rows === Set(
+      ("funnel", 1L), ("funnel", 7L), ("abandoned", 4L)))
+  }
+
   test("windowed agg with watermark emits closed windows in append mode") {
     val in = MemoryStream[Ev]
     val q = StreamOps.windowedStats(in.toDS())
