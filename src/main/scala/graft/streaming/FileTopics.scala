@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Partitioned file-topic emulation of the reference's Kafka layer
+  * contract (`gmall-realtime/.../utils/MyKafkaUtils.java:44-65`:
+  * subscribe by topic, `auto.offset.reset` earliest/latest, replay
+  * from a committed offset, per-partition ordering; producer side
+  * `:24-40` — fixed-topic and dynamic-topic variants). The environment
+  * ships no Kafka broker or connector jar, so the broker is a
+  * directory tree: `brokerDir/<topic>/partition=<p>/part-*.parquet`,
+  * one record schema `(offset, key, value)` + the `partition`
+  * directory column — the same five observable fields Spark's real
+  * kafka source exposes, so swapping `format("kafka")` back in is a
+  * one-line change per sink/source.
+  *
+  * Semantics matched to Kafka:
+  *   - records are routed to a partition by `hash(key) % n` (the
+  *     default partitioner's key-hash contract: same key → same
+  *     partition → total order per key);
+  *   - offsets are dense and monotonically increasing PER PARTITION,
+  *     assigned at produce time and never rewritten;
+  *   - a consumer reading `earliest` sees every record; `latest` sees
+  *     only records produced after subscribing; `from(offsets)`
+  *     replays everything at-or-after the given per-partition offsets
+  *     (the group-commit resume path);
+  *   - the streaming consumer is Spark's file source over the topic
+  *     directory — its checkpoint tracks consumed files, giving the
+  *     same no-loss/no-duplication restart contract as the kafka
+  *     source's offset tracking.
+  *
+  * Single-writer per topic (the reference runs one Flink producer per
+  * sink); a real deployment replaces this object with
+  * `format("kafka")`, nothing else changes shape. */
+object FileTopics {
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("value", StringType, nullable = true),
+    StructField("partition", IntegerType, nullable = false)))
+
+  private def topicDir(brokerDir: String, topic: String) = s"$brokerDir/$topic"
+
+  private def topicExists(brokerDir: String, topic: String): Boolean =
+    new java.io.File(topicDir(brokerDir, topic)).isDirectory
+
+  /** Next offset to be assigned per partition (= Kafka's log-end
+    * offset). Missing partitions are implicitly at 0. */
+  def endOffsets(spark: SparkSession, brokerDir: String, topic: String): Map[Int, Long] =
+    if (!topicExists(brokerDir, topic)) Map.empty
+    else spark.read.schema(recordSchema).parquet(topicDir(brokerDir, topic))
+      .groupBy("partition").agg(max("offset").as("m"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+
+  /** Producer — the dynamic-topic form (`MyKafkaUtils.java:31-40` +
+    * `BaseDbApp.java:83-89`): `frame` carries the sink-frame contract
+    * columns (topic, key, value) built by [[StreamOps.toKafkaShape]];
+    * each row is appended to its topic, partitioned by key hash, with
+    * dense per-partition offsets continuing from the topic's current
+    * end. Intra-batch order per partition is (key, value) — a
+    * deterministic stand-in for producer send order. */
+  def produce(frame: DataFrame, brokerDir: String, nPartitions: Int = 4): Unit = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    val topics = frame.select("topic").distinct().as[String].collect().sorted
+    for (t <- topics) {
+      val base = endOffsets(spark, brokerDir, t)
+      val baseDf = broadcast(
+        base.toSeq.toDF("partition", "base_off"))
+      val w = Window.partitionBy("partition").orderBy("key", "value")
+      frame.filter(col("topic") === t)
+        .withColumn("partition", pmod(hash(col("key")), lit(nPartitions)).cast("int"))
+        .withColumn("rn", row_number().over(w).cast("long") - 1)
+        .join(baseDf, Seq("partition"), "left")
+        .withColumn("offset", coalesce(col("base_off"), lit(0L)) + col("rn"))
+        .select(col("offset"), col("key"), col("value"), col("partition"))
+        .write.mode("append").partitionBy("partition")
+        .parquet(topicDir(brokerDir, t))
+    }
+  }
+
+  /** Consumer start position — `auto.offset.reset` + the committed-
+    * offset resume of `MyKafkaUtils.java:44-56`. */
+  sealed trait StartingOffsets
+  case object Earliest extends StartingOffsets
+  case object Latest extends StartingOffsets
+  /** Resume at-or-after these per-partition offsets (partitions not
+    * listed start at 0 = earliest). */
+  final case class From(offsets: Map[Int, Long]) extends StartingOffsets
+
+  /** Batch consumer (bounded replay — Kafka's batch read). Rows come
+    * back unordered like any distributed scan; per-partition order is
+    * recovered by sorting on (partition, offset), which the offsets
+    * make total. */
+  def read(spark: SparkSession, brokerDir: String, topic: String,
+      starting: StartingOffsets = Earliest): DataFrame = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), recordSchema)
+    if (!topicExists(brokerDir, topic)) empty
+    else {
+      val all = spark.read.schema(recordSchema)
+        .parquet(topicDir(brokerDir, topic))
+        .select("offset", "key", "value", "partition")
+      starting match {
+        case Earliest => all
+        case Latest => empty // nothing produced after this subscribe yet
+        case From(offsets) =>
+          if (offsets.isEmpty) all
+          else {
+            import spark.implicits._
+            val cut = broadcast(offsets.toSeq.toDF("partition", "cut"))
+            all.join(cut, Seq("partition"), "left")
+              .filter(col("cut").isNull || col("offset") >= col("cut"))
+              .select("offset", "key", "value", "partition")
+          }
+      }
+    }
+  }
+
+  /** Streaming consumer (`getFlinkKafkaConsumer` analog): an unbounded
+    * file source over the topic directory. The stream checkpoint
+    * records consumed files, so stop/restart neither loses nor
+    * re-emits records — the contract the reference gets from Kafka
+    * group offsets. `earliest` is implicit (a fresh checkpoint reads
+    * the whole log; an existing checkpoint resumes where it left off).
+    */
+  def readStream(spark: SparkSession, brokerDir: String, topic: String): DataFrame =
+    spark.readStream.schema(recordSchema)
+      .parquet(topicDir(brokerDir, topic))
+      .select("offset", "key", "value", "partition")
+}

@@ -122,6 +122,36 @@ object StreamOps {
         col("window.start").as("stt"), col("window.end").as("edt"),
         col("event_type"), col("n"), col("total_value"), col("approx_users"))
 
+  /** A3 streaming EXACT windowed distinct
+    * (`app/dws/ProvinceStatsSqlApp.java:47-65` computes exact
+    * `count(distinct)` inside TUMBLE; `windowedStats` substitutes
+    * `approx_count_distinct` because a streaming window agg cannot
+    * hold a distinct set). The exact form is dedup-then-count:
+    * `dropDuplicatesWithinWatermark` over (event_type, window,
+    * user_id) reduces the stream to one row per distinct user per
+    * window, after which a plain windowed COUNT IS the exact distinct
+    * count. Two chained stateful operators, both watermark-evicted.
+    *
+    * `watermark` must be ≥ the window length: the dedup state for a
+    * key must survive until no same-window duplicate can still arrive
+    * (duplicates in one window are at most a window apart in event
+    * time). State: one row per live distinct value — exactly what an
+    * exact distinct agg would hold, sharded by key hash. */
+  def windowedExactDistinct(ds: Dataset[Ev], windowSeconds: Long = 3600L,
+      watermark: String = "2 hours"): DataFrame =
+    ds.toDF()
+      .withWatermark("ts", watermark)
+      // plain epoch-aligned window id (same alignment as window()) —
+      // deduping on the window() struct itself would tag a SECOND
+      // event-time column and the downstream agg rejects the plan
+      .withColumn("wid", expr(s"unix_seconds(ts) div $windowSeconds"))
+      .dropDuplicatesWithinWatermark("event_type", "wid", "user_id")
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"), col("event_type"))
+      .agg(count(lit(1)).as("distinct_users"))
+      .select(
+        col("window.start").as("stt"), col("window.end").as("edt"),
+        col("event_type"), col("distinct_users"))
+
   /** The full ProductStats topology in streaming form
     * (`app/dws/ProductStatsApp.java:82-330`): per-metric zero-padded
     * branches unioned, watermarked tumbling aggregation with window

@@ -35,6 +35,36 @@ class ParitySpec extends SparkSuite {
     assert(streaming === batch)
   }
 
+  test("streaming exact windowed distinct equals batch count(distinct) on sf0.001") {
+    import java.sql.Timestamp
+    val events = realEvents
+    val in = MemoryStream[Ev]
+    val q = StreamOps.windowedExactDistinct(in.toDS(), 3600L, "2 hours")
+      .writeStream.format("memory").queryName("parity_dist").outputMode("append").start()
+    val (b1, b2) = events.splitAt(events.size / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    // close every real window: sentinels far past the data, fed twice
+    // so the advanced watermark's timers actually fire
+    val maxTs = events.map(_.ts.getTime).max
+    val horizon = maxTs + 2L * 86400 * 1000
+    in.addData(Ev(999999L, 999999L, new Timestamp(horizon), "view", 0.0, 1))
+    q.processAllAvailable()
+    in.addData(Ev(999999L, 999998L, new Timestamp(horizon + 1000), "view", 0.0, 1))
+    q.processAllAvailable()
+    val streaming = spark.table("parity_dist")
+      .filter(col("stt") < new Timestamp(maxTs + 86400 * 1000)) // drop sentinel windows
+      .select(col("stt"), col("event_type"), col("distinct_users"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    q.stop()
+    val batch = events.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .select(col("window.start"), col("event_type"), col("d"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(streaming === batch)
+  }
+
   test("streaming newUserFix equals the batch row_number analog on sf0.001") {
     val events = realEvents
     val in = MemoryStream[Ev]

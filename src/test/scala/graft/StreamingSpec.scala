@@ -389,6 +389,49 @@ class StreamingSpec extends SparkSuite {
     assert(state === Map(1L -> "a2", 3L -> "c")) // replays ignored, 2 stays deleted
   }
 
+  test("file-topic broker: dynamicRoute → topics → consumer e2e, restart without loss/dup") {
+    import graft.streaming.FileTopics
+    val broker = java.nio.file.Files.createTempDirectory("broker").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("broker-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("broker-out").toString + "/sink"
+    // producer side: the reference's BaseDbApp loop — route each batch
+    // by config, publish each branch to its sink topic
+    val in = MemoryStream[Ev]
+    val config = () => Seq(("view", "dwd_page_log"), ("click", "dwd_click_log"))
+      .toDF("event_type", "sink_table")
+    val q = StreamOps.dynamicRoute(in.toDS(), config,
+      (_, df) => FileTopics.produce(StreamOps.toKafkaShape(df), broker)).start()
+    in.addData(ev(1, 1, 0, "view"), ev(2, 2, 1, "view"), ev(3, 3, 2, "click"))
+    q.processAllAvailable()
+    // consumer with checkpoint (group-offset analog)
+    def startConsumer() = FileTopics.readStream(spark, broker, "dwd_page_log")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val c1 = startConsumer(); c1.processAllAvailable(); c1.stop()
+    // records produced while the consumer is down...
+    in.addData(ev(4, 4, 3, "view"), ev(1, 5, 4, "view"))
+    q.processAllAvailable(); q.stop()
+    // ...are picked up on restart from the checkpoint — exactly once
+    val c2 = startConsumer(); c2.processAllAvailable(); c2.stop()
+    val consumed = spark.read.parquet(outDir).select("key").as[String].collect().toSeq
+    assert(consumed.sorted === Seq("1", "2", "4", "5")) // no loss, no dup
+    // per-partition offsets are dense from 0 (Kafka's log contract)
+    val byPart = FileTopics.read(spark, broker, "dwd_page_log")
+      .select("partition", "offset").as[(Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    for ((p, offs) <- byPart)
+      assert(offs === (0L until offs.size).toSeq, s"partition $p offsets not dense")
+    // replay from committed offsets: cut at each partition's last record
+    val end = FileTopics.endOffsets(spark, broker, "dwd_page_log")
+    val replay = FileTopics.read(spark, broker, "dwd_page_log",
+      FileTopics.From(end.view.mapValues(_ - 1).toMap))
+    assert(replay.count() === end.size.toLong) // exactly one per partition
+    // latest sees nothing already in the log
+    assert(FileTopics.read(spark, broker, "dwd_page_log", FileTopics.Latest).isEmpty)
+    // the click branch landed on its own topic
+    assert(FileTopics.read(spark, broker, "dwd_click_log").count() === 1L)
+  }
+
   test("kafka sink shape carries per-row topic routing (K2)") {
     val routed = Seq((1L, "view", 1.5, "dwd_page_log"))
       .toDF("user_id", "event_type", "value", "sink_table")
