@@ -16,7 +16,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "6").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,30 +30,53 @@ object Bench {
     // the first timed query doesn't absorb initialization costs.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // runsPerQuery timed runs, report the MEDIAN of the post-warmup
-    // runs (run 1 pays one-time whole-stage-codegen compilation and is
-    // dropped; min-of-2 proved too noisy under container load to
-    // detect round-over-round regressions). A failing query reports
-    // -1 so a breakage can't masquerade as a fast run.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runsPerQuery).map { _ =>
+    // INTERLEAVED passes over the whole suite; per query the headline
+    // number is the MIN of the post-warmup samples — load, GC and JIT
+    // variance only ever INFLATE a sample, so the min is the robust
+    // estimator of intrinsic plan cost and the one that makes a real
+    // plan regression visible across sessions (medians still carry
+    // 30-70% cross-session drift on this container). Pass 0 is untimed
+    // warmup (one-time whole-stage-codegen compilation). A fixed
+    // calibration job is timed once per pass; its min is reported so a
+    // reader can detect a globally slow session. A failing query
+    // reports -1 so a breakage can't masquerade as a fast run.
+    val queries = SparkEntry.queries.toSeq
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    val failed = scala.collection.mutable.Set[String]()
+    var calib = List.empty[Double]
+    for (pass <- 0 until runsPerQuery) {
+      val c0 = System.nanoTime()
+      // double math: long id*id overflows under ANSI at this range
+      spark.range(200000000L).selectExpr("sum(CAST(id AS DOUBLE) * id)").collect()
+      if (pass > 0) calib ::= (System.nanoTime() - c0) / 1e9
+      // rotate execution order per pass so a query is not always
+      // preceded by the same neighbor (GC/page-cache correlation)
+      val shift = pass % queries.size
+      val rotated = queries.drop(shift) ++ queries.take(shift)
+      for ((name, fn) <- rotated if !failed(name)) {
         val t0 = System.nanoTime()
         try {
           evaluateFully(fn(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
+          if (pass > 0) samples(name) ::= (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            -1.0
+            failed += name
         }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else median(times.drop(1)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = queries.map { case (name, _) =>
+      name -> (if (failed(name) || samples(name).isEmpty) -1.0 else samples(name).min)
+    }.toMap
+    val medians = queries.map { case (name, _) =>
+      name -> (if (failed(name) || samples(name).isEmpty) -1.0 else median(samples(name)))
+    }.toMap
+    def j(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries (-1 markers) must not subtract from the total
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(results)},"queries_median":${j(medians)},"calib":${calib.min},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -147,30 +147,60 @@ object Similarity {
       .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Per-query-id IVF oracle block (the SQL mirror of one `ivfProbe`
+    * against freshly computed centroids — SQL has no index lifetime,
+    * which agrees because the means are identical). */
+  private def ivfOracle(q: Long): String =
+    s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $q),
+       |cent AS (SELECT label, dim, avg(CAST(embedding[dim] AS DOUBLE)) AS cv
+       |         FROM embeddings CROSS JOIN dims GROUP BY label, dim),
+       |qd AS (SELECT dim, CAST(qe[dim] AS DOUBLE) AS qv FROM q CROSS JOIN dims),
+       |dist AS (SELECT c.label, SUM((c.cv - qd.qv) * (c.cv - qd.qv)) AS d2
+       |         FROM cent c JOIN qd ON qd.dim = c.dim GROUP BY c.label),
+       |top2 AS (SELECT label FROM dist ORDER BY d2, label LIMIT 2)
+       |SELECT CAST($q AS BIGINT) AS query_id, e.vec_id, ROUND(${dd("e.embedding", "q.qe")}
+       |  / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})), 6) AS cos_sim
+       |FROM embeddings e JOIN top2 ON e.label = top2.label, q
+       |WHERE e.vec_id <> $q
+       |ORDER BY ${dd("e.embedding", "q.qe")}
+       |  / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
   /** IVF-style ANN: coarse quantization by the `label` cluster column —
     * the query probes only the 2 nearest clusters, exact cosine runs
     * inside them. Composed as buildIvfIndex (once) + ivfProbe (per
-    * query); the oracle recomputes the same centroids inline (SQL has
-    * no index lifetime), which agrees because the means are identical.
-    */
+    * query). */
   val simTopkIvf = QueryDef(
     "sim_topk_ivf",
-    Some(s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
-            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-            |cent AS (SELECT label, dim, avg(CAST(embedding[dim] AS DOUBLE)) AS cv
-            |         FROM embeddings CROSS JOIN dims GROUP BY label, dim),
-            |qd AS (SELECT dim, CAST(qe[dim] AS DOUBLE) AS qv FROM q CROSS JOIN dims),
-            |dist AS (SELECT c.label, SUM((c.cv - qd.qv) * (c.cv - qd.qv)) AS d2
-            |         FROM cent c JOIN qd ON qd.dim = c.dim GROUP BY c.label),
-            |top2 AS (SELECT label FROM dist ORDER BY d2, label LIMIT 2)
-            |SELECT e.vec_id, ROUND(${dd("e.embedding", "q.qe")}
-            |  / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})), 6) AS cos_sim
-            |FROM embeddings e JOIN top2 ON e.label = top2.label, q
-            |WHERE e.vec_id <> 0
-            |ORDER BY ${dd("e.embedding", "q.qe")}
-            |  / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, e.vec_id
-            |LIMIT 10""".stripMargin),
-    (spark, dir) => ivfProbe(buildIvfIndex(spark, dir), queryVecId = 0))
+    Some(s"""SELECT vec_id, cos_sim FROM (${ivfOracle(0)})
+            |ORDER BY cos_sim DESC, vec_id""".stripMargin),
+    (spark, dir) => ivfProbe(buildIvfIndex(spark, dir), queryVecId = 0)
+      // outer sort on the ROUNDED value: the probe's internal top-k
+      // order is by unrounded cosine, which could disagree with the
+      // oracle's outer sort on rounded ties
+      .orderBy(col("cos_sim").desc, col("vec_id")))
 
-  val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf)
+  /** Build-once / probe-many, oracle-checked: one index serves a batch
+    * of query vectors; the oracle has to recompute centroids per query
+    * (no index lifetime in SQL), the Spark side builds them once —
+    * identical answers, amortized cost. At cluster scale this is the
+    * serving pattern: the checkpointed index is reused across the
+    * whole query batch. */
+  val simTopkIvfMulti: QueryDef = {
+    val queryIds = Seq(0L, 7L, 13L)
+    QueryDef(
+      "sim_topk_ivf_multi",
+      Some(queryIds.map(q => s"SELECT * FROM (${ivfOracle(q)})")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY query_id, cos_sim DESC, vec_id")),
+      (spark, dir) => {
+        val idx = buildIvfIndex(spark, dir) // ONE build for the whole batch
+        queryIds.map(q => ivfProbe(idx, q).withColumn("query_id", lit(q)))
+          .reduce(_ unionByName _)
+          .select(col("query_id"), col("vec_id"), col("cos_sim"))
+          .orderBy(col("query_id"), col("cos_sim").desc, col("vec_id"))
+      })
+  }
+
+  val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf, simTopkIvfMulti)
 }
