@@ -120,7 +120,9 @@ object Aggregates {
 
   /** A4 + D1/D2 — KeywordStats (`app/dws/KeywordStatsApp.java:40-66`,
     * `app/function/MyUDTF.java`): UDTF word split via split+explode,
-    * then counted. Top-100 by count for a bounded result. */
+    * then counted. Top-100 by count for a bounded result. The split
+    * goes through the pluggable [[graft.functions.Tokenizers]] seam
+    * (the reference's IK-analyzer plug point). */
   val a4KeywordStats = QueryDef(
     "a4_keyword_stats",
     Some("""SELECT word, COUNT(*) AS ct, COUNT(DISTINCT doc_id) AS docs
@@ -131,8 +133,29 @@ object Aggregates {
            |LIMIT 100""".stripMargin),
     (spark, dir) =>
       Tables.table(spark, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"),
+          explode(graft.functions.Tokenizers.whitespace(col("text"))).as("word"))
         .filter(length(col("word")) > 0)
+        .groupBy("word")
+        .agg(count(lit(1)).as("ct"), countDistinct(col("doc_id")).as("docs"))
+        .orderBy(col("ct").desc, col("word"))
+        .limit(100))
+
+  /** D2, second strategy through the same seam — regex word
+    * extraction (lowercased `[a-z0-9]+` runs), the robust tokenizer
+    * for punctuation-glued text; proves swapping tokenizers changes
+    * one expression, not the query. */
+  val a4cKeywordStatsTokenized = QueryDef(
+    "a4c_keyword_stats_tokenized",
+    Some("""SELECT word, COUNT(*) AS ct, COUNT(DISTINCT doc_id) AS docs
+           |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents)
+           |GROUP BY word
+           |ORDER BY ct DESC, word
+           |LIMIT 100""".stripMargin),
+    (spark, dir) =>
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Tokenizers.words(col("text"))).as("word"))
         .groupBy("word")
         .agg(count(lit(1)).as("ct"), countDistinct(col("doc_id")).as("docs"))
         .orderBy(col("ct").desc, col("word"))
@@ -317,6 +340,7 @@ object Aggregates {
 
   val defs: Seq[QueryDef] = Seq(
     a1ProductStats, a2VisitorStats, a3ProvinceStats, a4KeywordStats,
+    a4cKeywordStatsTokenized,
     a4bLateralView, a5TypedDistinct, a6TopN, a7ConditionalAgg,
     a8WeightedScore, a9GrandTotal, a10RatioMetrics, d1CustomUdtf)
 }

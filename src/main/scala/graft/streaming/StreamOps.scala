@@ -269,10 +269,29 @@ object StreamOps {
     rawDimState(spark, stateDir).map(_.filter(col("op") =!= "delete"))
 
   /** K2 shape — the per-row-topic Kafka producer contract: Spark's
-    * kafka sink routes on a `topic` column; this builds that frame. */
+    * kafka sink routes on a `topic` column; this builds that frame.
+    * The JSON envelope carries the event time so a downstream layer
+    * can re-window (the reference's layers pass `ts` through every
+    * Kafka hop). */
   def toKafkaShape(routed: DataFrame): DataFrame =
     routed.select(
       col("sink_table").as("topic"),
       col("event_id").cast("string").as("key"),
-      to_json(struct(col("user_id"), col("event_type"), col("value"))).as("value"))
+      to_json(struct(col("user_id"), col("event_type"), col("value"), col("ts"))).as("value"))
+
+  /** Inverse of [[toKafkaShape]]'s envelope: parse a consumed topic
+    * frame back into the `Ev` stream shape (the deserializer each
+    * consuming layer starts with). */
+  def fromKafkaShape(topicFrame: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    topicFrame
+      .select(col("key").cast("long").as("event_id"), from_json(col("value"), schema).as("r"))
+      .select(col("r.user_id").as("user_id"), col("event_id"),
+        col("r.ts").as("ts"), col("r.event_type").as("event_type"),
+        col("r.value").as("value"), lit(1).as("is_new"))
+  }
 }

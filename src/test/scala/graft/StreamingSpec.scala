@@ -464,10 +464,71 @@ class StreamingSpec extends SparkSuite {
     assert(!again)
   }
 
+  test("keyed state runs on the RocksDB state store provider (the 100 TB state path)") {
+    // at 100 TB keyed state outgrows the default HDFS-backed in-memory
+    // provider; prove the operators run unchanged on RocksDB
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = StreamOps.uvDedup(in.toDS(), ttlMs = None)
+        .writeStream.format("memory").queryName(name()).outputMode("append").start()
+      in.addData(ev(1, 1, 10, "view"), ev(1, 2, 20, "view"), ev(2, 3, 5, "view"))
+      q.processAllAvailable()
+      in.addData(ev(1, 4, 30, "view"), ev(2, 5, 86400 + 10, "view"))
+      q.processAllAvailable()
+      val ids = spark.table(s"stream_out_$n").as[Ev].collect().map(_.event_id).toSet
+      q.stop()
+      assert(ids === Set(1L, 3L, 5L)) // same dedup semantics on RocksDB
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("four-layer topology on file topics: ODS → DWD route → DWS window agg → ADS JDBC") {
+    import graft.streaming.FileTopics
+    // the reference's layered architecture end to end on the emulated
+    // broker: ODS events → DWD split to per-sink topics → DWS consumes
+    // a topic, re-windows on the carried event time → ADS JDBC sink
+    val broker = java.nio.file.Files.createTempDirectory("layers4").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("layers4-ckpt").toString
+    val in = MemoryStream[Ev]
+    val config = () => Seq(("view", "dwd_page_log"), ("click", "dwd_click_log"))
+      .toDF("event_type", "sink_table")
+    val dwd = StreamOps.dynamicRoute(in.toDS(), config,
+      (_, df) => FileTopics.produce(StreamOps.toKafkaShape(df), broker)).start()
+    in.addData(
+      ev(1, 1, 1, "view"), ev(2, 2, 3, "view"), ev(1, 3, 2, "click"),
+      ev(3, 4, 100, "view")) // closes the [0,10) window downstream
+    dwd.processAllAvailable(); dwd.stop()
+    // DWS layer: independent consumer of the page topic
+    MockJdbc.clear()
+    val parsed = StreamOps.fromKafkaShape(
+      FileTopics.readStream(spark, broker, "dwd_page_log")).as[Ev]
+    val q = graft.streaming.JdbcBatchSink.sink(
+      StreamOps.windowedStats(parsed), "ads_visitor_stats",
+      () => MockJdbc.connection())
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    val e = MockJdbc.entries
+    assert(e.exists(_.startsWith(
+      "prepare INSERT INTO ads_visitor_stats (stt,edt,event_type,n,total_value,approx_users)")))
+    // the closed [0,10) window carries both view events — the click
+    // never entered this topic
+    assert(e.exists(r => r.startsWith("row") && r.contains("3=view,4=2")))
+    assert(!e.exists(r => r.contains("=click")))
+  }
+
   test("kafka sink shape carries per-row topic routing (K2)") {
     val routed = Seq((1L, "view", 1.5, "dwd_page_log"))
       .toDF("user_id", "event_type", "value", "sink_table")
       .withColumn("event_id", lit(7L))
+      .withColumn("ts", lit(new Timestamp(base * 1000L)))
     val shaped = StreamOps.toKafkaShape(routed)
     assert(shaped.columns.toSeq === Seq("topic", "key", "value"))
     val row = shaped.collect().head
