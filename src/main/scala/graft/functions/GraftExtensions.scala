@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecMath.build(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_cosine"),
+      (exprs: Seq[Expression]) => VecMath.buildCosine(exprs)))
   }
 }

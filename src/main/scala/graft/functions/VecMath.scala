@@ -88,8 +88,28 @@ object VecMath {
     VecDot(exprs.head, exprs(1))
   }
 
-  /** Register `vec_dot` for SQL use in this session. */
-  def register(spark: SparkSession): Unit =
+  /** Cosine similarity composed from three codegen'd dot products —
+    * the whole expression stays inside one whole-stage-codegen span
+    * (the duplicated child subtrees are eliminated by codegen CSE).
+    * Undefined (ANSI divide error) on zero vectors, like the SQL
+    * mirror. */
+  def vec_cosine(a: Column, b: Column): Column =
+    GraftBridge.column(buildCosine(Seq(
+      GraftBridge.expression(a), GraftBridge.expression(b))))
+
+  private[graft] def buildCosine(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"vec_cosine expects exactly 2 arguments, got ${exprs.length}")
+    val (a, b) = (exprs.head, exprs(1))
+    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+    Divide(VecDot(a, b), Multiply(Sqrt(VecDot(a, a)), Sqrt(VecDot(b, b))))
+  }
+
+  /** Register `vec_dot` / `vec_cosine` for SQL use in this session. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cosine", buildCosine, "built-in")
+  }
 }

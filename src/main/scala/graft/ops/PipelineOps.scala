@@ -60,5 +60,57 @@ object PipelineOps {
         .orderBy("stt")
     })
 
-  val defs: Seq[QueryDef] = Seq(pipelineDwsE2e)
+  /** The canonical training-data prep chain as ONE declarative plan:
+    * clean (lowercase, strip non-alphanumerics) → quality gate (≥ 30
+    * tokens) → exact dedup on cleaned content (min-doc_id survivor) →
+    * deterministic content-hash split → per-(lang, split) corpus
+    * stats. Every stage is a narrow transform except the dedup
+    * (one shuffle on the content key) and the final agg — at 100 TB
+    * the exact-dedup stage swaps for the fingerprint/MinHash stages
+    * (`dedup_*`) without touching the rest of the chain. Content-hash
+    * splits are partition-independent and auditable (same property as
+    * `sample_split`). */
+  val pipelineCleanDedupSample = QueryDef(
+    "pipeline_clean_dedup_sample",
+    Some("""WITH c AS (
+           |  SELECT doc_id, lang,
+           |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS clean
+           |  FROM documents),
+           |q AS (
+           |  SELECT *, len(list_filter(string_split(clean, ' '), w -> length(w) > 0)) AS n_tok
+           |  FROM c
+           |  WHERE len(list_filter(string_split(clean, ' '), w -> length(w) > 0)) >= 30),
+           |d AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY clean ORDER BY doc_id) AS rn FROM q),
+           |s AS (
+           |  SELECT lang, n_tok,
+           |    CASE WHEN substr(md5(clean), 1, 2) < '1a' THEN 'test'
+           |         WHEN substr(md5(clean), 1, 2) < '34' THEN 'val'
+           |         ELSE 'train' END AS split
+           |  FROM d WHERE rn = 1)
+           |SELECT lang, split, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+           |FROM s
+           |GROUP BY lang, split
+           |ORDER BY lang, split""".stripMargin),
+    (spark, dir) => {
+      val clean = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val nTok = size(filter(split(col("clean"), " "), w => length(w) > 0))
+      val bucket = substring(md5(col("clean")), 1, 2)
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), clean.as("clean"))
+        .withColumn("n_tok", nTok)
+        .filter(col("n_tok") >= 30)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("clean").orderBy("doc_id")))
+        .filter(col("rn") === 1)
+        .withColumn("split",
+          when(bucket < "1a", "test").when(bucket < "34", "val").otherwise("train"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("total_tokens"))
+        .orderBy("lang", "split")
+    })
+
+  val defs: Seq[QueryDef] = Seq(pipelineDwsE2e, pipelineCleanDedupSample)
 }

@@ -20,6 +20,11 @@ class ExtensionsSpec extends SparkSuite {
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
         .head().getDouble(0)
       assert(d === 11.0)
+      // vec_cosine of a vector with itself is exactly 1.0
+      val c = ext.sql("SELECT vec_cosine(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS c")
+        .head().getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
