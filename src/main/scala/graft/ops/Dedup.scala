@@ -296,6 +296,13 @@ object Dedup {
     var labels = walk.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
+    // labels only ever decrease, so Σlabel strictly decreases until
+    // the fixpoint — convergence is one tiny aggregate over the
+    // checkpointed relation instead of a self-join. decimal(38,0)
+    // keeps the sum exact (ANSI long sum could overflow on wide ids).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val msgs = labels.join(walk, labels("node") === walk("a"))
@@ -303,11 +310,9 @@ object Dedup {
       val next = labels.unionByName(msgs)
         .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      // labels only ever decrease → any change is a strict decrease
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") < col("o.label"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
     }
     labels
