@@ -17,6 +17,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "6").toInt
+    // pass 0 is untimed warmup — at least one timed pass must follow,
+    // or every sample list (and calib) stays empty
+    require(runsPerQuery >= 2,
+      s"SPARK_GRAFT_BENCH_RUNS=$runsPerQuery: need >= 2 (1 warmup pass + timed passes)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

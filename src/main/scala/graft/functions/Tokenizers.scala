@@ -30,8 +30,12 @@ object Tokenizers {
     * scripts). */
   def charNgrams(n: Int): Column => Column = { c =>
     val s = regexp_replace(lower(c), " +", " ")
-    transform(
-      sequence(lit(1), greatest(length(s) - (n - 1), lit(0))),
-      i => s.substr(i, lit(n)))
+    // guard short inputs explicitly: Spark's sequence(1, 0) defaults
+    // to step -1 and yields [1, 0], not an empty array
+    when(length(s) >= n,
+      transform(
+        sequence(lit(1), length(s) - (n - 1)),
+        i => s.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
   }
 }

@@ -44,21 +44,29 @@ object Core {
   val p1JsonProps = QueryDef(
     "p1_json_props",
     Some("""SELECT event_id,
-           |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           |  CAST(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dirty
+           |  CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+           |       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+           |  CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$') THEN 0 ELSE 1 END AS BIGINT) AS is_dirty
            |FROM events
            |ORDER BY event_id""".stripMargin),
     (spark, dir) => {
-      // try_cast (not cast): under Spark 4 ANSI mode a NON-NUMERIC k
-      // value would throw mid-job — the dirty-data contract instead
-      // routes it to the dirty branch (is_dirty=1), mirrored by
-      // TRY_CAST in the oracle so both engines agree on dirtiness.
-      val parsed = Tables.events(spark, dir)
+      // Dirty-data contract under Spark 4 ANSI mode: a non-INTEGRAL k
+      // routes to the dirty branch instead of throwing mid-job. The
+      // integral check is an explicit regex on BOTH engines because
+      // their TRY_CASTs disagree on decimals (DuckDB rounds '1.5' to
+      // 2, Spark yields NULL) — the regex gate makes dirtiness
+      // engine-independent.
+      val kStr = get_json_object(col("props"), "$.k")
+      val integral = kStr.rlike("^-?[0-9]+$")
+      Tables.events(spark, dir)
         .select(
           col("event_id"),
-          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
-      parsed
-        .withColumn("is_dirty", when(col("k").isNull, 1L).otherwise(0L))
+          when(integral,
+            expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")).as("k"),
+          // dirtiness from the regex gate, NOT from k's nullness: an
+          // integral-but-overflowing value nulls the cast on both
+          // engines yet is clean by the contract on both
+          when(integral, 0L).otherwise(1L).as("is_dirty"))
         .orderBy("event_id")
     })
 

@@ -206,9 +206,12 @@ object Dedup {
   /** Hard ceiling for the quadratic all-pairs cosine baseline: above
     * this corpus size the O(n²) join cannot be invoked accidentally —
     * the caller is pointed at the scale paths instead. Overridable for
-    * deliberate larger runs via GRAFT_COSINE_MAX_ROWS. */
-  private[graft] val cosineMaxRows: Long =
-    sys.env.get("GRAFT_COSINE_MAX_ROWS").map(_.toLong).getOrElse(100000L)
+    * deliberate larger runs via the GRAFT_COSINE_MAX_ROWS env var (or
+    * the same-named system property, which tests use). */
+  private[graft] def cosineMaxRows: Long =
+    sys.props.get("GRAFT_COSINE_MAX_ROWS")
+      .orElse(sys.env.get("GRAFT_COSINE_MAX_ROWS"))
+      .map(_.toLong).getOrElse(100000L)
 
   /** Embedding-cosine near-dup: all pairs above a cosine threshold.
     * Baseline (brute-force) path — the LSH-bucketed scale path is
@@ -229,14 +232,22 @@ object Dedup {
            |WHERE cos > 0.30
            |ORDER BY va, vb""".stripMargin),
     (spark, dir) => {
-      // guard the quadratic baseline: parquet row-count is
-      // metadata-only, so the check is cheap relative to the join
-      val nRows = Tables.table(spark, dir, "embeddings").count()
-      require(nRows <= cosineMaxRows,
-        s"dedup_embedding_cosine is the O(n²) exact baseline and refuses $nRows rows " +
-          s"(cap $cosineMaxRows; set GRAFT_COSINE_MAX_ROWS to override). " +
-          "Use sim_topk_lsh / sim_topk_ivf / dedup_minhash_lsh at scale.")
+      // Guard the quadratic baseline LAZILY, inside the plan: a 1-row
+      // count relation is cross-joined in and assert_true fails the
+      // job before the O(n²) join materializes. Keeping the guard in
+      // the plan (rather than an eager count() here) keeps the
+      // builder pure — no hidden Spark job per construction.
+      val guard = broadcast(Tables.table(spark, dir, "embeddings")
+        .agg(count(lit(1)).as("_corpus_rows")))
       val e = Tables.table(spark, dir, "embeddings")
+        .crossJoin(guard)
+        // assert_true returns NULL when the guard holds, so the filter
+        // passes every row but cannot be pruned out of the plan
+        .where(assert_true(col("_corpus_rows") <= cosineMaxRows,
+          lit(s"dedup_embedding_cosine is the O(n²) exact baseline and refuses to run " +
+            s"above $cosineMaxRows rows (set GRAFT_COSINE_MAX_ROWS to override). " +
+            "Use sim_topk_lsh / sim_topk_ivf / dedup_minhash_lsh at scale.")).isNull)
+        .drop("_corpus_rows")
         .withColumn("norm", sqrt(Similarity.dot(col("embedding"), col("embedding"))))
       val a = e.as("a")
       val b = e.as("b")
@@ -299,9 +310,13 @@ object Dedup {
     // labels only ever decrease, so Σlabel strictly decreases until
     // the fixpoint — convergence is one tiny aggregate over the
     // checkpointed relation instead of a self-join. decimal(38,0)
-    // keeps the sum exact (ANSI long sum could overflow on wide ids).
+    // keeps the sum exact (ANSI long sum could overflow on wide ids);
+    // the sum over ZERO rows is SQL null → coalesce to 0 so an empty
+    // edge set (no pair cleared the threshold) converges immediately
+    // instead of NPEing.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -82,6 +82,12 @@ object Cep {
     import ds.sparkSession.implicits._
     val conds = pat.expanded
     require(conds.nonEmpty, "empty pattern")
+    // without within() a multi-stage pattern's partial runs are never
+    // evicted — per-key state would grow without bound on a stream of
+    // stage-1 matches. The reference always bounds its patterns; so
+    // does this engine.
+    require(conds.length == 1 || pat.withinMs.isDefined,
+      "a multi-stage CepPattern requires within(...): unbounded patterns would accumulate state forever")
     val within = pat.withinMs
     implicit val stateEnc: Encoder[List[List[Ev]]] = Encoders.kryo[List[List[Ev]]]
 

@@ -46,7 +46,15 @@ object ExactlyOnceSink {
       (batch: DataFrame, batchId: Long) => { commit(batch, outDir, batchId); () }
     }
 
-  /** Everything committed so far (inflight temp dirs invisible). */
-  def readCommitted(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/batch=*")
+  /** Everything committed so far (inflight temp dirs invisible).
+    * Before any batch has committed there is no schema to offer, so
+    * the result is an empty zero-column frame rather than the
+    * AnalysisException a bare glob read would throw. */
+  def readCommitted(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val committed = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    if (committed.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(committed.map(_.toString).toIndexedSeq: _*)
+  }
 }

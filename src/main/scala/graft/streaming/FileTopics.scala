@@ -49,12 +49,44 @@ object FileTopics {
     new java.io.File(topicDir(brokerDir, topic)).isDirectory
 
   /** Next offset to be assigned per partition (= Kafka's log-end
-    * offset). Missing partitions are implicitly at 0. */
+    * offset). Missing partitions are implicitly at 0. Served from the
+    * producer-maintained sidecar ledger when present (O(1), the
+    * broker's index analog) — scanning the whole log per produce
+    * would make cumulative producer I/O quadratic in topic size.
+    * Falls back to a log scan for topics written before the ledger
+    * existed. */
   def endOffsets(spark: SparkSession, brokerDir: String, topic: String): Map[Int, Long] =
-    if (!topicExists(brokerDir, topic)) Map.empty
-    else spark.read.schema(recordSchema).parquet(topicDir(brokerDir, topic))
-      .groupBy("partition").agg(max("offset").as("m"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+    readLedger(brokerDir, topic).getOrElse {
+      if (!topicExists(brokerDir, topic)) Map.empty
+      else spark.read.schema(recordSchema).parquet(topicDir(brokerDir, topic))
+        .groupBy("partition").agg(max("offset").as("m"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
+    }
+
+  private def ledgerFile(brokerDir: String, topic: String) =
+    new java.io.File(s"${topicDir(brokerDir, topic)}/_offsets.json")
+
+  /** The sidecar is a tiny `partition:offset` map, swapped atomically
+    * (tmp + rename) by the single writer after each append. */
+  private def readLedger(brokerDir: String, topic: String): Option[Map[Int, Long]] = {
+    val f = ledgerFile(brokerDir, topic)
+    if (!f.exists()) None
+    else Some(
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .split(",").filter(_.nonEmpty)
+        .map { kv => val Array(p, o) = kv.split(":"); p.toInt -> o.toLong }
+        .toMap)
+  }
+
+  private def writeLedger(brokerDir: String, topic: String, offsets: Map[Int, Long]): Unit = {
+    val f = ledgerFile(brokerDir, topic)
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      offsets.toSeq.sorted.map { case (p, o) => s"$p:$o" }.mkString(",").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Producer — the dynamic-topic form (`MyKafkaUtils.java:31-40` +
     * `BaseDbApp.java:83-89`): `frame` carries the sink-frame contract
@@ -72,14 +104,25 @@ object FileTopics {
       val baseDf = broadcast(
         base.toSeq.toDF("partition", "base_off"))
       val w = Window.partitionBy("partition").orderBy("key", "value")
-      frame.filter(col("topic") === t)
+      val batch = frame.filter(col("topic") === t)
         .withColumn("partition", pmod(hash(col("key")), lit(nPartitions)).cast("int"))
         .withColumn("rn", row_number().over(w).cast("long") - 1)
         .join(baseDf, Seq("partition"), "left")
         .withColumn("offset", coalesce(col("base_off"), lit(0L)) + col("rn"))
         .select(col("offset"), col("key"), col("value"), col("partition"))
-        .write.mode("append").partitionBy("partition")
+      batch.write.mode("append").partitionBy("partition")
         .parquet(topicDir(brokerDir, t))
+      // advance the ledger from this batch's per-partition row counts
+      // (no log rescan); the write above happens-before the ledger
+      // swap, so a torn produce at worst re-appends under the same
+      // offsets — the at-least-once face the consumer's checkpoint
+      // already handles
+      val counts = batch.groupBy("partition").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val advanced = (base.keySet ++ counts.keySet).map { p =>
+        p -> (base.getOrElse(p, 0L) + counts.getOrElse(p, 0L))
+      }.toMap
+      writeLedger(brokerDir, t, advanced)
     }
   }
 

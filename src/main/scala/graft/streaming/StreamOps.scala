@@ -138,9 +138,14 @@ object StreamOps {
     * time). State: one row per live distinct value — exactly what an
     * exact distinct agg would hold, sharded by key hash. */
   def windowedExactDistinct(ds: Dataset[Ev], windowSeconds: Long = 3600L,
-      watermark: String = "2 hours"): DataFrame =
+      watermarkSeconds: Long = 7200L): DataFrame = {
+    // enforce the exactness precondition instead of silently
+    // overcounting: dedup state must outlive any same-window duplicate
+    require(watermarkSeconds >= windowSeconds,
+      s"watermark ($watermarkSeconds s) must be >= window ($windowSeconds s): " +
+        "shorter delays evict dedup state while same-window duplicates can still arrive")
     ds.toDF()
-      .withWatermark("ts", watermark)
+      .withWatermark("ts", s"$watermarkSeconds seconds")
       // plain epoch-aligned window id (same alignment as window()) —
       // deduping on the window() struct itself would tag a SECOND
       // event-time column and the downstream agg rejects the plan
@@ -151,6 +156,7 @@ object StreamOps {
       .select(
         col("window.start").as("stt"), col("window.end").as("edt"),
         col("event_type"), col("distinct_users"))
+  }
 
   /** The full ProductStats topology in streaming form
     * (`app/dws/ProductStatsApp.java:82-330`): per-metric zero-padded

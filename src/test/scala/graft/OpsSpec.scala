@@ -86,6 +86,18 @@ class OpsSpec extends SparkSuite {
     assert(!r1.map(_.getLong(0)).contains(1L)) // query vector excluded
   }
 
+  test("quadratic cosine baseline refuses a corpus above the row cap") {
+    sys.props("GRAFT_COSINE_MAX_ROWS") = "10"
+    try {
+      // the guard is lazy (in-plan): building succeeds, running fails
+      val df = Dedup.dedupEmbeddingCosine.fn(spark, sf("sf0.001"))
+      val e = intercept[Exception] { df.collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("sim_topk_lsh")), e.getMessage)
+    } finally sys.props.remove("GRAFT_COSINE_MAX_ROWS")
+  }
+
   test("exact dedup groups identical texts under one survivor") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
     Seq((5L, "a b c"), (9L, "a b c"), (7L, "x y z"))

@@ -39,7 +39,7 @@ class ParitySpec extends SparkSuite {
     import java.sql.Timestamp
     val events = realEvents
     val in = MemoryStream[Ev]
-    val q = StreamOps.windowedExactDistinct(in.toDS(), 3600L, "2 hours")
+    val q = StreamOps.windowedExactDistinct(in.toDS(), 3600L, 7200L)
       .writeStream.format("memory").queryName("parity_dist").outputMode("append").start()
     val (b1, b2) = events.splitAt(events.size / 2)
     in.addData(b1); q.processAllAvailable()
