@@ -16,7 +16,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "6").toInt
+    // 4 = 1 warmup + 3 timed passes: the spread measurements in
+    // PERF.md were taken at this setting; more passes cost driver
+    // wall-time without materially tightening the min estimator
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "4").toInt
     // pass 0 is untimed warmup — at least one timed pass must follow,
     // or every sample list (and calib) stays empty
     require(runsPerQuery >= 2,
@@ -55,8 +58,10 @@ object Bench {
       spark.range(200000000L).selectExpr("sum(CAST(id AS DOUBLE) * id)").collect()
       if (pass > 0) calib ::= (System.nanoTime() - c0) / 1e9
       // rotate execution order per pass so a query is not always
-      // preceded by the same neighbor (GC/page-cache correlation)
-      val shift = pass % queries.size
+      // preceded by the same neighbor (GC/page-cache correlation);
+      // a large stride moves each query to a very different position
+      // in the session, not just one slot over
+      val shift = (pass * 37) % queries.size
       val rotated = queries.drop(shift) ++ queries.take(shift)
       for ((name, fn) <- rotated if !failed(name)) {
         val t0 = System.nanoTime()

@@ -43,9 +43,15 @@ object Soak {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Partition count must scale with data volume so per-task state
+    // stays roughly constant — the knob a real cluster turns at 100 TB
+    // (at ×100, 32 partitions of the Jaccard-verify shuffle each carry
+    // ~80k candidate pairs × two shingle arrays and OOM a modest
+    // heap; factor-many partitions keep them bounded).
+    val shufflePartitions = math.max(cpus.toInt, factor)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -110,19 +110,22 @@ object FileTopics {
         .join(baseDf, Seq("partition"), "left")
         .withColumn("offset", coalesce(col("base_off"), lit(0L)) + col("rn"))
         .select(col("offset"), col("key"), col("value"), col("partition"))
-      batch.write.mode("append").partitionBy("partition")
-        .parquet(topicDir(brokerDir, t))
-      // advance the ledger from this batch's per-partition row counts
-      // (no log rescan); the write above happens-before the ledger
-      // swap, so a torn produce at worst re-appends under the same
-      // offsets — the at-least-once face the consumer's checkpoint
-      // already handles
-      val counts = batch.groupBy("partition").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val advanced = (base.keySet ++ counts.keySet).map { p =>
-        p -> (base.getOrElse(p, 0L) + counts.getOrElse(p, 0L))
-      }.toMap
-      writeLedger(brokerDir, t, advanced)
+        .persist() // one computation feeds both the write and the ledger
+      try {
+        batch.write.mode("append").partitionBy("partition")
+          .parquet(topicDir(brokerDir, t))
+        // advance the ledger from this batch's per-partition row counts
+        // (no log rescan); the write above happens-before the ledger
+        // swap, so a torn produce at worst re-appends under the same
+        // offsets — the at-least-once face the consumer's checkpoint
+        // already handles
+        val counts = batch.groupBy("partition").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val advanced = (base.keySet ++ counts.keySet).map { p =>
+          p -> (base.getOrElse(p, 0L) + counts.getOrElse(p, 0L))
+        }.toMap
+        writeLedger(brokerDir, t, advanced)
+      } finally batch.unpersist()
     }
   }
 
