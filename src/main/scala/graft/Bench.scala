@@ -60,8 +60,13 @@ object Bench {
       // rotate execution order per pass so a query is not always
       // preceded by the same neighbor (GC/page-cache correlation);
       // a large stride moves each query to a very different position
-      // in the session, not just one slot over
-      val shift = (pass * 37) % queries.size
+      // in the session, not just one slot over. The stride must be
+      // coprime with the registry size or passes silently repeat the
+      // same order (e.g. 74 queries with stride 37 alternates two
+      // orders) — pick the first stride >= 37 that is.
+      val stride = Iterator.from(37)
+        .find(s => BigInt(s).gcd(BigInt(queries.size)) == 1).get
+      val shift = (pass * stride) % queries.size
       val rotated = queries.drop(shift) ++ queries.take(shift)
       for ((name, fn) <- rotated if !failed(name)) {
         val t0 = System.nanoTime()

@@ -43,15 +43,22 @@ object Soak {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Partition count must scale with data volume so per-task state
-    // stays roughly constant — the knob a real cluster turns at 100 TB
-    // (at ×100, 32 partitions of the Jaccard-verify shuffle each carry
-    // ~80k candidate pairs × two shingle arrays and OOM a modest
-    // heap; factor-many partitions keep them bounded).
-    val shufflePartitions = math.max(cpus.toInt, factor)
+    // Partition count must scale with per-stage WORK so per-task state
+    // stays bounded — the knob a real cluster turns at 100 TB. NB the
+    // work is not always linear in data volume: LSH candidate pairs
+    // grow ~quadratically with the replica-family size in this blowup
+    // (×100 → ~2.5 M pairs), so at much larger factors the partition
+    // count must track the pair count, not the row count. At ×100,
+    // 32 partitions of the Jaccard-verify shuffle each carry ~80k
+    // candidate pairs × two shingle arrays and OOM a modest heap;
+    // factor-many partitions keep them bounded at this scale. The
+    // conf is set per-measurement in time() so the BASE run keeps the
+    // engine's standard 32 partitions (comparable across rounds) and
+    // only the blown-up run gets the scaled count.
+    val scaledPartitions = math.max(cpus.toInt, factor)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -63,8 +70,13 @@ object Soak {
 
     // 3 full-plan evaluations (no count-pruning), median of the two
     // post-warmup runs — same discipline as Bench so soak ratios are
-    // comparable round over round.
-    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+    // comparable round over round. Shuffle-partition count is set per
+    // measurement: the base run keeps the standard 32 (so base numbers
+    // stay comparable to Bench and to prior rounds), the blown-up run
+    // gets the factor-scaled count.
+    def time(fn: (SparkSession, String) => DataFrame, dir: String,
+        partitions: Int): Double = {
+      spark.conf.set("spark.sql.shuffle.partitions", partitions)
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         Bench.evaluateFully(fn(spark, dir))
@@ -75,8 +87,8 @@ object Soak {
     println(f"[soak] factor=$factor (events ${100000L * factor} rows)")
     for (name <- queries) {
       val fn = SparkEntry.queries(name)
-      val base = time(fn, baseDir)
-      val big = time(fn, soakDir)
+      val base = time(fn, baseDir, cpus.toInt)
+      val big = time(fn, soakDir, scaledPartitions)
       println(f"[soak] $name%-22s base=$base%6.2fs x$factor=$big%6.2fs ratio=${big / base}%5.2f")
     }
     spark.stop()
