@@ -260,6 +260,51 @@ object Dedup {
         .orderBy("va", "vb")
     })
 
+  /** Embedding near-dup at scale: the LSH-bucketed counterpart of
+    * `dedup_embedding_cosine`. Candidate pairs are generated only
+    * WITHIN a sign-bit hyperplane bucket (the same 8-bit family
+    * `sim_topk_lsh` probes), then verified with the exact
+    * deterministic-fold cosine. The self-join key is the bucket — at
+    * cluster scale the corpus is partitioned (or bucketed on write) by
+    * this column, so candidate generation is per-partition-local and
+    * the O(n²) blowup of the baseline never materializes; recall is
+    * traded per missing band, exactly like MinHash-LSH banding for
+    * text. The small bucketed relation is cached because a self-join
+    * recomputes each side otherwise (CLAUDE.md gotcha). */
+  val dedupEmbeddingLsh = QueryDef(
+    "dedup_embedding_lsh",
+    Some(s"""WITH e AS (SELECT vec_id, embedding, ${Similarity.bucketExpr("embedding")} AS bucket FROM embeddings)
+            |SELECT va, vb, bucket, ROUND(cos, 6) AS cos_sim FROM (
+            |  SELECT a.vec_id AS va, b.vec_id AS vb, a.bucket AS bucket,
+            |    ${Similarity.dd("a.embedding", "b.embedding")}
+            |    / (sqrt(${Similarity.dd("a.embedding", "a.embedding")})
+            |     * sqrt(${Similarity.dd("b.embedding", "b.embedding")})) AS cos
+            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            |WHERE cos > 0.30
+            |ORDER BY va, vb""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.sparkBucket(col("embedding")).as("bucket"),
+          sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("norm"))
+        .cache()
+      val a = e.as("a")
+      val b = e.as("b")
+      val cos = Similarity.dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.norm") * col("b.norm"))
+      val pairs = a.join(b, col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          col("a.bucket").as("bucket"), cos.as("cos"))
+        .filter(col("cos") > 0.30)
+        .localCheckpoint()
+      e.unpersist()
+      pairs
+        .select(col("va"), col("vb"), col("bucket"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy("va", "vb")
+    })
+
   /** Near-dup cluster formation: connected components over the
     * Jaccard-confirmed pair graph; every clustered doc maps to its
     * component's minimum doc_id (the canonical survivor). Spark side:
@@ -335,5 +380,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhashLsh, dedupJaccardNgram,
-    dedupSimhash, dedupEmbeddingCosine, dedupClusters)
+    dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupClusters)
 }

@@ -35,7 +35,7 @@ object Similarity {
 
   private val duckDot =
     "list_reduce(list_transform(generate_series(1, 64), i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)), (x, y) -> x + y)"
-  private def dd(a: String, b: String) = duckDot.format(a, b)
+  private[ops] def dd(a: String, b: String) = duckDot.format(a, b)
 
   /** Brute-force cosine top-k for a fixed query vector (vec_id 0). */
   val simTopkBruteforce = QueryDef(
@@ -63,10 +63,10 @@ object Similarity {
 
   /** Sign-bit LSH bucket: 8 bits from the signs of the first 8
     * dimensions (a fixed axis-aligned hyperplane family). */
-  private def bucketExpr(prefix: String): String =
+  private[ops] def bucketExpr(prefix: String): String =
     (1 to 8).map(i => s"CASE WHEN $prefix[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
-  private def sparkBucket(c: Column): Column =
+  private[ops] def sparkBucket(c: Column): Column =
     concat((1 to 8).map(i => when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
 
   /** LSH-bucketed ANN: search only the query's sign-bit bucket. */

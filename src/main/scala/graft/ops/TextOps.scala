@@ -230,7 +230,98 @@ object TextOps {
         .orderBy("source", "doc_id")
     })
 
+  /** Repetition metrics (the Gopher-style quality rules): per-doc
+    * duplicate-token fraction and most-frequent-bigram fraction, with
+    * a composite keep flag. All ratios are integer-count divisions —
+    * exact across engines. At scale everything up to the final sort is
+    * a per-doc computation: the bigram groupBy keys on (doc_id,
+    * bigram), so partial aggregation absorbs the explode before any
+    * shuffle row leaves the mapper. */
+  val textRepetition = QueryDef(
+    "text_repetition",
+    Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents),
+           |w2 AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 2),
+           |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, n - 1), i -> ws[i] || ' ' || ws[i + 1])) AS b FROM w2),
+           |bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+           |top AS (SELECT doc_id, MAX(c) AS top_ct FROM bgc GROUP BY doc_id)
+           |SELECT w2.doc_id,
+           |  CAST(n AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(ws)) AS BIGINT) AS vocab,
+           |  ROUND(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / n, 4) AS dup_frac,
+           |  CAST(top.top_ct AS BIGINT) AS top_bigram_ct,
+           |  ROUND(CAST(top.top_ct AS DOUBLE) / (n - 1), 4) AS top_bigram_frac,
+           |  CASE WHEN 1 - CAST(len(list_distinct(ws)) AS DOUBLE) / n <= 0.5
+           |        AND CAST(top.top_ct AS DOUBLE) / (n - 1) <= 0.05
+           |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+           |FROM w2 JOIN top ON w2.doc_id = top.doc_id
+           |ORDER BY w2.doc_id""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val perDoc = docs.select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ws"))).cast("long").as("vocab"))
+      val top = docs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_ct"))
+      perDoc.join(top, "doc_id")
+        .select(
+          col("doc_id"), col("n_tokens"), col("vocab"),
+          round(lit(1) - col("vocab").cast("double") / col("n_tokens"), 4).as("dup_frac"),
+          col("top_ct").as("top_bigram_ct"),
+          round(col("top_ct").cast("double") / (col("n_tokens") - 1), 4).as("top_bigram_frac"),
+          when((lit(1) - col("vocab").cast("double") / col("n_tokens")) <= 0.5 &&
+            col("top_ct").cast("double") / (col("n_tokens") - 1) <= 0.05, 1L)
+            .otherwise(0L).as("keep"))
+        .orderBy("doc_id")
+    })
+
+  /** Corpus-frequency rarity scoring (an exact-arithmetic stand-in for
+    * unigram-LM surprisal: rare tokens carry the signal, and integer
+    * frequency sums avoid cross-engine libm/log divergence). Two-pass:
+    * corpus token frequencies (tiny — vocab-sized), then a broadcast
+    * join back onto the token stream. At 100 TB the frequency relation
+    * stays broadcast-small (natural-language vocab, not corpus,
+    * cardinality) and the per-doc aggregation is one shuffle on
+    * doc_id. */
+  val textRarityScore = QueryDef(
+    "text_rarity_score",
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |tok2 AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
+           |freq AS (SELECT w, COUNT(*) AS cf FROM tok2 GROUP BY w)
+           |SELECT t.doc_id,
+           |  COUNT(*) AS n_tokens,
+           |  CAST(SUM(f.cf) AS BIGINT) AS sum_freq,
+           |  ROUND(CAST(SUM(f.cf) AS DOUBLE) / COUNT(*), 4) AS avg_tok_freq,
+           |  CAST(SUM(CASE WHEN f.cf < 500 THEN 1 ELSE 0 END) AS BIGINT) AS rare_ct,
+           |  ROUND(CAST(SUM(CASE WHEN f.cf < 500 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rare_frac
+           |FROM tok2 t JOIN freq f ON t.w = f.w
+           |GROUP BY t.doc_id
+           |ORDER BY t.doc_id""".stripMargin),
+    (spark, dir) => {
+      val tok = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val freq = tok.groupBy("w").agg(count(lit(1)).as("cf"))
+      tok.join(broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("cf")).cast("long").as("sum_freq"),
+          round(sum(col("cf")).cast("double") / count(lit(1)), 4).as("avg_tok_freq"),
+          sum(when(col("cf") < 500, 1).otherwise(0)).cast("long").as("rare_ct"),
+          round(sum(when(col("cf") < 500, 1).otherwise(0)).cast("double") / count(lit(1)), 4).as("rare_frac"))
+        .orderBy("doc_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     textLangid, textQuality, textTokens, textFingerprint, textClean,
-    textChunk, sampleSplit, sampleStratified)
+    textChunk, sampleSplit, sampleStratified, textRepetition,
+    textRarityScore)
 }
