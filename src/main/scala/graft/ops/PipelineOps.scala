@@ -112,5 +112,45 @@ object PipelineOps {
         .orderBy("lang", "split")
     })
 
-  val defs: Seq[QueryDef] = Seq(pipelineDwsE2e, pipelineCleanDedupSample)
+  /** Eval-set decontamination: training docs sharing an n-token
+    * shingle with any benchmark/eval doc are flagged with the overlap
+    * count — the step that keeps test sets out of training corpora.
+    * The eval set here is the deterministic doc_id % 23 slice (a
+    * stand-in for an external benchmark table); 4-token shingles are
+    * tuned to these short synthetic docs (real pipelines use 8–13).
+    *
+    * Scale design: shingles are md5-hashed to fixed 32-char keys
+    * before the join so shuffle rows stay narrow; the eval side is
+    * benchmark-sized (thousands of docs, not corpus-sized) and is
+    * broadcast — the training corpus is never shuffled at all, the
+    * contamination check is a map-side hash probe per shingle. */
+  val decontaminateNgram = QueryDef(
+    "decontaminate_ngram",
+    Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents),
+           |g AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM w WHERE len(ws) >= 4),
+           |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+3], ' ')) AS h FROM g)
+           |SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS n_shared
+           |FROM sh t JOIN sh e ON t.h = e.h
+           |WHERE t.doc_id % 23 <> 0 AND e.doc_id % 23 = 0
+           |GROUP BY t.doc_id, e.doc_id
+           |ORDER BY train_doc, eval_doc""".stripMargin),
+    (spark, dir) => {
+      val sh = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
+        .filter(size(col("ws")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 3), i -> md5(concat_ws(' ', slice(ws, i, 4))))")).as("h"))
+        .distinct()
+      val train = sh.filter(col("doc_id") % 23 =!= 0).as("t")
+      val eval_ = sh.filter(col("doc_id") % 23 === 0).as("e")
+      train.join(broadcast(eval_), col("t.h") === col("e.h"))
+        .select(col("t.doc_id").as("train_doc"), col("e.doc_id").as("eval_doc"))
+        .groupBy("train_doc", "eval_doc")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("train_doc", "eval_doc")
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(pipelineDwsE2e, pipelineCleanDedupSample, decontaminateNgram)
 }
