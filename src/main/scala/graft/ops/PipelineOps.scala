@@ -139,9 +139,11 @@ object PipelineOps {
         .select(col("doc_id"),
           filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
         .filter(size(col("ws")) >= 4)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 3), i -> md5(concat_ws(' ', slice(ws, i, 4))))")).as("h"))
-        .distinct()
+        // shingle dedup is WITHIN a doc, so array_distinct inside the
+        // row replaces a corpus-wide distinct() shuffle — the train
+        // side now reaches the broadcast probe with zero exchanges
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(ws) - 3), i -> md5(concat_ws(' ', slice(ws, i, 4))))"))).as("h"))
       val train = sh.filter(col("doc_id") % 23 =!= 0).as("t")
       val eval_ = sh.filter(col("doc_id") % 23 === 0).as("e")
       train.join(broadcast(eval_), col("t.h") === col("e.h"))
