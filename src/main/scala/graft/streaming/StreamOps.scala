@@ -300,4 +300,41 @@ object StreamOps {
         col("r.ts").as("ts"), col("r.event_type").as("event_type"),
         col("r.value").as("value"), lit(1).as("is_new"))
   }
+
+  /** Streaming corpus ingestion — the training-data prep chain
+    * (quality gate → exact dedup → corpus stats) as ONE streaming
+    * topology over a document stream (doc_id, text, source, ts):
+    *
+    *   1. quality gate: row-local token features, docs under
+    *      `minWords` dropped (the streaming form of `text_quality`);
+    *   2. exact content dedup: the bag-of-words fingerprint
+    *      (`dedup_fingerprint`'s key) deduped via
+    *      `dropDuplicatesWithinWatermark` — token-reordered copies
+    *      arriving within the watermark are suppressed, state is one
+    *      row per live fingerprint and is watermark-evicted (the
+    *      unbounded-corpus-safe contract: cross-window dups beyond the
+    *      watermark are batch-compaction's job);
+    *   3. per-source windowed corpus stats (docs + tokens) in append
+    *      mode — closed windows are the incremental corpus ledger.
+    *
+    * At scale the dedup state shards by fingerprint hash across the
+    * cluster's state stores exactly like any keyed agg. */
+  def corpusIngest(docs: DataFrame, windowSeconds: Long = 60L,
+      watermarkSeconds: Long = 120L, minWords: Int = 3): DataFrame = {
+    docs
+      .withColumn("ws_arr", filter(split(col("text"), " "),
+        (w: org.apache.spark.sql.Column) => length(w) > 0))
+      .withColumn("n_words", size(col("ws_arr")))
+      .filter(col("n_words") >= minWords)
+      .withColumn("fp",
+        md5(concat_ws(" ", array_sort(array_distinct(col("ws_arr"))))))
+      .withWatermark("ts", s"$watermarkSeconds seconds")
+      .dropDuplicatesWithinWatermark("fp")
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_tokens"))
+      .select(
+        col("window.start").as("stt"), col("window.end").as("edt"),
+        col("source"), col("n_docs"), col("n_tokens"))
+  }
 }

@@ -524,6 +524,28 @@ class StreamingSpec extends SparkSuite {
     assert(!e.exists(r => r.contains("=click")))
   }
 
+  test("streaming corpus ingestion: quality gate → fingerprint dedup → windowed stats") {
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "source", "ts")
+    val q = StreamOps.corpusIngest(docs, windowSeconds = 60L, watermarkSeconds = 120L)
+      .writeStream.format("memory").queryName(name()).outputMode("append").start()
+    def at(sec: Long) = new Timestamp((base + sec) * 1000L)
+    in.addData(
+      (1L, "the cat sat on the mat", "web", at(5)),   // kept
+      (2L, "mat the on sat cat the", "web", at(10)),  // token-reorder dup of 1 → dropped
+      (3L, "too short", "web", at(20)),               // quality-gated (2 words)
+      (4L, "a completely different document here", "books", at(30))) // kept
+    q.processAllAvailable()
+    in.addData((5L, "late watermark pusher document", "web", at(400))) // closes [0,60)
+    q.processAllAvailable()
+    val rows = spark.table(s"stream_out_$n")
+      .select(col("source"), col("n_docs"), col("n_tokens"))
+      .as[(String, Long, Long)].collect().map { case (s, d, t) => s -> (d, t) }.toMap
+    q.stop()
+    // doc 2 deduped (same bag-of-words fingerprint), doc 3 quality-gated
+    assert(rows === Map("web" -> (1L, 6L), "books" -> (1L, 5L)))
+  }
+
   test("kafka sink shape carries per-row topic routing (K2)") {
     val routed = Seq((1L, "view", 1.5, "dwd_page_log"))
       .toDF("user_id", "event_type", "value", "sink_table")
