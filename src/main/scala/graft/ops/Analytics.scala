@@ -291,7 +291,83 @@ object Analytics {
         .orderBy("doc_id")
     })
 
+  /** Window-function long tail: ntile quartiles, first/last/nth value
+    * frames — on a top-100 slice so the unpartitioned window is
+    * bounded (an unpartitioned window over an unbounded relation is
+    * the anti-pattern; here the TakeOrdered top-k bounds it first). */
+  val a21WindowExtras = QueryDef(
+    "a21_window_extras",
+    Some("""WITH f AS (
+           |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100)
+           |SELECT o_orderkey, o_totalprice,
+           |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           |  FIRST_VALUE(o_orderkey) OVER w AS top_key,
+           |  LAST_VALUE(o_orderkey) OVER (ORDER BY o_totalprice DESC, o_orderkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_key,
+           |  NTH_VALUE(o_orderkey, 3) OVER (ORDER BY o_totalprice DESC, o_orderkey
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+           |FROM f
+           |WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+           |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.table(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      f.select(
+          col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("o_orderkey")).over(w).as("top_key"),
+          last(col("o_orderkey")).over(wFull).as("bottom_key"),
+          nth_value(col("o_orderkey"), 3).over(wFull).as("third_key"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    })
+
+  /** Batch conversion funnel (the batch analog of the streaming CEP
+    * funnel in `Cep`): users who viewed, then clicked after their
+    * first view, then purchased after that click — ordered-sequence
+    * semantics via staged conditional mins. Three aggregations, all
+    * shuffling on user_id (one co-partitioned exchange chain, reused
+    * by AQE). */
+  val a22Funnel = QueryDef(
+    "a22_funnel",
+    Some("""WITH v AS (
+           |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (
+           |  SELECT e.user_id, min(e.ts) AS t2
+           |  FROM events e JOIN v ON e.user_id = v.user_id
+           |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+           |p AS (
+           |  SELECT e.user_id, min(e.ts) AS t3
+           |  FROM events e JOIN c ON e.user_id = c.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+           |SELECT
+           |  (SELECT COUNT(*) FROM v) AS n_viewed,
+           |  (SELECT COUNT(*) FROM c) AS n_clicked,
+           |  (SELECT COUNT(*) FROM p) AS n_purchased""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.events(spark, dir)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click").as("e")
+        .join(v.as("v"), col("e.user_id") === col("v.user_id"))
+        .filter(col("e.ts") > col("v.t1"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase").as("e")
+        .join(c.as("c"), col("e.user_id") === col("c.user_id"))
+        .filter(col("e.ts") > col("c.t2"))
+        .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
+    })
+
   val defs: Seq[QueryDef] = Seq(
     a12Pivot, a13Retention, a14Percentile, a15WindowRank, a16RunningTotal,
-    a18Stats, a19Subquery, a20GapFill, u4Intersect, u5Except, u6UnionEvolved)
+    a18Stats, a19Subquery, a20GapFill, u4Intersect, u5Except, u6UnionEvolved,
+    a21WindowExtras, a22Funnel)
 }

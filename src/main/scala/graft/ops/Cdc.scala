@@ -68,5 +68,66 @@ object Cdc {
         .orderBy("pk")
     })
 
-  val defs: Seq[QueryDef] = Seq(s3CdcApply)
+  /** SCD-2 history build from the same change stream: every non-delete
+    * change opens a version; the NEXT change (update or delete) closes
+    * it. `valid_to` is NULL on the current version; a trailing delete
+    * leaves the key with no current version. Both windows partition on
+    * the primary key, so the whole history build is ONE shuffle — the
+    * warehouse-standard dimension-history shape at any scale. */
+  val s4CdcScd2 = QueryDef(
+    "s4_cdc_scd2",
+    Some("""WITH ins AS (
+           |  SELECT o_orderkey AS pk, 1 AS seq, 'insert' AS op,
+           |    to_json(struct_pack(status := o_orderstatus, total := o_totalprice)) AS data
+           |  FROM orders),
+           |upd AS (
+           |  SELECT o_orderkey AS pk, 2 AS seq, 'update' AS op,
+           |    to_json(struct_pack(status := 'P', total := o_totalprice)) AS data
+           |  FROM orders WHERE o_orderstatus = 'O'),
+           |del AS (
+           |  SELECT o_orderkey AS pk, 3 AS seq, 'delete' AS op, NULL AS data
+           |  FROM orders WHERE o_orderkey % 97 = 0),
+           |cdc AS (SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del),
+           |seqd AS (
+           |  SELECT pk, seq, op, data,
+           |    LEAD(seq) OVER (PARTITION BY pk ORDER BY seq) AS valid_to
+           |  FROM cdc)
+           |SELECT pk,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq) AS BIGINT) AS version,
+           |  json_extract_string(data, '$.status') AS status,
+           |  CAST(json_extract_string(data, '$.total') AS DOUBLE) AS total,
+           |  CAST(seq AS BIGINT) AS valid_from,
+           |  CAST(valid_to AS BIGINT) AS valid_to,
+           |  CASE WHEN valid_to IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current
+           |FROM seqd
+           |WHERE op <> 'delete'
+           |ORDER BY pk, version""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.table(spark, dir, "orders")
+      val ins = o.select(
+        col("o_orderkey").as("pk"), lit(1).as("seq"), lit("insert").as("op"),
+        to_json(struct(col("o_orderstatus").as("status"), col("o_totalprice").as("total"))).as("data"))
+      val upd = o.filter(col("o_orderstatus") === "O").select(
+        col("o_orderkey").as("pk"), lit(2).as("seq"), lit("update").as("op"),
+        to_json(struct(lit("P").as("status"), col("o_totalprice").as("total"))).as("data"))
+      val del = o.filter(col("o_orderkey") % 97 === 0).select(
+        col("o_orderkey").as("pk"), lit(3).as("seq"), lit("delete").as("op"),
+        lit(null).cast("string").as("data"))
+      val cdc = ins.unionByName(upd).unionByName(del)
+      val w = Window.partitionBy("pk").orderBy("seq")
+      cdc
+        .withColumn("valid_to", lead(col("seq"), 1).over(w))
+        .filter(col("op") =!= "delete")
+        .select(
+          col("pk"),
+          row_number().over(Window.partitionBy("pk").orderBy("seq")).cast("long").as("version"),
+          get_json_object(col("data"), "$.status").as("status"),
+          get_json_object(col("data"), "$.total").cast("double").as("total"),
+          col("seq").cast("long").as("valid_from"),
+          col("valid_to").cast("long").as("valid_to"),
+          when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+        .orderBy("pk", "version")
+    })
+
+  val defs: Seq[QueryDef] = Seq(s3CdcApply, s4CdcScd2)
 }
