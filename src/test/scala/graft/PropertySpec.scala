@@ -148,6 +148,31 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("approx_percentile stays within rank-error bound of exact percentile") {
+    // the quantile-sketch scale path mirrors HLL-for-distinct: exact
+    // percentile is the oracle-checked form (a14), approx_percentile
+    // (accuracy = 1/eps) is what a 100 TB aggregation would run.
+    // Rank guarantee: |rank(approx) - target_rank| <= eps * n, which
+    // we check directly through the empirical CDF.
+    val acc = 1000 // eps = 1/1000
+    for (i <- 0 until 3) {
+      val n = 50000
+      val vals = spark.range(n).select(
+        (org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(col("id") + (i * 7717)), lit(100000))
+          .cast("double") / 100.0).as("v"))
+      for (q <- Seq(0.5, 0.95)) {
+        val approx = vals
+          .agg(org.apache.spark.sql.functions.percentile_approx(
+            col("v"), lit(q), lit(acc)).as("a"))
+          .head().getDouble(0)
+        val rank = vals.filter(col("v") <= approx).count().toDouble / n
+        assert(math.abs(rank - q) <= 1.0 / acc + 1e-9,
+          s"sample $i q=$q approx=$approx rank=$rank")
+      }
+    }
+  }
+
   test("salted aggregation equals plain aggregation on generated data") {
     for (i <- 0 until 3) {
       val ev = sample(i).toDF()
