@@ -335,15 +335,17 @@ object Analytics {
     * by AQE). */
   val a22Funnel = QueryDef(
     "a22_funnel",
-    Some("""WITH v AS (
-           |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |v AS (
+           |  SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
            |c AS (
            |  SELECT e.user_id, min(e.ts) AS t2
-           |  FROM events e JOIN v ON e.user_id = v.user_id
+           |  FROM ev e JOIN v ON e.user_id = v.user_id
            |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
            |p AS (
            |  SELECT e.user_id, min(e.ts) AS t3
-           |  FROM events e JOIN c ON e.user_id = c.user_id
+           |  FROM ev e JOIN c ON e.user_id = c.user_id
            |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
            |SELECT
            |  (SELECT COUNT(*) FROM v) AS n_viewed,

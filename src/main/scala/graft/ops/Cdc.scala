@@ -20,42 +20,54 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** The synthesized change stream shared by every CDC query (ONE
+    * definition; s3 compacts it, s4 builds history from it): insert
+    * for every order, update for open orders, delete for every 97th
+    * key — serialized through the reference's JSON `data` envelope. */
+  private val cdcCtes =
+    """WITH ins AS (
+      |  SELECT o_orderkey AS pk, 1 AS seq, 'insert' AS op,
+      |    to_json(struct_pack(status := o_orderstatus, total := o_totalprice)) AS data
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey AS pk, 2 AS seq, 'update' AS op,
+      |    to_json(struct_pack(status := 'P', total := o_totalprice)) AS data
+      |  FROM orders WHERE o_orderstatus = 'O'),
+      |del AS (
+      |  SELECT o_orderkey AS pk, 3 AS seq, 'delete' AS op, NULL AS data
+      |  FROM orders WHERE o_orderkey % 97 = 0),
+      |cdc AS (SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del)""".stripMargin
+
+  /** Spark twin of [[cdcCtes]]. */
+  private def changeStream(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val o = Tables.table(spark, dir, "orders")
+    val ins = o.select(
+      col("o_orderkey").as("pk"), lit(1).as("seq"), lit("insert").as("op"),
+      to_json(struct(col("o_orderstatus").as("status"), col("o_totalprice").as("total"))).as("data"))
+    val upd = o.filter(col("o_orderstatus") === "O").select(
+      col("o_orderkey").as("pk"), lit(2).as("seq"), lit("update").as("op"),
+      to_json(struct(lit("P").as("status"), col("o_totalprice").as("total"))).as("data"))
+    val del = o.filter(col("o_orderkey") % 97 === 0).select(
+      col("o_orderkey").as("pk"), lit(3).as("seq"), lit("delete").as("op"),
+      lit(null).cast("string").as("data"))
+    ins.unionByName(upd).unionByName(del)
+  }
+
   val s3CdcApply = QueryDef(
     "s3_cdc_apply",
-    Some("""WITH ins AS (
-           |  SELECT o_orderkey AS pk, 1 AS seq, 'insert' AS op,
-           |    to_json(struct_pack(status := o_orderstatus, total := o_totalprice)) AS data
-           |  FROM orders),
-           |upd AS (
-           |  SELECT o_orderkey AS pk, 2 AS seq, 'update' AS op,
-           |    to_json(struct_pack(status := 'P', total := o_totalprice)) AS data
-           |  FROM orders WHERE o_orderstatus = 'O'),
-           |del AS (
-           |  SELECT o_orderkey AS pk, 3 AS seq, 'delete' AS op, NULL AS data
-           |  FROM orders WHERE o_orderkey % 97 = 0),
-           |cdc AS (SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del),
+    Some(s"""$cdcCtes,
            |latest AS (
            |  SELECT * FROM cdc
            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) = 1)
            |SELECT pk,
-           |  json_extract_string(data, '$.status') AS status,
-           |  CAST(json_extract_string(data, '$.total') AS DOUBLE) AS total
+           |  json_extract_string(data, '$$.status') AS status,
+           |  CAST(json_extract_string(data, '$$.total') AS DOUBLE) AS total
            |FROM latest
            |WHERE op <> 'delete'
            |ORDER BY pk""".stripMargin),
     (spark, dir) => {
-      val o = Tables.table(spark, dir, "orders")
-      // S2: synthesize the change stream (stand-in for binlog capture).
-      val ins = o.select(
-        col("o_orderkey").as("pk"), lit(1).as("seq"), lit("insert").as("op"),
-        to_json(struct(col("o_orderstatus").as("status"), col("o_totalprice").as("total"))).as("data"))
-      val upd = o.filter(col("o_orderstatus") === "O").select(
-        col("o_orderkey").as("pk"), lit(2).as("seq"), lit("update").as("op"),
-        to_json(struct(lit("P").as("status"), col("o_totalprice").as("total"))).as("data"))
-      val del = o.filter(col("o_orderkey") % 97 === 0).select(
-        col("o_orderkey").as("pk"), lit(3).as("seq"), lit("delete").as("op"),
-        lit(null).cast("string").as("data"))
-      val cdc = ins.unionByName(upd).unionByName(del)
+      // S2: the synthesized change stream (stand-in for binlog capture).
+      val cdc = changeStream(spark, dir)
       // S3 + apply: parse the JSON envelope payload, keep latest per
       // key, drop deletes.
       val w = Window.partitionBy("pk").orderBy(col("seq").desc)
@@ -76,26 +88,15 @@ object Cdc {
     * warehouse-standard dimension-history shape at any scale. */
   val s4CdcScd2 = QueryDef(
     "s4_cdc_scd2",
-    Some("""WITH ins AS (
-           |  SELECT o_orderkey AS pk, 1 AS seq, 'insert' AS op,
-           |    to_json(struct_pack(status := o_orderstatus, total := o_totalprice)) AS data
-           |  FROM orders),
-           |upd AS (
-           |  SELECT o_orderkey AS pk, 2 AS seq, 'update' AS op,
-           |    to_json(struct_pack(status := 'P', total := o_totalprice)) AS data
-           |  FROM orders WHERE o_orderstatus = 'O'),
-           |del AS (
-           |  SELECT o_orderkey AS pk, 3 AS seq, 'delete' AS op, NULL AS data
-           |  FROM orders WHERE o_orderkey % 97 = 0),
-           |cdc AS (SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del),
+    Some(s"""$cdcCtes,
            |seqd AS (
            |  SELECT pk, seq, op, data,
            |    LEAD(seq) OVER (PARTITION BY pk ORDER BY seq) AS valid_to
            |  FROM cdc)
            |SELECT pk,
            |  CAST(ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq) AS BIGINT) AS version,
-           |  json_extract_string(data, '$.status') AS status,
-           |  CAST(json_extract_string(data, '$.total') AS DOUBLE) AS total,
+           |  json_extract_string(data, '$$.status') AS status,
+           |  CAST(json_extract_string(data, '$$.total') AS DOUBLE) AS total,
            |  CAST(seq AS BIGINT) AS valid_from,
            |  CAST(valid_to AS BIGINT) AS valid_to,
            |  CASE WHEN valid_to IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current
@@ -103,17 +104,7 @@ object Cdc {
            |WHERE op <> 'delete'
            |ORDER BY pk, version""".stripMargin),
     (spark, dir) => {
-      val o = Tables.table(spark, dir, "orders")
-      val ins = o.select(
-        col("o_orderkey").as("pk"), lit(1).as("seq"), lit("insert").as("op"),
-        to_json(struct(col("o_orderstatus").as("status"), col("o_totalprice").as("total"))).as("data"))
-      val upd = o.filter(col("o_orderstatus") === "O").select(
-        col("o_orderkey").as("pk"), lit(2).as("seq"), lit("update").as("op"),
-        to_json(struct(lit("P").as("status"), col("o_totalprice").as("total"))).as("data"))
-      val del = o.filter(col("o_orderkey") % 97 === 0).select(
-        col("o_orderkey").as("pk"), lit(3).as("seq"), lit("delete").as("op"),
-        lit(null).cast("string").as("data"))
-      val cdc = ins.unionByName(upd).unionByName(del)
+      val cdc = changeStream(spark, dir)
       val w = Window.partitionBy("pk").orderBy("seq")
       cdc
         .withColumn("valid_to", lead(col("seq"), 1).over(w))

@@ -126,19 +126,27 @@ object Workload {
            |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
            |ORDER BY s.s_suppkey""".stripMargin),
     (spark, dir) => {
-      Tables.table(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
-      Tables.table(spark, dir, "supplier").createOrReplaceTempView("v_supplier")
-      spark.sql(
-        """WITH rev AS (
-          |  SELECT l_suppkey,
-          |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
-          |  FROM v_lineitem
-          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-          |  GROUP BY l_suppkey)
-          |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
-          |FROM v_supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
-          |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
-          |ORDER BY s.s_suppkey""".stripMargin)
+      // Catalyst inlines a CTE referenced twice, which would run the
+      // heavy lineitem aggregation once for the join input and again
+      // for the scalar MAX — materialize `rev` once (it is
+      // supplier-cardinality, tiny next to lineitem) and derive both
+      // from it. DuckDB materializes the CTE once on its own.
+      val rev = Tables.table(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(expr("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))").as("total_rev"))
+        .localCheckpoint()
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      val s = Tables.table(spark, dir, "supplier")
+      s.join(rev, s("s_suppkey") === rev("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        // decimal-exact equality on the DECIMAL sums, never the
+        // double projection, so ties are engine-independent
+        .filter(col("total_rev") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
     })
 
   /** Q18-style large-volume customers: HAVING over a lineitem
