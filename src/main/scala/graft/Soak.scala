@@ -17,7 +17,10 @@ object Soak {
     "a1_product_stats", "a2_visitor_stats", "a8_weighted_score",
     "w_session_window", "a13_retention", "j6_asof_join",
     "text_tokens", "text_chunk", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_clusters")
+    "dedup_clusters",
+    // late round-2 additions over the blown-up tables
+    "a22_funnel", "text_repetition", "text_rarity_score",
+    "decontaminate_ngram")
 
   def blowUp(spark: SparkSession, baseDir: String, outDir: String, f: Int): Unit = {
     val ev = graft.ops.Tables.eventsRawNanos(spark, baseDir)
