@@ -378,7 +378,51 @@ object Dedup {
     labels
   }
 
+  /** Line-level boilerplate dedup (the CCNet/RefinedWeb pass): split
+    * each doc into fixed 3-token chunks (the "lines" of this one-line
+    * corpus), hash each chunk, and flag chunks that recur across ≥5
+    * distinct documents as boilerplate; emit per-doc retained-content
+    * metrics. Scale shape: one shuffle keyed on chunk hash for the
+    * distinct-doc count (map-side partial via the (h, doc) distinct),
+    * one join back on the hash, one groupBy doc — no driver state, no
+    * all-pairs work; the hash→count relation is chunk-cardinality and
+    * stays fully distributed. */
+  val dedupLines = QueryDef(
+    "dedup_lines",
+    Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x) > 0) AS ws FROM documents),
+           |c AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(ws)/3.0)-1 AS BIGINT))) AS cid, ws
+           |      FROM w WHERE len(ws) > 0),
+           |h AS (SELECT doc_id, cid, md5(array_to_string(ws[cid*3+1:cid*3+3],' ')) AS h FROM c),
+           |cnt AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY h)
+           |SELECT h.doc_id, COUNT(*) AS n_chunks,
+           |  CAST(SUM(CASE WHEN cnt.nd >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS boiler_chunks,
+           |  ROUND(CAST(SUM(CASE WHEN cnt.nd >= 5 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS boiler_frac
+           |FROM h JOIN cnt ON h.h = cnt.h
+           |GROUP BY h.doc_id
+           |ORDER BY h.doc_id""".stripMargin),
+    (spark, dir) => {
+      val chunks = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, CAST(ceil(size(ws)/3.0)-1 AS BIGINT))")).as("cid"),
+          col("ws"))
+        .select(col("doc_id"), col("cid"),
+          md5(concat_ws(" ", expr("slice(ws, CAST(cid*3+1 AS INT), 3)"))).as("h"))
+      val cnt = chunks.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 5, 1L).otherwise(0L)).as("boiler_chunks"),
+          round(sum(when(col("nd") >= 5, 1L).otherwise(0L)).cast("double") / count(lit(1)), 4).as("boiler_frac"))
+        .orderBy("doc_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhashLsh, dedupJaccardNgram,
-    dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupClusters)
+    dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupClusters,
+    dedupLines)
 }

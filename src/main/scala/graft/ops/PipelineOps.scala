@@ -153,6 +153,62 @@ object PipelineOps {
         .orderBy("train_doc", "eval_doc")
     })
 
+  /** Bloom-prefiltered eval-set decontamination — the 100 TB form of
+    * `decontaminate_ngram`. A bloom filter is built ONCE over the
+    * eval-set shingle hashes (Catalyst's `BloomFilterAggregate`, the
+    * same machinery Spark's runtime row-group filters use) and shipped
+    * as a literal to every train-side task, which discards ~all clean
+    * rows before the exact broadcast-join verify. Because a bloom
+    * filter has no false negatives, prefilter + exact verify returns
+    * EXACTLY the unfiltered overlap — so the DuckDB oracle is the plain
+    * exact computation, and any bloom bug fails the hash compare.
+    * The driver-side `head` materializes one aggregated row (the
+    * filter bytes — an index-build artifact, same precedent as
+    * `buildIvfIndex`), not data rows. */
+  val decontaminateBloom = QueryDef(
+    "decontaminate_bloom",
+    Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents),
+           |g AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i FROM w WHERE len(ws) >= 4),
+           |sh AS (SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+3], ' ')) AS h FROM g),
+           |tr AS (SELECT * FROM sh WHERE doc_id % 23 <> 0),
+           |ev AS (SELECT * FROM sh WHERE doc_id % 23 = 0)
+           |SELECT tr.doc_id AS train_doc,
+           |  CAST(COUNT(DISTINCT tr.h) AS BIGINT) AS n_shingles,
+           |  CAST(COUNT(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+           |FROM tr JOIN ev ON tr.h = ev.h
+           |GROUP BY tr.doc_id
+           |ORDER BY train_doc""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.GraftBridge
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.types.BinaryType
+      val sh = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
+        .filter(size(col("ws")) >= 4)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(ws) - 3), i -> md5(concat_ws(' ', slice(ws, i, 4))))"))).as("h"))
+      val train = sh.filter(col("doc_id") % 23 =!= 0).as("t")
+      // eval side is read twice (bloom build + exact verify): pin it
+      val eval_ = sh.filter(col("doc_id") % 23 === 0).localCheckpoint().as("e")
+      val bloomBytes = eval_
+        .select(GraftBridge.column(new BloomFilterAggregate(
+          GraftBridge.expression(xxhash64(col("h"))), 100000L).toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val mightContain = GraftBridge.column(new BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        GraftBridge.expression(xxhash64(col("t.h")))))
+      train.filter(mightContain)
+        .join(broadcast(eval_), col("t.h") === col("e.h"))
+        .groupBy(col("t.doc_id").as("train_doc"))
+        .agg(
+          countDistinct(col("t.h")).as("n_shingles"),
+          countDistinct(col("e.doc_id")).as("n_eval_docs"))
+        .orderBy("train_doc")
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(pipelineDwsE2e, pipelineCleanDedupSample, decontaminateNgram)
+    Seq(pipelineDwsE2e, pipelineCleanDedupSample, decontaminateNgram,
+      decontaminateBloom)
 }

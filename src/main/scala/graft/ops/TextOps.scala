@@ -320,8 +320,32 @@ object TextOps {
         .orderBy("doc_id")
     })
 
+  /** PII redaction: scrub email-shaped tokens and digit runs from the
+    * raw event payloads before they enter a training corpus — the
+    * mandatory scrubbing pass of a compliant data pipeline. A single
+    * alternation regex evaluated once per row (both engines replace all
+    * occurrences), plus a hit count for audit metrics. Pure map-side
+    * work at any scale; the regex is anchored to character classes
+    * shared by Java and RE2 dialects. */
+  val textPiiRedact = QueryDef(
+    "text_pii_redact",
+    Some("""SELECT event_id,
+           |  regexp_replace(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+|[0-9]+', '<PII>', 'g') AS redacted,
+           |  CAST(len(regexp_extract_all(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+|[0-9]+')) AS BIGINT) AS n_hits
+           |FROM events
+           |ORDER BY event_id""".stripMargin),
+    (spark, dir) => {
+      val pat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+|[0-9]+"
+      Tables.events(spark, dir)
+        .select(
+          col("event_id"),
+          regexp_replace(col("props"), pat, "<PII>").as("redacted"),
+          regexp_count(col("props"), lit(pat)).cast("long").as("n_hits"))
+        .orderBy("event_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     textLangid, textQuality, textTokens, textFingerprint, textClean,
     textChunk, sampleSplit, sampleStratified, textRepetition,
-    textRarityScore)
+    textRarityScore, textPiiRedact)
 }
