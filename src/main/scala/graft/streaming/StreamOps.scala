@@ -122,6 +122,26 @@ object StreamOps {
         col("window.start").as("stt"), col("window.end").as("edt"),
         col("event_type"), col("n"), col("total_value"), col("approx_users"))
 
+  /** Streaming session windows — gap-merge sessionization as native
+    * Structured Streaming state (`session_window`), the streaming form
+    * of the batch `w_session_window` query. Sessions grow/merge as
+    * events arrive and emit (append mode) once the watermark passes
+    * the session end, i.e. once no event can extend the session any
+    * more. State per live session is one row — the merge is done by
+    * the session-window state store, not a custom
+    * flatMapGroupsWithState. */
+  def sessionStats(ds: Dataset[Ev], gap: String = "30 minutes",
+      watermark: String = "2 seconds"): DataFrame =
+    ds.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** A3 streaming EXACT windowed distinct
     * (`app/dws/ProvinceStatsSqlApp.java:47-65` computes exact
     * `count(distinct)` inside TUMBLE; `windowedStats` substitutes

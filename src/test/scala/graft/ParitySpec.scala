@@ -65,6 +65,39 @@ class ParitySpec extends SparkSuite {
     assert(streaming === batch)
   }
 
+  test("streaming sessionStats equals batch session_window on sf0.001") {
+    import java.sql.Timestamp
+    val events = realEvents
+    val in = MemoryStream[Ev]
+    val q = StreamOps.sessionStats(in.toDS())
+      .writeStream.format("memory").queryName("parity_sess").outputMode("append").start()
+    val (b1, b2) = events.splitAt(events.size / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    // close every real session: sentinels far past the data, fed twice
+    // so the advanced watermark's timers actually fire
+    val maxTs = events.map(_.ts.getTime).max
+    val horizon = maxTs + 2L * 86400 * 1000
+    in.addData(Ev(999999L, 999999L, new Timestamp(horizon), "view", 0.0, 1))
+    q.processAllAvailable()
+    in.addData(Ev(999999L, 999998L, new Timestamp(horizon + 1000), "view", 0.0, 1))
+    q.processAllAvailable()
+    val streaming = spark.table("parity_sess")
+      .filter(col("user_id") =!= 999999L) // drop sentinel sessions
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    q.stop()
+    val batch = events.toDF()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("session_window.start"), col("session_window.end"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(streaming === batch)
+  }
+
   test("streaming newUserFix equals the batch row_number analog on sf0.001") {
     val events = realEvents
     val in = MemoryStream[Ev]

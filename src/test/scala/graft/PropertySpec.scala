@@ -186,4 +186,31 @@ class PropertySpec extends SparkSuite {
         plain.orderBy("k").collect().toSeq, s"sample $i")
     }
   }
+
+  test("bloom prefilter has no false negatives on generated member sets") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    // the exactness contract decontaminate_bloom relies on: every
+    // member of the build set must pass might_contain (false positives
+    // are fine — the exact verify join removes them; a false negative
+    // would silently drop contamination)
+    val genStrings = Gen.listOfN(500,
+      Gen.choose(0L, Long.MaxValue).map(n => s"shingle_$n"))
+    for (i <- 0 until 5) {
+      val members = genStrings(Gen.Parameters.default, Seed(7L + i)).get.distinct
+      val df = members.toDF("h")
+      val bloomBytes = df
+        .select(GraftBridge.column(new BloomFilterAggregate(
+          GraftBridge.expression(xxhash64(col("h"))), 100000L)
+          .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+      val mightContain = GraftBridge.column(new BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        GraftBridge.expression(xxhash64(col("h")))))
+      val kept = df.filter(mightContain).count()
+      assert(kept === members.size.toLong, s"sample $i: bloom dropped a member")
+    }
+  }
 }
