@@ -98,6 +98,22 @@ class OpsSpec extends SparkSuite {
     } finally sys.props.remove("GRAFT_COSINE_MAX_ROWS")
   }
 
+  test("decontaminate_bloom's plan prefilters train rows with might_contain") {
+    val df = SparkEntry.queries("decontaminate_bloom")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the bloom prefilter must sit in the train-side Filter, ahead of
+    // the exact verify join — otherwise it is a no-op at 100 TB
+    assert(plan.contains("might_contain"),
+      plan.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("q21's correlated subqueries rewrite to semi and anti joins") {
+    val df = SparkEntry.queries("q21_waiting_supplier")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.linesIterator.take(30).mkString("\n"))
+    assert(plan.contains("LeftAnti"), plan.linesIterator.take(30).mkString("\n"))
+  }
+
   test("exact dedup groups identical texts under one survivor") {
     val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
     Seq((5L, "a b c"), (9L, "a b c"), (7L, "x y z"))
