@@ -132,5 +132,40 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx")
     })
 
-  val defs: Seq[QueryDef] = Seq(mmBinaryMeta, mmMetaAgg, mmFrameSample)
+  /** Resize planning: aspect-preserving fit of each (fake-decoded)
+    * image into a 224×224 training box, computed with integer
+    * arithmetic only (output dims + letterbox padding) — the
+    * deterministic planning half of a resize op; the pixel work
+    * belongs to the stubbed codec. Pure map-side expressions. */
+  val mmResizePlan = QueryDef(
+    "mm_resize_plan",
+    Some("""WITH m AS (
+           |  SELECT doc_id,
+           |    CAST(16 + octet_length(encode(text)) % 624 AS BIGINT) AS w,
+           |    CAST(16 + (octet_length(encode(text)) * 7) % 464 AS BIGINT) AS h
+           |  FROM documents WHERE doc_id % 2 = 0)
+           |SELECT doc_id, w, h,
+           |  w * 224 // greatest(w, h) AS out_w,
+           |  h * 224 // greatest(w, h) AS out_h,
+           |  (224 - w * 224 // greatest(w, h)) // 2 AS pad_x,
+           |  (224 - h * 224 // greatest(w, h)) // 2 AS pad_y
+           |FROM m
+           |ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val n = octet_length(encode(col("text"), "UTF-8")).cast("long")
+      Tables.table(spark, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"),
+          (lit(16) + n % 624).as("w"),
+          (lit(16) + (n * 7) % 464).as("h"))
+        .select(col("doc_id"), col("w"), col("h"),
+          expr("w * 224 div greatest(w, h)").as("out_w"),
+          expr("h * 224 div greatest(w, h)").as("out_h"),
+          expr("(224 - w * 224 div greatest(w, h)) div 2").as("pad_x"),
+          expr("(224 - h * 224 div greatest(w, h)) div 2").as("pad_y"))
+        .orderBy("doc_id")
+    })
+
+  val defs: Seq[QueryDef] = Seq(mmBinaryMeta, mmMetaAgg, mmFrameSample,
+    mmResizePlan)
 }
