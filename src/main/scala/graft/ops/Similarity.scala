@@ -109,9 +109,19 @@ object Similarity {
     * per-dimension centroid means via one posexplode + two
     * aggregations, then checkpointed. This is the ONLY place the
     * full-corpus explode happens. */
-  def buildIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
-    val corpus = withNorm(spark, dir)
-    val centroids = Tables.table(spark, dir, "embeddings")
+  def buildIvfIndex(spark: SparkSession, dir: String): IvfIndex =
+    buildIvfIndexFrom(Tables.table(spark, dir, "embeddings"))
+
+  /** Index construction over any `(vec_id, label, embedding)` relation
+    * — the testdata loader above is one caller; tests build over
+    * synthetic clustered vectors. Recall of the probe depends on the
+    * partition (`label`) actually clustering direction: on isotropic
+    * random vectors NO partitioned ANN index concentrates the true
+    * neighbors, which is a property of the data, not the index. */
+  def buildIvfIndexFrom(emb: DataFrame): IvfIndex = {
+    val corpus = emb
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+    val centroids = emb
       .select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
       .groupBy("label", "dim").agg(avg(col("v")).as("cv"))
