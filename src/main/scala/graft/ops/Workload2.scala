@@ -315,7 +315,33 @@ object Workload2 {
           |LIMIT 20""".stripMargin)
     })
 
+  /** Q16-style supplier diversity per part group: multi-column groupBy
+    * with COUNT(DISTINCT) — the distinct-aggregate plan shape (partial
+    * distinct on (group, suppkey) then final count), which at 100 TB
+    * must keep the distinct expansion map-side rather than shipping
+    * raw rows. No partsupp table, so the supplier relation per part
+    * comes from lineitem. */
+  val q16PartsSuppliers = QueryDef(
+    "q16_parts_suppliers",
+    Some("""SELECT p.p_brand, p.p_type, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+           |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           |WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+           |  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+           |GROUP BY 1, 2, 3
+           |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin),
+    (spark, dir) => {
+      val l = Tables.table(spark, dir, "lineitem")
+      val p = Tables.table(spark, dir, "part")
+        .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      l.join(p, p("p_partkey") === l("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    })
+
   val defs: Seq[QueryDef] = Seq(
     q7NationVolume, q8MarketShare, q9ProductProfit, q12ShipDelayBands,
-    q13CustOrderDist, q17SmallQtyRevenue, q21WaitingSupplier)
+    q13CustOrderDist, q16PartsSuppliers, q17SmallQtyRevenue,
+    q21WaitingSupplier)
 }
