@@ -40,4 +40,30 @@ class StorageSpec extends SparkSuite {
       .as[(Long, Option[String])].collect().toMap
     assert(rows === Map(1L -> None, 2L -> Some("en")))
   }
+
+  test("sort-clustered layout skips parquet row groups on a selective filter") {
+    // the Z-order/clustering principle at 100 TB: laying data out
+    // sorted by a filter column lets parquet min/max row-group stats
+    // discard non-matching groups at scan time. Same rows, same
+    // query — the sorted layout reads fewer rows off disk.
+    val dir = java.nio.file.Files.createTempDirectory("cluster").toString
+    val ev = graft.ops.Tables.events(spark, sf("sf0.01")).select("event_id", "event_type", "value")
+    val rg = Map("parquet.block.size" -> "65536") // small row groups so sf0.01 has many
+    ev.repartition(1)
+      .write.options(rg).mode("overwrite").parquet(s"$dir/unsorted")
+    ev.repartition(1).sortWithinPartitions("event_type")
+      .write.options(rg).mode("overwrite").parquet(s"$dir/sorted")
+    def rowsRead(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("event_type") === "purchase")
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      scan.metrics("numOutputRows").value
+    }
+    val (unsorted, sorted) = (rowsRead(s"$dir/unsorted"), rowsRead(s"$dir/sorted"))
+    // both return identical query results; the sorted layout's scan
+    // emits far fewer rows because whole row groups are skipped
+    assert(sorted < unsorted / 2, s"sorted=$sorted unsorted=$unsorted")
+  }
 }
