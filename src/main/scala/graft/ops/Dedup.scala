@@ -410,6 +410,11 @@ object Dedup {
           col("ws"))
         .select(col("doc_id"), col("cid"),
           md5(concat_ws(" ", expr("slice(ws, CAST(cid*3+1 AS INT), 3)"))).as("h"))
+        // the chunk relation feeds both the count aggregate and the
+        // join probe side — materialize once (same convention as the
+        // jaccard/IVF builders) so the tokenize+explode+md5 pass over
+        // the corpus doesn't run twice
+        .localCheckpoint()
       val cnt = chunks.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
       chunks.join(cnt, "h")

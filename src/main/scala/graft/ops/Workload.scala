@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   */
 object Workload {
 
-  /** The decimal-exact revenue term used by all revenue queries. */
-  private val revSql =
+  /** The decimal-exact revenue term used by all revenue queries
+    * (shared with the second workload tranche). */
+  private[ops] val revSql =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
   /** Q6-style forecast-revenue delta: single-table scan with three

@@ -4,10 +4,11 @@ import graft.QueryDef
 import org.apache.spark.sql.functions._
 
 /** Second tranche of TPC-H-shaped workload plans (Q7/Q8/Q9/Q12/Q13/
-  * Q17/Q21 analogs adapted to the synthetic star schema — there is no
-  * partsupp table and lineitem carries no commit/receipt dates, so
-  * Q2/Q11/Q16/Q20 are out of reach and Q12/Q21 replace the
-  * receipt-lateness predicate with an orderdate→shipdate delay).
+  * Q16/Q17/Q21 analogs adapted to the synthetic star schema — there is
+  * no partsupp table and lineitem carries no commit/receipt dates, so
+  * Q2/Q11/Q20 are out of reach, Q16's supplier relation per part comes
+  * from lineitem, and Q12/Q21 replace the receipt-lateness predicate
+  * with an orderdate→shipdate delay).
   * Each exercises a distinct physical-plan shape the engine must get
   * right at 100 TB:
   *   - q7: 6-way join with two roles of the same dim (supplier nation
@@ -32,8 +33,7 @@ import org.apache.spark.sql.functions._
   */
 object Workload2 {
 
-  private val revSql =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+  private val revSql = Workload.revSql
 
   /** Q7-style volume shipping between nation sets: revenue per
     * (supplier nation, customer nation, ship year). The nation filters
@@ -173,16 +173,19 @@ object Workload2 {
         .orderBy("nation", "o_year")
     })
 
-  /** Q12-style delay banding: order→ship delay in whole days (computed
-    * as epoch-day integer subtraction, identical floor semantics in
-    * both engines — the synthetic data ships some lines BEFORE the
-    * order date, hence the 'early' band) with conditional
-    * high/low-priority line counts per band. One join, one shuffle,
-    * CASE evaluation entirely map-side. */
+  /** Q12-style delay banding: order→ship delay in whole days (explicit
+    * floor(epoch/86400) on BOTH sides — Spark's integer `div` truncates
+    * toward zero while DuckDB's `//` floors, which diverges on
+    * pre-1970 timestamps, so neither engine's native integer division
+    * is used; the double division is exact below 2^53 seconds. The
+    * synthetic data ships some lines BEFORE the order date, hence the
+    * 'early' band) with conditional high/low-priority line counts per
+    * band. One join, one shuffle, CASE evaluation entirely map-side. */
   val q12ShipDelayBands = QueryDef(
     "q12_ship_delay_bands",
     Some("""WITH d AS (
-           |  SELECT (epoch(l.l_shipdate)//86400 - epoch(o.o_orderdate)//86400) AS dd,
+           |  SELECT (CAST(floor(epoch(l.l_shipdate)/86400.0) AS BIGINT)
+           |          - CAST(floor(epoch(o.o_orderdate)/86400.0) AS BIGINT)) AS dd,
            |    o.o_orderpriority AS prio
            |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
            |SELECT CASE WHEN dd < 0 THEN 'early' WHEN dd < 30 THEN 'fast'
@@ -197,7 +200,8 @@ object Workload2 {
         .select(
           // parquet timestamps surface as TIMESTAMP_NTZ; the session is
           // pinned to UTC so the cast to TIMESTAMP is an identity
-          expr("(unix_seconds(CAST(l_shipdate AS TIMESTAMP)) div 86400) - (unix_seconds(CAST(o_orderdate AS TIMESTAMP)) div 86400)").as("dd"),
+          expr("""CAST(floor(unix_seconds(CAST(l_shipdate AS TIMESTAMP)) / 86400.0) AS BIGINT)
+                 | - CAST(floor(unix_seconds(CAST(o_orderdate AS TIMESTAMP)) / 86400.0) AS BIGINT)""".stripMargin).as("dd"),
           o("o_orderpriority").as("prio"))
         .select(
           when(col("dd") < 0, "early").when(col("dd") < 30, "fast")
