@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * query set against it — evidence that the operator shapes scale
   * linearly, not just that they pass at sf0.1.
   *
-  * Usage: runMain graft.Soak [factor] [baseSfDir]
+  * Usage: runMain graft.Soak [factor] [baseSfDir] [query,query,...]
+  * (the optional third arg restricts the run to a comma-separated
+  * subset — targeted re-measurement without the full suite)
   */
 object Soak {
   private val queries = Seq(
@@ -45,6 +47,8 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val selected =
+      if (args.length > 2) queries.filter(args(2).split(",").toSet) else queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Partition count must scale with per-stage WORK so per-task state
     // stays bounded — the knob a real cluster turns at 100 TB. NB the
@@ -88,7 +92,7 @@ object Soak {
       Bench.median(runs.drop(1))
     }
     println(f"[soak] factor=$factor (events ${100000L * factor} rows)")
-    for (name <- queries) {
+    for (name <- selected) {
       val fn = SparkEntry.queries(name)
       val base = time(fn, baseDir, cpus.toInt)
       val big = time(fn, soakDir, scaledPartitions)

@@ -344,8 +344,46 @@ object TextOps {
         .orderBy("event_id")
     })
 
+  /** Sequence packing (the GPT-style concat-and-chunk pass): documents
+    * are concatenated per source in deterministic doc_id order and cut
+    * into 512-token training sequences; each doc reports the sequence
+    * span it lands in and its offset in the first one. One window
+    * cumsum per source partition — at 100 TB each source packs
+    * independently (partition-parallel), and the running sum is the
+    * only stateful step. */
+  val samplePack = QueryDef(
+    "sample_pack",
+    Some("""WITH t AS (
+           |  SELECT doc_id, source, len(list_filter(string_split(text,' '), w -> length(w)>0)) AS n_tok
+           |  FROM documents),
+           |c AS (SELECT doc_id, source, n_tok,
+           |  SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM t WHERE n_tok > 0)
+           |SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           |  CAST((cum - n_tok) // 512 AS BIGINT) AS seq_start,
+           |  CAST((cum - 1) // 512 AS BIGINT) AS seq_end,
+           |  CAST((cum - n_tok) % 512 AS BIGINT) AS offset_in_seq
+           |FROM c
+           |ORDER BY source, doc_id""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          // cum and n_tok are positive, so div == floor division here
+          expr("(cum - n_tok) div 512").as("seq_start"),
+          expr("(cum - 1) div 512").as("seq_end"),
+          ((col("cum") - col("n_tok")) % 512).as("offset_in_seq"))
+        .orderBy("source", "doc_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     textLangid, textQuality, textTokens, textFingerprint, textClean,
     textChunk, sampleSplit, sampleStratified, textRepetition,
-    textRarityScore, textPiiRedact)
+    textRarityScore, textPiiRedact, samplePack)
 }
