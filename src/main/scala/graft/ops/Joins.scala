@@ -263,7 +263,56 @@ object Joins {
         .orderBy("event_id")
     })
 
+  /** Typed cogroup reconciliation: the orders and events relations
+    * meet per key WITHOUT a join product — each side is shuffled once
+    * on its key and the merge function sees both groups whole. This is
+    * the Dataset shape for per-key logic a join can't express
+    * (sequence alignment, custom conflation); a full-outer join of two
+    * aggregates is the trivially-SQL case and therefore the oracle.
+    * Sums run over exact 2-decimal BigDecimals (valueOf = shortest
+    * double representation, the same value DuckDB's DECIMAL(18,2) cast
+    * produces), so the merge is engine-exact. Object-serialized, not
+    * codegen'd — use real joins when SQL can express the merge. */
+  val j7CogroupReconcile = QueryDef(
+    "j7_cogroup_reconcile",
+    Some("""WITH o AS (
+           |  SELECT o_custkey AS k, COUNT(*) AS n_orders,
+           |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+           |  FROM orders GROUP BY 1),
+           |e AS (
+           |  SELECT user_id AS k, COUNT(*) AS n_events,
+           |    SUM(CAST(value AS DECIMAL(18,2))) AS val
+           |  FROM events GROUP BY 1)
+           |SELECT COALESCE(o.k, e.k) AS k,
+           |  COALESCE(o.n_orders, 0) AS n_orders,
+           |  CAST(COALESCE(o.spend, 0) AS DOUBLE) AS total_spend,
+           |  COALESCE(e.n_events, 0) AS n_events,
+           |  CAST(COALESCE(e.val, 0) AS DOUBLE) AS total_value
+           |FROM o FULL OUTER JOIN e ON o.k = e.k
+           |ORDER BY k""".stripMargin),
+    (spark, dir) => {
+      import spark.implicits._
+      val orders = Tables.table(spark, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .as[(Long, Double)].groupByKey(_._1)
+      val events = Tables.events(spark, dir)
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)].groupByKey(_._1)
+      def dec(vs: Iterator[(Long, Double)]): (Long, java.math.BigDecimal) = {
+        var n = 0L
+        var s = java.math.BigDecimal.ZERO
+        vs.foreach { v => n += 1; s = s.add(java.math.BigDecimal.valueOf(v._2)) }
+        (n, s)
+      }
+      orders.cogroup(events) { (k, os, es) =>
+        val (no, so) = dec(os)
+        val (ne, se) = dec(es)
+        Iterator((k, no, so.doubleValue, ne, se.doubleValue))
+      }.toDF("k", "n_orders", "total_spend", "n_events", "total_value")
+        .orderBy("k")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     j1IntervalJoin, j2IntervalJoinAsym, j3DimEnrich, j4DynamicRoute,
-    j5OuterJoin, j5AntiJoin, j5SemiJoin, j6AsofJoin)
+    j5OuterJoin, j5AntiJoin, j5SemiJoin, j6AsofJoin, j7CogroupReconcile)
 }
