@@ -127,5 +127,38 @@ object WindowOps {
           col("n"), col("gmv"))
         .orderBy("status", "priority"))
 
-  val defs: Seq[QueryDef] = Seq(wSlidingWindow, wSessionWindow, a11Rollup, a11bCube)
+  /** Time-RANGE window frame: per-user 7-day rolling purchase sum and
+    * count, frame bounded by an event-time interval rather than a row
+    * count — a distinct window execution shape (peer rows with equal
+    * timestamps enter the frame together; frame membership is a pure
+    * function of event time, so results are row-order-independent and
+    * the decimal sum is engine-exact). Expressed in SQL on both sides
+    * so the INTERVAL RANGE syntax itself is exercised. */
+  val a23RollingRange = QueryDef(
+    "a23_rolling_range",
+    Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+           |  CAST(value AS DECIMAL(18,2)) AS v FROM events WHERE event_type = 'purchase')
+           |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_id,
+           |  CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts
+           |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_7d,
+           |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+           |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS n_7d
+           |FROM e
+           |ORDER BY user_id, ts_s, event_id""".stripMargin),
+    (spark, dir) => {
+      Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .createOrReplaceTempView("v_purchases")
+      spark.sql(
+        """SELECT user_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s, event_id,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_7d,
+          |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS n_7d
+          |FROM v_purchases
+          |ORDER BY user_id, ts_s, event_id""".stripMargin)
+    })
+
+  val defs: Seq[QueryDef] = Seq(wSlidingWindow, wSessionWindow, a11Rollup,
+    a11bCube, a23RollingRange)
 }
