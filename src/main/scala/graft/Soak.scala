@@ -48,7 +48,13 @@ object Soak {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val selected =
-      if (args.length > 2) queries.filter(args(2).split(",").toSet) else queries
+      if (args.length > 2) {
+        val asked = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = asked -- queries.toSet
+        require(unknown.isEmpty,
+          s"unknown soak queries: ${unknown.mkString(", ")} (known: ${queries.mkString(", ")})")
+        queries.filter(asked)
+      } else queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Partition count must scale with per-stage WORK so per-task state
     // stays bounded — the knob a real cluster turns at 100 TB. NB the

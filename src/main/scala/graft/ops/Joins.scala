@@ -269,10 +269,12 @@ object Joins {
     * the Dataset shape for per-key logic a join can't express
     * (sequence alignment, custom conflation); a full-outer join of two
     * aggregates is the trivially-SQL case and therefore the oracle.
-    * Sums run over exact 2-decimal BigDecimals (valueOf = shortest
-    * double representation, the same value DuckDB's DECIMAL(18,2) cast
-    * produces), so the merge is engine-exact. Object-serialized, not
-    * codegen'd — use real joins when SQL can express the merge. */
+    * Each value is rounded to DECIMAL(18,2) scale (HALF_UP — the same
+    * rounding both engines' decimal casts apply) BEFORE summing, so the
+    * merge mirrors the QueryDef decimal-routing convention structurally
+    * rather than depending on fixture values happening to be 2-decimal.
+    * Object-serialized, not codegen'd — use real joins when SQL can
+    * express the merge. */
   val j7CogroupReconcile = QueryDef(
     "j7_cogroup_reconcile",
     Some("""WITH o AS (
@@ -301,7 +303,11 @@ object Joins {
       def dec(vs: Iterator[(Long, Double)]): (Long, java.math.BigDecimal) = {
         var n = 0L
         var s = java.math.BigDecimal.ZERO
-        vs.foreach { v => n += 1; s = s.add(java.math.BigDecimal.valueOf(v._2)) }
+        vs.foreach { v =>
+          n += 1
+          s = s.add(java.math.BigDecimal.valueOf(v._2)
+            .setScale(2, java.math.RoundingMode.HALF_UP))
+        }
         (n, s)
       }
       orders.cogroup(events) { (k, os, es) =>
