@@ -22,7 +22,10 @@ object Soak {
     "dedup_clusters",
     // late round-2 additions over the blown-up tables
     "a22_funnel", "text_repetition", "text_rarity_score",
-    "decontaminate_ngram")
+    "decontaminate_ngram",
+    // (j7_cogroup_reconcile is excluded: it reads orders, which the
+    // blowup does not synthesize — only events/documents are blown up)
+    "dedup_lines", "sample_pack", "a23_rolling_range")
 
   def blowUp(spark: SparkSession, baseDir: String, outDir: String, f: Int): Unit = {
     val ev = graft.ops.Tables.eventsRawNanos(spark, baseDir)
