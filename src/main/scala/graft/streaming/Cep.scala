@@ -64,15 +64,22 @@ object Cep {
     * partial runs whose within-window closes map through `onTimeout`
     * (the CEP timeout side output — both branches land in ONE output
     * stream, the `select.union(sideOutput)` the reference performs
-    * explicitly). Timeouts fire either when a later event for the key
-    * proves the window closed, or via an event-time timer once the
-    * watermark passes the deadline (so a key that goes silent still
-    * emits its timeout branch).
+    * explicitly).
     *
-    * Scale: state per key is the list of live partial runs — bounded
-    * by pattern length × runs started inside one within-window, and
-    * sharded across executors by the key hash like every keyed
-    * operator here. */
+    * Ordering: strict contiguity is an EVENT-TIME property, but
+    * micro-batches deliver events in arrival order — an event inside
+    * the watermark delay may arrive a batch after a later-timestamped
+    * one. So events are BUFFERED in state until the watermark passes
+    * them, then processed in event-time order (Flink CEP's buffer-and
+    * -sort-by-watermark discipline); matches and timeouts therefore
+    * emit once the watermark passes the relevant event time, never on
+    * raw arrival order. Event-time timers re-release the buffer when
+    * the watermark advances past a pending event or a run deadline.
+    *
+    * Scale: state per key is the pending (sub-watermark-delay) event
+    * buffer plus the live partial runs — both bounded by the watermark
+    * delay and the within-window respectively, sharded across
+    * executors by key hash like every keyed operator here. */
   def pattern[Out: Encoder](
       ds: Dataset[Ev],
       pat: CepPattern,
@@ -89,7 +96,8 @@ object Cep {
     require(conds.length == 1 || pat.withinMs.isDefined,
       "a multi-stage CepPattern requires within(...): unbounded patterns would accumulate state forever")
     val within = pat.withinMs
-    implicit val stateEnc: Encoder[List[List[Ev]]] = Encoders.kryo[List[List[Ev]]]
+    implicit val stateEnc: Encoder[(List[Ev], List[List[Ev]])] =
+      Encoders.kryo[(List[Ev], List[List[Ev]])]
 
     def grouped(run: List[Ev]): Map[String, Seq[Ev]] =
       conds.map(_._1).zip(run).groupBy(_._1)
@@ -97,11 +105,12 @@ object Cep {
 
     ds.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[List[Ev]], Out](
+      .flatMapGroupsWithState[(List[Ev], List[List[Ev]]), Out](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: Long, events: Iterator[Ev],
-            state: org.apache.spark.sql.streaming.GroupState[List[List[Ev]]]) =>
+            state: org.apache.spark.sql.streaming.GroupState[(List[Ev], List[List[Ev]])]) =>
           val out = List.newBuilder[Out]
+          val wm = state.getCurrentWatermarkMs()
 
           def expire(partials: List[List[Ev]], nowMs: Long): List[List[Ev]] =
             within match {
@@ -112,37 +121,43 @@ object Cep {
               case None => partials
             }
 
-          var partials = state.getOption.getOrElse(Nil)
-          if (state.hasTimedOut) {
-            // watermark passed a deadline: close expired runs only
-            partials = expire(partials, state.getCurrentWatermarkMs())
-          } else {
-            val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            for (e <- sorted) {
-              // runs whose window closed before e cannot accept it
-              partials = expire(partials, e.ts.getTime)
-              val advanced = List.newBuilder[List[Ev]]
-              def offer(run: List[Ev]): Unit = {
-                val next = run :+ e
-                if (next.length == conds.length) out += select(grouped(next))
-                else advanced += next
-              }
-              for (p <- partials)
-                if (conds(p.length)._2(e)) offer(p)
-                // else: strict contiguity — the run dies silently
-              if (conds.head._2(e)) offer(Nil) // every event may start a run
-              partials = advanced.result()
+          var (pending, partials) = state.getOption.getOrElse((Nil, Nil))
+          // new arrivals join the buffer (empty on a pure timer firing)
+          pending = pending ++ events
+          // only events the watermark has passed are safe to order:
+          // anything newer could still be preceded by an in-flight
+          // earlier event, so it stays buffered
+          val (ready, waiting) = pending.partition(_.ts.getTime <= wm)
+          for (e <- ready.sortBy(e => (e.ts.getTime, e.event_id))) {
+            // runs whose window closed before e cannot accept it
+            partials = expire(partials, e.ts.getTime)
+            val advanced = List.newBuilder[List[Ev]]
+            def offer(run: List[Ev]): Unit = {
+              val next = run :+ e
+              if (next.length == conds.length) out += select(grouped(next))
+              else advanced += next
             }
+            for (p <- partials)
+              if (conds(p.length)._2(e)) offer(p)
+              // else: strict contiguity — the run dies silently
+            if (conds.head._2(e)) offer(Nil) // every event may start a run
+            partials = advanced.result()
           }
-          if (partials.isEmpty) {
+          // deadlines the watermark itself has passed: no event <= wm
+          // remains to extend these runs, and any later one would
+          // expire them anyway
+          partials = expire(partials, wm)
+          if (partials.isEmpty && waiting.isEmpty) {
             if (state.exists) state.remove()
           } else {
-            state.update(partials)
-            within.foreach { w =>
-              val deadline = partials.map(_.head.ts.getTime).min + w
-              // the timer must sit strictly past the current watermark
-              state.setTimeoutTimestamp(math.max(deadline, state.getCurrentWatermarkMs() + 1))
-            }
+            state.update((waiting, partials))
+            // wake when the watermark reaches the next buffered event
+            // or the earliest run deadline, whichever comes first
+            val wakeAt =
+              waiting.map(_.ts.getTime) ++
+                within.toList.flatMap(w => partials.map(_.head.ts.getTime + w))
+            if (wakeAt.nonEmpty)
+              state.setTimeoutTimestamp(math.max(wakeAt.min, wm + 1))
           }
           out.result().iterator
       }

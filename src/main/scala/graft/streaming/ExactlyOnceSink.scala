@@ -26,11 +26,27 @@ object ExactlyOnceSink {
 
   /** Commit one micro-batch idempotently. Returns true if this call
     * performed the commit, false if `batchId` was already committed
-    * (the replay-after-failure path). */
+    * (the replay-after-failure path). foreachBatch commits its
+    * checkpoint per batch, so a legitimate replay is always of the
+    * HIGHEST committed batchId; an existing `batch=<N>` dir with
+    * commits beyond N means the outDir belongs to a different
+    * checkpoint lineage (e.g. the checkpoint was cleared but the
+    * outDir reused) — silently skipping would drop every new batch,
+    * so that case fails loudly instead. */
   def commit(batch: DataFrame, outDir: String, batchId: Long): Boolean = {
     val target = new java.io.File(s"$outDir/batch=$batchId")
-    if (target.exists()) false
-    else {
+    if (target.exists()) {
+      val maxCommitted = Option(new java.io.File(outDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toLong).max
+      if (batchId < maxCommitted)
+        throw new IllegalStateException(
+          s"batch=$batchId already exists but commits reach batch=$maxCommitted: " +
+            s"$outDir holds output from a different checkpoint lineage; " +
+            "clear the outDir or restore the matching checkpoint")
+      false
+    } else {
       val tmp = new java.io.File(s"$outDir/.inflight-$batchId")
       batch.write.mode("overwrite").parquet(tmp.toString)
       if (!tmp.renameTo(target))

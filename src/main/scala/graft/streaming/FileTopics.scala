@@ -95,11 +95,41 @@ object FileTopics {
     * dense per-partition offsets continuing from the topic's current
     * end. Intra-batch order per partition is (key, value) — a
     * deterministic stand-in for producer send order. */
+  /** Torn-produce recovery: delete files whose offsets lie beyond the
+    * committed ledger. A produce that crashed between the parquet
+    * append and the ledger swap left files with offsets >= the ledger
+    * end; replaying the batch would assign those same offsets again,
+    * putting duplicate (partition, offset) rows in the log. Committed
+    * data never carries offsets beyond the ledger, so file-level
+    * deletion of the overshoot is safe. (Remaining window, stated
+    * precisely: a consumer that read a torn file BEFORE the producer
+    * restarted saw uncommitted records — the read_uncommitted face of
+    * Kafka; transactional read_committed would need consumers to gate
+    * on the ledger, which a plain file source cannot.) */
+  private def healTornProduce(spark: SparkSession, brokerDir: String,
+      topic: String, ledger: Map[Int, Long]): Unit = {
+    if (topicExists(brokerDir, topic) && ledger.nonEmpty) {
+      import spark.implicits._
+      val cut = broadcast(ledger.toSeq.toDF("partition", "cut"))
+      val orphans = spark.read.schema(recordSchema)
+        .parquet(topicDir(brokerDir, topic))
+        .join(cut, Seq("partition"), "left")
+        .filter(col("cut").isNotNull && col("offset") >= col("cut"))
+        .select(input_file_name()).distinct()
+        .collect().map(_.getString(0))
+      orphans.foreach { uri =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(new java.net.URI(uri))): Unit
+      }
+    }
+  }
+
   def produce(frame: DataFrame, brokerDir: String, nPartitions: Int = 4): Unit = {
     val spark = frame.sparkSession
     import spark.implicits._
     val topics = frame.select("topic").distinct().as[String].collect().sorted
     for (t <- topics) {
+      readLedger(brokerDir, t).foreach(healTornProduce(spark, brokerDir, t, _))
       val base = endOffsets(spark, brokerDir, t)
       val baseDf = broadcast(
         base.toSeq.toDF("partition", "base_off"))
@@ -116,9 +146,9 @@ object FileTopics {
           .parquet(topicDir(brokerDir, t))
         // advance the ledger from this batch's per-partition row counts
         // (no log rescan); the write above happens-before the ledger
-        // swap, so a torn produce at worst re-appends under the same
-        // offsets — the at-least-once face the consumer's checkpoint
-        // already handles
+        // swap, and a torn produce (append done, ledger not) is healed
+        // on the next produce by deleting the beyond-ledger files
+        // before re-appending — offsets are never duplicated in the log
         val counts = batch.groupBy("partition").agg(count(lit(1)).as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
         val advanced = (base.keySet ++ counts.keySet).map { p =>
@@ -174,8 +204,13 @@ object FileTopics {
     * group offsets. `earliest` is implicit (a fresh checkpoint reads
     * the whole log; an existing checkpoint resumes where it left off).
     */
-  def readStream(spark: SparkSession, brokerDir: String, topic: String): DataFrame =
+  def readStream(spark: SparkSession, brokerDir: String, topic: String): DataFrame = {
+    // a Kafka consumer may subscribe before the topic's first record;
+    // the file source throws on a missing path, so create the topic
+    // directory (the broker's auto-create) rather than failing
+    new java.io.File(topicDir(brokerDir, topic)).mkdirs(): Unit
     spark.readStream.schema(recordSchema)
       .parquet(topicDir(brokerDir, topic))
       .select("offset", "key", "value", "partition")
+  }
 }

@@ -255,7 +255,12 @@ object StreamOps {
     cdc.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val prev = rawDimState(spark, stateDir)
+        // merge base = newest version BELOW this batchId, never
+        // v<batchId> itself: a replayed batch would otherwise read the
+        // path it is about to overwrite (Spark refuses, permanently
+        // wedging the query) — or worse, merge against its own torn
+        // first attempt and lose all prior compacted state
+        val prev = rawDimState(spark, stateDir, below = batchId)
         val base = prev.getOrElse(batch.sparkSession.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           batch.schema.add("is_state", "boolean")))
@@ -274,16 +279,32 @@ object StreamOps {
           .filter(col("rn") === 1)
           .drop("rn").withColumn("is_state", lit(true))
         merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        // each version is a FULL compacted copy; once v<batchId> is
+        // durable, everything older is dead weight — without this GC a
+        // long-running stream leaks one full state copy per micro-batch
+        val d = new java.io.File(stateDir)
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+            f.getName.drop(1).toLong < batchId)
+          .foreach(deleteRecursively)
     }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Latest raw compacted state incl. delete tombstones — the merge
-    * input; external readers use `latestDimState`. */
+    * input; external readers use `latestDimState`. `below` bounds the
+    * version (exclusive) so a replayed batch never reads its own
+    * output. */
   private def rawDimState(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String): Option[DataFrame] = {
+      stateDir: String, below: Long = Long.MaxValue): Option[DataFrame] = {
     val d = new java.io.File(stateDir)
     val versions = Option(d.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .map(_.getName.drop(1).toLong)
+      .filter(_ < below)
     if (versions.isEmpty) None
     else Some(spark.read.parquet(s"$stateDir/v${versions.max}"))
   }
@@ -299,26 +320,44 @@ object StreamOps {
     * The JSON envelope carries the event time so a downstream layer
     * can re-window (the reference's layers pass `ts` through every
     * Kafka hop). */
+  /** Timestamp pattern for the envelope: micros precision, so a topic
+    * hop is lossless for this engine's microsecond event times (the
+    * to_json default truncates to millis). */
+  private val envelopeTsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
   def toKafkaShape(routed: DataFrame): DataFrame =
     routed.select(
       col("sink_table").as("topic"),
-      col("event_id").cast("string").as("key"),
-      to_json(struct(col("user_id"), col("event_type"), col("value"), col("ts"))).as("value"))
+      // key = USER, not event: FileTopics guarantees order per key per
+      // partition, and the consumers that care about order (newUserFix,
+      // CEP) are keyed by user — a unique per-event key would make that
+      // guarantee vacuous
+      col("user_id").cast("string").as("key"),
+      to_json(
+        struct(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"), col("is_new")),
+        java.util.Map.of("timestampFormat", envelopeTsFormat)).as("value"))
 
   /** Inverse of [[toKafkaShape]]'s envelope: parse a consumed topic
     * frame back into the `Ev` stream shape (the deserializer each
     * consuming layer starts with). */
   def fromKafkaShape(topicFrame: DataFrame): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("ts", TimestampType),
+      StructField("is_new", IntegerType)))
     topicFrame
-      .select(col("key").cast("long").as("event_id"), from_json(col("value"), schema).as("r"))
-      .select(col("r.user_id").as("user_id"), col("event_id"),
+      .select(from_json(col("value"), schema,
+        java.util.Map.of("timestampFormat", envelopeTsFormat)).as("r"))
+      // every Ev field rides the envelope — in particular is_new, so a
+      // topic hop does not undo the T1 new-user correction upstream
+      .select(col("r.user_id").as("user_id"), col("r.event_id").as("event_id"),
         col("r.ts").as("ts"), col("r.event_type").as("event_type"),
-        col("r.value").as("value"), lit(1).as("is_new"))
+        col("r.value").as("value"), col("r.is_new").as("is_new"))
   }
 
   /** Streaming corpus ingestion — the training-data prep chain

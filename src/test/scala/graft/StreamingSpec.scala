@@ -413,7 +413,9 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable(); q.stop()
     // ...are picked up on restart from the checkpoint — exactly once
     val c2 = startConsumer(); c2.processAllAvailable(); c2.stop()
-    val consumed = spark.read.parquet(outDir).select("key").as[String].collect().toSeq
+    // identity rides the envelope (key is the user/ordering key)
+    val consumed = spark.read.parquet(outDir)
+      .select(get_json_object(col("value"), "$.event_id")).as[String].collect().toSeq
     assert(consumed.sorted === Seq("1", "2", "4", "5")) // no loss, no dup
     // per-partition offsets are dense from 0 (Kafka's log contract)
     val byPart = FileTopics.read(spark, broker, "dwd_page_log")
@@ -550,12 +552,64 @@ class StreamingSpec extends SparkSuite {
     val routed = Seq((1L, "view", 1.5, "dwd_page_log"))
       .toDF("user_id", "event_type", "value", "sink_table")
       .withColumn("event_id", lit(7L))
+      .withColumn("is_new", lit(0))
       .withColumn("ts", lit(new Timestamp(base * 1000L)))
     val shaped = StreamOps.toKafkaShape(routed)
     assert(shaped.columns.toSeq === Seq("topic", "key", "value"))
     val row = shaped.collect().head
     assert(row.getString(0) === "dwd_page_log")
-    assert(row.getString(1) === "7")
+    assert(row.getString(1) === "1") // key = user (the ordering key)
     assert(row.getString(2).contains("\"event_type\":\"view\""))
+    assert(row.getString(2).contains("\"event_id\":7"))
+    // the envelope carries is_new, so a topic hop preserves the T1
+    // new-user correction instead of resetting every event to new
+    assert(row.getString(2).contains("\"is_new\":0"))
+  }
+
+  test("kafka envelope round-trip is lossless: is_new and microsecond ts survive") {
+    val ts = new Timestamp(base * 1000L)
+    ts.setNanos(123456000) // microsecond-precision event time
+    val original = Seq(Ev(5L, 42L, ts, "click", 2.5, 0))
+    val routed = original.toDF().withColumn("sink_table", lit("t"))
+    val back = StreamOps.fromKafkaShape(
+      StreamOps.toKafkaShape(routed).select(col("key"), col("value")))
+      .as[Ev].collect().toSeq
+    assert(back === original) // ts micros intact, is_new=0 intact
+  }
+
+  test("CEP orders within-watermark out-of-order arrivals by event time") {
+    import graft.streaming.{Cep, CepPattern}
+    val in = MemoryStream[Ev]
+    val pat = CepPattern
+      .begin("start", (e: Ev) => e.event_type == "view")
+      .times(2).consecutive()
+      .within(10000L)
+    val out = Cep.pattern[(String, Long)](in.toDS(), pat,
+      select = m => ("match", m("start").head.event_id),
+      onTimeout = p => Some(("timeout", p.head.event_id)),
+      watermark = "5 seconds")
+    val q = out.writeStream.format("memory")
+      .queryName(name()).outputMode("append").start()
+    // batch 1: the LATER event arrives first
+    in.addData(ev(1, 11, 10, "view"))
+    q.processAllAvailable()
+    // batch 2: an earlier click arrives inside the watermark delay.
+    // In arrival order it would kill the view-run (strict contiguity
+    // on the wrong sequence); in event time it PRECEDES the view and
+    // must not.
+    in.addData(ev(1, 10, 9, "click"))
+    q.processAllAvailable()
+    // advance the watermark far past the run deadline; timers fire in
+    // the following batch
+    in.addData(ev(9, 90, 600, "error"))
+    q.processAllAvailable()
+    in.addData(ev(9, 91, 601, "error"))
+    q.processAllAvailable()
+    val rows = spark.table(s"stream_out_$n").as[(String, Long)].collect().toSet
+    q.stop()
+    // the view-run survived the out-of-order click and timed out as a
+    // partial (no second view) — arrival-order processing would emit
+    // nothing at all
+    assert(rows === Set(("timeout", 11L)))
   }
 }
