@@ -387,6 +387,11 @@ class StreamingSpec extends SparkSuite {
     val state = StreamOps.latestDimState(spark, stateDir).get
       .select(col("pk"), col("payload")).as[(Long, String)].collect().toMap
     assert(state === Map(1L -> "a2", 3L -> "c")) // replays ignored, 2 stays deleted
+    // superseded versions are garbage-collected — without GC the sink
+    // leaks one full state copy per micro-batch
+    val vdirs = new java.io.File(stateDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
+    assert(vdirs.length === 1, s"expected one live version, found ${vdirs.toSeq}")
   }
 
   test("file-topic broker: dynamicRoute → topics → consumer e2e, restart without loss/dup") {
