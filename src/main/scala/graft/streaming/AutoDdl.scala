@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** K5 — config-driven auto-DDL
+  * (`gmall-realtime/src/main/java/com/atguigu/app/function/TableProcessFunction.java:82-129`):
+  * when a routing-config row targeting the dim store arrives, the
+  * reference issues
+  * `create table if not exists SCHEMA.<sinkTable>(c varchar [primary key], ...) <sinkExtend>`
+  * against Phoenix before any data is routed to that table. Here the
+  * catalog is Spark's session catalog (the in-env stand-in for an
+  * external Phoenix/HBase catalog): every config column becomes a
+  * STRING column (Phoenix `varchar`), the primary key and the extend
+  * clause — which carry no meaning for a parquet-backed Spark table —
+  * are preserved as table properties so the routing layer (and a
+  * production swap to a PK-aware catalog) can read them back.
+  *
+  * Semantics matched to the reference:
+  *   - `sinkPk` defaults to `id`, `sinkExtend` to empty (`:84-91`);
+  *   - DDL is `IF NOT EXISTS` — config replay or duplicate rows are
+  *     idempotent (`:96`);
+  *   - only configs routed to the dim store get DDL; topic-routed
+  *     configs don't (`processBroadcastElement` gates on sink type).
+  *
+  * Scale note: DDL volume is config-table cardinality (tens of rows),
+  * driver-side by nature — catalog mutation is not a data-path
+  * operation.
+  */
+object AutoDdl {
+
+  /** `bean/TableProcess.java:14-33` — the config row. */
+  final case class TableConfig(
+      sourceTable: String,
+      sinkType: String, // "dim" (HBASE analog) | "topic" (KAFKA analog)
+      sinkTable: String,
+      sinkColumns: String, // CSV whitelist
+      sinkPk: Option[String],
+      sinkExtend: Option[String])
+
+  /** The generated DDL, mirroring `createTable`'s string build
+    * (`TableProcessFunction.java:92-116`) onto Spark SQL. */
+  def createTableSql(db: String, cfg: TableConfig): String = {
+    val pk = cfg.sinkPk.getOrElse("id")
+    val extend = cfg.sinkExtend.getOrElse("")
+    val cols = cfg.sinkColumns.split(",").map(_.trim).filter(_.nonEmpty)
+    val colDefs = cols.map { c =>
+      if (c == pk) s"`$c` STRING COMMENT 'primary key'" else s"`$c` STRING"
+    }.mkString(", ")
+    s"""CREATE TABLE IF NOT EXISTS `$db`.`${cfg.sinkTable}` ($colDefs)
+       |USING PARQUET
+       |TBLPROPERTIES ('graft.pk' = '$pk', 'graft.extend' = '$extend')""".stripMargin
+  }
+
+  /** Ensure the sink table for one config row exists (idempotent). */
+  def ensureTable(spark: SparkSession, db: String, cfg: TableConfig): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    spark.sql(createTableSql(db, cfg))
+    (): Unit
+  }
+
+  /** foreachBatch body for a config stream (the broadcast-state
+    * `processBroadcastElement` analog): each arriving dim-routed config
+    * row triggers DDL before data can be routed to the table. The
+    * config batch is tiny (bounded by config-table cardinality), so
+    * the collect is the same non-hot-path driver step the reference's
+    * broadcast-state update is. */
+  def applyConfigBatch(spark: SparkSession, db: String, batch: DataFrame): Unit = {
+    val rows = batch
+      .select("sourceTable", "sinkType", "sinkTable", "sinkColumns", "sinkPk", "sinkExtend")
+      .collect()
+    rows.foreach { r =>
+      val cfg = TableConfig(
+        r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        Option(r.getString(4)), Option(r.getString(5)))
+      if (cfg.sinkType == "dim") ensureTable(spark, db, cfg)
+    }
+  }
+}

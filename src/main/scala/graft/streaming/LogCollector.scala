@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S7 — HTTP log-ingest stand-in
+  * (`gmall-logger/src/main/java/com/atguigu/gmalllogger/controller/LoggerController.java:37-52`):
+  * the reference's collector accepts an applog JSON string over REST,
+  * appends it to a local log file, and produces it to the Kafka topic
+  * `ods_base_log`. The HTTP server itself is infrastructure, not engine
+  * logic; what the engine sees is the contract downstream of it — an
+  * append-only feed of raw JSON lines that becomes the ODS topic. That
+  * contract is implemented here as a spool directory: `post` is the
+  * `/applog` handler body (durable append), `stream` is the unbounded
+  * reader, and `ingestToTopic` closes the loop into the [[FileTopics]]
+  * broker so the existing DWD log-split consumes it unchanged.
+  *
+  * Each post lands as its own file via tmp+rename — the file source
+  * lists only complete files, so a half-written post is never consumed
+  * (the durability the reference gets from log4j's append + Kafka
+  * acks). At scale the collector is a fleet of stateless writers into
+  * object storage — exactly this layout, one file per flush interval.
+  */
+object LogCollector {
+
+  /** `/applog?param=<json>` handler body: durably land one raw log
+    * line in the spool. Atomic rename = the complete-file contract. */
+  def post(spoolDir: String, jsonLine: String): Unit = {
+    Files.createDirectories(Paths.get(spoolDir))
+    val name = java.util.UUID.randomUUID().toString
+    val tmp = Paths.get(spoolDir, s".$name.tmp")
+    Files.write(tmp, (jsonLine + "\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(spoolDir, s"$name.log"),
+      StandardCopyOption.ATOMIC_MOVE)
+    (): Unit
+  }
+
+  /** Unbounded reader over the spool (schema: one `value` string per
+    * posted line). Checkpointed consumption — restart neither loses
+    * nor re-reads posts. */
+  def stream(spark: SparkSession, spoolDir: String): DataFrame = {
+    Files.createDirectories(Paths.get(spoolDir))
+    spark.readStream.text(spoolDir).select(col("value"))
+  }
+
+  /** The collector→Kafka leg: spool lines → `ods_base_log` records in
+    * the file-topic broker, keyed by the log's `mid` analog (`user_id`
+    * in the testdata shape) so per-user order survives partitioning —
+    * the same keying the downstream stateful consumers rely on. */
+  def ingestToTopic(
+      spark: SparkSession,
+      spoolDir: String,
+      brokerDir: String,
+      topic: String = "ods_base_log"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream(spark, spoolDir)
+      .select(
+        lit(topic).as("topic"),
+        get_json_object(col("value"), "$.user_id").as("key"),
+        col("value"))
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: DataFrame, _: Long) => FileTopics.produce(batch, brokerDir)
+      }
+}

@@ -617,4 +617,107 @@ class StreamingSpec extends SparkSuite {
     // nothing at all
     assert(rows === Set(("timeout", 11L)))
   }
+
+  test("auto-DDL creates dim sink tables from the config stream (K5)") {
+    import graft.streaming.AutoDdl
+    import graft.streaming.AutoDdl.TableConfig
+    val db = s"graft_dim_${System.nanoTime()}"
+    val in = MemoryStream[TableConfig]
+    def start() = in.toDS().writeStream.outputMode("append").foreachBatch {
+      (b: org.apache.spark.sql.Dataset[TableConfig], _: Long) =>
+        AutoDdl.applyConfigBatch(spark, db, b.toDF())
+    }.start()
+    val q = start()
+    in.addData(
+      TableConfig("user_info", "dim", "dim_user_info",
+        "id,name,birthday", None, Some("SALT_BUCKETS = 3")),
+      TableConfig("order_info", "topic", "dwd_order_info",
+        "id,total_amount", None, None))
+    q.processAllAvailable()
+    // dim-routed config created its table; topic-routed did not
+    assert(spark.catalog.tableExists(db, "dim_user_info"))
+    assert(!spark.catalog.tableExists(db, "dwd_order_info"))
+    // whitelist columns, in declaration order, all varchar-analog
+    val schema = spark.table(s"$db.dim_user_info").schema
+    assert(schema.fieldNames.toSeq === Seq("id", "name", "birthday"))
+    assert(schema.fields.forall(_.dataType.typeName == "string"))
+    // pk defaulted to id, extend preserved (the Phoenix DDL carry-overs)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $db.dim_user_info")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.pk") === "id")
+    assert(props("graft.extend") === "SALT_BUCKETS = 3")
+    // replayed + new config in one batch: IF NOT EXISTS makes the
+    // replay a no-op; the new row creates its table with its own pk
+    in.addData(
+      TableConfig("user_info", "dim", "dim_user_info",
+        "id,name,birthday", None, Some("SALT_BUCKETS = 3")),
+      TableConfig("base_province", "dim", "dim_base_province",
+        "province_id,province_name", Some("province_id"), None))
+    q.processAllAvailable(); q.stop()
+    assert(spark.catalog.tableExists(db, "dim_base_province"))
+    val pk2 = spark.sql(s"SHOW TBLPROPERTIES $db.dim_base_province")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pk2("graft.pk") === "province_id")
+    // the routed data path writes into the auto-created table shape
+    spark.sql(s"INSERT INTO $db.dim_user_info VALUES ('1', 'alice', '1990-01-01')")
+    assert(spark.table(s"$db.dim_user_info").count() === 1L)
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
+  test("HTTP-ingest stand-in: spooled posts land on the ODS topic once (S7)") {
+    import graft.streaming.{FileTopics, LogCollector}
+    val spool = java.nio.file.Files.createTempDirectory("spool").toString
+    val broker = java.nio.file.Files.createTempDirectory("spool-broker").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("spool-ckpt").toString
+    LogCollector.post(spool, """{"user_id":1,"event_type":"view"}""")
+    LogCollector.post(spool, """{"user_id":2,"event_type":"click"}""")
+    def start() = LogCollector.ingestToTopic(spark, spool, broker)
+      .option("checkpointLocation", ckpt).start()
+    val q = start(); q.processAllAvailable()
+    // posts arriving while the collector stream runs are picked up
+    LogCollector.post(spool, """{"user_id":1,"event_type":"cart"}""")
+    q.processAllAvailable(); q.stop()
+    val recs = FileTopics.read(spark, broker, "ods_base_log")
+      .select("key", "value").as[(String, String)].collect()
+    assert(recs.length === 3)
+    // keyed by the user id → user 1's two posts share a partition key
+    assert(recs.count(_._1 == "1") === 2)
+    // restart on the same checkpoint re-produces nothing (no dup)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    assert(FileTopics.read(spark, broker, "ods_base_log").count() === 3L)
+  }
+
+  test("socket source drives the CSV-split demo (S6)") {
+    // `gmall-flink-cdc/.../TestFlinkSQLJoin.java:20-29`: socketTextStream
+    // + CSV split to (id, name) columns. The server socket stands in for
+    // `nc -lk`; the source is Spark's built-in format("socket").
+    val server = new java.net.ServerSocket(0)
+    val nm = name()
+    val writer = new Thread {
+      override def run(): Unit =
+        try {
+          val s = server.accept()
+          val out = new java.io.PrintWriter(s.getOutputStream, true)
+          Seq("1001,alice", "1002,bob", "1003,carol").foreach(out.println)
+          // hold the connection open until the test closes the server —
+          // the socket source treats disconnect as stream failure
+          while (!server.isClosed) Thread.sleep(100)
+        } catch { case _: Exception => () }
+    }
+    writer.setDaemon(true); writer.start()
+    val q = spark.readStream.format("socket")
+      .option("host", "localhost").option("port", server.getLocalPort)
+      .load()
+      .select(
+        split(col("value"), ",").getItem(0).as("id"),
+        split(col("value"), ",").getItem(1).as("name"))
+      .writeStream.format("memory").queryName(nm).outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table(nm).count() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val rows = spark.table(nm).as[(String, String)].collect().toSet
+      assert(rows === Set(("1001", "alice"), ("1002", "bob"), ("1003", "carol")))
+    } finally { q.stop(); server.close() }
+  }
 }
