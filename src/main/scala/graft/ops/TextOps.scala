@@ -382,8 +382,95 @@ object TextOps {
         .orderBy("source", "doc_id")
     })
 
+  /** Temperature-scaled source mixing (the multilingual-corpus
+    * sampling rule: p_source ∝ n^α with α = 1/2, which up-weights
+    * small sources relative to proportional sampling). Kept integer-
+    * exact across engines: the weight is floor(sqrt(n)) (IEEE sqrt of
+    * a BIGINT is correctly rounded in both engines, floor makes it an
+    * integer), the quota is an integer floor-division of the 200-doc
+    * target, and rows are chosen per source in content-hash order (the
+    * same deterministic no-RNG device as sample_split/stratified). At
+    * 100 TB the count and quota relations are source-cardinality
+    * (broadcast); the only per-row work is the hash rank inside each
+    * source partition. */
+  val sampleMix = QueryDef(
+    "sample_mix",
+    Some("""WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+           |w AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS sw FROM cnt),
+           |q AS (SELECT source, n, sw,
+           |        (200 * sw) // (SELECT SUM(sw) FROM w) AS quota
+           |      FROM w),
+           |sel AS (SELECT d.source, d.doc_id,
+           |          ROW_NUMBER() OVER (PARTITION BY d.source
+           |                             ORDER BY md5(d.text), d.doc_id) AS rn
+           |        FROM documents d)
+           |SELECT s.source, s.doc_id
+           |FROM sel s JOIN q ON q.source = s.source
+           |WHERE s.rn <= q.quota
+           |ORDER BY s.source, s.doc_id""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.table(spark, dir, "documents")
+      val cnt = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("sw", expr("CAST(floor(sqrt(n)) AS BIGINT)"))
+      val totalSw = cnt.agg(sum(col("sw")).as("total_sw"))
+      // both relations are source-cardinality → broadcast; the quota
+      // join adds no shuffle to the per-source rank
+      val quota = cnt.crossJoin(broadcast(totalSw))
+        .select(col("source").as("q_source"),
+          expr("(200 * sw) div total_sw").as("quota"))
+      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      docs.withColumn("rn", row_number().over(w))
+        .join(broadcast(quota), col("q_source") === col("source"))
+        .filter(col("rn") <= col("quota"))
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    })
+
+  /** Token-budget selection: walk the corpus in content-hash order
+    * (deterministic shuffle) and keep documents until 20% of the total
+    * token mass is taken; report what the budget bought per source.
+    * The budget test is multiplied out on BIGINT token counts
+    * (cum·5 ≤ total) — no ratio, no float, so the cut point is
+    * identical in both engines. The global ORDER BY is over doc
+    * METADATA (id, hash, token count — not text), the same
+    * running-total shape as a16; per-source budgets would partition
+    * the sort away entirely at 100 TB. */
+  val sampleBudget = QueryDef(
+    "sample_budget",
+    Some("""WITH tk AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(list_filter(string_split(text,' '), x -> length(x)>0)) AS BIGINT) AS n_tok,
+           |    md5(text) AS h
+           |  FROM documents),
+           |c AS (SELECT *,
+           |  SUM(n_tok) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM tk),
+           |t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total FROM tk)
+           |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           |FROM c CROSS JOIN t
+           |WHERE cum * 5 <= total
+           |GROUP BY source
+           |ORDER BY source""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tk = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long").as("n_tok"),
+          md5(col("text")).as("h"))
+      val total = tk.agg(sum(col("n_tok")).cast("long").as("total"))
+      val w = Window.orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tk.withColumn("cum", sum(col("n_tok")).over(w))
+        .crossJoin(broadcast(total))
+        .filter(col("cum") * 5 <= col("total"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"))
+        .orderBy("source")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     textLangid, textQuality, textTokens, textFingerprint, textClean,
     textChunk, sampleSplit, sampleStratified, textRepetition,
-    textRarityScore, textPiiRedact, samplePack)
+    textRarityScore, textPiiRedact, samplePack, sampleMix, sampleBudget)
 }
