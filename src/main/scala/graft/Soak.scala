@@ -25,7 +25,8 @@ object Soak {
     "decontaminate_ngram",
     // (j7_cogroup_reconcile is excluded: it reads orders, which the
     // blowup does not synthesize — only events/documents are blown up)
-    "dedup_lines", "sample_pack", "a23_rolling_range")
+    "dedup_lines", "sample_pack", "a23_rolling_range",
+    "sample_mix", "sample_budget")
 
   def blowUp(spark: SparkSession, baseDir: String, outDir: String, f: Int): Unit = {
     val ev = graft.ops.Tables.eventsRawNanos(spark, baseDir)

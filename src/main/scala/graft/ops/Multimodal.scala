@@ -166,6 +166,49 @@ object Multimodal {
         .orderBy("doc_id")
     })
 
+  /** Checksum dedup on the BINARY payload column (the standard first
+    * pass over a crawled media corpus: byte-identical files collapse
+    * by content digest before any decode runs). Digests each payload
+    * map-side and reports, per media type, how many payloads are
+    * byte-identical replicas (count − count-distinct of the digest)
+    * plus the byte volume. (DuckDB's md5 takes no BLOB, so the oracle
+    * hashes the VARCHAR — identical bytes, since the payload IS the
+    * text's UTF-8 encoding; the Spark side hashes the binary column
+    * itself.) The distinct-aggregate shuffle carries the 32-char
+    * digest, never the payload bytes — at 100 TB the payload column
+    * feeds only the map-side hash and is never shipped. */
+  val mmDedupPayload = QueryDef(
+    "mm_dedup_payload",
+    Some("""WITH m AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           |    md5(text) AS payload_md5,
+           |    octet_length(encode(text)) AS n_bytes
+           |  FROM documents)
+           |SELECT media_type,
+           |  COUNT(*) AS n_payloads,
+           |  COUNT(DISTINCT payload_md5) AS n_distinct,
+           |  CAST(COUNT(*) - COUNT(DISTINCT payload_md5) AS BIGINT) AS n_dup_payloads,
+           |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+           |FROM m
+           |GROUP BY media_type
+           |ORDER BY media_type""".stripMargin),
+    (spark, dir) => {
+      Tables.table(spark, dir, "documents")
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
+          md5(encode(col("text"), "UTF-8")).as("payload_md5"),
+          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"))
+        .groupBy("media_type")
+        .agg(
+          count(lit(1)).as("n_payloads"),
+          countDistinct(col("payload_md5")).as("n_distinct"),
+          (count(lit(1)) - countDistinct(col("payload_md5"))).cast("long").as("n_dup_payloads"),
+          sum(col("n_bytes")).cast("long").as("total_bytes"))
+        .orderBy("media_type")
+    })
+
   val defs: Seq[QueryDef] = Seq(mmBinaryMeta, mmMetaAgg, mmFrameSample,
-    mmResizePlan)
+    mmResizePlan, mmDedupPayload)
 }

@@ -159,6 +159,52 @@ object WindowOps {
           |ORDER BY user_id, ts_s, event_id""".stripMargin)
     })
 
+  /** Day-level spike detection: flag days whose event count exceeds
+    * twice the trailing-week average (the monitoring/anomaly shape —
+    * current row EXCLUDED from its own baseline via a
+    * `7 PRECEDING AND 1 PRECEDING` numeric RANGE frame on epoch-day).
+    * Everything is integer arithmetic — the "2× average" test is
+    * multiplied out to cnt·n_days > 2·roll_sum, so both engines flag
+    * identically with no float anywhere; a ≥3-day warmup guard keeps
+    * the first days unflagged rather than compared to a tiny baseline.
+    * At 100 TB the daily pre-aggregation is the only data-sized
+    * shuffle; the window runs over day-cardinality rows. */
+  val a24SpikeDays = QueryDef(
+    "a24_spike_days",
+    Some("""WITH d AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS cnt
+           |  FROM events GROUP BY 1),
+           |n AS (SELECT day, cnt,
+           |  CAST(floor(epoch(CAST(day AS TIMESTAMP))/86400.0) AS BIGINT) AS dn FROM d),
+           |r AS (SELECT day, cnt,
+           |    SUM(cnt) OVER (ORDER BY dn RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS roll_sum,
+           |    COUNT(cnt) OVER (ORDER BY dn RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_days
+           |  FROM n)
+           |SELECT strftime(day, '%Y-%m-%d') AS day_s, CAST(cnt AS BIGINT) AS cnt,
+           |  CAST(coalesce(roll_sum, 0) AS BIGINT) AS roll_sum,
+           |  CAST(n_days AS BIGINT) AS n_days,
+           |  CAST(CASE WHEN n_days >= 3 AND cnt * n_days > 2 * roll_sum
+           |       THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+           |FROM r ORDER BY day_s""".stripMargin),
+    (spark, dir) => {
+      Tables.events(spark, dir).createOrReplaceTempView("v_events_spike")
+      spark.sql(
+        """WITH d AS (
+          |  SELECT to_date(ts) AS day, COUNT(*) AS cnt
+          |  FROM v_events_spike GROUP BY 1),
+          |n AS (SELECT day, cnt, CAST(unix_date(day) AS BIGINT) AS dn FROM d),
+          |r AS (SELECT day, cnt,
+          |    SUM(cnt) OVER (ORDER BY dn RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS roll_sum,
+          |    COUNT(cnt) OVER (ORDER BY dn RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_days
+          |  FROM n)
+          |SELECT date_format(day, 'yyyy-MM-dd') AS day_s, CAST(cnt AS BIGINT) AS cnt,
+          |  CAST(coalesce(roll_sum, 0) AS BIGINT) AS roll_sum,
+          |  CAST(n_days AS BIGINT) AS n_days,
+          |  CAST(CASE WHEN n_days >= 3 AND cnt * n_days > 2 * roll_sum
+          |       THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+          |FROM r ORDER BY day_s""".stripMargin)
+    })
+
   val defs: Seq[QueryDef] = Seq(wSlidingWindow, wSessionWindow, a11Rollup,
-    a11bCube, a23RollingRange)
+    a11bCube, a23RollingRange, a24SpikeDays)
 }

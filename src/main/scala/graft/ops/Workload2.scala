@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Second tranche of TPC-H-shaped workload plans (Q7/Q8/Q9/Q12/Q13/
   * Q16/Q17/Q21 analogs adapted to the synthetic star schema — there is
   * no partsupp table and lineitem carries no commit/receipt dates, so
-  * Q2/Q11/Q20 are out of reach, Q16's supplier relation per part comes
-  * from lineitem, and Q12/Q21 replace the receipt-lateness predicate
-  * with an orderdate→shipdate delay).
+  * Q16's supplier relation per part comes from lineitem and Q12/Q21
+  * replace the receipt-lateness predicate with an orderdate→shipdate
+  * delay; Q2/Q11/Q20 live in [[Workload3]] on a lineitem-derived
+  * partsupp).
   * Each exercises a distinct physical-plan shape the engine must get
   * right at 100 TB:
   *   - q7: 6-way join with two roles of the same dim (supplier nation
