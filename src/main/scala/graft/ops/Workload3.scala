@@ -147,13 +147,16 @@ object Workload3 {
         .orderBy(col("stock_value").desc, col("ps_partkey"))
     })
 
-  /** Q20-style concentrated availability: suppliers in two nations
-    * holding a red-named part whose 1995 shipments exceed half of that
-    * pair's all-time quantity (2·q95 > availqty, exact decimals). The
-    * nested IN chain (supplier ⊇ qualifying pair ⊇ red part) becomes
-    * two hash semi joins; the year-bounded aggregate shares its
-    * shuffle key with ps, and the final supplier probe is a semi join
-    * against the tiny qualifying-supplier set. */
+  /** Q20-style concentrated availability: EUROPE suppliers holding a
+    * red-named part whose 1995 shipments exceed two thirds of that
+    * pair's all-time quantity (3·q95 > 2·availqty, exact decimals —
+    * a region filter and a 2/3 share keep the result non-degenerate
+    * AND selective at every SF, where a nation pair selects nothing
+    * from sf0.001's ten suppliers). The nested IN chain (supplier ⊇
+    * qualifying pair ⊇ red part) becomes two hash semi joins; the
+    * year-bounded aggregate shares its shuffle key with ps, and the
+    * final supplier probe is a semi join against the tiny
+    * qualifying-supplier set. */
   val q20ExcessAvailability = QueryDef(
     "q20_excess_availability",
     Some(s"""WITH ps AS ($psSql),
@@ -167,12 +170,12 @@ object Workload3 {
             |SELECT s.s_name, n.n_name
             |FROM supplier s
             |JOIN nation n ON n.n_nationkey = s.s_nationkey
-            |WHERE n.n_name IN ('NATION_1', 'NATION_6')
-            |  AND s.s_suppkey IN (
+            |JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+            |WHERE s.s_suppkey IN (
             |    SELECT sh.l_suppkey FROM shipped sh
             |    JOIN ps ON ps.ps_partkey = sh.l_partkey AND ps.ps_suppkey = sh.l_suppkey
             |    WHERE sh.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
-            |      AND sh.q95 * 2 > ps.ps_availqty)
+            |      AND sh.q95 * 3 > ps.ps_availqty * 2)
             |ORDER BY s.s_name, n.n_name""".stripMargin),
     (spark, dir) => {
       val l = Tables.table(spark, dir, "lineitem")
@@ -190,12 +193,13 @@ object Workload3 {
         .join(ps, col("ps_partkey") === col("l_partkey") &&
           col("ps_suppkey") === col("l_suppkey"))
         .join(redParts, col("p_partkey") === col("l_partkey"), "left_semi")
-        .filter(expr("q95 * 2 > ps_availqty"))
+        .filter(expr("q95 * 3 > ps_availqty * 2"))
         .select(col("l_suppkey")).distinct()
       val s = Tables.table(spark, dir, "supplier")
       val n = Tables.table(spark, dir, "nation")
-        .filter(col("n_name").isin("NATION_1", "NATION_6"))
+      val r = Tables.table(spark, dir, "region").filter(col("r_name") === "EUROPE")
       s.join(broadcast(n), n("n_nationkey") === s("s_nationkey"))
+        .join(broadcast(r), r("r_regionkey") === n("n_regionkey"))
         .join(qualifying, col("l_suppkey") === s("s_suppkey"), "left_semi")
         .select(col("s_name"), col("n_name"))
         .orderBy("s_name", "n_name")

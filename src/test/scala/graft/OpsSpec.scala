@@ -161,4 +161,78 @@ class OpsSpec extends SparkSuite {
       .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
     assert(rows === Set((5L, 2L), (7L, 1L)))
   }
+
+  test("sample_mix selection equals the floor-sqrt temperature quotas") {
+    import graft.ops.{Tables, TextOps}
+    val dir = sf("sf0.01")
+    val counts = Tables.table(spark, dir, "documents")
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sw = counts.view.mapValues(n => math.floor(math.sqrt(n.toDouble)).toLong).toMap
+    val totalSw = sw.values.sum
+    val quota = sw.view.mapValues(s => 200L * s / totalSw).toMap
+    val sel = TextOps.sampleMix.fn(spark, dir)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source is selected at exactly its quota (capped by size)
+    for ((s, n) <- counts)
+      assert(sel.getOrElse(s, 0L) === math.min(quota(s), n), s"source $s")
+    // floor-division quotas never exceed the 200-doc target
+    assert(sel.values.sum <= 200L)
+    // temperature flattening: no source's selected share is more
+    // extreme than its raw share (sqrt pulls toward uniform)
+    val total = counts.values.sum
+    for ((s, n) <- counts if sel.getOrElse(s, 0L) === quota(s)) {
+      val rawShare = n.toDouble / total
+      val selShare = sel(s).toDouble / sel.values.sum
+      if (rawShare > 1.0 / counts.size) // over-represented source
+        assert(selShare <= rawShare + 0.01, s"source $s not flattened")
+    }
+  }
+
+  test("sample_budget is the maximal hash-order prefix within the token budget") {
+    import graft.ops.{Tables, TextOps}
+    val dir = sf("sf0.01")
+    val tk = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long").as("n_tok"),
+        md5(col("text")).as("h"))
+      .as[(Long, String, Long, String)].collect()
+      .sortBy { case (id, _, _, h) => (h, id) }
+    val totalTok = tk.map(_._3).sum
+    // independent prefix walk: keep while cum·5 ≤ total
+    var cum = 0L
+    val selected = tk.takeWhile { case (_, _, n, _) => cum += n; cum * 5 <= totalTok }
+    val expected = selected.groupBy(_._2).view
+      .mapValues(rows => (rows.length.toLong, rows.map(_._3).sum)).toMap
+    val got = TextOps.sampleBudget.fn(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map { case (s, d, t) => s -> (d, t) }.toMap
+    assert(got === expected)
+    // maximality: the next doc in hash order would cross the budget
+    val selMass = selected.map(_._3).sum
+    val next = tk.drop(selected.length).headOption
+    assert(next.forall { case (_, _, n, _) => (selMass + n) * 5 > totalTok })
+  }
+
+  test("a24 spike flags match an independent trailing-week recomputation") {
+    import graft.ops.{Tables, WindowOps}
+    val dir = sf("sf0.01")
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day")).count()
+      .select(unix_date(col("day")).cast("long").as("dn"), col("count"))
+      .as[(Long, Long)].collect().toMap
+    val out = WindowOps.a24SpikeDays.fn(spark, dir)
+      .select("day_s", "cnt", "roll_sum", "n_days", "is_spike")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length === daily.size)
+    for ((dayS, cnt, rollSum, nDays, isSpike) <- out) {
+      val dn = java.time.LocalDate.parse(dayS).toEpochDay
+      val window = ((dn - 7) to (dn - 1)).flatMap(daily.get)
+      assert(rollSum === window.sum, s"$dayS roll_sum")
+      assert(nDays === window.size.toLong, s"$dayS n_days")
+      val expectFlag = window.size >= 3 && cnt * window.size > 2 * window.sum
+      assert(isSpike === (if (expectFlag) 1L else 0L), s"$dayS flag")
+    }
+  }
 }
