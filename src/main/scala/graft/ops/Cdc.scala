@@ -120,5 +120,48 @@ object Cdc {
         .orderBy("pk", "version")
     })
 
-  val defs: Seq[QueryDef] = Seq(s3CdcApply, s4CdcScd2)
+  /** Time-travel snapshot over the SCD-2 history: reconstruct the
+    * table AS OF a past log position (here max(seq)−1 — after the
+    * updates, before the trailing deletes, so the result visibly
+    * differs from both the insert-only state and s3's compacted final
+    * state: deleted-at-3 keys are still present). A key's state at cut
+    * s is the version with valid_from ≤ s < valid_to (NULL-open
+    * versions qualify) — version intervals are disjoint per key, so
+    * this picks at most one row per pk with no aggregation. Same
+    * single pk-shuffle as the history build; the cut rides in as a
+    * broadcast scalar. This is the K4 dim-lookup semantics at a point
+    * in time (what the reference's Redis-cached Phoenix lookup can
+    * never answer once a row is overwritten). */
+  val s5CdcSnapshot = QueryDef(
+    "s5_cdc_snapshot",
+    Some(s"""$cdcCtes,
+           |seqd AS (
+           |  SELECT pk, seq, op, data,
+           |    LEAD(seq) OVER (PARTITION BY pk ORDER BY seq) AS valid_to
+           |  FROM cdc),
+           |cut AS (SELECT MAX(seq) - 1 AS s FROM cdc)
+           |SELECT pk,
+           |  json_extract_string(data, '$$.status') AS status,
+           |  CAST(json_extract_string(data, '$$.total') AS DOUBLE) AS total,
+           |  CAST(seq AS BIGINT) AS valid_from
+           |FROM seqd CROSS JOIN cut
+           |WHERE op <> 'delete' AND seq <= s AND (valid_to IS NULL OR valid_to > s)
+           |ORDER BY pk""".stripMargin),
+    (spark, dir) => {
+      val cdc = changeStream(spark, dir)
+      val w = Window.partitionBy("pk").orderBy("seq")
+      val seqd = cdc.withColumn("valid_to", lead(col("seq"), 1).over(w))
+      val cut = cdc.agg((max(col("seq")) - 1).as("s"))
+      seqd.crossJoin(broadcast(cut))
+        .filter(col("op") =!= "delete" && col("seq") <= col("s") &&
+          (col("valid_to").isNull || col("valid_to") > col("s")))
+        .select(
+          col("pk"),
+          get_json_object(col("data"), "$.status").as("status"),
+          get_json_object(col("data"), "$.total").cast("double").as("total"),
+          col("seq").cast("long").as("valid_from"))
+        .orderBy("pk")
+    })
+
+  val defs: Seq[QueryDef] = Seq(s3CdcApply, s4CdcScd2, s5CdcSnapshot)
 }
