@@ -26,7 +26,7 @@ object Soak {
     // (j7_cogroup_reconcile is excluded: it reads orders, which the
     // blowup does not synthesize — only events/documents are blown up)
     "dedup_lines", "sample_pack", "a23_rolling_range",
-    "sample_mix", "sample_budget")
+    "sample_mix", "sample_budget", "a24_spike_days", "mm_dedup_payload")
 
   def blowUp(spark: SparkSession, baseDir: String, outDir: String, f: Int): Unit = {
     val ev = graft.ops.Tables.eventsRawNanos(spark, baseDir)

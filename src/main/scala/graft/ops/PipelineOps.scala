@@ -208,7 +208,55 @@ object PipelineOps {
         .orderBy("train_doc")
     })
 
+  /** Incremental aggregation maintenance (the foreachBatch pattern as
+    * a provable batch query): a "materialized" aggregate over the
+    * history (days before the cut) is merged with a fresh delta
+    * aggregate (days at/after the cut) by re-aggregating the two
+    * partial states — the oracle is the DIRECT aggregation over all
+    * events, so the check proves partial-state merge ≡ full recompute.
+    * This is the algebra every streaming DWS sink relies on when it
+    * folds each micro-batch into a stats table (sum/count merge; avg
+    * is derived, never merged). Decimal-routed sums make the merge
+    * order-independent — the partition/batch boundary cannot change
+    * the result, which is precisely the property being certified.
+    * At 100 TB the base side reads a compacted stats table, not the
+    * raw history; the shape (union of partials → one small groupBy) is
+    * identical. */
+  val pipelineIncrAgg = QueryDef(
+    "pipeline_incr_agg",
+    Some("""SELECT event_type,
+           |  COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           |  COUNT(DISTINCT user_id) AS n_users
+           |FROM events
+           |GROUP BY event_type
+           |ORDER BY event_type""".stripMargin),
+    (spark, dir) => {
+      val ev = Tables.events(spark, dir)
+        .select(col("event_type"), col("user_id"),
+          col("value").cast("decimal(18,2)").as("v"),
+          to_date(col("ts")).as("day"))
+      val cut = "2024-01-20"
+      // partial state per side: additive counters + the distinct-merge
+      // carrier (collect_set is the mergeable form of count-distinct;
+      // a production stats table would hold an HLL sketch — same
+      // algebra, see HllDistinctLongCount)
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            collect_set(col("user_id")).as("users"))
+      val base = partial(ev.filter(col("day") < lit(cut)))
+      val delta = partial(ev.filter(col("day") >= lit(cut)))
+      base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+          sum(col("n")).as("n_events"),
+          expr("CAST(SUM(sv) AS DOUBLE)").as("total_value"),
+          size(array_distinct(flatten(collect_list(col("users"))))).cast("long").as("n_users"))
+        .orderBy("event_type")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(pipelineDwsE2e, pipelineCleanDedupSample, decontaminateNgram,
-      decontaminateBloom)
+      decontaminateBloom, pipelineIncrAgg)
 }

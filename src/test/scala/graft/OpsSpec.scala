@@ -215,6 +215,15 @@ class OpsSpec extends SparkSuite {
     assert(next.forall { case (_, _, n, _) => (selMass + n) * 5 > totalTok })
   }
 
+  test("q2's correlated scalar subquery decorrelates to joins (no nested loop)") {
+    val plan = graft.ops.Workload3.q2MinCostSupplier
+      .fn(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    // the per-part MIN must become an aggregate joined back, never a
+    // per-outer-row rescan of the derived partsupp
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in q2 plan")
+    assert(!plan.contains("CartesianProduct"), "cartesian product in q2 plan")
+  }
+
   test("a24 spike flags match an independent trailing-week recomputation") {
     import graft.ops.{Tables, WindowOps}
     val dir = sf("sf0.01")
