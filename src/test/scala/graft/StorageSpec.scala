@@ -66,4 +66,46 @@ class StorageSpec extends SparkSuite {
     // emits far fewer rows because whole row groups are skipped
     assert(sorted < unsorted / 2, s"sorted=$sorted unsorted=$unsorted")
   }
+
+  test("z-order layout skips row groups on filters over EITHER clustered column") {
+    // single-column sort gives min/max skipping only on the leading
+    // column; interleaving the bits of two columns (Z-order) makes a
+    // range filter on EITHER column land in a bounded region of the
+    // sort key, so both filters skip row groups. This is the layout
+    // decision for a 100 TB fact table with two independent selective
+    // filter dimensions.
+    import org.apache.spark.sql.Column
+    def bitInterleave(x: Column, y: Column, bits: Int): Column =
+      (0 until bits).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    // sf0.1 (1 M events): all-long rows encode small, so the sf0.01
+    // slice fits one row group and nothing could ever skip
+    val ev = graft.ops.Tables.events(spark, sf("sf0.1"))
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(1024L)).as("x"),
+        pmod((col("value") * 100).cast("long"), lit(1024L)).as("y"))
+    val rg = Map("parquet.block.size" -> "65536")
+    ev.repartition(1).sortWithinPartitions("x")
+      .write.options(rg).mode("overwrite").parquet(s"$dir/xsorted")
+    ev.withColumn("z", bitInterleave(col("x"), col("y"), 10))
+      .repartition(1).sortWithinPartitions("z").drop("z")
+      .write.options(rg).mode("overwrite").parquet(s"$dir/zorder")
+    def rowsRead(path: String, filter: Column): Long = {
+      val df = spark.read.parquet(path).filter(filter)
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.metrics("numOutputRows").value
+    }
+    // the y filter on the x-sorted layout hits every row group (y is
+    // uniform within each group) — the no-skipping baseline
+    val xsortedOnY = rowsRead(s"$dir/xsorted", col("y") < 32)
+    val zorderOnY = rowsRead(s"$dir/zorder", col("y") < 32)
+    val zorderOnX = rowsRead(s"$dir/zorder", col("x") < 32)
+    assert(zorderOnY < xsortedOnY / 2, s"z=$zorderOnY xsorted=$xsortedOnY")
+    assert(zorderOnX < xsortedOnY / 2, s"z=$zorderOnX xsorted=$xsortedOnY")
+  }
 }
