@@ -253,41 +253,98 @@ object StreamOps {
     * `stateDir/v<batchId>`, readable via `latestDimState`. */
   def dimUpsert(cdc: DataFrame, stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     cdc.writeStream.outputMode("append").foreachBatch {
-      (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // merge base = newest version BELOW this batchId, never
-        // v<batchId> itself: a replayed batch would otherwise read the
-        // path it is about to overwrite (Spark refuses, permanently
-        // wedging the query) — or worse, merge against its own torn
-        // first attempt and lose all prior compacted state
-        val prev = rawDimState(spark, stateDir, below = batchId)
-        val base = prev.getOrElse(batch.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          batch.schema.add("is_state", "boolean")))
-        import org.apache.spark.sql.expressions.Window
-        val merged = base
-          .unionByName(batch.withColumn("is_state", lit(false)))
-          // Highest change seq wins across state and batch — an
-          // at-least-once source may replay an older change in a later
-          // batch, and it must NOT overwrite newer compacted state. On
-          // equal seq the batch row (is_state=false) wins the tie.
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("pk").orderBy(col("seq").desc, col("is_state"))))
-          // Deletes stay in state as TOMBSTONES (filtered on the read
-          // side): dropping them here would let an at-least-once replay
-          // of an older change resurrect a deleted key.
-          .filter(col("rn") === 1)
-          .drop("rn").withColumn("is_state", lit(true))
-        merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        // each version is a FULL compacted copy; once v<batchId> is
-        // durable, everything older is dead weight — without this GC a
-        // long-running stream leaks one full state copy per micro-batch
-        val d = new java.io.File(stateDir)
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-            f.getName.drop(1).toLong < batchId)
-          .foreach(deleteRecursively)
+      (batch: DataFrame, batchId: Long) => mergeDimBatch(batch, stateDir, batchId)
     }
+
+  /** One micro-batch of the versioned MERGE — package-visible (graft) so the
+    * replay contract is testable without a crash harness. */
+  private[graft] def mergeDimBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // merge base = newest version BELOW this batchId, never
+    // v<batchId> itself: a replayed batch would otherwise read the
+    // path it is about to overwrite (Spark refuses, permanently
+    // wedging the query) — or worse, merge against its own torn
+    // first attempt and lose all prior compacted state
+    val prev = rawDimState(spark, stateDir, below = batchId)
+    val base = prev.getOrElse(batch.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      batch.schema.add("is_state", "boolean")))
+    import org.apache.spark.sql.expressions.Window
+    val merged = base
+      .unionByName(batch.withColumn("is_state", lit(false)))
+      // Highest change seq wins across state and batch — an
+      // at-least-once source may replay an older change in a later
+      // batch, and it must NOT overwrite newer compacted state. On
+      // equal seq the batch row (is_state=false) wins the tie.
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pk").orderBy(col("seq").desc, col("is_state"))))
+      // Deletes stay in state as TOMBSTONES (filtered on the read
+      // side): dropping them here would let an at-least-once replay
+      // of an older change resurrect a deleted key.
+      .filter(col("rn") === 1)
+      .drop("rn").withColumn("is_state", lit(true))
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    gcVersions(stateDir, batchId, keepBase = prev.isDefined)
+  }
+
+  /** Version GC for the state sinks: each version is a FULL copy, so
+    * older versions are dead weight — EXCEPT the merge base (newest
+    * below batchId): the checkpoint may not have committed this batch
+    * yet, and a crash there replays batchId, whose merge MUST find the
+    * pre-batch state or it would silently reset the table to the
+    * replayed batch alone. GC therefore keeps (base, current) — at
+    * most two live versions, still O(1) space per stream — and
+    * deletes the rest. */
+  private def gcVersions(stateDir: String, batchId: Long, keepBase: Boolean): Unit = {
+    val keep = if (keepBase) Some(rawVersions(stateDir, below = batchId).max) else None
+    val d = new java.io.File(stateDir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.isDirectory && f.getName.startsWith("v") && {
+          val v = f.getName.drop(1).toLong
+          v < batchId && !keep.contains(v)
+        }
+      }
+      .foreach(deleteRecursively)
+  }
+
+  /** DWS stats-table maintenance (the reference's per-window ClickHouse
+    * stats tables, `utils/ClickHouseUtil.java` call sites): fold each
+    * micro-batch's PARTIAL aggregate into a persistent per-key stats
+    * table — `pipeline_incr_agg`'s merge algebra running live.
+    * Additive counters are not idempotent, so replay safety comes
+    * entirely from the versioned swap: a replayed batch re-merges into
+    * the pre-batch version (never its own torn output) and overwrites
+    * `v<batchId>`, making the addition exactly-once per batchId. */
+  def statsMerge(ds: Dataset[Ev], stateDir: String): org.apache.spark.sql.streaming.DataStreamWriter[Ev] =
+    ds.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Ev], batchId: Long) =>
+        mergeStatsBatch(batch.toDF(), stateDir, batchId)
+    }
+
+  private[graft] def mergeStatsBatch(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val partial = batch.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_value"))
+    val prev = rawDimState(spark, stateDir, below = batchId)
+    val merged = prev match {
+      case None => partial
+      case Some(base) => base.unionByName(partial)
+        .groupBy("event_type")
+        .agg(
+          sum(col("n_events")).cast("long").as("n_events"),
+          sum(col("total_value")).cast("decimal(18,2)").as("total_value"))
+    }
+    merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    gcVersions(stateDir, batchId, keepBase = prev.isDefined)
+  }
+
+  /** Latest merged stats table written by [[statsMerge]], if any. */
+  def latestStatsState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] =
+    rawDimState(spark, stateDir)
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
@@ -298,13 +355,15 @@ object StreamOps {
     * input; external readers use `latestDimState`. `below` bounds the
     * version (exclusive) so a replayed batch never reads its own
     * output. */
-  private def rawDimState(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, below: Long = Long.MaxValue): Option[DataFrame] = {
-    val d = new java.io.File(stateDir)
-    val versions = Option(d.listFiles()).getOrElse(Array.empty)
+  private def rawVersions(stateDir: String, below: Long): Array[Long] =
+    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("v"))
       .map(_.getName.drop(1).toLong)
       .filter(_ < below)
+
+  private def rawDimState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, below: Long = Long.MaxValue): Option[DataFrame] = {
+    val versions = rawVersions(stateDir, below)
     if (versions.isEmpty) None
     else Some(spark.read.parquet(s"$stateDir/v${versions.max}"))
   }

@@ -388,10 +388,59 @@ class StreamingSpec extends SparkSuite {
       .select(col("pk"), col("payload")).as[(Long, String)].collect().toMap
     assert(state === Map(1L -> "a2", 3L -> "c")) // replays ignored, 2 stays deleted
     // superseded versions are garbage-collected — without GC the sink
-    // leaks one full state copy per micro-batch
+    // leaks one full state copy per micro-batch. The newest version
+    // BELOW the current one survives as the replay merge base (a crash
+    // before the checkpoint commit replays the last batch, which must
+    // find its pre-batch state), so the live set is (base, current).
     val vdirs = new java.io.File(stateDir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("v")).map(_.getName)
-    assert(vdirs.length === 1, s"expected one live version, found ${vdirs.toSeq}")
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName.drop(1).toLong).sorted
+    assert(vdirs.length <= 2 && vdirs.contains(vdirs.max),
+      s"expected at most (base, current), found ${vdirs.toSeq}")
+  }
+
+  test("dim upsert replayed after GC still merges against pre-batch state") {
+    // crash window: the foreachBatch body completed (v<N> written,
+    // older versions GC'd) but the checkpoint did NOT commit batch N —
+    // restart replays N. The merge base below N must still exist, or
+    // the replay silently resets the table to batch N's rows alone.
+    val stateDir = java.nio.file.Files.createTempDirectory("dimreplay").toString
+    def batchDf(rows: (Long, Long, String, String)*) =
+      rows.toDF("pk", "seq", "op", "payload")
+    StreamOps.mergeDimBatch(batchDf((1L, 1L, "insert", "a")), stateDir, 0L)
+    StreamOps.mergeDimBatch(batchDf((2L, 1L, "insert", "b")), stateDir, 1L)
+    def liveState() = StreamOps.latestDimState(spark, stateDir).get
+      .select(col("pk"), col("payload")).as[(Long, String)].collect().toMap
+    assert(liveState() === Map(1L -> "a", 2L -> "b"))
+    // replay batch 1 (same batchId, same data) — pk 1 must survive
+    StreamOps.mergeDimBatch(batchDf((2L, 1L, "insert", "b")), stateDir, 1L)
+    assert(liveState() === Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("stats-table maintenance sink equals batch aggregation and is replay-safe") {
+    val stateDir = java.nio.file.Files.createTempDirectory("stats").toString
+    val in = MemoryStream[Ev]
+    val q = StreamOps.statsMerge(in.toDS(), stateDir).start()
+    in.addData(ev(1, 1, 0, "view"), ev(2, 2, 1, "view"), ev(3, 3, 2, "click"))
+    q.processAllAvailable()
+    in.addData(ev(4, 4, 3, "view"), ev(5, 5, 4, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    def stats() = StreamOps.latestStatsState(spark, stateDir).get
+      .select(col("event_type"), col("n_events"),
+        col("total_value").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map { case (t, n, v) => t -> ((n, v)) }.toMap
+    // merged micro-batch partials == direct aggregation of all events
+    // (each ev carries value 1.0)
+    val expected = Map(
+      "view" -> ((3L, 3.0)), "click" -> ((1L, 1.0)), "purchase" -> ((1L, 1.0)))
+    assert(stats() === expected)
+    // additive counters + replayed batch: the versioned merge re-reads
+    // the PRE-batch state, so the replay does not double-add
+    StreamOps.mergeStatsBatch(
+      Seq(ev(4, 4, 3, "view"), ev(5, 5, 4, "purchase")).toDF(), stateDir, 1L)
+    assert(stats() === expected)
   }
 
   test("file-topic broker: dynamicRoute → topics → consumer e2e, restart without loss/dup") {
