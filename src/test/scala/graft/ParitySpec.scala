@@ -114,4 +114,27 @@ class ParitySpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(streaming.view.mapValues(_.toLong).toMap === batch)
   }
+
+  test("statsMerge over chunked real data equals direct batch aggregation") {
+    val events = realEvents
+    val stateDir = java.nio.file.Files.createTempDirectory("stats-parity").toString
+    val in = MemoryStream[Ev]
+    val q = StreamOps.statsMerge(in.toDS(), stateDir).start()
+    // three chronological micro-batches — the merged stats table must
+    // not depend on where the batch boundaries fall
+    val third = events.size / 3
+    in.addData(events.take(third)); q.processAllAvailable()
+    in.addData(events.slice(third, 2 * third)); q.processAllAvailable()
+    in.addData(events.drop(2 * third)); q.processAllAvailable()
+    q.stop()
+    val streaming = StreamOps.latestStatsState(spark, stateDir).get
+      .select(col("event_type"), col("n_events"), col("total_value").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    val batch = events.toDF()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("tv"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(streaming === batch)
+  }
 }
