@@ -426,8 +426,59 @@ object Dedup {
         .orderBy("doc_id")
     })
 
+  /** Semantic near-dup clusters (the SemDeDup shape): connected
+    * components over the LSH-bucketed, cosine-verified embedding pair
+    * graph — each vector maps to its semantic family's minimum vec_id
+    * (the kept representative; the rest are semantic duplicates a
+    * training pipeline drops or down-weights). Composition of the two
+    * scale paths proven separately: candidate pairs never leave their
+    * sign-bit bucket (no O(n²)), and the component labels are O(V)
+    * min-label propagation. Oracle: the same verified pair set walked
+    * to the same fixpoint by a recursive CTE. */
+  val dedupSemanticClusters = QueryDef(
+    "dedup_semantic_clusters",
+    Some(s"""WITH RECURSIVE e AS (SELECT vec_id, embedding, ${Similarity.bucketExpr("embedding")} AS bucket FROM embeddings),
+            |p AS (
+            |  SELECT va, vb FROM (
+            |    SELECT a.vec_id AS va, b.vec_id AS vb,
+            |      ${Similarity.dd("a.embedding", "b.embedding")}
+            |      / (sqrt(${Similarity.dd("a.embedding", "a.embedding")})
+            |       * sqrt(${Similarity.dd("b.embedding", "b.embedding")})) AS cos
+            |    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+            |  WHERE cos > 0.30),
+            |walk AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+            |reach AS (
+            |  SELECT a AS src, a AS dst FROM (SELECT DISTINCT a FROM walk)
+            |  UNION
+            |  SELECT r.src, w.b FROM reach r JOIN walk w ON r.dst = w.a)
+            |SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_rep
+            |FROM reach
+            |GROUP BY src
+            |ORDER BY vec_id""".stripMargin),
+    (spark, dir) => {
+      val e = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          Similarity.sparkBucket(col("embedding")).as("bucket"),
+          sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("norm"))
+        .cache()
+      val a = e.as("a")
+      val b = e.as("b")
+      val cos = Similarity.dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.norm") * col("b.norm"))
+      val pairs = a.join(b, col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"), cos.as("cos"))
+        .filter(col("cos") > 0.30)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+      e.unpersist()
+      connectedComponents(pairs)
+        .select(col("node").as("vec_id"), col("label").cast("long").as("cluster_rep"))
+        .orderBy("vec_id")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhashLsh, dedupJaccardNgram,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupClusters,
-    dedupLines)
+    dedupLines, dedupSemanticClusters)
 }
