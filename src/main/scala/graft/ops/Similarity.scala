@@ -212,5 +212,53 @@ object Similarity {
       })
   }
 
-  val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf, simTopkIvfMulti)
+  /** Corpus-wide kNN graph: every vector's top-3 cosine neighbors
+    * WITHIN its sign-bit bucket — the similarity-graph builder behind
+    * semantic dedup/clustering pipelines (one row per (vector,
+    * neighbor rank)). The self-join key is the bucket, so candidate
+    * generation is partition-local exactly as in
+    * `dedup_embedding_lsh`; the per-vector top-k is a window rank
+    * whose partial sort stays inside the bucket's candidate set, never
+    * the corpus. Ties break on neighbor id, making the rank total and
+    * engine-independent. */
+  val simKnnGraph = QueryDef(
+    "sim_knn_graph",
+    Some(s"""WITH e AS (SELECT vec_id, embedding, ${bucketExpr("embedding")} AS bucket FROM embeddings),
+            |p AS (
+            |  SELECT a.vec_id AS va, b.vec_id AS vb,
+            |    ${dd("a.embedding", "b.embedding")}
+            |    / (sqrt(${dd("a.embedding", "a.embedding")})
+            |     * sqrt(${dd("b.embedding", "b.embedding")})) AS cos
+            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+            |r AS (SELECT va, vb, cos,
+            |        ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rnk
+            |      FROM p)
+            |SELECT va AS vec_id, vb AS neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+            |  ROUND(cos, 6) AS cos_sim
+            |FROM r WHERE rnk <= 3
+            |ORDER BY vec_id, rnk""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.table(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sparkBucket(col("embedding")).as("bucket"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+        .cache()
+      val cos = dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.norm") * col("b.norm"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), cos.as("cos"))
+        .localCheckpoint()
+      e.unpersist()
+      val w = Window.partitionBy("va").orderBy(col("cos").desc, col("vb"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("va").as("vec_id"), col("vb").as("neighbor_id"),
+          col("rnk"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy("vec_id", "rnk")
+    })
+
+  val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf,
+    simTopkIvfMulti, simKnnGraph)
 }
