@@ -26,7 +26,11 @@ object Soak {
     // (j7_cogroup_reconcile is excluded: it reads orders, which the
     // blowup does not synthesize — only events/documents are blown up)
     "dedup_lines", "sample_pack", "a23_rolling_range",
-    "sample_mix", "sample_budget", "a24_spike_days", "mm_dedup_payload")
+    "sample_mix", "sample_budget", "a24_spike_days", "mm_dedup_payload",
+    // the vector family (embeddings are blown up too; replicas share a
+    // bucket, so candidate pairs grow with replica-clique size — run
+    // these at moderate factors, e.g. x10)
+    "dedup_embedding_lsh", "dedup_semantic_clusters", "sim_knn_graph")
 
   def blowUp(spark: SparkSession, baseDir: String, outDir: String, f: Int): Unit = {
     val ev = graft.ops.Tables.eventsRawNanos(spark, baseDir)
@@ -46,6 +50,20 @@ object Soak {
         concat(lit("r"), col("r"), lit(" "), col("text")).as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    emb.crossJoin(spark.range(f.toLong).toDF("r"))
+      .select(
+        (col("vec_id") * f + col("r")).as("vec_id"),
+        // nudge the first component per replica: replicas become
+        // near-identical vectors (cos ≈ 1) landing in one sign-bit
+        // bucket — the adversarial shape for bucket-local candidate
+        // generation, mirroring the text-LSH replica-clique blowup
+        expr("""transform(embedding,
+               |  (x, i) -> CASE WHEN i = 0
+               |    THEN CAST(x + r * CAST(0.0001 AS FLOAT) AS FLOAT)
+               |    ELSE x END)""".stripMargin).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {
