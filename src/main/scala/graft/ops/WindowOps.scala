@@ -205,6 +205,43 @@ object WindowOps {
           |FROM r ORDER BY day_s""".stripMargin)
     })
 
+  /** Explicit GROUPING SETS (the mixed-granularity report shape rollup
+    * and cube can't express: per (type, day), per type, and a grand
+    * total — but NOT per day). Group-key NULLs are coalesced to
+    * sentinels and the GROUPING() flags are emitted as columns, which
+    * also sidesteps the engines' opposite default NULL sort order.
+    * Physically one Expand node feeds a single hash aggregate — three
+    * granularities, ONE pass over the data, the reason GROUPING SETS
+    * beats three unioned aggregations at any scale. */
+  val a25GroupingSets = QueryDef(
+    "a25_grouping_sets",
+    Some("""SELECT coalesce(event_type, '(all)') AS etype,
+           |  coalesce(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d'), '(all)') AS day_s,
+           |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           |  CAST(GROUPING(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')) AS BIGINT) AS g_day,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM events
+           |GROUP BY GROUPING SETS (
+           |  (event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')),
+           |  (event_type), ())
+           |ORDER BY g_day, g_type, etype, day_s""".stripMargin),
+    (spark, dir) => {
+      Tables.events(spark, dir).createOrReplaceTempView("v_events_gs")
+      spark.sql(
+        """SELECT coalesce(event_type, '(all)') AS etype,
+          |  coalesce(date_format(ts, 'yyyy-MM-dd'), '(all)') AS day_s,
+          |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+          |  CAST(GROUPING(date_format(ts, 'yyyy-MM-dd')) AS BIGINT) AS g_day,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+          |FROM v_events_gs
+          |GROUP BY GROUPING SETS (
+          |  (event_type, date_format(ts, 'yyyy-MM-dd')),
+          |  (event_type), ())
+          |ORDER BY g_day, g_type, etype, day_s""".stripMargin)
+    })
+
   val defs: Seq[QueryDef] = Seq(wSlidingWindow, wSessionWindow, a11Rollup,
-    a11bCube, a23RollingRange, a24SpikeDays)
+    a11bCube, a23RollingRange, a24SpikeDays, a25GroupingSets)
 }

@@ -214,6 +214,38 @@ class StreamingSpec extends SparkSuite {
     assert(rows.get(2L).flatten === None) // null-padded after eviction
   }
 
+  test("stream-stream FULL OUTER interval join pads BOTH unmatched sides") {
+    val l = MemoryStream[Ev]
+    val r = MemoryStream[Ev]
+    val lw = l.toDS().withWatermark("ts", "5 seconds").toDF()
+      .select(col("user_id").as("l_user"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+    val rw = r.toDS().withWatermark("ts", "5 seconds").toDF()
+      .select(col("user_id").as("r_user"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+    val joined = lw.join(rw, expr(
+      """l_user = r_user AND
+        |r_ts BETWEEN l_ts - INTERVAL 5 SECONDS AND l_ts + INTERVAL 5 SECONDS""".stripMargin),
+      "fullOuter")
+    val q = joined.writeStream.format("memory")
+      .queryName(name()).outputMode("append").start()
+    // user 1 matches; user 2 exists only left; user 3 only right
+    l.addData(ev(1, 1, 10, "order"), ev(2, 2, 10, "order"))
+    r.addData(ev(1, 101, 12, "detail"), ev(3, 103, 11, "detail"))
+    q.processAllAvailable()
+    // advance both watermarks past the join window so state evicts and
+    // both unmatched sides emit padded rows
+    for (s <- Seq(1000L, 1100L)) {
+      l.addData(ev(9, 90, s, "order")); r.addData(ev(9, 91, s, "detail"))
+      q.processAllAvailable()
+    }
+    val rows = spark.table(s"stream_out_$n")
+      .select(col("l_id"), col("r_id"))
+      .as[(Option[Long], Option[Long])].collect().toSet
+    q.stop()
+    assert(rows.contains((Some(1L), Some(101L)))) // matched
+    assert(rows.contains((Some(2L), None)))       // left-only padded
+    assert(rows.contains((None, Some(103L))))     // right-only padded
+  }
+
   test("dynamic routing fans each batch out per config sink table") {
     val in = MemoryStream[Ev]
     val counts = mutable.Map[String, Long]().withDefaultValue(0L)
