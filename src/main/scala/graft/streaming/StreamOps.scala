@@ -443,6 +443,14 @@ object StreamOps {
       .withColumn("ws_arr", filter(split(col("text"), " "),
         (w: org.apache.spark.sql.Column) => length(w) > 0))
       .withColumn("n_words", size(col("ws_arr")))
+      // observed metrics: per-micro-batch ingest/reject counters
+      // surfaced on StreamingQueryProgress.observedMetrics — the
+      // production observability hook (a dashboard alarms on
+      // rejected/arrived ratio without a second counting query; the
+      // aggregation rides the existing plan, no extra pass)
+      .observe("ingest_gate",
+        count(lit(1)).as("arrived"),
+        sum(when(col("n_words") < minWords, 1L).otherwise(0L)).as("rejected"))
       .filter(col("n_words") >= minWords)
       .withColumn("fp",
         md5(concat_ws(" ", array_sort(array_distinct(col("ws_arr"))))))

@@ -618,20 +618,45 @@ class StreamingSpec extends SparkSuite {
     val q = StreamOps.corpusIngest(docs, windowSeconds = 60L, watermarkSeconds = 120L)
       .writeStream.format("memory").queryName(name()).outputMode("append").start()
     def at(sec: Long) = new Timestamp((base + sec) * 1000L)
-    in.addData(
-      (1L, "the cat sat on the mat", "web", at(5)),   // kept
-      (2L, "mat the on sat cat the", "web", at(10)),  // token-reorder dup of 1 → dropped
-      (3L, "too short", "web", at(20)),               // quality-gated (2 words)
-      (4L, "a completely different document here", "books", at(30))) // kept
-    q.processAllAvailable()
-    in.addData((5L, "late watermark pusher document", "web", at(400))) // closes [0,60)
-    q.processAllAvailable()
-    val rows = spark.table(s"stream_out_$n")
-      .select(col("source"), col("n_docs"), col("n_tokens"))
-      .as[(String, Long, Long)].collect().map { case (s, d, t) => s -> (d, t) }.toMap
-    q.stop()
-    // doc 2 deduped (same bag-of-words fingerprint), doc 3 quality-gated
-    assert(rows === Map("web" -> (1L, 6L), "books" -> (1L, 5L)))
+    // accumulate the per-batch observed gate counters as they stream by
+    val arrived = new java.util.concurrent.atomic.AtomicLong
+    val rejected = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        Option(e.progress.observedMetrics.get("ingest_gate")).foreach { m =>
+          arrived.addAndGet(m.getAs[Long]("arrived"))
+          rejected.addAndGet(m.getAs[Long]("rejected"))
+          (): Unit
+        }
+    }
+    spark.streams.addListener(listener)
+    try {
+      in.addData(
+        (1L, "the cat sat on the mat", "web", at(5)),   // kept
+        (2L, "mat the on sat cat the", "web", at(10)),  // token-reorder dup of 1 → dropped
+        (3L, "too short", "web", at(20)),               // quality-gated (2 words)
+        (4L, "a completely different document here", "books", at(30))) // kept
+      q.processAllAvailable()
+      in.addData((5L, "late watermark pusher document", "web", at(400))) // closes [0,60)
+      q.processAllAvailable()
+      val rows = spark.table(s"stream_out_$n")
+        .select(col("source"), col("n_docs"), col("n_tokens"))
+        .as[(String, Long, Long)].collect().map { case (s, d, t) => s -> (d, t) }.toMap
+      q.stop()
+      // doc 2 deduped (same bag-of-words fingerprint), doc 3 quality-gated
+      assert(rows === Map("web" -> (1L, 6L), "books" -> (1L, 5L)))
+      // observed metrics counted every arrival and the gate rejection
+      // without a second query (listener events land asynchronously
+      // after processAllAvailable, so poll briefly)
+      val deadline = System.currentTimeMillis() + 15000
+      while (arrived.get() < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(arrived.get() === 5L)
+      assert(rejected.get() === 1L) // doc 3 only: dedup drops aren't gate rejections
+    } finally spark.streams.removeListener(listener)
   }
 
   test("kafka sink shape carries per-row topic routing (K2)") {
