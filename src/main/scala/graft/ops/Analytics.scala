@@ -368,8 +368,39 @@ object Analytics {
         .crossJoin(p.agg(count(lit(1)).as("n_purchased")))
     })
 
+  /** Native UNPIVOT — the inverse of a12's pivot: a wide per-source
+    * language matrix melts back to long (source, lang, n) rows. Both
+    * engines run their own UNPIVOT operator (Spark ≥3.4 relational
+    * unpivot; DuckDB's ON/INTO form), not a hand-rolled stack of
+    * UNION ALLs — the wide→long reshape is a projection-time Expand,
+    * no shuffle beyond the wide aggregate's own. */
+  val a12bUnpivot = QueryDef(
+    "a12b_unpivot",
+    Some("""WITH wide AS (
+           |  SELECT source,
+           |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+           |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+           |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+           |  FROM documents GROUP BY source)
+           |SELECT source, lang, n
+           |FROM (UNPIVOT wide ON en, de, zh INTO NAME lang VALUE n)
+           |ORDER BY source, lang""".stripMargin),
+    (spark, dir) => {
+      Tables.table(spark, dir, "documents").createOrReplaceTempView("v_docs_unp")
+      spark.sql(
+        """WITH wide AS (
+          |  SELECT source,
+          |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+          |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+          |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+          |  FROM wide_src GROUP BY source)
+          |SELECT source, lang, n
+          |FROM wide UNPIVOT (n FOR lang IN (en, de, zh))
+          |ORDER BY source, lang""".stripMargin.replace("wide_src", "v_docs_unp"))
+    })
+
   val defs: Seq[QueryDef] = Seq(
-    a12Pivot, a13Retention, a14Percentile, a15WindowRank, a16RunningTotal,
-    a18Stats, a19Subquery, a20GapFill, u4Intersect, u5Except, u6UnionEvolved,
-    a21WindowExtras, a22Funnel)
+    a12Pivot, a12bUnpivot, a13Retention, a14Percentile, a15WindowRank,
+    a16RunningTotal, a18Stats, a19Subquery, a20GapFill, u4Intersect,
+    u5Except, u6UnionEvolved, a21WindowExtras, a22Funnel)
 }
