@@ -283,23 +283,9 @@ object Dedup {
             |WHERE cos > 0.30
             |ORDER BY va, vb""".stripMargin),
     (spark, dir) => {
-      val e = Tables.table(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          Similarity.sparkBucket(col("embedding")).as("bucket"),
-          sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("norm"))
-        .cache()
-      val a = e.as("a")
-      val b = e.as("b")
-      val cos = Similarity.dot(col("a.embedding"), col("b.embedding")) /
-        (col("a.norm") * col("b.norm"))
-      val pairs = a.join(b, col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-          col("a.bucket").as("bucket"), cos.as("cos"))
-        .filter(col("cos") > 0.30)
-        .localCheckpoint()
-      e.unpersist()
-      pairs
+      Similarity.bucketedCosinePairs(
+          Tables.table(spark, dir, "embeddings"), ordered = true,
+          minCos = Some(0.30))
         .select(col("va"), col("vb"), col("bucket"),
           round(col("cos"), 6).as("cos_sim"))
         .orderBy("va", "vb")
@@ -456,22 +442,10 @@ object Dedup {
             |GROUP BY src
             |ORDER BY vec_id""".stripMargin),
     (spark, dir) => {
-      val e = Tables.table(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          Similarity.sparkBucket(col("embedding")).as("bucket"),
-          sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("norm"))
-        .cache()
-      val a = e.as("a")
-      val b = e.as("b")
-      val cos = Similarity.dot(col("a.embedding"), col("b.embedding")) /
-        (col("a.norm") * col("b.norm"))
-      val pairs = a.join(b, col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"), cos.as("cos"))
-        .filter(col("cos") > 0.30)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-      e.unpersist()
+      val pairs = Similarity.bucketedCosinePairs(
+          Tables.table(spark, dir, "embeddings"), ordered = true,
+          minCos = Some(0.30))
+        .select(col("va").as("doc_a"), col("vb").as("doc_b"))
       connectedComponents(pairs)
         .select(col("node").as("vec_id"), col("label").cast("long").as("cluster_rep"))
         .orderBy("vec_id")

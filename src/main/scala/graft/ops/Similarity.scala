@@ -69,6 +69,36 @@ object Similarity {
   private[ops] def sparkBucket(c: Column): Column =
     concat((1 to 8).map(i => when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
 
+  /** Shared candidate-pair builder for the bucketed-cosine family
+    * (`dedup_embedding_lsh`, `dedup_semantic_clusters`,
+    * `sim_knn_graph`): cache the bucketed+normed relation, self-join
+    * within a bucket, deterministic fold-order cosine, optional
+    * threshold, checkpoint the (small) pair set, release the cache.
+    * ONE definition so the bucket family and the fold order cannot
+    * drift between the three call sites — each must stay bit-identical
+    * to its oracle's [[bucketExpr]]/[[dd]] mirror. `ordered=true`
+    * yields each pair once (va < vb); `ordered=false` yields both
+    * directions (per-node neighbor lists). Output: va, vb, bucket,
+    * cos. */
+  private[ops] def bucketedCosinePairs(emb: DataFrame, ordered: Boolean,
+      minCos: Option[Double]): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+        sparkBucket(col("embedding")).as("bucket"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
+      .cache()
+    val cond = if (ordered) col("a.vec_id") < col("b.vec_id")
+               else col("a.vec_id") =!= col("b.vec_id")
+    val cos = dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.norm") * col("b.norm"))
+    val raw = e.as("a")
+      .join(e.as("b"), col("a.bucket") === col("b.bucket") && cond)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        col("a.bucket").as("bucket"), cos.as("cos"))
+    val out = minCos.fold(raw)(t => raw.filter(col("cos") > t)).localCheckpoint()
+    e.unpersist()
+    out
+  }
+
   /** LSH-bucketed ANN: search only the query's sign-bit bucket. */
   val simTopkLsh = QueryDef(
     "sim_topk_lsh",
@@ -239,18 +269,8 @@ object Similarity {
             |ORDER BY vec_id, rnk""".stripMargin),
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.table(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          sparkBucket(col("embedding")).as("bucket"),
-          sqrt(dot(col("embedding"), col("embedding"))).as("norm"))
-        .cache()
-      val cos = dot(col("a.embedding"), col("b.embedding")) /
-        (col("a.norm") * col("b.norm"))
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), cos.as("cos"))
-        .localCheckpoint()
-      e.unpersist()
+      val pairs = bucketedCosinePairs(
+        Tables.table(spark, dir, "embeddings"), ordered = false, minCos = None)
       val w = Window.partitionBy("va").orderBy(col("cos").desc, col("vb"))
       pairs.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.QueryDef
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Third workload tranche: the TPC-H shapes that need a part-supplier
@@ -35,6 +36,18 @@ object Workload3 {
       |  MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
+  /** The Spark-side mirror of [[psSql]] — ONE definition, shared by
+    * q2/q11/q20, so the decimal casts cannot drift from the oracle in
+    * just one query. Callers that drop `ps_supplycost` get the MIN
+    * pruned out of the aggregate by Catalyst (ColumnPruning rewrites
+    * Aggregate expression lists), so sharing costs nothing. */
+  private def derivedPs(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(
+        col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("ps_availqty"),
+        min(col("l_extendedprice").cast("decimal(18,2)")).as("ps_supplycost"))
+
   /** Q2-style minimum-cost supplier: for each STANDARD small part, the
     * EUROPE supplier(s) selling it at the part's minimum European
     * supply cost. Expressed through spark.sql so the correlated scalar
@@ -63,13 +76,20 @@ object Workload3 {
             |ORDER BY supplycost, p.p_partkey, s.s_name
             |LIMIT 100""".stripMargin),
     (spark, dir) => {
-      Tables.table(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      // ps is referenced twice (outer + correlated ps2) and Spark
+      // inlines CTEs — materialize it ONCE (localCheckpoint) so the
+      // lineitem scan + composite-key shuffle don't run twice; the
+      // correlated scalar subquery still decorrelates over the
+      // checkpointed relation, which is the shape the query exists
+      // to prove.
+      derivedPs(Tables.table(spark, dir, "lineitem"))
+        .localCheckpoint().createOrReplaceTempView("v_ps")
       Tables.table(spark, dir, "part").createOrReplaceTempView("v_part")
       Tables.table(spark, dir, "supplier").createOrReplaceTempView("v_supplier")
       Tables.table(spark, dir, "nation").createOrReplaceTempView("v_nation")
       Tables.table(spark, dir, "region").createOrReplaceTempView("v_region")
       spark.sql(
-        s"""WITH ps AS (${psSql.replace("lineitem", "v_lineitem")})
+        s"""WITH ps AS (SELECT * FROM v_ps)
            |SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
            |  CAST(ps.ps_supplycost AS DOUBLE) AS supplycost
            |FROM ps
@@ -124,11 +144,7 @@ object Workload3 {
       val s = Tables.table(spark, dir, "supplier")
       val n = Tables.table(spark, dir, "nation")
         .filter(col("n_name").isin("NATION_3", "NATION_8"))
-      val ps = l.groupBy(
-          col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-        .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("ps_availqty"),
-          min(col("l_extendedprice").cast("decimal(18,2)")).as("ps_supplycost"))
+      val ps = derivedPs(l)
       // nation filter travels through the supplier broadcast join, so
       // ps rows from other nations never reach the per-part shuffle
       val v = ps
@@ -179,9 +195,7 @@ object Workload3 {
             |ORDER BY s.s_name, n.n_name""".stripMargin),
     (spark, dir) => {
       val l = Tables.table(spark, dir, "lineitem")
-      val ps = l.groupBy(
-          col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("ps_availqty"))
+      val ps = derivedPs(l).drop("ps_supplycost")
       val shipped = l
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-01-01").cast("timestamp"))

@@ -37,6 +37,22 @@ object AutoDdl {
       sinkPk: Option[String],
       sinkExtend: Option[String])
 
+  private val Ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Config-row sanity gate: the DDL below is a raw string build, so a
+    * blank column list (`CREATE TABLE t ()`) or a quote/backtick in an
+    * identifier would raise a ParseException inside foreachBatch and
+    * kill the whole config stream. Malformed rows are the config
+    * analog of dirty data — they must route to a side channel, never
+    * terminate DDL for every other table. */
+  def isValid(cfg: TableConfig): Boolean = {
+    val cols = cfg.sinkColumns.split(",").map(_.trim).filter(_.nonEmpty)
+    cols.nonEmpty &&
+      (cols :+ cfg.sinkTable).forall(Ident.matches) &&
+      cfg.sinkPk.forall(Ident.matches) &&
+      cfg.sinkExtend.forall(e => !e.contains("'") && !e.contains("\\"))
+  }
+
   /** The generated DDL, mirroring `createTable`'s string build
     * (`TableProcessFunction.java:92-116`) onto Spark SQL. */
   def createTableSql(db: String, cfg: TableConfig): String = {
@@ -72,7 +88,12 @@ object AutoDdl {
       val cfg = TableConfig(
         r.getString(0), r.getString(1), r.getString(2), r.getString(3),
         Option(r.getString(4)), Option(r.getString(5)))
-      if (cfg.sinkType == "dim") ensureTable(spark, db, cfg)
+      if (cfg.sinkType == "dim") {
+        if (isValid(cfg)) ensureTable(spark, db, cfg)
+        else System.err.println(
+          s"[autoddl] skipping malformed config row for source '${cfg.sourceTable}': " +
+            s"sinkTable='${cfg.sinkTable}' sinkColumns='${cfg.sinkColumns}'")
+      }
     }
   }
 }

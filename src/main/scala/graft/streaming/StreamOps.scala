@@ -294,7 +294,12 @@ object StreamOps {
     * pre-batch state or it would silently reset the table to the
     * replayed batch alone. GC therefore keeps (base, current) — at
     * most two live versions, still O(1) space per stream — and
-    * deletes the rest. */
+    * deletes the rest. Versions ABOVE batchId are deleted too: within
+    * one run batchIds strictly increase, so a higher version can only
+    * be residue of an abandoned run (old stateDir + fresh checkpoint).
+    * Left alive it would be served as "latest" state and eventually
+    * picked as a merge base once batchIds caught up, silently
+    * double-counting the dead run's data. */
   private def gcVersions(stateDir: String, batchId: Long, keepBase: Boolean): Unit = {
     val keep = if (keepBase) Some(rawVersions(stateDir, below = batchId).max) else None
     val d = new java.io.File(stateDir)
@@ -302,7 +307,7 @@ object StreamOps {
       .filter { f =>
         f.isDirectory && f.getName.startsWith("v") && {
           val v = f.getName.drop(1).toLong
-          v < batchId && !keep.contains(v)
+          (v < batchId && !keep.contains(v)) || v > batchId
         }
       }
       .foreach(deleteRecursively)

@@ -475,6 +475,24 @@ class StreamingSpec extends SparkSuite {
     assert(stats() === expected)
   }
 
+  test("versioned state GC deletes an abandoned run's higher versions (no stale merge base)") {
+    // old stateDir + FRESH checkpoint: batchIds restart at 0 while the
+    // dead run's v9 still exists. Served as "latest" it would later be
+    // picked as a merge base once batchIds caught up (max version below
+    // 10), silently double-counting the dead run — so the first merge
+    // must delete every version ABOVE its own id.
+    val stateDir = java.nio.file.Files.createTempDirectory("stalegc").toString
+    StreamOps.mergeStatsBatch(Seq(ev(1, 1, 0, "view")).toDF(), stateDir, 9L)
+    assert(new java.io.File(s"$stateDir/v9").isDirectory)
+    StreamOps.mergeStatsBatch(Seq(ev(2, 2, 1, "click")).toDF(), stateDir, 0L)
+    assert(!new java.io.File(s"$stateDir/v9").exists(),
+      "stale v9 from the abandoned run must be GC'd by the fresh run's first merge")
+    val stats = StreamOps.latestStatsState(spark, stateDir).get
+      .select(col("event_type"), col("n_events")).as[(String, Long)]
+      .collect().toMap
+    assert(stats === Map("click" -> 1L))
+  }
+
   test("file-topic broker: dynamicRoute → topics → consumer e2e, restart without loss/dup") {
     import graft.streaming.FileTopics
     val broker = java.nio.file.Files.createTempDirectory("broker").toString
@@ -767,6 +785,28 @@ class StreamingSpec extends SparkSuite {
     // the routed data path writes into the auto-created table shape
     spark.sql(s"INSERT INTO $db.dim_user_info VALUES ('1', 'alice', '1990-01-01')")
     assert(spark.table(s"$db.dim_user_info").count() === 1L)
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
+  test("auto-DDL skips malformed config rows instead of killing the stream") {
+    import graft.streaming.AutoDdl
+    import graft.streaming.AutoDdl.TableConfig
+    val db = s"graft_dim_bad_${System.nanoTime()}"
+    // each row would break the raw DDL string build a different way:
+    // empty column list -> 'CREATE TABLE t ()', backtick in the table
+    // name, quote in TBLPROPERTIES — all must be skipped, not thrown,
+    // or one dirty config row permanently stops DDL for every table
+    val bad = Seq(
+      TableConfig("s1", "dim", "dim_empty_cols", " , ,", None, None),
+      TableConfig("s2", "dim", "bad`name", "id", None, None),
+      TableConfig("s3", "dim", "dim_quote_ext", "id", None, Some("x'y")),
+      TableConfig("s4", "dim", "dim_bad_pk", "id,v", Some("p k"), None))
+    val good = TableConfig("s5", "dim", "dim_ok", "id,v", None, None)
+    AutoDdl.applyConfigBatch(spark, db, (bad :+ good).toDF())
+    assert(spark.catalog.tableExists(db, "dim_ok"),
+      "valid row after malformed ones must still apply")
+    for (t <- Seq("dim_empty_cols", "dim_quote_ext", "dim_bad_pk"))
+      assert(!spark.catalog.tableExists(db, t), s"$t should have been skipped")
     spark.sql(s"DROP DATABASE $db CASCADE")
   }
 
