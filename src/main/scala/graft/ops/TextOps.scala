@@ -320,6 +320,68 @@ object TextOps {
         .orderBy("doc_id")
     })
 
+  /** Linear bag-of-words quality scorer — the fastText-classifier
+    * quality gate of the public corpus pipelines (CCNet / LLaMA data
+    * prep score documents with a linear text classifier and keep by
+    * threshold), re-expressed model-as-data: the trained weights ARE a
+    * relation, shipped as a broadcast join, so scoring any corpus is
+    * one map-side join + one per-doc aggregate — no UDF, no per-row
+    * model object, and a retrained model is a data swap, not a code
+    * deploy. Exactness: weights are DECIMAL(6,3) so the per-doc sum is
+    * exact; the keep gate multiplies the σ(x)>σ(bias) test out to
+    * `raw · 200 > n_tokens` (avg weight > 0.005) on exact decimal ×
+    * integer, so both engines agree without evaluating a sigmoid; the
+    * reported score divides only at the end (double ÷ int, rounded).
+    * At 100 TB: the weight table is KBs forever (vocab-bounded), the
+    * only shuffle is the per-doc groupBy, which an upstream
+    * tokenize-stage partitioning by doc_id would eliminate. */
+  val textQualityModel = QueryDef(
+    "text_quality_model",
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |tok2 AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
+           |wt(w, wgt) AS (VALUES
+           |  ('data', CAST(0.120 AS DECIMAL(6,3))), ('table', CAST(0.095 AS DECIMAL(6,3))),
+           |  ('join', CAST(0.110 AS DECIMAL(6,3))), ('spark', CAST(0.150 AS DECIMAL(6,3))),
+           |  ('window', CAST(0.080 AS DECIMAL(6,3))), ('stream', CAST(0.085 AS DECIMAL(6,3))),
+           |  ('vector', CAST(0.070 AS DECIMAL(6,3))), ('slow', CAST(-0.200 AS DECIMAL(6,3))),
+           |  ('a', CAST(-0.060 AS DECIMAL(6,3))), ('the', CAST(-0.075 AS DECIMAL(6,3)))),
+           |scored AS (
+           |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+           |    CAST(SUM(CASE WHEN x.wgt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched_ct,
+           |    COALESCE(SUM(x.wgt), CAST(0 AS DECIMAL(6,3))) AS raw
+           |  FROM tok2 t LEFT JOIN wt x ON t.w = x.w
+           |  GROUP BY t.doc_id)
+           |SELECT doc_id, n_tokens, matched_ct,
+           |  ROUND(CAST(raw AS DOUBLE) / n_tokens, 6) AS model_score,
+           |  (raw * 200 > n_tokens) AS keep
+           |FROM scored
+           |ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      import spark.implicits._
+      val wt = Seq(
+          "data" -> "0.120", "table" -> "0.095", "join" -> "0.110",
+          "spark" -> "0.150", "window" -> "0.080", "stream" -> "0.085",
+          "vector" -> "0.070", "slow" -> "-0.200", "a" -> "-0.060",
+          "the" -> "-0.075")
+        .toDF("w", "wgt_s")
+        .select(col("w"), col("wgt_s").cast("decimal(6,3)").as("wgt"))
+      Tables.table(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(wt), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("wgt").isNotNull, 1).otherwise(0)).cast("long").as("matched_ct"),
+          coalesce(sum(col("wgt")), lit(0).cast("decimal(6,3)")).as("raw"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("matched_ct"),
+          round(col("raw").cast("double") / col("n_tokens"), 6).as("model_score"),
+          (col("raw") * 200 > col("n_tokens")).as("keep"))
+        .orderBy("doc_id")
+    })
+
   /** PII redaction: scrub email-shaped tokens and digit runs from the
     * raw event payloads before they enter a training corpus — the
     * mandatory scrubbing pass of a compliant data pipeline. A single
@@ -472,5 +534,6 @@ object TextOps {
   val defs: Seq[QueryDef] = Seq(
     textLangid, textQuality, textTokens, textFingerprint, textClean,
     textChunk, sampleSplit, sampleStratified, textRepetition,
-    textRarityScore, textPiiRedact, samplePack, sampleMix, sampleBudget)
+    textRarityScore, textQualityModel, textPiiRedact, samplePack,
+    sampleMix, sampleBudget)
 }
