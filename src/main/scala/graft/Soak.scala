@@ -27,6 +27,7 @@ object Soak {
     // blowup does not synthesize — only events/documents are blown up)
     "dedup_lines", "sample_pack", "a23_rolling_range",
     "sample_mix", "sample_budget", "a24_spike_days", "mm_dedup_payload",
+    "text_quality_model",
     // the vector family (embeddings are blown up too; replicas share a
     // bucket, so candidate pairs grow with replica-clique size — run
     // these at moderate factors, e.g. x10)

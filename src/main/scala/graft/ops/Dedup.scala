@@ -330,8 +330,25 @@ object Dedup {
     * is exactly |V| rows; each iteration is one shuffle-join + one
     * min-aggregate, checkpointed so the lineage stays flat. Labels are
     * monotonically non-increasing, so convergence = "no label
-    * decreased this round". */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+    * decreased this round".
+    *
+    * Messages travel across the input edges AND the current label
+    * stars (node ↔ label, pointer-doubling shortcuts): with edge-only
+    * propagation the iteration count is the graph DIAMETER — a
+    * chain-shaped near-dup family (drifting boilerplate versions, L
+    * incremental edits) would take L driver-coordinated Spark jobs at
+    * 100 TB. Star shortcuts halve remaining chain length every round
+    * (label(v) learns label(label(v))), so convergence is O(log V) on
+    * any shape; star nodes are in the same component by the labeling
+    * invariant, so components never bleed. Extra state stays O(V)
+    * (one star edge pair per non-root node). */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsIters(edges)._1
+
+  /** [[connectedComponents]] plus the iteration count — package-visible
+    * so the O(log) convergence bound is testable (PropertySpec runs a
+    * worst-case path graph). */
+  private[graft] def connectedComponentsIters(edges: DataFrame): (DataFrame, Int) = {
     val walk = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct().localCheckpoint()
@@ -350,8 +367,25 @@ object Dedup {
         .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
+    var iters = 0
     while (!converged) {
-      val msgs = labels.join(walk, labels("node") === walk("a"))
+      iters += 1
+      // star shortcuts: every non-root node exchanges labels with its
+      // current label node (both directions), doubling the distance a
+      // minimum travels per round. ADAPTIVE: the first two rounds run
+      // edge-only — LSH near-dup families are clique-like and converge
+      // in two rounds, so they never pay the star-union cost; a graph
+      // still unconverged by round 3 has long chains, and the stars
+      // take it the rest of the way in O(log V).
+      val hops =
+        if (iters <= 2) walk
+        else {
+          val star = labels.filter(col("node") =!= col("label"))
+          walk
+            .unionByName(star.select(col("node").as("a"), col("label").as("b")))
+            .unionByName(star.select(col("label").as("a"), col("node").as("b")))
+        }
+      val msgs = labels.join(hops, labels("node") === hops("a"))
         .select(col("b").as("node"), col("label"))
       val next = labels.unionByName(msgs)
         .groupBy("node").agg(min(col("label")).as("label"))
@@ -361,7 +395,7 @@ object Dedup {
       prevSum = nextSum
       labels = next
     }
-    labels
+    (labels, iters)
   }
 
   /** Line-level boilerplate dedup (the CCNet/RefinedWeb pass): split

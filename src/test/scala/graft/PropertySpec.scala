@@ -128,6 +128,23 @@ class PropertySpec extends SparkSuite {
     labels.unpersist()
   }
 
+  test("connected components converge in O(log V) rounds on a worst-case path graph") {
+    // A path is the diameter-maximizing shape (a chain of near-dup
+    // docs, each one edit from the next). Edge-only propagation needs
+    // ~V rounds — V driver-coordinated Spark jobs at corpus scale; the
+    // label-star shortcuts must bring it to O(log V).
+    val n = 2048L
+    val path = spark.range(1, n)
+      .select(col("id").as("doc_a"), (col("id") - 1).as("doc_b"))
+    val (labels, iters) = graft.ops.Dedup.connectedComponentsIters(path)
+    assert(labels.filter(col("label") =!= 0L).count() === 0L,
+      "every node of the path must collapse to the minimum id")
+    assert(labels.count() === n)
+    // log2(2048) = 11; allow generous slack for the fixpoint-detection
+    // round, but fail loudly if convergence degrades toward O(V)
+    assert(iters <= 30, s"path of $n nodes took $iters rounds — O(log V) regressed")
+  }
+
   test("HLL distinct sketch tracks the exact set-buffer aggregator within error bound") {
     import org.apache.spark.sql.functions.udaf
     val exact = udaf(new graft.functions.DistinctLongCount,
