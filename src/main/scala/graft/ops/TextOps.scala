@@ -335,17 +335,45 @@ object TextOps {
     * At 100 TB: the weight table is KBs forever (vocab-bounded), the
     * only shuffle is the per-doc groupBy, which an upstream
     * tokenize-stage partitioning by doc_id would eliminate. */
+  /** The trained model: token → weight, 3 dp. SINGLE source for the
+    * batch broadcast-join query, its DuckDB oracle VALUES list, and
+    * the row-local streaming gate [[modelKeepExpr]] — a retrained
+    * model is one edit here. */
+  val modelWeights: Seq[(String, String)] = Seq(
+    "data" -> "0.120", "table" -> "0.095", "join" -> "0.110",
+    "spark" -> "0.150", "window" -> "0.080", "stream" -> "0.085",
+    "vector" -> "0.070", "slow" -> "-0.200", "a" -> "-0.060",
+    "the" -> "-0.075")
+
+  private val modelWeightsValuesSql = modelWeights
+    .map { case (w, s) => s"('$w', CAST($s AS DECIMAL(6,3)))" }
+    .mkString(",\n           |  ")
+
+  /** Row-local form of the linear scorer: the KB-scale weight table
+    * folded into a plan-literal MAP + one `aggregate()` pass over the
+    * token array — no explode, no join, no shuffle, no state, so it
+    * drops into any streaming plan (append mode, watermark-free) or
+    * any batch filter position. The broadcast-join query remains the
+    * big-vocab form (a 1 M-token vocab does not belong in a plan
+    * literal). Same multiplied-out gate: keep ⇔ raw · 200 > n_tokens
+    * on exact decimals. */
+  def modelKeepExpr(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = map(modelWeights.flatMap { case (w, s) =>
+      Seq(lit(w), lit(s).cast("decimal(18,3)")) }: _*)
+    val ws = filter(split(text, " "), w => length(w) > 0)
+    val zero = lit("0").cast("decimal(18,3)")
+    val raw = aggregate(ws, zero,
+      (acc, w) => (acc + coalesce(element_at(m, w), zero)).cast("decimal(18,3)"))
+    raw * 200 > size(ws)
+  }
+
   val textQualityModel = QueryDef(
     "text_quality_model",
-    Some("""WITH tok AS (
+    Some(s"""WITH tok AS (
            |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
            |tok2 AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
            |wt(w, wgt) AS (VALUES
-           |  ('data', CAST(0.120 AS DECIMAL(6,3))), ('table', CAST(0.095 AS DECIMAL(6,3))),
-           |  ('join', CAST(0.110 AS DECIMAL(6,3))), ('spark', CAST(0.150 AS DECIMAL(6,3))),
-           |  ('window', CAST(0.080 AS DECIMAL(6,3))), ('stream', CAST(0.085 AS DECIMAL(6,3))),
-           |  ('vector', CAST(0.070 AS DECIMAL(6,3))), ('slow', CAST(-0.200 AS DECIMAL(6,3))),
-           |  ('a', CAST(-0.060 AS DECIMAL(6,3))), ('the', CAST(-0.075 AS DECIMAL(6,3)))),
+           |  $modelWeightsValuesSql),
            |scored AS (
            |  SELECT t.doc_id, COUNT(*) AS n_tokens,
            |    CAST(SUM(CASE WHEN x.wgt IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched_ct,
@@ -359,11 +387,7 @@ object TextOps {
            |ORDER BY doc_id""".stripMargin),
     (spark, dir) => {
       import spark.implicits._
-      val wt = Seq(
-          "data" -> "0.120", "table" -> "0.095", "join" -> "0.110",
-          "spark" -> "0.150", "window" -> "0.080", "stream" -> "0.085",
-          "vector" -> "0.070", "slow" -> "-0.200", "a" -> "-0.060",
-          "the" -> "-0.075")
+      val wt = modelWeights
         .toDF("w", "wgt_s")
         .select(col("w"), col("wgt_s").cast("decimal(6,3)").as("wgt"))
       Tables.table(spark, dir, "documents")

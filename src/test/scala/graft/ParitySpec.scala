@@ -137,4 +137,39 @@ class ParitySpec extends SparkSuite {
       .as[(String, Long, Double)].collect().toSet
     assert(streaming === batch)
   }
+
+  test("row-local model gate equals the broadcast-join model query on real docs") {
+    // two physical forms of the same linear scorer: the oracle-checked
+    // explode → broadcast-join → groupBy query (big-vocab scale form)
+    // vs the shuffle-free map-literal aggregate() fold (the form that
+    // drops into a streaming plan stateless). Keep decisions must be
+    // identical document for document.
+    val dir = sf("sf0.01")
+    val batchKeep = SparkEntry.queries("text_quality_model")(spark, dir)
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    val rowLocal = graft.ops.Tables.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextOps.modelKeepExpr(col("text")).as("keep"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(rowLocal.size === batchKeep.size)
+    assert(rowLocal === batchKeep)
+  }
+
+  test("row-local model gate runs stateless in an append-mode stream") {
+    // no watermark, no state store: the gate must pass the unsupported-
+    // operation check and emit per-row keep flags across micro-batches
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .withColumn("keep", graft.ops.TextOps.modelKeepExpr(col("text")))
+      .writeStream.format("memory").queryName("parity_model_gate")
+      .outputMode("append").start()
+    in.addData((1L, "spark join data table"), (2L, "slow slow the a"))
+    q.processAllAvailable()
+    in.addData((3L, "window stream vector"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("parity_model_gate")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true))
+  }
 }
