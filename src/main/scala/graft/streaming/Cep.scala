@@ -4,8 +4,11 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** One declared pattern stage: events matching `cond`, repeated `reps`
-  * times (strictly consecutively). */
-final case class CepStage(name: String, cond: Ev => Boolean, reps: Int)
+  * times. `strict` = an unmatched event KILLS a run waiting on this
+  * stage (Flink `next`); relaxed stages skip unmatched events
+  * (Flink `followedBy`). */
+final case class CepStage(name: String, cond: Ev => Boolean, reps: Int,
+    strict: Boolean = true)
     extends Serializable
 
 /** Generic CEP pattern combinator — the reference's Flink-CEP surface
@@ -16,10 +19,13 @@ final case class CepStage(name: String, cond: Ev => Boolean, reps: Int)
   * `app/testt/dwm/Dwm_Jump_Detail.java:59-71`) re-expressed as a
   * builder compiled onto `flatMapGroupsWithState` by [[Cep.pattern]].
   *
-  * Contiguity is STRICT (Flink's `next`): an event that matches the
-  * run's next condition advances it, any other event kills it. That is
-  * the only contiguity the reference uses; `followedBy` relaxation is
-  * deliberately out of surface. */
+  * Contiguity is per stage: `next` is STRICT (an event that matches
+  * the run's next condition advances it, any other event kills it —
+  * the only contiguity the reference itself uses) and `followedBy` is
+  * RELAXED (unmatched events are skipped; the first matching event
+  * advances the run — Flink's default skip-to-first semantics).
+  * Relaxed runs stay alive until their within() deadline, so state
+  * remains bounded. */
 final class CepPattern private (
     private[streaming] val stages: Vector[CepStage],
     private[streaming] val withinMs: Option[Long]) extends Serializable {
@@ -28,6 +34,12 @@ final class CepPattern private (
     */
   def next(name: String, cond: Ev => Boolean): CepPattern =
     new CepPattern(stages :+ CepStage(name, cond, 1), withinMs)
+
+  /** Relaxed-contiguity stage (Flink `.followedBy(name).where(cond)`):
+    * events between the previous stage's match and this one's are
+    * skipped instead of killing the run. */
+  def followedBy(name: String, cond: Ev => Boolean): CepPattern =
+    new CepPattern(stages :+ CepStage(name, cond, 1, strict = false), withinMs)
 
   /** Repeat the last declared stage n times (Flink `.times(n)`). */
   def times(n: Int): CepPattern = {
@@ -48,8 +60,8 @@ final class CepPattern private (
 
   /** Stage list with `times` expanded — element i names the stage the
     * i-th matched event is recorded under in the select map. */
-  private[streaming] def expanded: Vector[(String, Ev => Boolean)] =
-    stages.flatMap(s => Vector.fill(s.reps)(s.name -> s.cond))
+  private[streaming] def expanded: Vector[CepStage] =
+    stages.flatMap(s => Vector.fill(s.reps)(s.copy(reps = 1)))
 }
 
 object CepPattern {
@@ -100,7 +112,7 @@ object Cep {
       Encoders.kryo[(List[Ev], List[List[Ev]])]
 
     def grouped(run: List[Ev]): Map[String, Seq[Ev]] =
-      conds.map(_._1).zip(run).groupBy(_._1)
+      conds.map(_.name).zip(run).groupBy(_._1)
         .map { case (k, v) => k -> v.map(_._2).toSeq }
 
     ds.withWatermark("ts", watermark)
@@ -137,10 +149,13 @@ object Cep {
               if (next.length == conds.length) out += select(grouped(next))
               else advanced += next
             }
-            for (p <- partials)
-              if (conds(p.length)._2(e)) offer(p)
+            for (p <- partials) {
+              val stage = conds(p.length)
+              if (stage.cond(e)) offer(p)
+              else if (!stage.strict) advanced += p // relaxed: skip e, run lives
               // else: strict contiguity — the run dies silently
-            if (conds.head._2(e)) offer(Nil) // every event may start a run
+            }
+            if (conds.head.cond(e)) offer(Nil) // every event may start a run
             partials = advanced.result()
           }
           // deadlines the watermark itself has passed: no event <= wm

@@ -114,6 +114,38 @@ class StreamingSpec extends SparkSuite {
       ("funnel", 1L), ("funnel", 7L), ("abandoned", 4L)))
   }
 
+  test("CEP followedBy skips intervening events instead of killing the run") {
+    import graft.streaming.{Cep, CepPattern}
+    val in = MemoryStream[Ev]
+    // view ...anything... purchase within 60 s: the relaxed stage must
+    // survive the clicks in between (strict `next` would kill user 1's
+    // run at the first click — proven by the strict funnel test above)
+    val pat = CepPattern
+      .begin("view", (e: Ev) => e.event_type == "view")
+      .followedBy("purchase", (e: Ev) => e.event_type == "purchase")
+      .within(60000L)
+    val out = Cep.pattern[(String, Long, Long)](in.toDS(), pat,
+      select = m => ("converted", m("view").head.event_id,
+        m("purchase").head.event_id),
+      onTimeout = p => Some(("lost", p.head.event_id, -1L)))
+    val q = out.writeStream.format("memory")
+      .queryName(name()).outputMode("append").start()
+    in.addData(
+      // user 1: clicks between view and purchase — relaxed match
+      ev(1, 1, 0, "view"), ev(1, 2, 10, "click"),
+      ev(1, 3, 20, "click"), ev(1, 4, 30, "purchase"),
+      // user 2: view then only clicks → within-deadline timeout
+      ev(2, 5, 0, "view"), ev(2, 6, 10, "click"))
+    q.processAllAvailable()
+    in.addData(ev(9, 90, 600, "error"))
+    q.processAllAvailable()
+    in.addData(ev(9, 91, 601, "error"))
+    q.processAllAvailable()
+    val rows = spark.table(s"stream_out_$n").as[(String, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows === Set(("converted", 1L, 4L), ("lost", 5L, -1L)))
+  }
+
   test("windowed agg with watermark emits closed windows in append mode") {
     val in = MemoryStream[Ev]
     val q = StreamOps.windowedStats(in.toDS())
