@@ -108,4 +108,35 @@ class StorageSpec extends SparkSuite {
     assert(zorderOnY < xsortedOnY / 2, s"z=$zorderOnY xsorted=$xsortedOnY")
     assert(zorderOnX < xsortedOnY / 2, s"z=$zorderOnX xsorted=$xsortedOnY")
   }
+
+  test("small-files compaction hits the size target and preserves rows and clustering") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val ev = graft.ops.Tables.events(spark, sf("sf0.01"))
+      .select("event_id", "event_type", "value")
+    // a streaming sink's aftermath: 64 KB-scale files
+    ev.repartition(64).write.mode("overwrite").parquet(s"$dir/small")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files(s"$dir/small").length === 64)
+    val totalBytes = files(s"$dir/small").map(_.length).sum
+    val target = totalBytes / 4 // expect ~4-5 output files
+    val n = graft.ops.Storage.compact(spark, s"$dir/small", s"$dir/big", target)
+    assert(files(s"$dir/big").length === n)
+    assert(n <= 6, s"expected ~5 files, got $n")
+    // row multiset identical
+    assert(spark.read.parquet(s"$dir/big").exceptAll(ev).count() === 0L)
+    assert(ev.exceptAll(spark.read.parquet(s"$dir/big")).count() === 0L)
+    // clusterBy variant: each output file covers a disjoint range of
+    // the cluster column (range partitioning), so min/max row-group /
+    // file skipping survives compaction
+    graft.ops.Storage.compact(spark, s"$dir/small", s"$dir/clustered",
+      target, clusterBy = Some("event_type"))
+    val perFileTypes = files(s"$dir/clustered").map { f =>
+      spark.read.parquet(f.getPath)
+        .select("event_type").distinct().as[String].collect().toSet
+    }
+    for (Seq(a, b) <- perFileTypes.toSeq.combinations(2))
+      assert((a intersect b).size <= 1, // adjacent files may share a boundary value
+        s"cluster ranges overlap: $a vs $b")
+  }
 }
