@@ -268,6 +268,44 @@ object Analytics {
         .orderBy("day")
     })
 
+  /** Native recursive CTE (`WITH RECURSIVE`, new SQL surface in
+    * Spark 4): the a20 date spine built by RECURSION instead of
+    * `sequence()`, left-joined to daily counts. Recursion depth = the
+    * fixed 31-day calendar (SF-independent, far under the recursion
+    * limit); each level is one tiny row. Spark's recursive CTEs are
+    * UNION ALL-only (no UNION-dedup cycle safety yet), so the engine
+    * reserves the surface for ACYCLIC recursions like this spine —
+    * cyclic graph walks stay on the iterative min-label operator
+    * (`dedup_clusters`), which is also the scale-correct shape. */
+  val g1RecursiveSpine = QueryDef(
+    "g1_recursive_spine",
+    Some("""WITH RECURSIVE spine(day) AS (
+           |  SELECT DATE '2024-01-01'
+           |  UNION ALL
+           |  SELECT day + 1 FROM spine WHERE day < DATE '2024-01-31'),
+           |daily AS (
+           |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS n
+           |  FROM events GROUP BY 1)
+           |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+           |FROM spine s LEFT JOIN daily d ON d.day = s.day
+           |ORDER BY day""".stripMargin),
+    (spark, dir) => {
+      Tables.events(spark, dir).createOrReplaceTempView("v_events_g1")
+      spark.sql(
+        """WITH RECURSIVE spine(day) AS (
+          |  SELECT DATE '2024-01-01' AS day
+          |  UNION ALL
+          |  SELECT date_add(day, 1) FROM spine WHERE day < DATE '2024-01-31'),
+          |daily AS (
+          |  SELECT to_date(ts) AS day, COUNT(*) AS n
+          |  FROM v_events_g1 GROUP BY 1)
+          |SELECT date_format(s.day, 'yyyy-MM-dd') AS day,
+          |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+          |FROM spine s LEFT JOIN daily d ON d.day = s.day
+          |ORDER BY day""".stripMargin)
+    })
+
   /** Schema-evolving union: two corpus generations with different
     * columns merged by name, missing columns null-padded (the
     * `unionByName(allowMissingColumns)` ingestion pattern; DuckDB
@@ -401,6 +439,6 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(
     a12Pivot, a12bUnpivot, a13Retention, a14Percentile, a15WindowRank,
-    a16RunningTotal, a18Stats, a19Subquery, a20GapFill, u4Intersect,
-    u5Except, u6UnionEvolved, a21WindowExtras, a22Funnel)
+    a16RunningTotal, a18Stats, a19Subquery, a20GapFill, g1RecursiveSpine,
+    u4Intersect, u5Except, u6UnionEvolved, a21WindowExtras, a22Funnel)
 }

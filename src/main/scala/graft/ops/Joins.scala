@@ -318,7 +318,41 @@ object Joins {
         .orderBy("k")
     })
 
+  /** Correlated LATERAL derived table with ORDER BY + LIMIT — per-key
+    * top-N expressed the relational way (`FROM nation, LATERAL
+    * (... WHERE correlated ORDER BY ... LIMIT 3)`). Catalyst
+    * DECORRELATES the lateral into a ranked window over supplier
+    * partitioned by nationkey — one shuffle of the supplier table,
+    * never a per-nation rescan — which is exactly the plan a
+    * hand-written window top-N would get; the query proves the SQL
+    * surface compiles to the scale-safe shape. Ties broken on s_name
+    * so both engines agree exactly. */
+  val j8LateralTopn = QueryDef(
+    "j8_lateral_topn",
+    Some("""SELECT n.n_name, l.s_name, l.bal
+           |FROM nation n, LATERAL (
+           |  SELECT s_name, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+           |  FROM supplier s
+           |  WHERE s.s_nationkey = n.n_nationkey
+           |  ORDER BY CAST(s_acctbal AS DECIMAL(18,2)) DESC, s_name
+           |  LIMIT 3) l
+           |ORDER BY n_name, bal DESC, s_name""".stripMargin),
+    (spark, dir) => {
+      Tables.table(spark, dir, "nation").createOrReplaceTempView("v_nation")
+      Tables.table(spark, dir, "supplier").createOrReplaceTempView("v_supplier")
+      spark.sql(
+        """SELECT n.n_name, l.s_name, l.bal
+          |FROM v_nation n, LATERAL (
+          |  SELECT s_name, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+          |  FROM v_supplier s
+          |  WHERE s.s_nationkey = n.n_nationkey
+          |  ORDER BY CAST(s_acctbal AS DECIMAL(18,2)) DESC, s_name
+          |  LIMIT 3) l
+          |ORDER BY n_name, bal DESC, s_name""".stripMargin)
+    })
+
   val defs: Seq[QueryDef] = Seq(
     j1IntervalJoin, j2IntervalJoinAsym, j3DimEnrich, j4DynamicRoute,
-    j5OuterJoin, j5AntiJoin, j5SemiJoin, j6AsofJoin, j7CogroupReconcile)
+    j5OuterJoin, j5AntiJoin, j5SemiJoin, j6AsofJoin, j7CogroupReconcile,
+    j8LateralTopn)
 }
