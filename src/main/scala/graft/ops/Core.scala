@@ -295,7 +295,38 @@ object Core {
           |ORDER BY o_orderpriority""".stripMargin)
     })
 
+  /** VARIANT semi-structured surface (new in Spark 4): the payload is
+    * parsed ONCE (`try_parse_json` → binary variant encoding) and every
+    * downstream extraction reads the parsed form — vs the string path
+    * (`get_json_object`, p1) where each extraction re-parses the JSON
+    * text. With three derived outputs the string plan parses 3× per
+    * row; at 100 TB parse-once is the difference between CPU-bound and
+    * scan-bound ingest. The DuckDB mirror extracts via its native JSON
+    * type (also parse-once), so both engines express the same
+    * semi-structured contract. */
+  val f16VariantJson = QueryDef(
+    "f16_variant_json",
+    Some("""SELECT event_id, k, k % 10 AS k_last, (k % 2 = 0) AS k_even
+           |FROM (
+           |  SELECT event_id,
+           |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |  FROM events)
+           |WHERE k IS NOT NULL
+           |ORDER BY event_id""".stripMargin),
+    (spark, dir) => {
+      Tables.events(spark, dir).createOrReplaceTempView("v_events_f16")
+      spark.sql(
+        """SELECT event_id, k, k % 10 AS k_last, (k % 2 = 0) AS k_even
+          |FROM (
+          |  SELECT event_id,
+          |    try_variant_get(try_parse_json(props), '$.k', 'bigint') AS k
+          |  FROM v_events_f16)
+          |WHERE k IS NOT NULL
+          |ORDER BY event_id""".stripMargin)
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q1Agg, q3Shipping, q4OrderPriority, q5LocalSupplier, p1JsonProps,
-      p5Whitelist, p7LogSplit, fScalarDatetime, f13Age, f15MapOps)
+      p5Whitelist, p7LogSplit, fScalarDatetime, f13Age, f15MapOps,
+      f16VariantJson)
 }
