@@ -309,18 +309,25 @@ object Core {
     Some("""SELECT event_id, k, k % 10 AS k_last, (k % 2 = 0) AS k_even
            |FROM (
            |  SELECT event_id,
-           |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           |    CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+           |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
            |  FROM events)
            |WHERE k IS NOT NULL
            |ORDER BY event_id""".stripMargin),
     (spark, dir) => {
+      // Same engine-independence gate as p1: the engines' casts
+      // disagree on non-integral values (DuckDB rounds '1.5', Spark's
+      // variant cast does not), so k is extracted only when the raw
+      // field is integral — checked against the string view of the
+      // SAME parsed variant (still parse-once).
       Tables.events(spark, dir).createOrReplaceTempView("v_events_f16")
       spark.sql(
         """SELECT event_id, k, k % 10 AS k_last, (k % 2 = 0) AS k_even
           |FROM (
           |  SELECT event_id,
-          |    try_variant_get(try_parse_json(props), '$.k', 'bigint') AS k
-          |  FROM v_events_f16)
+          |    CASE WHEN try_variant_get(pv, '$.k', 'string') RLIKE '^-?[0-9]+$'
+          |         THEN try_variant_get(pv, '$.k', 'bigint') END AS k
+          |  FROM (SELECT event_id, try_parse_json(props) AS pv FROM v_events_f16))
           |WHERE k IS NOT NULL
           |ORDER BY event_id""".stripMargin)
     })

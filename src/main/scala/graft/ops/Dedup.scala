@@ -377,14 +377,17 @@ object Dedup {
       // in two rounds, so they never pay the star-union cost; a graph
       // still unconverged by round 3 has long chains, and the stars
       // take it the rest of the way in O(log V).
+      // only the label→node direction shortcuts: it hands node v its
+      // grandparent label (labels(label(v)).label). The reverse
+      // direction is a provable no-op — label(label(v)) ≤ label(v)
+      // already holds (labels start at self and only decrease), so
+      // messaging label(v) with label(v) can never lower its min —
+      // and would shuffle |V| dead rows per round.
       val hops =
         if (iters <= 2) walk
-        else {
-          val star = labels.filter(col("node") =!= col("label"))
-          walk
-            .unionByName(star.select(col("node").as("a"), col("label").as("b")))
-            .unionByName(star.select(col("label").as("a"), col("node").as("b")))
-        }
+        else walk.unionByName(
+          labels.filter(col("node") =!= col("label"))
+            .select(col("label").as("a"), col("node").as("b")))
       val msgs = labels.join(hops, labels("node") === hops("a"))
         .select(col("b").as("node"), col("label"))
       val next = labels.unionByName(msgs)

@@ -15,22 +15,37 @@ import org.apache.spark.sql.functions._
 object Storage {
 
   /** Compact `inDir`'s parquet files into `outDir` with file sizes
-    * near `targetBytes`. The output file count is computed from the
-    * input's on-disk (compressed) size, so the target holds regardless
-    * of row width or compression ratio. With `clusterBy`, rows are
+    * near `targetBytes`. The target file count is computed from the
+    * input's on-disk (compressed) size — listed RECURSIVELY, so a
+    * partitioned layout's bytes are fully counted (Spark's read is
+    * recursive too; a non-recursive listing would see 0 bytes and
+    * silently collapse the table to one file). NOTE the output is a
+    * FLAT directory: compacting a `partitionBy` layout in place means
+    * calling this once per partition directory, which also keeps each
+    * job's shuffle bounded. With `clusterBy`, rows are
     * range-partitioned and sorted on that column, so min/max row-group
     * skipping SURVIVES compaction (a plain `repartition` destroys any
-    * clustered layout — the subtle regression this flag exists for).
-    * Returns the output file count. Hadoop FS API throughout, so the
-    * same code runs against HDFS/S3 on a cluster. */
+    * clustered layout — the subtle regression this flag exists for);
+    * range partitions of a low-cardinality cluster column can come out
+    * empty, so the ACTUAL file count (returned, counted from the
+    * written output) may be below the target count. Hadoop FS API
+    * throughout, so the same code runs against HDFS/S3 on a
+    * cluster. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long, clusterBy: Option[String] = None): Long = {
     require(targetBytes > 0, s"targetBytes=$targetBytes")
-    val in = new org.apache.hadoop.fs.Path(inDir)
-    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(in)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    def parquetFiles(dir: String): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true) // recursive
+      val buf = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.result()
+    }
+    val bytes = parquetFiles(inDir).map(_.getLen).sum
     val nFiles = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong)
     val df = spark.read.parquet(inDir)
     val out = clusterBy match {
@@ -39,6 +54,6 @@ object Storage {
       case None => df.repartition(nFiles.toInt)
     }
     out.write.mode("overwrite").parquet(outDir)
-    nFiles
+    parquetFiles(outDir).size.toLong
   }
 }

@@ -356,7 +356,10 @@ object TextOps {
     * any batch filter position. The broadcast-join query remains the
     * big-vocab form (a 1 M-token vocab does not belong in a plan
     * literal). Same multiplied-out gate: keep ⇔ raw · 200 > n_tokens
-    * on exact decimals. */
+    * on exact decimals. A token-free document yields NULL (no
+    * decision), mirroring the batch query, where such a doc produces
+    * no group at all — the two forms stay row-for-row consistent on
+    * docs that HAVE a decision. */
   def modelKeepExpr(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val m = map(modelWeights.flatMap { case (w, s) =>
       Seq(lit(w), lit(s).cast("decimal(18,3)")) }: _*)
@@ -364,7 +367,7 @@ object TextOps {
     val zero = lit("0").cast("decimal(18,3)")
     val raw = aggregate(ws, zero,
       (acc, w) => (acc + coalesce(element_at(m, w), zero)).cast("decimal(18,3)"))
-    raw * 200 > size(ws)
+    when(size(ws) > 0, raw * 200 > size(ws))
   }
 
   val textQualityModel = QueryDef(

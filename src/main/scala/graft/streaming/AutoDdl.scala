@@ -46,11 +46,18 @@ object AutoDdl {
     * analog of dirty data — they must route to a side channel, never
     * terminate DDL for every other table. */
   def isValid(cfg: TableConfig): Boolean = {
-    val cols = cfg.sinkColumns.split(",").map(_.trim).filter(_.nonEmpty)
-    cols.nonEmpty &&
-      (cols :+ cfg.sinkTable).forall(Ident.matches) &&
-      cfg.sinkPk.forall(Ident.matches) &&
-      cfg.sinkExtend.forall(e => !e.contains("'") && !e.contains("\\"))
+    // null fields first (a half-written CDC config row): any string op
+    // on them would NPE inside foreachBatch — the exact stream-killing
+    // failure this gate exists to prevent. Option fields hold
+    // Option(null) never null itself (built via Option(getString)).
+    cfg.sinkTable != null && cfg.sinkColumns != null &&
+      cfg.sinkPk.forall(_ != null) && cfg.sinkExtend.forall(_ != null) && {
+        val cols = cfg.sinkColumns.split(",").map(_.trim).filter(_.nonEmpty)
+        cols.nonEmpty &&
+          (cols :+ cfg.sinkTable).forall(Ident.matches) &&
+          cfg.sinkPk.forall(Ident.matches) &&
+          cfg.sinkExtend.forall(e => !e.contains("'") && !e.contains("\\"))
+      }
   }
 
   /** The generated DDL, mirroring `createTable`'s string build

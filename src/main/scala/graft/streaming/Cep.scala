@@ -6,9 +6,12 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 /** One declared pattern stage: events matching `cond`, repeated `reps`
   * times. `strict` = an unmatched event KILLS a run waiting on this
   * stage (Flink `next`); relaxed stages skip unmatched events
-  * (Flink `followedBy`). */
+  * (Flink `followedBy`). `repStrict` is the contiguity BETWEEN the
+  * stage's own repeats (entry into repeat 1 follows `strict`; repeats
+  * 2..n follow `repStrict` — Flink's `consecutive()` switches exactly
+  * this, leaving the entry contiguity alone). */
 final case class CepStage(name: String, cond: Ev => Boolean, reps: Int,
-    strict: Boolean = true)
+    strict: Boolean = true, repStrict: Boolean = true)
     extends Serializable
 
 /** Generic CEP pattern combinator — the reference's Flink-CEP surface
@@ -37,9 +40,13 @@ final class CepPattern private (
 
   /** Relaxed-contiguity stage (Flink `.followedBy(name).where(cond)`):
     * events between the previous stage's match and this one's are
-    * skipped instead of killing the run. */
+    * skipped instead of killing the run. Its `times()` repeats default
+    * to relaxed too (Flink's default); `.consecutive()` tightens the
+    * repeats. */
   def followedBy(name: String, cond: Ev => Boolean): CepPattern =
-    new CepPattern(stages :+ CepStage(name, cond, 1, strict = false), withinMs)
+    new CepPattern(
+      stages :+ CepStage(name, cond, 1, strict = false, repStrict = false),
+      withinMs)
 
   /** Repeat the last declared stage n times (Flink `.times(n)`). */
   def times(n: Int): CepPattern = {
@@ -47,11 +54,13 @@ final class CepPattern private (
     new CepPattern(stages.init :+ stages.last.copy(reps = n), withinMs)
   }
 
-  /** Contiguity marker for `times` repeats. Flink needs the explicit
-    * switch (its default for times() is relaxed); this engine is
-    * always strict, so the call is a documented identity kept for API
-    * parity with the reference pattern. */
-  def consecutive(): CepPattern = this
+  /** Strict contiguity for the last stage's `times` repeats (Flink
+    * `.consecutive()` — its times() default is relaxed). For `next`
+    * stages the repeats are already strict, so this is an identity;
+    * for a `followedBy(...).times(n)` it tightens repeats 2..n while
+    * the ENTRY into the first repeat stays relaxed, matching Flink. */
+  def consecutive(): CepPattern =
+    new CepPattern(stages.init :+ stages.last.copy(repStrict = true), withinMs)
 
   /** Whole-match time bound: last event must arrive within `ms` of the
     * first, else the partial run is routed to the timeout branch. */
@@ -59,9 +68,13 @@ final class CepPattern private (
   def within(d: java.time.Duration): CepPattern = within(d.toMillis)
 
   /** Stage list with `times` expanded — element i names the stage the
-    * i-th matched event is recorded under in the select map. */
+    * i-th matched event is recorded under in the select map. Repeat 1
+    * carries the stage's entry contiguity; repeats 2..n carry
+    * `repStrict`. */
   private[streaming] def expanded: Vector[CepStage] =
-    stages.flatMap(s => Vector.fill(s.reps)(s.copy(reps = 1)))
+    stages.flatMap(s =>
+      s.copy(reps = 1) +:
+        Vector.fill(s.reps - 1)(s.copy(reps = 1, strict = s.repStrict)))
 }
 
 object CepPattern {

@@ -146,6 +146,43 @@ class StreamingSpec extends SparkSuite {
     assert(rows === Set(("converted", 1L, 4L), ("lost", 5L, -1L)))
   }
 
+  test("CEP followedBy times consecutive: relaxed entry, strict repeats") {
+    import graft.streaming.{Cep, CepPattern}
+    // Flink's followedBy(x).times(2).consecutive(): anything may sit
+    // between the trigger and the FIRST x (relaxed entry), but the two
+    // x's must be adjacent (strict repeats) — an event between them
+    // kills the run.
+    val pat = CepPattern
+      .begin("start", (e: Ev) => e.event_type == "view")
+      .followedBy("click", (e: Ev) => e.event_type == "click")
+      .times(2).consecutive()
+      .within(60000L)
+    val in = MemoryStream[Ev]
+    val out = Cep.pattern[(String, Long)](in.toDS(), pat,
+      select = m => ("matched", m("start").head.event_id),
+      onTimeout = p => Some(("timeout", p.head.event_id)))
+    val q = out.writeStream.format("memory")
+      .queryName(name()).outputMode("append").start()
+    in.addData(
+      // user 1: view, noise, click, click — relaxed entry skips the
+      // noise, adjacent clicks satisfy the strict repeats
+      ev(1, 1, 0, "view"), ev(1, 2, 5, "error"),
+      ev(1, 3, 10, "click"), ev(1, 4, 11, "click"),
+      // user 2: view, click, NOISE, click — the noise lands between
+      // the repeats and must KILL the run (silently — strict repeat
+      // contiguity; with relaxed repeats user 2 would match)
+      ev(2, 5, 0, "view"), ev(2, 6, 10, "click"),
+      ev(2, 7, 11, "error"), ev(2, 8, 12, "click"))
+    q.processAllAvailable()
+    in.addData(ev(9, 90, 600, "error"))
+    q.processAllAvailable()
+    in.addData(ev(9, 91, 601, "error"))
+    q.processAllAvailable()
+    val rows = spark.table(s"stream_out_$n").as[(String, Long)].collect().toSet
+    q.stop()
+    assert(rows === Set(("matched", 1L)))
+  }
+
   test("windowed agg with watermark emits closed windows in append mode") {
     val in = MemoryStream[Ev]
     val q = StreamOps.windowedStats(in.toDS())
@@ -832,7 +869,10 @@ class StreamingSpec extends SparkSuite {
       TableConfig("s1", "dim", "dim_empty_cols", " , ,", None, None),
       TableConfig("s2", "dim", "bad`name", "id", None, None),
       TableConfig("s3", "dim", "dim_quote_ext", "id", None, Some("x'y")),
-      TableConfig("s4", "dim", "dim_bad_pk", "id,v", Some("p k"), None))
+      TableConfig("s4", "dim", "dim_bad_pk", "id,v", Some("p k"), None),
+      // half-written CDC rows: NULL fields must not NPE the stream
+      TableConfig("s6", "dim", null, "id", None, None),
+      TableConfig("s7", "dim", "dim_null_cols", null, None, None))
     val good = TableConfig("s5", "dim", "dim_ok", "id,v", None, None)
     AutoDdl.applyConfigBatch(spark, db, (bad :+ good).toDF())
     assert(spark.catalog.tableExists(db, "dim_ok"),
