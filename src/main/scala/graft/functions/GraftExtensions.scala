@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_cosine"),
       (exprs: Seq[Expression]) => VecMath.buildCosine(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_barrier"),
+      new ExpressionInfo(classOf[PlanBarrier].getName, "graft_barrier"),
+      (exprs: Seq[Expression]) => PlanBarrier.build(exprs)))
   }
 }

@@ -320,6 +320,12 @@ object Core {
       // variant cast does not), so k is extracted only when the raw
       // field is integral — checked against the string view of the
       // SAME parsed variant (still parse-once).
+      //
+      // `graft_barrier` pins the parse in its projection: without it,
+      // predicate pushdown inlines a COPY of try_parse_json into the
+      // `k IS NOT NULL` filter below the project and every input row
+      // parses twice (Filter once, Project again for survivors).
+      graft.functions.PlanBarrier.register(spark)
       Tables.events(spark, dir).createOrReplaceTempView("v_events_f16")
       spark.sql(
         """SELECT event_id, k, k % 10 AS k_last, (k % 2 = 0) AS k_even
@@ -327,13 +333,58 @@ object Core {
           |  SELECT event_id,
           |    CASE WHEN try_variant_get(pv, '$.k', 'string') RLIKE '^-?[0-9]+$'
           |         THEN try_variant_get(pv, '$.k', 'bigint') END AS k
-          |  FROM (SELECT event_id, try_parse_json(props) AS pv FROM v_events_f16))
+          |  FROM (SELECT event_id, graft_barrier(try_parse_json(props)) AS pv
+          |        FROM v_events_f16))
           |WHERE k IS NOT NULL
+          |ORDER BY event_id""".stripMargin)
+    })
+
+  /** Wide VARIANT extraction: SIX typed reads off one parsed `pv`
+    * (bigint, string, double, string-length, missing path, plus two
+    * derived mods) behind a selective filter. This is the query shape
+    * that made the un-barriered f16 plan catastrophic: pushdown would
+    * inline ONE extra parse into the filter, and any later CSE change
+    * could inline one per extraction — N+1 parses per row at 100 TB
+    * ingest. With `graft_barrier` the plan carries exactly one
+    * `try_parse_json` (asserted in PlanSpec) regardless of extraction
+    * count. Oracle: DuckDB's native JSON type, also parse-once. */
+  val f17VariantWide = QueryDef(
+    "f17_variant_wide",
+    Some("""SELECT event_id, k, k_str, k_dbl, k_len, k_missing,
+           |  k % 7 AS k_mod7, (k % 2 = 0) AS k_even
+           |FROM (
+           |  SELECT event_id,
+           |    CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+           |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+           |    json_extract_string(props, '$.k') AS k_str,
+           |    TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+           |    CAST(length(json_extract_string(props, '$.k')) AS BIGINT) AS k_len,
+           |    json_extract_string(props, '$.missing') AS k_missing
+           |  FROM events)
+           |WHERE k IS NOT NULL AND k % 3 = 0
+           |ORDER BY event_id""".stripMargin),
+    (spark, dir) => {
+      graft.functions.PlanBarrier.register(spark)
+      Tables.events(spark, dir).createOrReplaceTempView("v_events_f17")
+      spark.sql(
+        """SELECT event_id, k, k_str, k_dbl, k_len, k_missing,
+          |  k % 7 AS k_mod7, (k % 2 = 0) AS k_even
+          |FROM (
+          |  SELECT event_id,
+          |    CASE WHEN try_variant_get(pv, '$.k', 'string') RLIKE '^-?[0-9]+$'
+          |         THEN try_variant_get(pv, '$.k', 'bigint') END AS k,
+          |    try_variant_get(pv, '$.k', 'string') AS k_str,
+          |    try_variant_get(pv, '$.k', 'double') AS k_dbl,
+          |    CAST(length(try_variant_get(pv, '$.k', 'string')) AS BIGINT) AS k_len,
+          |    try_variant_get(pv, '$.missing', 'string') AS k_missing
+          |  FROM (SELECT event_id, graft_barrier(try_parse_json(props)) AS pv
+          |        FROM v_events_f17))
+          |WHERE k IS NOT NULL AND k % 3 = 0
           |ORDER BY event_id""".stripMargin)
     })
 
   val defs: Seq[QueryDef] =
     Seq(q1Agg, q3Shipping, q4OrderPriority, q5LocalSupplier, p1JsonProps,
       p5Whitelist, p7LogSplit, fScalarDatetime, f13Age, f15MapOps,
-      f16VariantJson)
+      f16VariantJson, f17VariantWide)
 }
