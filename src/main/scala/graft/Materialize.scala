@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Eager materialization with a cluster-resilience switch.
+  *
+  * Hot multi-pass pipelines (LSH candidate pairs, IVF centroids, the
+  * twice-referenced derived-ps relation) materialize an intermediate
+  * once so the expensive upstream never re-runs. `localCheckpoint()`
+  * is the right local form — no external storage required — but its
+  * blocks are executor-local, non-replicated, and the lineage is
+  * truncated: on a real cluster one lost executor kills the job
+  * instead of recomputing. The deploy-time fix is Spark's reliable
+  * `checkpoint()` (blocks on the checkpoint dir, recomputable by any
+  * executor), which requires only `sparkContext.setCheckpointDir`.
+  *
+  * `df.materialized` picks the form from the context: checkpoint dir
+  * configured ⇒ reliable `checkpoint()`; otherwise `localCheckpoint()`.
+  * Production swap = one `setCheckpointDir` call (or
+  * `spark.checkpoint.dir` in the submit conf), zero code edits —
+  * same seam discipline as the topic transport.
+  *
+  * Both forms are eager: callers rely on materialize-then-release
+  * (`cache` → materialize downstream → `unpersist`) to keep the
+  * storage pool bounded.
+  */
+object Materialize {
+
+  def apply(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
+  implicit class Ops(private val df: DataFrame) extends AnyVal {
+    /** Eagerly materialize; reliable iff a checkpoint dir is set. */
+    def materialized: DataFrame = Materialize(df)
+  }
+}

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize.Ops
 import graft.QueryDef
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,7 +48,7 @@ object Dedup {
     // The band self-join references the signature relation twice; cache
     // it (one row per doc) so the minhash pipeline runs once, not once
     // per join side. The pair relation is materialized eagerly
-    // (localCheckpoint) so the signature cache can be released here
+    // (Materialize) so the signature cache can be released here
     // instead of leaking into the session's storage pool.
     val sig = minhashSig(sh).cache()
     val bands = sig.select(col("doc_id"), lit(0).as("band_id"), col("band0").as("sig"))
@@ -60,7 +61,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint()
+      .materialized
     sig.unpersist()
     pairs
   }
@@ -156,7 +157,7 @@ object Dedup {
       .join(sets.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sets.as("sb"), col("sb.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"), jac.as("jac"))
-      .localCheckpoint()
+      .materialized
     sh.unpersist()
     scored
   }
@@ -351,10 +352,10 @@ object Dedup {
   private[graft] def connectedComponentsIters(edges: DataFrame): (DataFrame, Int) = {
     val walk = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().materialized
     var labels = walk.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .materialized
     // labels only ever decrease, so Σlabel strictly decreases until
     // the fixpoint — convergence is one tiny aggregate over the
     // checkpointed relation instead of a self-join. decimal(38,0)
@@ -392,7 +393,7 @@ object Dedup {
         .select(col("b").as("node"), col("label"))
       val next = labels.unionByName(msgs)
         .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .materialized
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -437,7 +438,7 @@ object Dedup {
         // join probe side — materialize once (same convention as the
         // jaccard/IVF builders) so the tokenize+explode+md5 pass over
         // the corpus doesn't run twice
-        .localCheckpoint()
+        .materialized
       val cnt = chunks.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
       chunks.join(cnt, "h")

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize.Ops
 import graft.QueryDef
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -191,7 +192,7 @@ object PipelineOps {
           "transform(sequence(1, size(ws) - 3), i -> md5(concat_ws(' ', slice(ws, i, 4))))"))).as("h"))
       val train = sh.filter(col("doc_id") % 23 =!= 0).as("t")
       // eval side is read twice (bloom build + exact verify): pin it
-      val eval_ = sh.filter(col("doc_id") % 23 === 0).localCheckpoint().as("e")
+      val eval_ = sh.filter(col("doc_id") % 23 === 0).materialized.as("e")
       val bloomBytes = eval_
         .select(GraftBridge.column(new BloomFilterAggregate(
           GraftBridge.expression(xxhash64(col("h"))), 100000L).toAggregateExpression()).as("bf"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize.Ops
 import graft.QueryDef
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -94,7 +95,7 @@ object Similarity {
       .join(e.as("b"), col("a.bucket") === col("b.bucket") && cond)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.bucket").as("bucket"), cos.as("cos"))
-    val out = minCos.fold(raw)(t => raw.filter(col("cos") > t)).localCheckpoint()
+    val out = minCos.fold(raw)(t => raw.filter(col("cos") > t)).materialized
     e.unpersist()
     out
   }
@@ -127,7 +128,7 @@ object Similarity {
 
   /** Build-once IVF index: `centroids` is one row per coarse cluster
     * (label, cent: array<double> of per-dimension means), materialized
-    * eagerly (localCheckpoint) so every probe scans the tiny persisted
+    * eagerly (Materialize) so every probe scans the tiny persisted
     * relation — a probe plan NEVER re-aggregates the corpus. `corpus`
     * is the cluster-assigned embedding relation with precomputed norms.
     * At cluster scale: centroids live on < 1 MB (k_coarse rows), the
@@ -157,7 +158,7 @@ object Similarity {
       .groupBy("label", "dim").agg(avg(col("v")).as("cv"))
       .groupBy("label")
       .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("cent"))
-      .localCheckpoint()
+      .materialized
     IvfIndex(centroids, corpus)
   }
 

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize.Ops
 import graft.QueryDef
 import org.apache.spark.sql.functions._
 
@@ -137,7 +138,7 @@ object Workload {
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
         .agg(expr("SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))").as("total_rev"))
-        .localCheckpoint()
+        .materialized
       val mx = rev.agg(max(col("total_rev")).as("mx"))
       val s = Tables.table(spark, dir, "supplier")
       s.join(rev, s("s_suppkey") === rev("l_suppkey"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize.Ops
 import graft.QueryDef
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -77,13 +78,13 @@ object Workload3 {
             |LIMIT 100""".stripMargin),
     (spark, dir) => {
       // ps is referenced twice (outer + correlated ps2) and Spark
-      // inlines CTEs — materialize it ONCE (localCheckpoint) so the
+      // inlines CTEs — materialize it ONCE (Materialize) so the
       // lineitem scan + composite-key shuffle don't run twice; the
       // correlated scalar subquery still decorrelates over the
       // checkpointed relation, which is the shape the query exists
       // to prove.
       derivedPs(Tables.table(spark, dir, "lineitem"))
-        .localCheckpoint().createOrReplaceTempView("v_ps")
+        .materialized.createOrReplaceTempView("v_ps")
       Tables.table(spark, dir, "part").createOrReplaceTempView("v_part")
       Tables.table(spark, dir, "supplier").createOrReplaceTempView("v_supplier")
       Tables.table(spark, dir, "nation").createOrReplaceTempView("v_nation")
@@ -114,7 +115,7 @@ object Workload3 {
     * total/2000 passes ~40% of parts at sf0.01 and none at sf0.1; the
     * above-2×-average form selects the same "disproportionately
     * valuable" tail at every scale). The value relation is built ONCE
-    * (localCheckpoint — Spark inlines CTEs, and both the threshold
+    * (Materialize — Spark inlines CTEs, and both the threshold
     * scalar and the filter read it), the global (total, count) rides
     * in as a broadcast single row, and the fraction test is multiplied
     * out (v·cnt > total·2 on exact decimals) so no engine ever
@@ -152,7 +153,7 @@ object Workload3 {
           .select(col("s_suppkey")), col("s_suppkey") === col("ps_suppkey"))
         .groupBy("ps_partkey")
         .agg(expr("SUM(ps_supplycost * ps_availqty)").as("stock_val"))
-        .localCheckpoint() // read twice: total + filter (Spark inlines CTEs)
+        .materialized // read twice: total + filter (Spark inlines CTEs)
       val total = v.agg(
         expr("CAST(SUM(stock_val) AS DECIMAL(33,4))").as("total_val"),
         count(lit(1)).as("cnt"))
