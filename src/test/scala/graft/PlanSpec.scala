@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression gate for the flagship queries.
+  *
+  * Bench wall-time is ±30% container noise, so plan INVARIANTS are the
+  * stable signal: a dropped broadcast hint, a lost semi-join rewrite or
+  * an unpruned scan changes the executed plan deterministically long
+  * before it shows up in seconds. Each test pins the operator-level
+  * facts a 100 TB run depends on. The final test proves the gate bites:
+  * deliberately de-optimizing (broadcast disabled) flips the very
+  * assertion the gate checks.
+  *
+  * All assertions run against the POST-EXECUTION plan (AQE final), so
+  * what's asserted is what actually ran, not the static estimate.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def finalPlan(name: String, sfDir: String = "sf0.001"): String = {
+    val df = SparkEntry.queries(name)(spark, sf(sfDir))
+    df.collect() // drive AQE to its final plan
+    val full = df.queryExecution.executedPlan.toString
+    // AdaptiveSparkPlan prints "== Final Plan ==" followed by
+    // "== Initial Plan ==": keep only what actually ran, or scan
+    // counts double
+    full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+  }
+
+  private def occurrences(plan: String, token: String): Int =
+    token.r.findAllIn(plan).size
+
+  test("q2: no cartesian/nested-loop; dims broadcast; derived-ps materialized once") {
+    val plan = finalPlan("q2_min_cost_supplier")
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(25).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("BroadcastHashJoin"))
+    // derivedPs is materialized pre-plan: the final plan reads the
+    // stored relation, never re-scanning lineitem (twice-referenced
+    // CTE would otherwise double the biggest scan)
+    assert(!plan.contains("lineitem.parquet"), "q2 re-scans lineitem")
+    assert(plan.contains("ExistingRDD"))
+  }
+
+  test("q10: top-20 is TakeOrderedAndProject; nation broadcast; one lineitem scan") {
+    val plan = finalPlan("q10_returned_items")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(occurrences(plan, "lineitem\\.parquet") == 1, plan)
+  }
+
+  test("q18: lineitem scan pruned to the two aggregation columns") {
+    val plan = finalPlan("q18_large_volume")
+    assert(occurrences(plan, "lineitem\\.parquet") == 1)
+    // HAVING-before-join only pays off if the scan is pruned too
+    assert(plan.contains("struct<l_orderkey:bigint,l_quantity:double>"),
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("q20: nested IN chain collapses to semi joins") {
+    val plan = finalPlan("q20_excess_availability")
+    assert(occurrences(plan, "LeftSemi") >= 2, plan)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q21: EXISTS/NOT EXISTS rewrite to semi + anti over one relation") {
+    val plan = finalPlan("q21_waiting_supplier")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("j3: fixed dims ride broadcast joins") {
+    val plan = finalPlan("j3_dim_enrich")
+    assert(occurrences(plan, "BroadcastHashJoin") >= 2, plan)
+  }
+
+  test("a6: top-10 never global-sorts the aggregate") {
+    val plan = finalPlan("a6_topn_brand_revenue")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("GlobalLimit"), plan)
+  }
+
+  test("decontaminate_bloom: train side prefiltered by might_contain") {
+    val plan = finalPlan("decontaminate_bloom")
+    assert(plan.contains("might_contain"), plan.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("dedup_embedding_lsh: candidate join keyed on bucket, no all-pairs") {
+    val plan = finalPlan("dedup_embedding_lsh")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("j8: LATERAL decorrelates to a ranked window, not a per-row rescan") {
+    val plan = finalPlan("j8_lateral_topn")
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(occurrences(plan, "supplier\\.parquet") == 1, plan)
+  }
+
+  test("f17: wide variant query parses JSON exactly once") {
+    val plan = finalPlan("f17_variant_wide")
+    assert(occurrences(plan, "parseJson") == 1,
+      plan.linesIterator.filter(_.contains("parseJson")).mkString("\n"))
+  }
+
+  test("the gate bites: disabling broadcast flips j3's asserted shape") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqeThreshold = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // j3 with its hints stripped — the de-optimization a refactor
+      // could silently introduce
+      val o = ops.Tables.table(spark, sf("sf0.001"), "orders")
+      val c = ops.Tables.table(spark, sf("sf0.001"), "customer")
+      val n = ops.Tables.table(spark, sf("sf0.001"), "nation")
+      val df: DataFrame = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name")).agg(count(lit(1)).as("n_orders"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "broadcast disabled yet plan still broadcasts — gate can't detect the regression")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      aqeThreshold.foreach(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+}
