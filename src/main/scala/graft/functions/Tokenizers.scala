@@ -25,6 +25,29 @@ object Tokenizers {
   val words: Column => Column =
     c => regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 
+  /** Mixed-script CJK tokenization — the standard dictionary-free
+    * fallback when no IK/segmentation model is available (what Lucene's
+    * CJKAnalyzer does): contiguous CJK runs (Han, kana, Hangul — no
+    * word delimiters in these scripts) become overlapping character
+    * BIGRAMS, Latin/digit runs become lowercased words, everything
+    * else is a delimiter. A single-char CJK run is kept as-is rather
+    * than dropped. Pure codegen'd expressions (regexp + transform +
+    * flatten), no UDF, so it rides whole-stage codegen like every
+    * other strategy. */
+  val cjkBigrams: Column => Column = { c =>
+    // kana via BLOCKS, not scripts: the long-vowel mark ー (U+30FC) is
+    // Script=Common but Block=Katakana, and splitting データ at it
+    // would corrupt every prolonged-vowel word
+    val cjk = "\\p{IsHan}\\p{InHiragana}\\p{InKatakana}\\p{IsHangul}"
+    val runs = regexp_extract_all(c, lit(s"[$cjk]+|[A-Za-z0-9]+"), lit(0))
+    flatten(transform(runs, r =>
+      when(r.rlike(s"^[$cjk]"),
+        when(length(r) >= 2,
+          transform(sequence(lit(1), length(r) - 1), i => r.substr(i, lit(2))))
+          .otherwise(array(r)))
+        .otherwise(array(lower(r)))))
+  }
+
   /** Character n-gram shingles over the whitespace-collapsed text —
     * the language-agnostic fallback (what IK degrades to on unknown
     * scripts). */

@@ -424,14 +424,20 @@ object TextOps {
            |FROM events
            |ORDER BY event_id""".stripMargin),
     (spark, dir) => {
-      val pat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+|[0-9]+"
       Tables.events(spark, dir)
         .select(
           col("event_id"),
-          regexp_replace(col("props"), pat, "<PII>").as("redacted"),
-          regexp_count(col("props"), lit(pat)).cast("long").as("n_hits"))
+          regexp_replace(col("props"), piiPattern, "<PII>").as("redacted"),
+          regexp_count(col("props"), lit(piiPattern)).cast("long").as("n_hits"))
         .orderBy("event_id")
     })
+
+  /** The PII alternation (emails, digit runs) — ONE definition shared
+    * by the batch redaction query, its oracle, and the streaming
+    * ingest scrub, so the compliance pass cannot drift between
+    * surfaces. Anchored to character classes valid in both Java and
+    * RE2 dialects. */
+  val piiPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+|[0-9]+"
 
   /** Sequence packing (the GPT-style concat-and-chunk pass): documents
     * are concatenated per source in deterministic doc_id order and cut

@@ -74,7 +74,7 @@ object Workload3 {
             |  JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
             |  JOIN region r2 ON r2.r_regionkey = n2.n_regionkey AND r2.r_name = 'EUROPE'
             |  WHERE ps2.ps_partkey = p.p_partkey)
-            |ORDER BY supplycost, p.p_partkey, s.s_name
+            |ORDER BY supplycost, p.p_partkey, s.s_name, s.s_suppkey
             |LIMIT 100""".stripMargin),
     (spark, dir) => {
       // ps is referenced twice (outer + correlated ps2) and Spark
@@ -105,7 +105,7 @@ object Workload3 {
            |  JOIN v_nation n2 ON n2.n_nationkey = s2.s_nationkey
            |  JOIN v_region r2 ON r2.r_regionkey = n2.n_regionkey AND r2.r_name = 'EUROPE'
            |  WHERE ps2.ps_partkey = p.p_partkey)
-           |ORDER BY supplycost, p.p_partkey, s.s_name
+           |ORDER BY supplycost, p.p_partkey, s.s_name, s.s_suppkey
            |LIMIT 100""".stripMargin)
     })
 
@@ -119,8 +119,14 @@ object Workload3 {
     * scalar and the filter read it), the global (total, count) rides
     * in as a broadcast single row, and the fraction test is multiplied
     * out (v·cnt > total·2 on exact decimals) so no engine ever
-    * divides. At 100 TB: one shuffle for ps, one for the per-part sum;
-    * the scalar total is a tree-reduce to one row. */
+    * divides. Widths are the widest LOSSLESS forms (Spark keeps a
+    * decimal multiply exact iff p1+p2+1 ≤ 38): DECIMAL(27,4)·
+    * DECIMAL(10,0) → DECIMAL(38,4), i.e. ~1e23 of per-part stock value
+    * × 1e10 parts — nine orders above SF 100k needs. Past that the
+    * ANSI overflow error is the intended guard: fail loudly rather
+    * than TRY_CAST-dropping the largest parts silently. At 100 TB: one
+    * shuffle for ps, one for the per-part sum; the scalar total is a
+    * tree-reduce to one row. */
   val q11ImportantStock = QueryDef(
     "q11_important_stock",
     Some(s"""WITH ps AS ($psSql),
@@ -137,7 +143,7 @@ object Workload3 {
             |    COUNT(*) AS cnt FROM v)
             |SELECT ps_partkey, CAST(stock_val AS DOUBLE) AS stock_value
             |FROM v CROSS JOIN t
-            |WHERE CAST(stock_val AS DECIMAL(24,4)) * CAST(cnt AS DECIMAL(10,0)) >
+            |WHERE CAST(stock_val AS DECIMAL(27,4)) * CAST(cnt AS DECIMAL(10,0)) >
             |  total_val * 2
             |ORDER BY stock_value DESC, ps_partkey""".stripMargin),
     (spark, dir) => {
@@ -159,7 +165,7 @@ object Workload3 {
         count(lit(1)).as("cnt"))
       v.crossJoin(broadcast(total))
         .filter(expr(
-          "CAST(stock_val AS DECIMAL(24,4)) * CAST(cnt AS DECIMAL(10,0)) > total_val * 2"))
+          "CAST(stock_val AS DECIMAL(27,4)) * CAST(cnt AS DECIMAL(10,0)) > total_val * 2"))
         .select(col("ps_partkey"), col("stock_val").cast("double").as("stock_value"))
         .orderBy(col("stock_value").desc, col("ps_partkey"))
     })

@@ -81,13 +81,43 @@ object AutoDdl {
     (): Unit
   }
 
+  /** Dead-letter producer for malformed config rows: lands each reject
+    * on a [[FileTopics]] topic (default `dlq_table_config`) as a JSON
+    * value keyed by source table — a CONSUMABLE side output a monitor
+    * can subscribe to, same convention as the dirty-data branches in
+    * the DWD layer. */
+  def deadLetterTo(spark: SparkSession, brokerDir: String,
+      topic: String = "dlq_table_config"): TableConfig => Unit = { cfg =>
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, to_json, struct}
+    val row = Seq((cfg.sourceTable, cfg.sinkType, cfg.sinkTable,
+        cfg.sinkColumns, cfg.sinkPk.orNull, cfg.sinkExtend.orNull))
+      .toDF("sourceTable", "sinkType", "sinkTable", "sinkColumns", "sinkPk", "sinkExtend")
+    FileTopics.produce(
+      row.select(
+        lit(topic).as("topic"),
+        col("sourceTable").as("key"),
+        to_json(struct(row.columns.map(col): _*)).as("value")),
+      brokerDir)
+  }
+
+  private lazy val log = org.apache.log4j.Logger.getLogger(getClass)
+
   /** foreachBatch body for a config stream (the broadcast-state
     * `processBroadcastElement` analog): each arriving dim-routed config
     * row triggers DDL before data can be routed to the table. The
     * config batch is tiny (bounded by config-table cardinality), so
     * the collect is the same non-hot-path driver step the reference's
-    * broadcast-state update is. */
-  def applyConfigBatch(spark: SparkSession, db: String, batch: DataFrame): Unit = {
+    * broadcast-state update is. Malformed rows route to `onReject` —
+    * wire [[deadLetterTo]] for a consumable DLQ topic; the default
+    * logs at WARN (never a bare stderr println). */
+  def applyConfigBatch(spark: SparkSession, db: String, batch: DataFrame,
+      onReject: TableConfig => Unit = null): Unit = {
+    val reject = Option(onReject).getOrElse { (cfg: TableConfig) =>
+      log.warn(
+        s"[autoddl] skipping malformed config row for source '${cfg.sourceTable}': " +
+          s"sinkTable='${cfg.sinkTable}' sinkColumns='${cfg.sinkColumns}'")
+    }
     val rows = batch
       .select("sourceTable", "sinkType", "sinkTable", "sinkColumns", "sinkPk", "sinkExtend")
       .collect()
@@ -97,9 +127,7 @@ object AutoDdl {
         Option(r.getString(4)), Option(r.getString(5)))
       if (cfg.sinkType == "dim") {
         if (isValid(cfg)) ensureTable(spark, db, cfg)
-        else System.err.println(
-          s"[autoddl] skipping malformed config row for source '${cfg.sourceTable}': " +
-            s"sinkTable='${cfg.sinkTable}' sinkColumns='${cfg.sinkColumns}'")
+        else reject(cfg)
       }
     }
   }

@@ -26,12 +26,21 @@ import org.apache.spark.sql.functions._
 object LogCollector {
 
   /** `/applog?param=<json>` handler body: durably land one raw log
-    * line in the spool. Atomic rename = the complete-file contract. */
+    * line in the spool. The bytes are fsynced (SYNC open option)
+    * BEFORE the atomic rename publishes the file — an acknowledged
+    * post survives power loss, matching the log4j-append + Kafka-acks
+    * durability this mirrors. (The rename's directory entry itself is
+    * not fsynced: on ext4/xfs a crash can lose the *name* but never
+    * yield a partial file, and the poster's retry re-lands it — the
+    * same at-least-once edge Kafka acks have.) */
   def post(spoolDir: String, jsonLine: String): Unit = {
     Files.createDirectories(Paths.get(spoolDir))
     val name = java.util.UUID.randomUUID().toString
     val tmp = Paths.get(spoolDir, s".$name.tmp")
-    Files.write(tmp, (jsonLine + "\n").getBytes("UTF-8"))
+    Files.write(tmp, (jsonLine + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.SYNC)
     Files.move(tmp, Paths.get(spoolDir, s"$name.log"),
       StandardCopyOption.ATOMIC_MOVE)
     (): Unit

@@ -2,9 +2,34 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** Keyed day-dedup state machine for [[StreamOps.uvDedupTws]]: one
+  * ListState of seen UTC days per user, TTL-evicted by the store. */
+class UvDedupProcessor(ttl: TTLConfig)
+    extends StatefulProcessor[Long, Ev, Ev] {
+
+  @transient private var seenDays: ListState[String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seenDays = getHandle.getListState[String]("seen_days", Encoders.STRING, ttl)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timers: TimerValues): Iterator[Ev] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    val stored = seenDays.get()
+    while (stored.hasNext) seen += stored.next()
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+      // UTC day boundary — matches uvDedup and the batch to_date analog
+      val day = e.ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate.toString
+      if (seen.contains(day)) None
+      else { seen += day; seenDays.appendValue(day); Some(e) }
+    }.iterator
+  }
+}
 
 /** Event row for the streaming forms (the page-log shape of the
   * reference: mid → user_id, page/last_page_id → event_type,
@@ -86,6 +111,30 @@ object StreamOps {
             out.iterator
           }
       }
+  }
+
+  /** T2 on Spark 4's `transformWithState` — the forward path for
+    * arbitrary keyed state (native per-state TTL, timers, state schema
+    * evolution; replaces the deprecated-direction
+    * `flatMapGroupsWithState`). Same contract as [[uvDedup]]: emit only
+    * the first event per (user, UTC day); the reference's 24 h
+    * OnCreateAndWrite TTL (`app/dwm/UniqueVisitApp.java:57-59`) maps
+    * 1:1 onto `TTLConfig(Duration.ofHours(24))` — eviction is handled
+    * by the state store itself, no hand-rolled timeout dance. Requires
+    * the RocksDB state store provider (the 100 TB state path; enforced
+    * by Spark, not a choice here). StreamingSpec proves old-vs-new
+    * parity on identical input. */
+  def uvDedupTws(ds: Dataset[Ev],
+      ttl: Option[java.time.Duration] = Some(java.time.Duration.ofHours(24))): Dataset[Ev] = {
+    import ds.sparkSession.implicits._
+    val ttlConfig = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    // TTL state requires the processing-time clock; without TTL the
+    // processor is clockless
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    ds.groupByKey(_.user_id)
+      .transformWithState(new UvDedupProcessor(ttlConfig), timeMode,
+        OutputMode.Append())
   }
 
   /** T3 — CEP bounce detection (`app/dwm/UserJumpDetailApp.java:57-86`):
@@ -440,14 +489,39 @@ object StreamOps {
     *   3. per-source windowed corpus stats (docs + tokens) in append
     *      mode — closed windows are the incremental corpus ledger.
     *
+    * Compliance + quality composition (both on by default — the
+    * production stance for a corpus feed):
+    *   - `piiScrub`: [[graft.ops.TextOps.piiPattern]] redaction BEFORE
+    *     tokenize/fingerprint — PII never reaches state, fingerprints,
+    *     or downstream counts, and two docs differing only in PII
+    *     dedup to one (the batch `text_pii_redact` pass, inline);
+    *   - `modelGate`: the row-local quality-model gate
+    *     ([[graft.ops.TextOps.modelKeepExpr]] — plan-literal weights,
+    *     no join, no state), rejecting docs the model scores below
+    *     threshold; token-free docs have no decision and are dropped
+    *     by the minWords gate first.
+    * Both legs surface in the observed metrics (`rejected` = length
+    * gate, `model_rejected` = model gate among length-passers), so a
+    * dashboard alarms on either ratio without a second query.
+    *
     * At scale the dedup state shards by fingerprint hash across the
     * cluster's state stores exactly like any keyed agg. */
   def corpusIngest(docs: DataFrame, windowSeconds: Long = 60L,
-      watermarkSeconds: Long = 120L, minWords: Int = 3): DataFrame = {
-    docs
+      watermarkSeconds: Long = 120L, minWords: Int = 3,
+      piiScrub: Boolean = true, modelGate: Boolean = true): DataFrame = {
+    val scrubbed =
+      if (piiScrub)
+        docs.withColumn("text",
+          regexp_replace(col("text"), graft.ops.TextOps.piiPattern, "<PII>"))
+      else docs
+    scrubbed
       .withColumn("ws_arr", filter(split(col("text"), " "),
         (w: org.apache.spark.sql.Column) => length(w) > 0))
       .withColumn("n_words", size(col("ws_arr")))
+      .withColumn("model_keep",
+        if (modelGate)
+          coalesce(graft.ops.TextOps.modelKeepExpr(col("text")), lit(false))
+        else lit(true))
       // observed metrics: per-micro-batch ingest/reject counters
       // surfaced on StreamingQueryProgress.observedMetrics — the
       // production observability hook (a dashboard alarms on
@@ -455,8 +529,10 @@ object StreamOps {
       // aggregation rides the existing plan, no extra pass)
       .observe("ingest_gate",
         count(lit(1)).as("arrived"),
-        sum(when(col("n_words") < minWords, 1L).otherwise(0L)).as("rejected"))
-      .filter(col("n_words") >= minWords)
+        sum(when(col("n_words") < minWords, 1L).otherwise(0L)).as("rejected"),
+        sum(when(col("n_words") >= minWords && !col("model_keep"), 1L)
+          .otherwise(0L)).as("model_rejected"))
+      .filter(col("n_words") >= minWords && col("model_keep"))
       .withColumn("fp",
         md5(concat_ws(" ", array_sort(array_distinct(col("ws_arr"))))))
       .withWatermark("ts", s"$watermarkSeconds seconds")

@@ -244,4 +244,33 @@ class OpsSpec extends SparkSuite {
       assert(isSpike === (if (expectFlag) 1L else 0L), s"$dayS flag")
     }
   }
+
+  test("cjkBigrams tokenizes mixed CJK/Latin text like a dictionary-free IK") {
+    import graft.functions.Tokenizers
+    val rows = Seq(
+      // Han run → overlapping bigrams; Latin run → lowercased word
+      "数据仓库 with Spark",
+      // single-char CJK run survives as a unigram; digits are words
+      "我 love 2024",
+      // kana and Hangul runs bigram the same way; punctuation delimits
+      "データ処理, 데이터!",
+      "").toDF("text")
+    val toks = rows.select(Tokenizers.cjkBigrams(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    assert(toks(0) === Seq("数据", "据仓", "仓库", "with", "spark"))
+    assert(toks(1) === Seq("我", "love", "2024"))
+    assert(toks(2) === Seq("デー", "ータ", "タ処", "処理", "데이", "이터"))
+    assert(toks(3) === Seq.empty)
+
+    // the seam contract: a4's keyword pipeline runs unchanged on the
+    // CJK strategy — same shape, tokenizer swapped
+    val docs = Seq((1L, "数据仓库 构建 数据仓库"), (2L, "构建 pipeline")).toDF("doc_id", "text")
+    val counts = docs
+      .select(col("doc_id"), explode(Tokenizers.cjkBigrams(col("text"))).as("word"))
+      .groupBy("word").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("数据") === 2L)
+    assert(counts("构建") === 2L)
+    assert(counts("pipeline") === 1L)
+  }
 }

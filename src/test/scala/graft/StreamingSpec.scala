@@ -665,6 +665,60 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("T2 transformWithState port matches flatMapGroupsWithState on the same stream") {
+    // transformWithState is RocksDB-only by Spark's own check — set the
+    // provider for both queries so old-vs-new runs on identical stores
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val day = 86400L
+      val batch1 = Seq(ev(1, 1, 10, "view"), ev(1, 2, 20, "view"),
+        ev(1, 3, day + 5, "view"), ev(2, 6, 40, "view"))
+      val batch2 = Seq(ev(1, 4, day + 50, "view"), ev(2, 5, day + 30, "view"))
+
+      def run(mk: org.apache.spark.sql.Dataset[Ev] => org.apache.spark.sql.Dataset[Ev]): Set[Long] = {
+        val in = MemoryStream[Ev]
+        val q = mk(in.toDS())
+          .writeStream.format("memory").queryName(name()).outputMode("append").start()
+        in.addData(batch1: _*)
+        q.processAllAvailable()
+        in.addData(batch2: _*)
+        q.processAllAvailable()
+        val ids = spark.table(s"stream_out_$n").as[Ev].collect().map(_.event_id).toSet
+        q.stop()
+        ids
+      }
+
+      val old = run(ds => StreamOps.uvDedup(ds, ttlMs = None))
+      val tws = run(ds => StreamOps.uvDedupTws(ds, ttl = None))
+      assert(old === tws)
+      assert(tws === Set(1L, 3L, 6L, 5L)) // same-day dups 2 and 4 dropped
+
+      // the 24 h-TTL production form (TimeMode.ProcessingTime + TTLConfig)
+      // must run on the same topology. ProcessingTime time mode keeps
+      // no-data micro-batches spinning under processAllAvailable (the
+      // operator asks for another batch to advance the TTL clock — same
+      // family as the ProcessingTimeTimeout gotcha), so this variant is
+      // driven by Trigger.AvailableNow: drain everything, then stop.
+      val inTtl = MemoryStream[Ev]
+      inTtl.addData((batch1 ++ batch2): _*)
+      val qTtl = StreamOps.uvDedupTws(inTtl.toDS(),
+          ttl = Some(java.time.Duration.ofHours(24)))
+        .writeStream.format("memory").queryName(name()).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      qTtl.awaitTermination(120000L)
+      val withTtl = spark.table(s"stream_out_$n").as[Ev].collect().map(_.event_id).toSet
+      assert(withTtl === tws)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("four-layer topology on file topics: ODS → DWD route → DWS window agg → ADS JDBC") {
     import graft.streaming.FileTopics
     // the reference's layered architecture end to end on the emulated
@@ -702,7 +756,10 @@ class StreamingSpec extends SparkSuite {
   test("streaming corpus ingestion: quality gate → fingerprint dedup → windowed stats") {
     val in = MemoryStream[(Long, String, String, Timestamp)]
     val docs = in.toDF().toDF("doc_id", "text", "source", "ts")
-    val q = StreamOps.corpusIngest(docs, windowSeconds = 60L, watermarkSeconds = 120L)
+    // model gate exercised in its own parity test below — this one
+    // pins the window/dedup/counter mechanics with neutral text
+    val q = StreamOps.corpusIngest(docs, windowSeconds = 60L,
+      watermarkSeconds = 120L, modelGate = false)
       .writeStream.format("memory").queryName(name()).outputMode("append").start()
     def at(sec: Long) = new Timestamp((base + sec) * 1000L)
     // accumulate the per-batch observed gate counters as they stream by
@@ -744,6 +801,65 @@ class StreamingSpec extends SparkSuite {
       assert(arrived.get() === 5L)
       assert(rejected.get() === 1L) // doc 3 only: dedup drops aren't gate rejections
     } finally spark.streams.removeListener(listener)
+  }
+
+  test("corpusIngest PII scrub + model gate match the batch ops row for row") {
+    import graft.ops.TextOps
+    val in = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "source", "ts")
+    val q = StreamOps.corpusIngest(docs, windowSeconds = 60L, watermarkSeconds = 120L)
+      .writeStream.format("memory").queryName(name()).outputMode("append").start()
+    def at(sec: Long) = new Timestamp((base + sec) * 1000L)
+    val modelRejected = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        Option(e.progress.observedMetrics.get("ingest_gate")).foreach { m =>
+          modelRejected.addAndGet(m.getAs[Long]("model_rejected"))
+          (): Unit
+        }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val texts = Seq(
+        (1L, "spark data table join 123"),     // model-kept; digits scrubbed
+        (2L, "spark data table join 99887"),   // scrubs to the SAME text as 1 → deduped
+        (3L, "slow slow slow noise words"),    // model-rejected (negative weights)
+        (4L, "data join window stream mail bob@example.com")) // kept; email scrubbed
+      in.addData(texts.map { case (id, t) => (id, t, "web", at(5 + id)) }: _*)
+      q.processAllAvailable()
+      in.addData((9L, "spark table watermark pusher doc", "web", at(400)))
+      q.processAllAvailable()
+      val rows = spark.table(s"stream_out_$n")
+        .select(col("n_docs"), col("n_tokens")).as[(Long, Long)].collect()
+
+      // batch-side oracle: identical scrub + identical gate expressions
+      // over the same texts decide which docs the stream must keep
+      val batch = texts.toDF("doc_id", "text")
+        .withColumn("clean", regexp_replace(col("text"), TextOps.piiPattern, "<PII>"))
+        .withColumn("fp", md5(concat_ws(" ",
+          array_sort(array_distinct(filter(split(col("clean"), " "), w => length(w) > 0))))))
+        .withColumn("keep", coalesce(TextOps.modelKeepExpr(col("clean")), lit(false)))
+      val kept = batch.filter(col("keep"))
+        .groupBy("fp").agg(min("doc_id").as("doc_id"),
+          first(size(filter(split(col("clean"), " "), w => length(w) > 0))).as("n_tok"))
+        .as[(String, Long, Int)].collect()
+      // docs 1+2 collapse to one fingerprint, doc 3 is model-rejected:
+      // the stream's closed window must hold exactly the batch survivors
+      assert(kept.map(_._2).toSet === Set(1L, 4L))
+      assert(rows.map(_._1).sum === kept.length.toLong)
+      assert(rows.map(_._2).sum === kept.map(_._3.toLong).sum)
+
+      val deadline = System.currentTimeMillis() + 15000
+      while (modelRejected.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(modelRejected.get() === 1L) // doc 3, counted by the observed gate
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
   }
 
   test("kafka sink shape carries per-row topic routing (K2)") {
@@ -874,12 +990,56 @@ class StreamingSpec extends SparkSuite {
       TableConfig("s6", "dim", null, "id", None, None),
       TableConfig("s7", "dim", "dim_null_cols", null, None, None))
     val good = TableConfig("s5", "dim", "dim_ok", "id,v", None, None)
-    AutoDdl.applyConfigBatch(spark, db, (bad :+ good).toDF())
+    // rejects route to a consumable dead-letter topic, not stderr
+    val broker = java.nio.file.Files.createTempDirectory("ddl-dlq-broker").toString
+    AutoDdl.applyConfigBatch(spark, db, (bad :+ good).toDF(),
+      onReject = AutoDdl.deadLetterTo(spark, broker))
     assert(spark.catalog.tableExists(db, "dim_ok"),
       "valid row after malformed ones must still apply")
     for (t <- Seq("dim_empty_cols", "dim_quote_ext", "dim_bad_pk"))
       assert(!spark.catalog.tableExists(db, t), s"$t should have been skipped")
+    // every malformed row is on the DLQ, keyed by source table, with
+    // the full row JSON as the value a monitor would consume
+    val dlq = graft.streaming.FileTopics.read(spark, broker, "dlq_table_config")
+    val keys = dlq.select("key").as[String].collect().toSet
+    assert(keys === Set("s1", "s2", "s3", "s4", "s6", "s7"))
+    val vals = dlq.select("value").as[String].collect()
+    assert(vals.forall(_.contains("sourceTable")))
     spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
+  test("topic transport seam: mode resolution, kafka plans, file round-trip") {
+    import graft.streaming.TopicTransport
+    // default mode is file (no conf, no env in the test JVM)
+    assert(TopicTransport.mode(spark) === "file")
+    spark.conf.set(TopicTransport.ConfKey, "kafka")
+    try {
+      assert(TopicTransport.mode(spark) === "kafka")
+      // the exact reader/writer configuration the production swap
+      // produces — pinned here since the connector jar can't run in-env
+      val sp = TopicTransport.kafkaSourcePlan("broker1:9092,broker2:9092", "ods_base_log")
+      assert(sp.format === "kafka")
+      assert(sp.options("kafka.bootstrap.servers") === "broker1:9092,broker2:9092")
+      assert(sp.options("subscribe") === "ods_base_log")
+      assert(sp.options("startingOffsets") === "earliest")
+      assert(sp.options("failOnDataLoss") === "true")
+      val kp = TopicTransport.kafkaSinkPlan("broker1:9092", "dwd_page_log")
+      assert(kp.format === "kafka")
+      assert(kp.options("topic") === "dwd_page_log")
+    } finally spark.conf.unset(TopicTransport.ConfKey)
+
+    // file mode: produce + consume through the seam behave like the
+    // broker emulation they delegate to
+    val broker = java.nio.file.Files.createTempDirectory("tt-broker").toString
+    TopicTransport.produce(
+      Seq(("t_seam", "k1", "v1"), ("t_seam", "k2", "v2")).toDF("topic", "key", "value"),
+      broker)
+    val got = graft.streaming.FileTopics.read(spark, broker, "t_seam")
+      .select("key", "value").as[(String, String)].collect().toSet
+    assert(got === Set("k1" -> "v1", "k2" -> "v2"))
+    val src = TopicTransport.readStream(spark, broker, "t_seam")
+    assert(src.isStreaming)
+    assert(src.columns.toSeq === Seq("offset", "key", "value", "partition"))
   }
 
   test("HTTP-ingest stand-in: spooled posts land on the ODS topic once (S7)") {
