@@ -16,7 +16,8 @@ object SparkEntry {
     Core.defs ++ Stateful.defs ++ Joins.defs ++ Aggregates.defs ++
       Dedup.defs ++ Similarity.defs ++ TextOps.defs ++ Multimodal.defs ++
       Cdc.defs ++ WindowOps.defs ++ PipelineOps.defs ++ ScaleOps.defs ++
-      Analytics.defs ++ Workload.defs ++ Workload2.defs ++ Workload3.defs
+      Analytics.defs ++ Workload.defs ++ Workload2.defs ++ Workload3.defs ++
+      AdsQueries.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names in registry")

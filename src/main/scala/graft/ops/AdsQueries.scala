@@ -117,6 +117,139 @@ object AdsQueries {
       .select("new_uv", "hr", "uv_ct", "pv_ct", "uj_ct")
       .orderBy("hr")
 
+  // ---------------------------------------------------------------
+  // Oracle-checked end-to-end forms: DWS stats derived from the fact
+  // tables, then served through the façade functions above — the full
+  // publisher path (stats build → REST query) under the driver's
+  // correctness gate. Month-bucket stt keeps the date filters
+  // SF-independent (a whole month of facts at every SF).
+  // ---------------------------------------------------------------
+
+  import graft.QueryDef
+
+  /** orders×customer×nation → province_stats (nation = the province
+    * analog of this schema), served by [[provinceStats]] for 1996-03. */
+  val adsProvinceStats = QueryDef(
+    "ads_province_stats",
+    Some("""WITH ps AS (
+           |  SELECT date_trunc('month', o.o_orderdate) AS stt,
+           |    n.n_nationkey AS province_id, n.n_name AS province_name,
+           |    CAST(o.o_totalprice AS DECIMAL(18,2)) AS order_amount
+           |  FROM orders o
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+           |SELECT CAST(province_id AS BIGINT) AS province_id, province_name,
+           |  CAST(SUM(order_amount) AS DOUBLE) AS order_amount
+           |FROM ps WHERE strftime(stt, '%Y%m%d') = '19960301'
+           |GROUP BY province_id, province_name
+           |ORDER BY province_id""".stripMargin),
+    (spark, dir) => {
+      val o = Tables.table(spark, dir, "orders")
+      val c = Tables.table(spark, dir, "customer")
+      val n = Tables.table(spark, dir, "nation")
+      val stats = o
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(
+          date_trunc("month", col("o_orderdate")).as("stt"),
+          col("n_nationkey").cast("long").as("province_id"),
+          col("n_name").as("province_name"),
+          col("o_totalprice").cast("decimal(18,2)").as("order_amount"))
+      provinceStats(stats, "19960301")
+        .select(col("province_id"), col("province_name"),
+          col("order_amount").cast("double").as("order_amount"))
+    })
+
+  /** lineitem×part → product_stats keyed by brand (the trademark
+    * analog), served by [[productStatsByTrademark]] for 1996-03. */
+  val adsTrademarkStats = QueryDef(
+    "ads_trademark_stats",
+    Some("""WITH ps AS (
+           |  SELECT date_trunc('month', l.l_shipdate) AS stt,
+           |    TRY_CAST(regexp_extract(p.p_brand, '[0-9]+') AS BIGINT) AS tm_id,
+           |    p.p_brand AS tm_name,
+           |    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS order_amount
+           |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+           |SELECT tm_id, tm_name, CAST(order_amount AS DOUBLE) AS order_amount FROM (
+           |  SELECT tm_id, tm_name, SUM(order_amount) AS order_amount
+           |  FROM ps WHERE strftime(stt, '%Y%m%d') = '19960301'
+           |  GROUP BY tm_id, tm_name
+           |  HAVING SUM(order_amount) > 0
+           |  ORDER BY order_amount DESC, tm_id, tm_name
+           |  LIMIT 10)
+           |ORDER BY order_amount DESC, tm_id, tm_name""".stripMargin),
+    (spark, dir) => {
+      val l = Tables.table(spark, dir, "lineitem")
+      val p = Tables.table(spark, dir, "part")
+      val stats = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .select(
+          date_trunc("month", col("l_shipdate")).as("stt"),
+          expr("TRY_CAST(regexp_extract(p_brand, '[0-9]+', 0) AS BIGINT)").as("tm_id"),
+          col("p_brand").as("tm_name"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("order_amount"))
+      productStatsByTrademark(stats, "19960301", 10)
+        .select(col("tm_id"), col("tm_name"),
+          col("order_amount").cast("double").as("order_amount"))
+    })
+
+  /** The same product_stats through [[gmv]] — the one-row daily GMV
+    * endpoint. */
+  val adsGmv = QueryDef(
+    "ads_gmv",
+    Some("""SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS gmv
+           |FROM lineitem l
+           |WHERE strftime(date_trunc('month', l.l_shipdate), '%Y%m%d') = '19960301'""".stripMargin),
+    (spark, dir) => {
+      val stats = Tables.table(spark, dir, "lineitem")
+        .select(
+          date_trunc("month", col("l_shipdate")).as("stt"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("order_amount"))
+      gmv(stats, "19960301")
+        .select(col("gmv").cast("double").as("gmv"))
+    })
+
+  /** events → visitor_stats at hour grain (is_new from the signup
+    * event type), served by [[visitorStatsByHr]] for 2024-01-05. */
+  val adsVisitorStatsByHr = QueryDef(
+    "ads_visitor_stats_by_hr",
+    Some("""WITH vs AS (
+           |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS stt,
+           |    CASE WHEN event_type = 'signup' THEN '1' ELSE '0' END AS is_new,
+           |    COUNT(DISTINCT user_id) AS uv_ct,
+           |    COUNT(*) AS pv_ct,
+           |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
+           |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct
+           |  FROM events
+           |  GROUP BY 1, 2)
+           |SELECT CAST(SUM(CASE WHEN is_new = '1' THEN uv_ct ELSE 0 END) AS BIGINT) AS new_uv,
+           |  CAST(EXTRACT(hour FROM stt) AS BIGINT) AS hr,
+           |  CAST(SUM(uv_ct) AS BIGINT) AS uv_ct,
+           |  CAST(SUM(pv_ct) AS BIGINT) AS pv_ct,
+           |  CAST(SUM(uj_ct) AS BIGINT) AS uj_ct
+           |FROM vs WHERE strftime(stt, '%Y%m%d') = '20240105'
+           |GROUP BY hr
+           |ORDER BY hr""".stripMargin),
+    (spark, dir) => {
+      val stats = Tables.events(spark, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("stt"),
+          when(col("event_type") === "signup", "1").otherwise("0").as("is_new"))
+        .agg(
+          countDistinct(col("user_id")).as("uv_ct"),
+          count(lit(1)).as("pv_ct"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("sv_ct"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("uj_ct"))
+      visitorStatsByHr(stats, "20240105")
+        .select(col("new_uv").cast("long"), col("hr").cast("long").as("hr"),
+          col("uv_ct").cast("long"), col("pv_ct").cast("long"),
+          col("uj_ct").cast("long"))
+    })
+
+  val defs: Seq[QueryDef] = Seq(
+    adsProvinceStats, adsTrademarkStats, adsGmv, adsVisitorStatsByHr)
+
   /** name → (statsTable, date, limit) => result — the REST routing
     * table (`SugarController`'s path → mapper dispatch). */
   val registry: Map[String, (DataFrame, String, Int) => DataFrame] = Map(

@@ -4,7 +4,28 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Has-seen flag for [[StreamOps.newUserFixTws]]: one ValueState[Boolean]
+  * per user — the minimal transformWithState state machine. */
+class NewUserFixProcessor extends StatefulProcessor[Long, Ev, Ev] {
+
+  @transient private var seen: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timers: TimerValues): Iterator[Ev] = {
+    var s = seen.exists() && seen.get()
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      val first = !s
+      if (first) { s = true; seen.update(true) }
+      e.copy(is_new = if (first) 1 else 0)
+    }.iterator
+  }
+}
 
 /** Keyed day-dedup state machine for [[StreamOps.uvDedupTws]]: one
   * ListState of seen UTC days per user, TTL-evicted by the store. */
@@ -111,6 +132,18 @@ object StreamOps {
             out.iterator
           }
       }
+  }
+
+  /** T1 on `transformWithState` — [[newUserFix]]'s contract (first
+    * event per user keeps is_new=1, later ones rewritten to 0) as a
+    * ValueState[Boolean] processor. With [[uvDedupTws]] this pins the
+    * forward-path pattern for BOTH state shapes the engine uses
+    * (scalar flag, TTL'd collection); parity proven in StreamingSpec. */
+  def newUserFixTws(ds: Dataset[Ev]): Dataset[Ev] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new NewUserFixProcessor, TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** T2 on Spark 4's `transformWithState` — the forward path for

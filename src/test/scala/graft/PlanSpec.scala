@@ -109,6 +109,28 @@ class PlanSpec extends SparkSuite {
       plan.linesIterator.filter(_.contains("parseJson")).mkString("\n"))
   }
 
+  test("q11: derived-ps materialized once; scalar total rides a broadcast") {
+    val plan = finalPlan("q11_important_stock")
+    assert(!plan.contains("lineitem.parquet"), "q11 re-scans lineitem")
+    assert(plan.contains("ExistingRDD"))
+    // the (total, cnt) scalar joins in as a broadcast single row —
+    // never a shuffle against the per-part relation
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ads_trademark_stats: top-10 via TakeOrderedAndProject over a broadcast dim join") {
+    val plan = finalPlan("ads_trademark_stats")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(occurrences(plan, "lineitem\\.parquet") == 1, plan)
+  }
+
+  test("ads_province_stats: serving path keeps dims broadcast, one fact scan") {
+    val plan = finalPlan("ads_province_stats")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(occurrences(plan, "orders\\.parquet") == 1, plan)
+  }
+
   test("the gate bites: disabling broadcast flips j3's asserted shape") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val aqeThreshold = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")

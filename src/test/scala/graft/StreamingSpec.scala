@@ -696,6 +696,26 @@ class StreamingSpec extends SparkSuite {
       assert(old === tws)
       assert(tws === Set(1L, 3L, 6L, 5L)) // same-day dups 2 and 4 dropped
 
+      // T1 on the same forward path: is_new rewrites must agree with
+      // the flatMapGroupsWithState form across batches
+      def runT1(mk: org.apache.spark.sql.Dataset[Ev] => org.apache.spark.sql.Dataset[Ev]): Map[Long, Int] = {
+        val in = MemoryStream[Ev]
+        val q = mk(in.toDS())
+          .writeStream.format("memory").queryName(name()).outputMode("append").start()
+        in.addData(batch1: _*)
+        q.processAllAvailable()
+        in.addData(batch2: _*)
+        q.processAllAvailable()
+        val m = spark.table(s"stream_out_$n").as[Ev].collect()
+          .map(e => e.event_id -> e.is_new).toMap
+        q.stop()
+        m
+      }
+      val t1Old = runT1(StreamOps.newUserFix)
+      val t1Tws = runT1(StreamOps.newUserFixTws)
+      assert(t1Old === t1Tws)
+      assert(t1Tws === Map(1L -> 1, 2L -> 0, 3L -> 0, 6L -> 1, 4L -> 0, 5L -> 0))
+
       // the 24 h-TTL production form (TimeMode.ProcessingTime + TTLConfig)
       // must run on the same topology. ProcessingTime time mode keeps
       // no-data micro-batches spinning under processAllAvailable (the
