@@ -53,6 +53,49 @@ object Cdc {
     ins.unionByName(upd).unionByName(del)
   }
 
+  /** Debezium-envelope adapter: raw connector JSON (flattened payload
+    * `{before, after, source:{db,table}, op: c|u|d|r, ts_ms}`) → the
+    * reference deserializer's output
+    * `{databaseName, tableName, type, data, before}`
+    * (`app/function/MyDeserializationSchema.java:23-73`), byte-compatible
+    * with every downstream consumer of the synthesized stream:
+    * topic-derived db/table naming, op-code mapping with Debezium's
+    * `create`→`insert` rewrite (`u`→update, `d`→delete, `r`→read —
+    * snapshot reads keep their own type, as in the reference), and
+    * null before/after images materialized as `{}` exactly like the
+    * reference's empty JSONObjects. The MySQL connector itself cannot
+    * run here (no MySQL, zero egress); this pins the envelope schema
+    * so the production swap is source-config only. `ts_ms` rides along
+    * as the change-sequence key the compaction orders on. */
+  def fromDebezium(raw: org.apache.spark.sql.DataFrame,
+      valueCol: String = "value"): org.apache.spark.sql.DataFrame = {
+    val v = col(valueCol)
+    val op = get_json_object(v, "$.op")
+    raw.select(
+      get_json_object(v, "$.source.db").as("databaseName"),
+      get_json_object(v, "$.source.table").as("tableName"),
+      when(op === "c", "insert").when(op === "u", "update")
+        .when(op === "d", "delete").when(op === "r", "read").as("type"),
+      coalesce(get_json_object(v, "$.after"), lit("{}")).as("data"),
+      coalesce(get_json_object(v, "$.before"), lit("{}")).as("before"),
+      get_json_object(v, "$.ts_ms").cast("long").as("ts_ms"))
+  }
+
+  /** Envelope → table state: latest change per key wins (ordered by
+    * `seqCol`), deletes drop the row — the same compaction `s3_cdc_apply`
+    * proves under the oracle, exposed for the Debezium-shaped stream
+    * (snapshot `read` rows apply like inserts). */
+  def applyEnvelope(env: org.apache.spark.sql.DataFrame, pkJsonPath: String,
+      seqCol: String = "ts_ms"): org.apache.spark.sql.DataFrame = {
+    val keyed = env.withColumn("pk",
+      coalesce(get_json_object(col("data"), pkJsonPath),
+        get_json_object(col("before"), pkJsonPath)))
+    val w = Window.partitionBy("pk").orderBy(col(seqCol).desc)
+    keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("type") =!= "delete")
+      .select(col("pk"), col("type"), col("data"))
+  }
+
   val s3CdcApply = QueryDef(
     "s3_cdc_apply",
     Some(s"""$cdcCtes,

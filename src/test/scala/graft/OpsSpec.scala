@@ -245,6 +245,36 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("fromDebezium maps the connector envelope to the reference deserializer format") {
+    import graft.ops.Cdc
+    def dbz(op: String, before: String, after: String, ts: Long) =
+      s"""{"before":$before,"after":$after,"source":{"db":"gmall","table":"order_info"},"op":"$op","ts_ms":$ts}"""
+    val raw = Seq(
+      dbz("c", "null", """{"id":"1","status":"O"}""", 100L),
+      dbz("u", """{"id":"1","status":"O"}""", """{"id":"1","status":"P"}""", 200L),
+      dbz("d", """{"id":"2","status":"F"}""", "null", 300L),
+      dbz("r", "null", """{"id":"3","status":"O"}""", 50L))
+      .toDF("value")
+    val env = Cdc.fromDebezium(raw).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    // topic-derived names, create→insert rewrite, read stays read,
+    // null images become {} — the exact MyDeserializationSchema output
+    assert(env(0) === ("gmall", "order_info", "insert", """{"id":"1","status":"O"}""", "{}", 100L))
+    assert(env(1)._3 === "update")
+    assert(env(1)._5 === """{"id":"1","status":"O"}""")
+    assert(env(2) === ("gmall", "order_info", "delete", "{}", """{"id":"2","status":"F"}""", 300L))
+    assert(env(3)._3 === "read")
+
+    // compaction over the Debezium-shaped stream: latest per key wins,
+    // delete drops the row, snapshot read applies like an insert
+    val state = Cdc.applyEnvelope(Cdc.fromDebezium(raw), "$.id")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(state === Map(
+      "1" -> """{"id":"1","status":"P"}""",
+      "3" -> """{"id":"3","status":"O"}"""))
+  }
+
   test("cjkBigrams tokenizes mixed CJK/Latin text like a dictionary-free IK") {
     import graft.functions.Tokenizers
     val rows = Seq(
