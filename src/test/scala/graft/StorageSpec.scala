@@ -28,6 +28,36 @@ class StorageSpec extends SparkSuite {
     assert(scans.head.metrics("numFiles").value === 1L)
   }
 
+  test("IVF corpus written partitionBy(label): a probe reads only nprobe partitions") {
+    import graft.ops.Similarity
+    // the cluster-scale layout the IVF scaladoc promises: corpus
+    // partitioned by coarse-cluster label on disk, so a probe touching
+    // nprobe clusters is partition pruning, not a full scan
+    val dir = java.nio.file.Files.createTempDirectory("ivf-layout").toString
+    val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))
+    idx.corpus.write.partitionBy("label").mode("overwrite")
+      .parquet(s"$dir/corpus")
+    val labels = idx.corpus.select("label").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(labels.length > 2, s"need >2 coarse clusters, got ${labels.length}")
+    val nprobe = labels.take(2)
+    val disk = spark.read.parquet(s"$dir/corpus")
+    val probe = disk.filter(col("label").isin(nprobe: _*))
+    val got = probe.collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getAs[Int]("label")).toSet === nprobe.toSet)
+    val plan = probe.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters"), plan.toString)
+    // runtime proof: files touched = files under the two label dirs,
+    // strictly fewer than the table's total file count
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val touched = scans.head.metrics("numFiles").value
+    val all = disk.inputFiles.length.toLong
+    assert(touched < all, s"probe touched $touched of $all files — no pruning")
+  }
+
   test("mergeSchema reads across file generations with evolved schemas") {
     val dir = java.nio.file.Files.createTempDirectory("evolve").toString
     Seq((1L, "alpha")).toDF("doc_id", "text")
