@@ -23,6 +23,9 @@ object Soak {
     // late round-2 additions over the blown-up tables
     "a22_funnel", "text_repetition", "text_rarity_score",
     "decontaminate_ngram",
+    // round-3: the parse-once VARIANT path (events.props blown up with
+    // the rows) and the map-side PII scrub
+    "f16_variant_json", "f17_variant_wide", "text_pii_redact",
     // (j7_cogroup_reconcile is excluded: it reads orders, which the
     // blowup does not synthesize — only events/documents are blown up)
     "dedup_lines", "sample_pack", "a23_rolling_range",
