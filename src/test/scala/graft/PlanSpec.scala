@@ -131,6 +131,26 @@ class PlanSpec extends SparkSuite {
     assert(occurrences(plan, "orders\\.parquet") == 1, plan)
   }
 
+  test("q19: OR'd predicate bands stay ONE join, never three unioned joins") {
+    val plan = finalPlan("q19_disjunctive_bands")
+    val joins = occurrences(plan, "Join")
+    assert(joins <= 2, s"$joins join operators — disjunction exploded into unions:\n$plan")
+    assert(!plan.contains("Union"), plan)
+  }
+
+  test("decontaminate_ngram: train side reaches the broadcast probe without shuffling") {
+    val plan = finalPlan("decontaminate_ngram")
+    // the train-side leg (scan → shingle explode → broadcast-join
+    // probe) must carry no Exchange before the join; the only shuffle
+    // in the whole plan is the per-(train,eval) count aggregation
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, plan)
+    val belowJoin = plan.substring(joinIdx)
+    val exchangesBelow = occurrences(belowJoin, "Exchange hashpartitioning")
+    assert(exchangesBelow == 0,
+      s"train-side shuffle before the contamination probe:\n$plan")
+  }
+
   test("the gate bites: disabling broadcast flips j3's asserted shape") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val aqeThreshold = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
