@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Has-seen flag for [[StreamOps.newUserFixTws]]: one ValueState[Boolean]
   * per user — the minimal transformWithState state machine. */
@@ -24,6 +24,50 @@ class NewUserFixProcessor extends StatefulProcessor[Long, Ev, Ev] {
       if (first) { s = true; seen.update(true) }
       e.copy(is_new = if (first) 1 else 0)
     }.iterator
+  }
+}
+
+/** Event-time idle-timeout state machine for [[StreamOps.idleTimeoutTws]]:
+  * keeps the newest event per key and one armed timer at
+  * last_event_time + gap; a newer event re-arms the deadline, watermark
+  * passage fires it exactly once. This is the timer leg of the
+  * transformWithState API (registerTimer / handleExpiredTimer /
+  * TimeMode.EventTime) — the primitive under the reference's CEP
+  * timeout branch and session-gap emission. */
+class IdleTimeoutProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, Ev, (Long, Long)] {
+
+  @transient private var last: ValueState[(Long, Long)] = _ // (event_id, ts ms)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[(Long, Long)]("last",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timers: TimerValues): Iterator[(Long, Long)] = {
+    val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    if (evs.nonEmpty) {
+      val newest = evs.last
+      val prevTs = if (last.exists()) last.get()._2 else Long.MinValue
+      // out-of-order arrivals below the stored newest must not rewind
+      // the deadline (same discipline as the CEP buffer's event-time
+      // ordering)
+      if (newest.ts.getTime >= prevTs) {
+        val timerIt = getHandle.listTimers()
+        while (timerIt.hasNext) getHandle.deleteTimer(timerIt.next())
+        last.update((newest.event_id, newest.ts.getTime))
+        getHandle.registerTimer(newest.ts.getTime + gapMs)
+      }
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+    val out =
+      if (last.exists()) Iterator((key, last.get()._1)) else Iterator.empty
+    last.clear()
+    out
   }
 }
 
@@ -144,6 +188,23 @@ object StreamOps {
     ds.groupByKey(_.user_id)
       .transformWithState(new NewUserFixProcessor, TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** Event-time timers on `transformWithState`: emit
+    * (user, last_event_id) when a key goes idle for `gapMs` — the
+    * session-gap / CEP-timeout primitive (the timer half of
+    * `app/dwm/UserJumpDetailApp.java`'s within-clause) on the forward
+    * state API. With [[newUserFixTws]] (ValueState) and [[uvDedupTws]]
+    * (ListState + TTL) this completes the transformWithState surface
+    * the engine's stateful operators need: scalar state, TTL'd
+    * collection state, and event-time timers. */
+  def idleTimeoutTws(ds: Dataset[Ev], gapMs: Long,
+      watermarkDelay: String = "2 seconds"): Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** T2 on Spark 4's `transformWithState` — the forward path for

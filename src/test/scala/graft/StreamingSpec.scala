@@ -882,6 +882,37 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("event-time timers on transformWithState: idle keys emit once, activity re-arms") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = StreamOps.idleTimeoutTws(in.toDS(), gapMs = 60000L)
+        .writeStream.format("memory").queryName(name()).outputMode("append").start()
+      // u1 idles after event 11; u2 idles after event 20; u3 re-arms in
+      // batch 2 so its deadline moves to 30s+60s
+      in.addData(ev(1, 10, 0, "view"), ev(1, 11, 10, "click"),
+        ev(2, 20, 5, "view"), ev(3, 30, 0, "view"))
+      q.processAllAvailable()
+      in.addData(ev(3, 31, 30, "click"), ev(9, 90, 600, "view")) // watermark pusher
+      q.processAllAvailable()
+      in.addData(ev(9, 91, 601, "view")) // timers fire the batch after
+      q.processAllAvailable()
+      val fired = spark.table(s"stream_out_$n").as[(Long, Long)].collect().toSet
+      q.stop()
+      // each idle key exactly once, with its NEWEST event id; u9's own
+      // deadline (661s) is beyond the watermark and must not fire
+      assert(fired === Set((1L, 11L), (2L, 20L), (3L, 31L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("CDC e2e across the seams: Debezium records → topic → envelope → versioned dim state") {
     import graft.streaming.TopicTransport
     import graft.ops.Cdc
