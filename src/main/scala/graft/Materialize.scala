@@ -27,9 +27,16 @@ import org.apache.spark.sql.DataFrame
 object Materialize {
 
   def apply(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // checkpoint() alone computes the plan TWICE: the eager count
+      // job, then ReliableRDDCheckpointData's write job recomputes
+      // every partition (Spark's scaladoc recommends persisting
+      // first). Pin the partitions for the write, then release —
+      // compute-once is this helper's whole purpose.
+      val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try pinned.checkpoint()
+      finally { pinned.unpersist(); (): Unit }
+    } else df.localCheckpoint()
 
   implicit class Ops(private val df: DataFrame) extends AnyVal {
     /** Eagerly materialize; reliable iff a checkpoint dir is set. */

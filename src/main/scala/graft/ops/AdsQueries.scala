@@ -32,8 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object AdsQueries {
 
-  private def onDay(df: DataFrame, date: String) =
-    df.filter(date_format(col("stt"), "yyyyMMdd") === date)
+  private def onDay(df: DataFrame, date: String) = {
+    // SARGABLE day-range form of the mapper's toYYYYMMDD(stt)=#{date}:
+    // a function over stt (date_format) would block partition pruning
+    // and min/max skipping on a date-partitioned DWS table — the one
+    // scale property this layer depends on. A half-open range on the
+    // raw column prunes.
+    val day = to_date(lit(date), "yyyyMMdd")
+    df.filter(col("stt") >= day && col("stt") < date_add(day, 1))
+  }
 
   /** `KeywordStatsMapper.selectKeywordStats`: source-weighted keyword
     * score (SEARCH 10 / ORDER 3 / CART 2 / CLICK 1), ordered by the

@@ -416,11 +416,20 @@ object TextOps {
     * occurrences), plus a hit count for audit metrics. Pure map-side
     * work at any scale; the regex is anchored to character classes
     * shared by Java and RE2 dialects. */
+  /** The PII alternation (emails, digit runs) — ONE definition shared
+    * by the batch redaction query, its oracle, and the streaming
+    * ingest scrub, so the compliance pass cannot drift between
+    * surfaces. Anchored to character classes valid in both Java and
+    * RE2 dialects. */
+  val piiPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+|[0-9]+"
+
   val textPiiRedact = QueryDef(
     "text_pii_redact",
-    Some("""SELECT event_id,
-           |  regexp_replace(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+|[0-9]+', '<PII>', 'g') AS redacted,
-           |  CAST(len(regexp_extract_all(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+|[0-9]+')) AS BIGINT) AS n_hits
+    // piiPattern interpolated, not inlined: editing the alternation
+    // changes Spark, the oracle, and the streaming scrub together
+    Some(s"""SELECT event_id,
+           |  regexp_replace(props, '$piiPattern', '<PII>', 'g') AS redacted,
+           |  CAST(len(regexp_extract_all(props, '$piiPattern')) AS BIGINT) AS n_hits
            |FROM events
            |ORDER BY event_id""".stripMargin),
     (spark, dir) => {
@@ -432,12 +441,6 @@ object TextOps {
         .orderBy("event_id")
     })
 
-  /** The PII alternation (emails, digit runs) — ONE definition shared
-    * by the batch redaction query, its oracle, and the streaming
-    * ingest scrub, so the compliance pass cannot drift between
-    * surfaces. Anchored to character classes valid in both Java and
-    * RE2 dialects. */
-  val piiPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+|[0-9]+"
 
   /** Sequence packing (the GPT-style concat-and-chunk pass): documents
     * are concatenated per source in deterministic doc_id order and cut

@@ -81,27 +81,38 @@ object AutoDdl {
     (): Unit
   }
 
-  /** Dead-letter producer for malformed config rows: lands each reject
-    * on a [[FileTopics]] topic (default `dlq_table_config`) as a JSON
-    * value keyed by source table — a CONSUMABLE side output a monitor
-    * can subscribe to, same convention as the dirty-data branches in
-    * the DWD layer. */
+  /** Dead-letter producer for malformed config rows: lands the batch's
+    * rejects on a [[FileTopics]] topic (default `dlq_table_config`) as
+    * JSON values keyed by source table — a CONSUMABLE side output a
+    * monitor can subscribe to, same convention as the dirty-data
+    * branches in the DWD layer. One produce per micro-batch, not one
+    * write job per bad row. */
   def deadLetterTo(spark: SparkSession, brokerDir: String,
-      topic: String = "dlq_table_config"): TableConfig => Unit = { cfg =>
-    import spark.implicits._
-    import org.apache.spark.sql.functions.{col, lit, to_json, struct}
-    val row = Seq((cfg.sourceTable, cfg.sinkType, cfg.sinkTable,
-        cfg.sinkColumns, cfg.sinkPk.orNull, cfg.sinkExtend.orNull))
-      .toDF("sourceTable", "sinkType", "sinkTable", "sinkColumns", "sinkPk", "sinkExtend")
-    FileTopics.produce(
-      row.select(
-        lit(topic).as("topic"),
-        col("sourceTable").as("key"),
-        to_json(struct(row.columns.map(col): _*)).as("value")),
-      brokerDir)
+      topic: String = "dlq_table_config"): Seq[TableConfig] => Unit = { cfgs =>
+    if (cfgs.nonEmpty) {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit, to_json, struct}
+      val rows = cfgs.map(c => (c.sourceTable, c.sinkType, c.sinkTable,
+          c.sinkColumns, c.sinkPk.orNull, c.sinkExtend.orNull))
+        .toDF("sourceTable", "sinkType", "sinkTable", "sinkColumns", "sinkPk", "sinkExtend")
+      FileTopics.produce(
+        rows.select(
+          lit(topic).as("topic"),
+          col("sourceTable").as("key"),
+          to_json(struct(rows.columns.map(col): _*)).as("value")),
+        brokerDir)
+    }
   }
 
   private lazy val log = org.apache.log4j.Logger.getLogger(getClass)
+
+  /** Default reject channel: WARN per row (never a bare stderr
+    * println). */
+  val logRejects: Seq[TableConfig] => Unit = _.foreach { cfg =>
+    log.warn(
+      s"[autoddl] skipping malformed config row for source '${cfg.sourceTable}': " +
+        s"sinkTable='${cfg.sinkTable}' sinkColumns='${cfg.sinkColumns}'")
+  }
 
   /** foreachBatch body for a config stream (the broadcast-state
     * `processBroadcastElement` analog): each arriving dim-routed config
@@ -109,26 +120,22 @@ object AutoDdl {
     * config batch is tiny (bounded by config-table cardinality), so
     * the collect is the same non-hot-path driver step the reference's
     * broadcast-state update is. Malformed rows route to `onReject` —
-    * wire [[deadLetterTo]] for a consumable DLQ topic; the default
-    * logs at WARN (never a bare stderr println). */
+    * wire [[deadLetterTo]] for a consumable DLQ topic. */
   def applyConfigBatch(spark: SparkSession, db: String, batch: DataFrame,
-      onReject: TableConfig => Unit = null): Unit = {
-    val reject = Option(onReject).getOrElse { (cfg: TableConfig) =>
-      log.warn(
-        s"[autoddl] skipping malformed config row for source '${cfg.sourceTable}': " +
-          s"sinkTable='${cfg.sinkTable}' sinkColumns='${cfg.sinkColumns}'")
-    }
+      onReject: Seq[TableConfig] => Unit = logRejects): Unit = {
     val rows = batch
       .select("sourceTable", "sinkType", "sinkTable", "sinkColumns", "sinkPk", "sinkExtend")
       .collect()
+    val rejected = Seq.newBuilder[TableConfig]
     rows.foreach { r =>
       val cfg = TableConfig(
         r.getString(0), r.getString(1), r.getString(2), r.getString(3),
         Option(r.getString(4)), Option(r.getString(5)))
       if (cfg.sinkType == "dim") {
         if (isValid(cfg)) ensureTable(spark, db, cfg)
-        else reject(cfg)
+        else rejected += cfg
       }
     }
+    onReject(rejected.result())
   }
 }

@@ -48,15 +48,18 @@ class IdleTimeoutProcessor(gapMs: Long)
     val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
     if (evs.nonEmpty) {
       val newest = evs.last
-      val prevTs = if (last.exists()) last.get()._2 else Long.MinValue
-      // out-of-order arrivals below the stored newest must not rewind
-      // the deadline (same discipline as the CEP buffer's event-time
-      // ordering)
-      if (newest.ts.getTime >= prevTs) {
+      val (prevId, prevTs) =
+        if (last.exists()) last.get() else (Long.MinValue, Long.MinValue)
+      // out-of-order arrivals at-or-below the stored newest must not
+      // rewind or reshuffle the deadline: the cross-batch comparison is
+      // the same (ts, event_id) total order the intra-batch sort uses,
+      // so output does not depend on micro-batch boundaries
+      val ts = newest.ts.getTime
+      if (ts > prevTs || (ts == prevTs && newest.event_id > prevId)) {
         val timerIt = getHandle.listTimers()
         while (timerIt.hasNext) getHandle.deleteTimer(timerIt.next())
-        last.update((newest.event_id, newest.ts.getTime))
-        getHandle.registerTimer(newest.ts.getTime + gapMs)
+        last.update((newest.event_id, ts))
+        getHandle.registerTimer(ts + gapMs)
       }
     }
     Iterator.empty

@@ -46,11 +46,14 @@ object TopicTransport {
       "startingOffsets" -> "earliest",
       "failOnDataLoss" -> "true"))
 
-  /** Kafka batch-sink plan for one topic (the per-batch produce leg). */
-  def kafkaSinkPlan(bootstrap: String, topic: String): Plan =
-    Plan("kafka", Map(
-      "kafka.bootstrap.servers" -> bootstrap,
-      "topic" -> topic))
+  /** Kafka sink plan. With `topic = None` (the [[produce]] shape) no
+    * `topic` option is set and the connector routes on the per-row
+    * `topic` column — its dynamic-topic contract; a fixed topic pins
+    * the option instead. */
+  def kafkaSinkPlan(bootstrap: String, topic: Option[String] = None): Plan =
+    Plan("kafka",
+      Map("kafka.bootstrap.servers" -> bootstrap) ++
+        topic.map("topic" -> _))
 
   /** Unbounded consumer for `topic`, in the session's transport mode.
     * Both branches yield the same (offset, key string, value string,
@@ -76,10 +79,14 @@ object TopicTransport {
   def produce(batch: DataFrame, broker: String): Unit =
     mode(batch.sparkSession) match {
       case "kafka" =>
-        batch.selectExpr("topic", "CAST(key AS STRING) key", "CAST(value AS STRING) value")
-          .write.format("kafka")
-          .option("kafka.bootstrap.servers", broker)
-          .save()
+        // built FROM the tested plan so the pinned configuration and
+        // the executed write cannot drift
+        val p = kafkaSinkPlan(broker)
+        p.options.foldLeft(
+          batch.selectExpr("topic", "CAST(key AS STRING) key", "CAST(value AS STRING) value")
+            .write.format(p.format)) {
+          case (w, (k, v)) => w.option(k, v)
+        }.save()
       case _ => FileTopics.produce(batch, broker)
     }
 }

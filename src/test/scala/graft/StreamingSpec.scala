@@ -1113,9 +1113,15 @@ class StreamingSpec extends SparkSuite {
       assert(sp.options("subscribe") === "ods_base_log")
       assert(sp.options("startingOffsets") === "earliest")
       assert(sp.options("failOnDataLoss") === "true")
-      val kp = TopicTransport.kafkaSinkPlan("broker1:9092", "dwd_page_log")
+      // produce's shape: no topic option — the connector routes on the
+      // per-row topic column (the dynamic-topic contract)
+      val kp = TopicTransport.kafkaSinkPlan("broker1:9092")
       assert(kp.format === "kafka")
-      assert(kp.options("topic") === "dwd_page_log")
+      assert(!kp.options.contains("topic"))
+      assert(kp.options("kafka.bootstrap.servers") === "broker1:9092")
+      // fixed-topic variant pins the option instead
+      assert(TopicTransport.kafkaSinkPlan("broker1:9092", Some("dwd_page_log"))
+        .options("topic") === "dwd_page_log")
     } finally spark.conf.unset(TopicTransport.ConfKey)
 
     // file mode: produce + consume through the seam behave like the
