@@ -254,8 +254,163 @@ object AdsQueries {
           col("uj_ct").cast("long"))
     })
 
+  /** lineitem×part → product_stats keyed by p_type (the category3
+    * analog; id derived deterministically from the name on BOTH
+    * engines: ascii(first char)·100 + length), served by
+    * [[productStatsByCategory3]] for 1996-03. */
+  val adsCategory3Stats = QueryDef(
+    "ads_category3_stats",
+    Some("""WITH ps AS (
+           |  SELECT date_trunc('month', l.l_shipdate) AS stt,
+           |    CAST(ascii(p.p_type) * 100 + length(p.p_type) AS BIGINT) AS category3_id,
+           |    p.p_type AS category3_name,
+           |    CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS order_amount
+           |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+           |SELECT category3_id, category3_name, CAST(order_amount AS DOUBLE) AS order_amount FROM (
+           |  SELECT category3_id, category3_name, SUM(order_amount) AS order_amount
+           |  FROM ps WHERE stt >= TIMESTAMP '1996-03-01' AND stt < TIMESTAMP '1996-03-02'
+           |  GROUP BY category3_id, category3_name
+           |  HAVING SUM(order_amount) > 0
+           |  ORDER BY order_amount DESC, category3_id, category3_name
+           |  LIMIT 5)
+           |ORDER BY order_amount DESC, category3_id, category3_name""".stripMargin),
+    (spark, dir) => {
+      val l = Tables.table(spark, dir, "lineitem")
+      val p = Tables.table(spark, dir, "part")
+      val stats = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .select(
+          date_trunc("month", col("l_shipdate")).as("stt"),
+          (ascii(col("p_type")) * 100 + length(col("p_type"))).cast("long").as("category3_id"),
+          col("p_type").as("category3_name"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("order_amount"))
+      productStatsByCategory3(stats, "19960301", 5)
+        .select(col("category3_id"), col("category3_name"),
+          col("order_amount").cast("double").as("order_amount"))
+    })
+
+  /** lineitem → product_stats keyed by a part-range SPU (ten parts per
+    * SPU), with per-group distinct-order counts, served by
+    * [[productStatsBySpu]] for 1996-03. */
+  val adsSpuStats = QueryDef(
+    "ads_spu_stats",
+    Some("""WITH base AS (
+           |  SELECT date_trunc('month', l_shipdate) AS stt,
+           |    l_partkey // 10 AS spu_id,
+           |    'SPU_' || CAST(l_partkey // 10 AS VARCHAR) AS spu_name,
+           |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS amt,
+           |    l_orderkey
+           |  FROM lineitem),
+           |ps AS (
+           |  SELECT stt, spu_id, spu_name, SUM(amt) AS order_amount,
+           |    COUNT(DISTINCT l_orderkey) AS order_ct
+           |  FROM base GROUP BY stt, spu_id, spu_name)
+           |SELECT spu_id, spu_name, CAST(order_amount AS DOUBLE) AS order_amount,
+           |  CAST(order_ct AS BIGINT) AS order_ct
+           |FROM (
+           |  SELECT spu_id, spu_name, SUM(order_amount) AS order_amount,
+           |    SUM(order_ct) AS order_ct
+           |  FROM ps WHERE stt >= TIMESTAMP '1996-03-01' AND stt < TIMESTAMP '1996-03-02'
+           |  GROUP BY spu_id, spu_name
+           |  HAVING SUM(order_amount) > 0
+           |  ORDER BY order_amount DESC, spu_id, spu_name
+           |  LIMIT 10)
+           |ORDER BY order_amount DESC, spu_id, spu_name""".stripMargin),
+    (spark, dir) => {
+      val stats = Tables.table(spark, dir, "lineitem")
+        .groupBy(
+          date_trunc("month", col("l_shipdate")).as("stt"),
+          expr("l_partkey div 10").as("spu_id"),
+          concat(lit("SPU_"), expr("l_partkey div 10")).as("spu_name"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("order_amount"),
+          countDistinct(col("l_orderkey")).as("order_ct"))
+      productStatsBySpu(stats, "19960301", 10)
+        .select(col("spu_id"), col("spu_name"),
+          col("order_amount").cast("double").as("order_amount"),
+          col("order_ct").cast("long").as("order_ct"))
+    })
+
+  /** events → visitor_stats (hour grain, integer cent-dur), served by
+    * [[visitorStatsByNewFlag]] for 2024-01-05. */
+  val adsVisitorNewFlag = QueryDef(
+    "ads_visitor_new_flag",
+    Some("""WITH vs AS (
+           |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS stt,
+           |    CASE WHEN event_type = 'signup' THEN '1' ELSE '0' END AS is_new,
+           |    COUNT(DISTINCT user_id) AS uv_ct,
+           |    COUNT(*) AS pv_ct,
+           |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS sv_ct,
+           |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS uj_ct,
+           |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS dur_sum
+           |  FROM events GROUP BY 1, 2)
+           |SELECT is_new,
+           |  CAST(SUM(uv_ct) AS BIGINT) AS uv_ct, CAST(SUM(pv_ct) AS BIGINT) AS pv_ct,
+           |  CAST(SUM(sv_ct) AS BIGINT) AS sv_ct, CAST(SUM(uj_ct) AS BIGINT) AS uj_ct,
+           |  CAST(SUM(dur_sum) AS BIGINT) AS dur_sum
+           |FROM vs WHERE stt >= TIMESTAMP '2024-01-05' AND stt < TIMESTAMP '2024-01-06'
+           |GROUP BY is_new
+           |ORDER BY is_new""".stripMargin),
+    (spark, dir) => {
+      val stats = Tables.events(spark, dir)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("stt"),
+          when(col("event_type") === "signup", "1").otherwise("0").as("is_new"))
+        .agg(
+          countDistinct(col("user_id")).as("uv_ct"),
+          count(lit(1)).as("pv_ct"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("sv_ct"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("uj_ct"),
+          // duration analog as exact integer cents so re-summing in the
+          // serving layer stays order-independent
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("dur_sum"))
+      visitorStatsByNewFlag(stats, "20240105")
+        .select(col("is_new"), col("uv_ct").cast("long"), col("pv_ct").cast("long"),
+          col("sv_ct").cast("long"), col("uj_ct").cast("long"),
+          col("dur_sum").cast("long"))
+    })
+
+  /** events → keyword_stats (keyword = event type, source bucketed from
+    * the value magnitude), served by [[keywordStats]] for 2024-01-05 —
+    * the weighted-score-ordered-by-raw-count mapper quirk under the
+    * oracle. */
+  val adsKeywordStats = QueryDef(
+    "ads_keyword_stats",
+    Some("""WITH ks AS (
+           |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS stt, event_type AS keyword,
+           |    CASE WHEN value < 20 THEN 'SEARCH' WHEN value < 40 THEN 'ORDER'
+           |         WHEN value < 60 THEN 'CART' WHEN value < 80 THEN 'CLICK'
+           |         ELSE 'DISPLAY' END AS source,
+           |    COUNT(*) AS ct
+           |  FROM events GROUP BY 1, 2, 3)
+           |SELECT keyword, CAST(ct AS BIGINT) AS ct FROM (
+           |  SELECT keyword,
+           |    SUM(ct * CASE source WHEN 'SEARCH' THEN 10 WHEN 'ORDER' THEN 3
+           |                         WHEN 'CART' THEN 2 WHEN 'CLICK' THEN 1 ELSE 0 END) AS ct,
+           |    SUM(ct) AS raw_ct
+           |  FROM ks WHERE stt >= TIMESTAMP '2024-01-05' AND stt < TIMESTAMP '2024-01-06'
+           |  GROUP BY keyword
+           |  ORDER BY raw_ct DESC, keyword
+           |  LIMIT 3)
+           |ORDER BY keyword""".stripMargin),
+    (spark, dir) => {
+      val stats = Tables.events(spark, dir)
+        .groupBy(
+          date_trunc("day", col("ts")).as("stt"),
+          col("event_type").as("keyword"),
+          when(col("value") < 20, "SEARCH").when(col("value") < 40, "ORDER")
+            .when(col("value") < 60, "CART").when(col("value") < 80, "CLICK")
+            .otherwise("DISPLAY").as("source"))
+        .agg(count(lit(1)).as("ct"))
+      keywordStats(stats, "20240105", 3)
+        .select(col("keyword"), col("ct").cast("long").as("ct"))
+        .orderBy("keyword")
+    })
+
   val defs: Seq[QueryDef] = Seq(
-    adsProvinceStats, adsTrademarkStats, adsGmv, adsVisitorStatsByHr)
+    adsProvinceStats, adsTrademarkStats, adsGmv, adsVisitorStatsByHr,
+    adsCategory3Stats, adsSpuStats, adsVisitorNewFlag, adsKeywordStats)
 
   /** name → (statsTable, date, limit) => result — the REST routing
     * table (`SugarController`'s path → mapper dispatch). */
