@@ -20,6 +20,15 @@ import org.apache.spark.sql.DataFrame
   * `spark.checkpoint.dir` in the submit conf), zero code edits —
   * same seam discipline as the topic transport.
   *
+  * Checkpoint-file lifecycle in reliable mode: Spark never deletes
+  * rdd-* checkpoint dirs on its own (and loop users like
+  * `connectedComponentsIters` materialize once per iteration), so a
+  * deployment MUST set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * in the submit conf — the ContextCleaner then removes a dataset's
+  * checkpoint files when it is garbage-collected, bounding checkpoint
+  * volume to the live working set. (A context conf, settable only at
+  * startup — this helper cannot flip it for you.)
+  *
   * Both forms are eager: callers rely on materialize-then-release
   * (`cache` → materialize downstream → `unpersist`) to keep the
   * storage pool bounded.

@@ -7,9 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names — local iteration
-    // only (the driver always dumps the full surface)
+    // only (the driver always dumps the full surface). Unknown names
+    // fail FAST: silently dumping nothing would make check.py pass
+    // vacuously on a typo.
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) {
+        val asked = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = asked -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"unknown queries: ${unknown.mkString(", ")}")
+        Some(asked)
+      } else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -25,6 +25,16 @@ import org.apache.spark.sql.types.DataType
   * deterministic — results are unchanged, only plan shape is pinned.
   * (Same pattern Spark itself uses to keep `rand()` projections
   * stationary; here we borrow the mechanism for cost, not semantics.)
+  *
+  * KNOWN SIDE EFFECT: `PushDownPredicates` requires EVERY field of a
+  * Project to be deterministic, so one barriered column blocks
+  * pushdown of ALL filters through that Project — including filters
+  * on untouched columns that would otherwise reach the parquet scan
+  * or prune partitions. Apply sargable/partition filters BELOW the
+  * barrier projection (filter the source relation first, then project
+  * the barriered parse); put only the post-parse predicates above it.
+  * f16/f17 follow this: their only filters read the parsed column, so
+  * nothing is lost there.
   */
 case class PlanBarrier(child: Expression) extends UnaryExpression {
 

@@ -68,29 +68,53 @@ object Cdc {
     * so the production swap is source-config only. `ts_ms` rides along
     * as the change-sequence key the compaction orders on. */
   def fromDebezium(raw: org.apache.spark.sql.DataFrame,
-      valueCol: String = "value"): org.apache.spark.sql.DataFrame = {
-    val v = col(valueCol)
-    val op = get_json_object(v, "$.op")
-    raw.select(
-      get_json_object(v, "$.source.db").as("databaseName"),
-      get_json_object(v, "$.source.table").as("tableName"),
-      when(op === "c", "insert").when(op === "u", "update")
-        .when(op === "d", "delete").when(op === "r", "read").as("type"),
-      coalesce(get_json_object(v, "$.after"), lit("{}")).as("data"),
-      coalesce(get_json_object(v, "$.before"), lit("{}")).as("before"),
-      get_json_object(v, "$.ts_ms").cast("long").as("ts_ms"))
+      valueCol: String = "value",
+      passthrough: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    // json_tuple = ONE parse of the full record (object fields come
+    // back as raw JSON text); six independent get_json_object calls
+    // would re-parse the value six times per row — the N-parse
+    // anti-pattern the VARIANT work eliminates. Only the tiny `source`
+    // object is re-read for its two fields.
+    val parsed = raw.select(
+      (passthrough.map(col) :+
+        json_tuple(col(valueCol), "before", "after", "source", "op", "ts_ms")
+          .as(Seq("j_before", "j_after", "j_source", "j_op", "j_ts"))): _*)
+    val op = col("j_op")
+    parsed.select(
+      (passthrough.map(col) ++ Seq(
+        get_json_object(col("j_source"), "$.db").as("databaseName"),
+        get_json_object(col("j_source"), "$.table").as("tableName"),
+        // unmapped op codes (Debezium 't' truncate, 'm' message) keep
+        // their raw code instead of collapsing to NULL — a NULL type
+        // could shadow a real change in downstream compaction
+        when(op === "c", "insert").when(op === "u", "update")
+          .when(op === "d", "delete").when(op === "r", "read")
+          .otherwise(op).as("type"),
+        coalesce(col("j_after"), lit("{}")).as("data"),
+        coalesce(col("j_before"), lit("{}")).as("before"),
+        col("j_ts").cast("long").as("ts_ms"))): _*)
   }
 
   /** Envelope → table state: latest change per key wins (ordered by
-    * `seqCol`), deletes drop the row — the same compaction `s3_cdc_apply`
-    * proves under the oracle, exposed for the Debezium-shaped stream
-    * (snapshot `read` rows apply like inserts). */
+    * `seqCol` then `tieBreak` — Debezium's ts_ms is MILLISECOND
+    * transaction time, so an insert+update inside one transaction
+    * share it; pass the topic offset as the tie-break or
+    * same-millisecond winners are nondeterministic), deletes drop the
+    * row — the same compaction `s3_cdc_apply` proves under the oracle,
+    * exposed for the Debezium-shaped stream (snapshot `read` rows
+    * apply like inserts; unmapped op codes — truncate/message — are
+    * excluded BEFORE windowing so they can never shadow a real
+    * change). */
   def applyEnvelope(env: org.apache.spark.sql.DataFrame, pkJsonPath: String,
-      seqCol: String = "ts_ms"): org.apache.spark.sql.DataFrame = {
-    val keyed = env.withColumn("pk",
+      seqCol: String = "ts_ms",
+      tieBreak: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val known = env.filter(
+      col("type").isin("insert", "update", "read", "delete"))
+    val keyed = known.withColumn("pk",
       coalesce(get_json_object(col("data"), pkJsonPath),
         get_json_object(col("before"), pkJsonPath)))
-    val w = Window.partitionBy("pk").orderBy(col(seqCol).desc)
+    val w = Window.partitionBy("pk")
+      .orderBy((col(seqCol).desc +: tieBreak.map(col(_).desc)): _*)
     keyed.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("type") =!= "delete")
       .select(col("pk"), col("type"), col("data"))

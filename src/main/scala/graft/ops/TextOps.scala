@@ -409,13 +409,6 @@ object TextOps {
         .orderBy("doc_id")
     })
 
-  /** PII redaction: scrub email-shaped tokens and digit runs from the
-    * raw event payloads before they enter a training corpus — the
-    * mandatory scrubbing pass of a compliant data pipeline. A single
-    * alternation regex evaluated once per row (both engines replace all
-    * occurrences), plus a hit count for audit metrics. Pure map-side
-    * work at any scale; the regex is anchored to character classes
-    * shared by Java and RE2 dialects. */
   /** The PII alternation (emails, digit runs) — ONE definition shared
     * by the batch redaction query, its oracle, and the streaming
     * ingest scrub, so the compliance pass cannot drift between
@@ -423,6 +416,12 @@ object TextOps {
     * RE2 dialects. */
   val piiPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+|[0-9]+"
 
+  /** PII redaction: scrub email-shaped tokens and digit runs from the
+    * raw event payloads before they enter a training corpus — the
+    * mandatory scrubbing pass of a compliant data pipeline. A single
+    * alternation regex evaluated once per row (both engines replace all
+    * occurrences), plus a hit count for audit metrics. Pure map-side
+    * work at any scale. */
   val textPiiRedact = QueryDef(
     "text_pii_redact",
     // piiPattern interpolated, not inlined: editing the alternation

@@ -273,6 +273,29 @@ class OpsSpec extends SparkSuite {
     assert(state === Map(
       "1" -> """{"id":"1","status":"P"}""",
       "3" -> """{"id":"3","status":"O"}"""))
+
+    // same-millisecond insert+update (one transaction): the offset
+    // tie-break must pick the later log entry deterministically
+    val sameTs = Seq(
+      (0L, dbz("c", "null", """{"id":"7","status":"O"}""", 500L)),
+      (1L, dbz("u", """{"id":"7","status":"O"}""", """{"id":"7","status":"P"}""", 500L)))
+      .toDF("offset", "value")
+    val tied = Cdc.applyEnvelope(
+        Cdc.fromDebezium(sameTs, passthrough = Seq("offset")),
+        "$.id", tieBreak = Seq("offset"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(tied === Map("7" -> """{"id":"7","status":"P"}"""))
+
+    // unmapped op codes (truncate/message) keep their raw code and are
+    // excluded before windowing — they can never shadow a real change
+    val withTruncate = Seq(
+      dbz("c", "null", """{"id":"8","status":"O"}""", 100L),
+      dbz("t", "null", "null", 200L)).toDF("value")
+    val envT = Cdc.fromDebezium(withTruncate).collect()
+    assert(envT.map(_.getString(2)).toSet === Set("insert", "t"))
+    val stateT = Cdc.applyEnvelope(Cdc.fromDebezium(withTruncate), "$.id")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(stateT === Map("8" -> """{"id":"8","status":"O"}"""))
   }
 
   test("cjkBigrams tokenizes mixed CJK/Latin text like a dictionary-free IK") {

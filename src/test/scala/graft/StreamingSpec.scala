@@ -932,8 +932,11 @@ class StreamingSpec extends SparkSuite {
       ("ods_order_info", "2", dbz("d", """{"id":"2","status":"O"}""", "null", 300L)))
       .toDF("topic", "key", "value"), broker)
 
+    // offset rides through as the same-millisecond tie-break (ts_ms is
+    // transaction-grain; log order disambiguates within it)
     val env = Cdc.fromDebezium(
-      TopicTransport.readStream(spark, broker, "ods_order_info"))
+      TopicTransport.readStream(spark, broker, "ods_order_info"),
+      passthrough = Seq("offset"))
     val cdc = env.select(
       coalesce(get_json_object(col("data"), "$.id"),
         get_json_object(col("before"), "$.id")).as("pk"),
