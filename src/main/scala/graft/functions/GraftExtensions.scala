@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_barrier"),
       new ExpressionInfo(classOf[PlanBarrier].getName, "graft_barrier"),
       (exprs: Seq[Expression]) => PlanBarrier.build(exprs)))
+    // parse-once for naive queries: extracts JSON parses shared by a
+    // filter and its projection into one barriered column
+    e.injectOptimizerRule(_ => graft.plans.ParseOnceRule)
   }
 }

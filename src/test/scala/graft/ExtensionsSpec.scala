@@ -30,4 +30,67 @@ class ExtensionsSpec extends SparkSuite {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("ParseOnceRule: a NAIVE variant query parses once under the extensions") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import scala.jdk.CollectionConverters._
+      // parquet-backed, not a literal LocalRelation — Catalyst would
+      // constant-fold the latter to a LocalTableScan and there would be
+      // no plan left to assert on
+      val dir = java.nio.file.Files.createTempDirectory("parse-once").toString
+      ext.createDataFrame(
+        Seq(
+          org.apache.spark.sql.Row(1L, """{"k": 6}"""),
+          org.apache.spark.sql.Row(2L, """{"k": 7}"""),
+          org.apache.spark.sql.Row(3L, "not json")).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+        .write.mode("overwrite").parquet(s"$dir/naive")
+      ext.read.parquet(s"$dir/naive").createOrReplaceTempView("v_naive")
+      // the naive form — NO graft_barrier; pushdown would normally
+      // inline a second parse into the filter
+      val df = ext.sql(
+        """SELECT id, k, k % 2 AS k_even
+          |FROM (SELECT id, try_variant_get(try_parse_json(props), '$.k', 'bigint') AS k
+          |      FROM v_naive)
+          |WHERE k IS NOT NULL AND k % 3 = 0""".stripMargin)
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((1L, 6L)))
+      val plan = df.queryExecution.executedPlan.toString
+      val parses = "parseJson".r.findAllIn(plan).size
+      assert(parses == 1,
+        s"$parses parseJson calls — ParseOnceRule did not deduplicate:\n$plan")
+      assert(plan.contains("planbarrier"), plan)
+
+      // control: the same query WITHOUT the extensions parses twice —
+      // the rule, not some Spark default, is what deduplicates
+      val dfShared = { // runs on the shared (extension-free) session
+        SparkSession.setDefaultSession(shared)
+        SparkSession.setActiveSession(shared)
+        shared.read.parquet(s"$dir/naive").createOrReplaceTempView("v_naive_shared")
+        shared.sql(
+          """SELECT id, k, k % 2 AS k_even
+            |FROM (SELECT id, try_variant_get(try_parse_json(props), '$.k', 'bigint') AS k
+            |      FROM v_naive_shared)
+            |WHERE k IS NOT NULL AND k % 3 = 0""".stripMargin)
+      }
+      dfShared.collect()
+      val sharedParses = "parseJson".r
+        .findAllIn(dfShared.queryExecution.executedPlan.toString).size
+      assert(sharedParses >= 2,
+        s"control query parsed $sharedParses times — pushdown no longer duplicates?")
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
