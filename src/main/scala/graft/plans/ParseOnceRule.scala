@@ -3,7 +3,7 @@ package graft.plans
 import graft.functions.PlanBarrier
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, GetJsonObject, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Automatic parse-once rewrite — the optimizer-rule form of the
@@ -50,32 +50,53 @@ object ParseOnceRule extends Rule[LogicalPlan] {
     if (isExpensiveParse(e)) Seq(e)
     else e.children.flatMap(collectParses)
 
+  /** Parses computed by BOTH `cond` and `upper`, deduplicated by
+    * canonical form. Deterministic only: a barriered parse from a
+    * prior pass is already nondeterministic and skipped, which is
+    * what makes the rule a fixpoint no-op on its own output. */
+  private def sharedParses(cond: Expression,
+      upper: Seq[Expression]): Seq[Expression] = {
+    val above = upper.flatMap(collectParses).map(_.canonicalized).toSet
+    collectParses(cond).filter(_.deterministic)
+      .filter(e => above.contains(e.canonicalized))
+      .groupBy(_.canonicalized).map(_._2.head).toSeq
+  }
+
+  private def extract(shared: Seq[Expression], cond: Expression,
+      child: LogicalPlan): (Expression => Expression, LogicalPlan) = {
+    val aliases = shared.zipWithIndex.map { case (e, i) =>
+      Alias(PlanBarrier(e), s"__parse_once_$i")()
+    }
+    val sub: Map[Expression, Expression] =
+      shared.zip(aliases).map { case (e, a) =>
+        (e.canonicalized: Expression) -> (a.toAttribute: Expression)
+      }.toMap
+    def rewrite(e: Expression): Expression = e.transformDown {
+      case x if sub.contains(x.canonicalized) => sub(x.canonicalized)
+    }
+    (rewrite, Filter(rewrite(cond), Project(child.output ++ aliases, child)))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(projList, f @ Filter(cond, child)) =>
-      // only parses the filter AND the projection both compute are
-      // worth extracting; deterministic only (a barriered parse from a
-      // prior pass is already nondeterministic and skipped)
-      val inFilter = collectParses(cond).filter(_.deterministic)
-      val inProj = projList.flatMap(collectParses).map(_.canonicalized).toSet
-      val shared = inFilter
-        .filter(e => inProj.contains(e.canonicalized))
-        .groupBy(_.canonicalized).map(_._2.head).toSeq
-      if (shared.isEmpty) p
-      else {
-        val aliases = shared.zipWithIndex.map { case (e, i) =>
-          Alias(PlanBarrier(e), s"__parse_once_$i")()
-        }
-        val sub: Map[Expression, Expression] =
-          shared.zip(aliases).map { case (e, a) =>
-            (e.canonicalized: Expression) -> (a.toAttribute: Expression)
-          }.toMap
-        def rewrite(e: Expression): Expression = e.transformDown {
-          case x if sub.contains(x.canonicalized) => sub(x.canonicalized)
-        }
-        val lower = Project(child.output ++ aliases, child)
-        Project(
-          projList.map(rewrite(_).asInstanceOf[NamedExpression]),
-          Filter(rewrite(cond), lower))
+    case p @ Project(projList, Filter(cond, child)) =>
+      sharedParses(cond, projList) match {
+        case Seq() => p
+        case shared =>
+          val (rewrite, lower) = extract(shared, cond, child)
+          Project(projList.map(rewrite(_).asInstanceOf[NamedExpression]), lower)
+      }
+    // the grouping form: GROUP BY a parsed field WHERE the parse also
+    // gates rows — pushdown duplicates the parse into the filter the
+    // same way it does under a Project
+    case a @ Aggregate(grouping, aggExprs, Filter(cond, child), hint) =>
+      sharedParses(cond, grouping ++ aggExprs) match {
+        case Seq() => a
+        case shared =>
+          val (rewrite, lower) = extract(shared, cond, child)
+          Aggregate(
+            grouping.map(rewrite),
+            aggExprs.map(rewrite(_).asInstanceOf[NamedExpression]),
+            lower, hint)
       }
   }
 }

@@ -88,6 +88,27 @@ class ExtensionsSpec extends SparkSuite {
         .findAllIn(dfShared.queryExecution.executedPlan.toString).size
       assert(sharedParses >= 2,
         s"control query parsed $sharedParses times — pushdown no longer duplicates?")
+
+      // the GROUP-BY-parsed-field form deduplicates the same way
+      SparkSession.setDefaultSession(ext)
+      SparkSession.setActiveSession(ext)
+      val agg = ext.sql(
+        """SELECT k % 2 AS bucket, COUNT(*) AS n
+          |FROM (SELECT try_variant_get(try_parse_json(props), '$.k', 'bigint') AS k
+          |      FROM v_naive)
+          |WHERE k IS NOT NULL
+          |GROUP BY k % 2""".stripMargin)
+      assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((0L, 1L), (1L, 1L)))
+      // AQE prints final + initial plans; count only what ran
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      val aggFinal = aggPlan.indexOf("== Initial Plan ==") match {
+        case -1 => aggPlan
+        case i  => aggPlan.substring(0, i)
+      }
+      val aggParses = "parseJson".r.findAllIn(aggFinal).size
+      assert(aggParses == 1,
+        s"$aggParses parseJson calls in the aggregate plan:\n$aggFinal")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
