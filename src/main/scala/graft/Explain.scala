@@ -19,7 +19,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warmup
-    val fn = SparkEntry.queries(name)
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; available: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     if (doExplain) fn(spark, sfDir).explain("formatted")
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
