@@ -114,4 +114,96 @@ class ExtensionsSpec extends SparkSuite {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("ParseOnceRule: a guarded strict parse_json stays guarded (no ANSI throw)") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Files.createTempDirectory("parse-once-guard").toString
+      // row 3 is malformed AND flagged invalid: the CASE WHEN guard is
+      // the only thing standing between it and MALFORMED_RECORD_IN_PARSING
+      ext.createDataFrame(
+        Seq(
+          org.apache.spark.sql.Row(1L, """{"k": 6}""", true),
+          org.apache.spark.sql.Row(2L, """{"k": 7}""", true),
+          org.apache.spark.sql.Row(3L, "not json", false)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("valid", org.apache.spark.sql.types.BooleanType))))
+        .write.mode("overwrite").parquet(s"$dir/guarded")
+      ext.read.parquet(s"$dir/guarded").createOrReplaceTempView("v_guarded")
+      // strict parse_json under a CASE WHEN guard, in both filter and
+      // projection: hoisting it unconditionally would parse "not json"
+      // and throw under ANSI — the rule must leave this query alone
+      val df = ext.sql(
+        """SELECT id,
+          |       CASE WHEN valid THEN variant_get(parse_json(props), '$.k', 'bigint') END AS k
+          |FROM v_guarded
+          |WHERE CASE WHEN valid THEN variant_get(parse_json(props), '$.k', 'bigint') END % 3 = 0""".stripMargin)
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((1L, 6L)))
+      assert(!df.queryExecution.executedPlan.toString.contains("planbarrier"),
+        "guarded parse was extracted — conditional-context hoist regression")
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("ParseOnceRule: parse-free partition conjunct still prunes below the barrier") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import scala.jdk.CollectionConverters._
+      val dir = java.nio.file.Files.createTempDirectory("parse-once-prune").toString
+      ext.createDataFrame(
+        Seq(
+          org.apache.spark.sql.Row(1L, """{"k": 6}""", "2024-01-05"),
+          org.apache.spark.sql.Row(2L, """{"k": 9}""", "2024-01-05"),
+          org.apache.spark.sql.Row(3L, """{"k": 12}""", "2024-01-06")).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("dt", org.apache.spark.sql.types.StringType))))
+        .write.mode("overwrite").partitionBy("dt").parquet(s"$dir/bydt")
+      ext.read.parquet(s"$dir/bydt").createOrReplaceTempView("v_bydt")
+      // parse-dependent conjuncts AND a plain partition conjunct: the
+      // rule must extract the parse yet leave `dt = ...` pushable
+      val df = ext.sql(
+        """SELECT id, k
+          |FROM (SELECT id, try_variant_get(try_parse_json(props), '$.k', 'bigint') AS k, dt
+          |      FROM v_bydt)
+          |WHERE k IS NOT NULL AND k % 3 = 0 AND dt = '2024-01-05'""".stripMargin)
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 6L), (2L, 9L)))
+      val plan = df.queryExecution.executedPlan
+      val parses = "parseJson".r.findAllIn(plan.toString).size
+      assert(parses == 1,
+        s"$parses parseJson calls — extraction lost on the mixed-filter query:\n$plan")
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, plan.toString)
+      assert(scans.head.partitionFilters.exists(_.toString.contains("2024-01-05")),
+        s"dt conjunct did not reach the scan as a partition filter — " +
+          s"pruning lost above the barrier:\n${scans.head.partitionFilters}\n$plan")
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
