@@ -41,10 +41,16 @@ object Materialize {
       // job, then ReliableRDDCheckpointData's write job recomputes
       // every partition (Spark's scaladoc recommends persisting
       // first). Pin the partitions for the write, then release —
-      // compute-once is this helper's whole purpose.
-      val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // compute-once is this helper's whole purpose. A caller-owned
+      // cache (`.cache().materialized`) stays the caller's to release:
+      // only a persist WE took is unpersisted here.
+      val callerPersisted =
+        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      val pinned =
+        if (callerPersisted) df
+        else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try pinned.checkpoint()
-      finally { pinned.unpersist(); (): Unit }
+      finally { if (!callerPersisted) { pinned.unpersist(); (): Unit } }
     } else df.localCheckpoint()
 
   implicit class Ops(private val df: DataFrame) extends AnyVal {

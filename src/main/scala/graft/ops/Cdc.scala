@@ -98,8 +98,10 @@ object Cdc {
   /** Envelope → table state: latest change per key wins (ordered by
     * `seqCol` then `tieBreak` — Debezium's ts_ms is MILLISECOND
     * transaction time, so an insert+update inside one transaction
-    * share it; pass the topic offset as the tie-break or
-    * same-millisecond winners are nondeterministic), deletes drop the
+    * share it; when no tieBreak is given an `offset` column is used
+    * automatically if present, and otherwise an in-plan guard fails
+    * the job on an actual same-`seqCol` collision rather than letting
+    * row_number pick a run-dependent winner), deletes drop the
     * row — the same compaction `s3_cdc_apply` proves under the oracle,
     * exposed for the Debezium-shaped stream (snapshot `read` rows
     * apply like inserts; unmapped op codes — truncate/message — are
@@ -113,10 +115,36 @@ object Cdc {
     val keyed = known.withColumn("pk",
       coalesce(get_json_object(col("data"), pkJsonPath),
         get_json_object(col("before"), pkJsonPath)))
+    // Make the per-key order TOTAL: an explicit tieBreak wins;
+    // otherwise the log offset when the stream carries one; otherwise
+    // seqCol alone is only sound if it never collides within a key, so
+    // an in-plan guard fails the job on a real collision instead of
+    // returning a run-dependent winner (Debezium ts_ms is millisecond
+    // transaction time — an insert+update committed together share it).
+    val effectiveTieBreak =
+      if (tieBreak.nonEmpty) tieBreak
+      else if (env.columns.contains("offset")) Seq("offset")
+      else Nil
     val w = Window.partitionBy("pk")
-      .orderBy((col(seqCol).desc +: tieBreak.map(col(_).desc)): _*)
-    keyed.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("type") =!= "delete")
+      .orderBy((col(seqCol).desc +: effectiveTieBreak.map(col(_).desc)): _*)
+    val ranked = keyed.withColumn("rn", row_number().over(w))
+    val guarded =
+      if (effectiveTieBreak.nonEmpty) ranked
+      else ranked
+        // lead over the SAME window spec reuses the pk shuffle+sort: a
+        // winner whose runner-up carries the same seq is a tie. The
+        // assert column is referenced by the filter, so the optimizer
+        // cannot prune the check away; it returns NULL when the guard
+        // holds, passing every row.
+        .withColumn("_next_seq", lead(col(seqCol), 1).over(w))
+        .where(assert_true(
+          col("rn") =!= 1 || col("_next_seq").isNull ||
+            col("_next_seq") =!= col(seqCol),
+          lit(s"applyEnvelope: multiple changes share '$seqCol' for one key and " +
+            "no tie-break is available — pass tieBreak explicitly or include " +
+            "an 'offset' column in the envelope (Debezium ts_ms collides " +
+            "within a transaction)")).isNull)
+    guarded.filter(col("rn") === 1 && col("type") =!= "delete")
       .select(col("pk"), col("type"), col("data"))
   }
 

@@ -44,6 +44,28 @@ class MaterializeSpec extends SparkSuite {
     }
   }
 
+  test("reliable mode leaves a caller-owned cache in place") {
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "test assumes the shared session starts without a checkpoint dir")
+    val dir = Files.createTempDirectory("graft-ckpt-cache").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val cached = spark.range(0, 100).toDF("id").cache()
+      cached.count()
+      val mat = cached.materialized
+      assert(mat.count() == 100)
+      // the helper's persist/unpersist pair must not drop the cache the
+      // CALLER took — `.cache().materialized` chains own their release
+      assert(cached.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "materialized dropped the caller's cache")
+      cached.unpersist()
+    } finally {
+      val f = classOf[org.apache.spark.SparkContext].getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(spark.sparkContext, None)
+    }
+  }
+
   test("materialized is eager and truncates lineage in local mode") {
     val df = spark.range(0, 1000).toDF("id")
       .selectExpr("id", "id * 2 AS twice").materialized

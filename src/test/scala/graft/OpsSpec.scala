@@ -286,6 +286,31 @@ class OpsSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
     assert(tied === Map("7" -> """{"id":"7","status":"P"}"""))
 
+    // no explicit tieBreak, but the stream carries an offset column:
+    // the fallback must pick it up and stay deterministic
+    val auto = Cdc.applyEnvelope(
+        Cdc.fromDebezium(sameTs, passthrough = Seq("offset")), "$.id")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(auto === Map("7" -> """{"id":"7","status":"P"}"""))
+
+    // no tie-break available AND a real same-ts_ms collision: the
+    // in-plan guard must fail the job rather than return a
+    // run-dependent winner
+    val noOffset = sameTs.drop("offset")
+    val ex = intercept[Exception] {
+      Cdc.applyEnvelope(Cdc.fromDebezium(noOffset), "$.id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("tie-break")), ex.toString)
+
+    // ...and stays silent when seqCol alone is already total per key
+    val totalState = Cdc.applyEnvelope(Cdc.fromDebezium(raw), "$.id")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(totalState === Map(
+      "1" -> """{"id":"1","status":"P"}""",
+      "3" -> """{"id":"3","status":"O"}"""))
+
     // unmapped op codes (truncate/message) keep their raw code and are
     // excluded before windowing — they can never shadow a real change
     val withTruncate = Seq(
