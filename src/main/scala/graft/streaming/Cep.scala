@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** One declared pattern stage: events matching `cond`, repeated `reps`
   * times. `strict` = an unmatched event KILLS a run waiting on this
@@ -80,6 +80,125 @@ final class CepPattern private (
 object CepPattern {
   def begin(name: String, cond: Ev => Boolean): CepPattern =
     new CepPattern(Vector(CepStage(name, cond, 1)), None)
+}
+
+/** One partial CEP run for [[CepProcessor]] state: the matched prefix
+  * in match order. A case-class row — NOT Kryo blobs — so the state
+  * store holds an introspectable, evolvable schema, which is the point
+  * of carrying CEP on the transformWithState store. */
+final case class CepRun(events: Seq[Ev])
+
+/** [[Cep.pattern]]'s buffer-and-sort state machine on Spark 4's
+  * `transformWithState` — the forward-path state API (native timers via
+  * registerTimer/handleExpiredTimer, typed column-family state,
+  * RocksDB-backed, schema-evolvable) replacing the deprecated-direction
+  * `flatMapGroupsWithState` compilation. Semantics are IDENTICAL to the
+  * legacy form and parity-tested in StreamingSpec across the
+  * strict/relaxed/timeout/out-of-order branches.
+  *
+  * State layout per key: `pending` (events the watermark has not passed
+  * — bounded by the watermark delay) and `partials` (live partial runs
+  * — bounded by the within() window). One event-time timer is kept
+  * armed at the earliest of (next buffered event, earliest run
+  * deadline), so a quiet key wakes exactly when the watermark makes
+  * progress for it and never spins.
+  *
+  * `handleInputRows` and `handleExpiredTimer` share one drain routine
+  * and the drain is idempotent at a given watermark (ready events are
+  * consumed from the buffer, expired runs are removed), so the
+  * process-inputs-then-fire-timers order inside a micro-batch cannot
+  * double-emit. */
+class CepProcessor[Out](
+    conds: Vector[CepStage],
+    withinMs: Option[Long],
+    select: Map[String, Seq[Ev]] => Out,
+    onTimeout: Seq[Ev] => Option[Out])
+    extends StatefulProcessor[Long, Ev, Out] {
+
+  @transient private var pending: ListState[Ev] = _
+  @transient private var partials: ListState[CepRun] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    pending = getHandle.getListState[Ev]("pending",
+      Encoders.product[Ev], TTLConfig.NONE)
+    partials = getHandle.getListState[CepRun]("partials",
+      Encoders.product[CepRun], TTLConfig.NONE)
+  }
+
+  private def grouped(run: List[Ev]): Map[String, Seq[Ev]] =
+    conds.map(_.name).zip(run).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSeq }
+
+  private def drain(arrivals: Seq[Ev], wm: Long): Iterator[Out] = {
+    val out = List.newBuilder[Out]
+
+    def expire(runs: List[List[Ev]], nowMs: Long): List[List[Ev]] =
+      withinMs match {
+        case Some(w) =>
+          val (dead, alive) = runs.partition(p => nowMs - p.head.ts.getTime > w)
+          dead.foreach(p => onTimeout(p).foreach(out += _))
+          alive
+        case None => runs
+      }
+
+    var buf = List.newBuilder[Ev]
+    val storedPending = pending.get()
+    while (storedPending.hasNext) buf += storedPending.next()
+    buf ++= arrivals
+    var runs = List.newBuilder[List[Ev]]
+    val storedRuns = partials.get()
+    while (storedRuns.hasNext) runs += storedRuns.next().events.toList
+
+    // only events the watermark has passed are safe to order; anything
+    // newer could still be preceded by an in-flight earlier event
+    val (ready, waiting) = buf.result().partition(_.ts.getTime <= wm)
+    var live = runs.result()
+    for (e <- ready.sortBy(e => (e.ts.getTime, e.event_id))) {
+      live = expire(live, e.ts.getTime)
+      val advanced = List.newBuilder[List[Ev]]
+      def offer(run: List[Ev]): Unit = {
+        val next = run :+ e
+        if (next.length == conds.length) out += select(grouped(next))
+        else advanced += next
+      }
+      for (p <- live) {
+        val stage = conds(p.length)
+        if (stage.cond(e)) offer(p)
+        else if (!stage.strict) advanced += p // relaxed: skip e, run lives
+        // else: strict contiguity — the run dies silently
+      }
+      if (conds.head.cond(e)) offer(Nil) // every event may start a run
+      live = advanced.result()
+    }
+    // deadlines the watermark itself has passed: no event <= wm remains
+    // to extend these runs, and any later one would expire them anyway
+    live = expire(live, wm)
+
+    val timerIt = getHandle.listTimers()
+    while (timerIt.hasNext) getHandle.deleteTimer(timerIt.next())
+    pending.clear()
+    partials.clear()
+    if (live.nonEmpty || waiting.nonEmpty) {
+      if (waiting.nonEmpty) pending.appendList(waiting.toArray)
+      if (live.nonEmpty) partials.appendList(live.map(r => CepRun(r)).toArray)
+      // wake when the watermark reaches the next buffered event or the
+      // earliest run deadline, whichever comes first
+      val wakeAt =
+        waiting.map(_.ts.getTime) ++
+          withinMs.toList.flatMap(w => live.map(_.head.ts.getTime + w))
+      if (wakeAt.nonEmpty)
+        getHandle.registerTimer(math.max(wakeAt.min, wm + 1))
+    }
+    out.result().iterator
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timers: TimerValues): Iterator[Out] =
+    drain(rows.toSeq, timers.getCurrentWatermarkInMs())
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[Out] =
+    drain(Nil, timers.getCurrentWatermarkInMs())
 }
 
 object Cep {
@@ -189,5 +308,29 @@ object Cep {
           }
           out.result().iterator
       }
+  }
+
+  /** [[pattern]] on `transformWithState` — the same contract (complete
+    * matches through `select`, expired partials through `onTimeout`,
+    * buffer-and-sort event-time ordering) compiled onto the forward
+    * state API instead of the deprecated-direction
+    * `flatMapGroupsWithState`. RocksDB-only by Spark's own TWS check —
+    * which is also the 100 TB state path. See [[CepProcessor]]. */
+  def patternTws[Out: Encoder](
+      ds: Dataset[Ev],
+      pat: CepPattern,
+      select: Map[String, Seq[Ev]] => Out,
+      onTimeout: Seq[Ev] => Option[Out],
+      watermark: String = "1 second"): Dataset[Out] = {
+    import ds.sparkSession.implicits._
+    val conds = pat.expanded
+    require(conds.nonEmpty, "empty pattern")
+    require(conds.length == 1 || pat.withinMs.isDefined,
+      "a multi-stage CepPattern requires within(...): unbounded patterns would accumulate state forever")
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new CepProcessor[Out](conds, pat.withinMs, select, onTimeout),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

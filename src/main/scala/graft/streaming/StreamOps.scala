@@ -253,6 +253,23 @@ object StreamOps {
       onTimeout = partial => Some(partial.head))
   }
 
+  /** [[bounceDetect]] on `transformWithState` — identical pattern and
+    * branches, compiled through [[Cep.patternTws]]. With the T1/T2
+    * ports this moves the LAST stateful operator family (the CEP
+    * combinator, the reference's richest state machine) onto the
+    * forward state API; StreamingSpec proves old-vs-new parity on the
+    * strict/relaxed/timeout/out-of-order branches. */
+  def bounceDetectTws(ds: Dataset[Ev], gapMs: Long = 30L * 60 * 1000): Dataset[Ev] = {
+    import ds.sparkSession.implicits._
+    val pat = CepPattern
+      .begin("start", (e: Ev) => e.event_type == "view")
+      .times(2).consecutive()
+      .within(gapMs)
+    Cep.patternTws[Ev](ds, pat,
+      select = m => m("start").head,
+      onTimeout = partial => Some(partial.head))
+  }
+
   /** A1/A2/W1/W3 streaming form — watermarked tumbling window
     * aggregation (`app/dws/VisitorStatsApp.java:94-117`), append mode.
     */

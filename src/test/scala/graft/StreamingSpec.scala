@@ -1020,6 +1020,115 @@ class StreamingSpec extends SparkSuite {
     assert(rows === Set(("timeout", 11L)))
   }
 
+  test("CEP on transformWithState matches flatMapGroupsWithState on every branch") {
+    import graft.streaming.{Cep, CepPattern}
+    // transformWithState is RocksDB-only by Spark's own check — run
+    // old and new on identical stores so the parity is like-for-like
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // one harness, two compilations: feed the same batches through
+      // the legacy and the TWS form of the SAME pattern and compare
+      def run(pat: CepPattern, batches: Seq[Seq[Ev]], wmDelay: String = "1 second")(
+          compile: (org.apache.spark.sql.Dataset[Ev], CepPattern,
+            Map[String, Seq[Ev]] => (String, Long),
+            Seq[Ev] => Option[(String, Long)], String) =>
+            org.apache.spark.sql.Dataset[(String, Long)]): Set[(String, Long)] = {
+        val in = MemoryStream[Ev]
+        val out = compile(in.toDS(), pat,
+          // first matched event of the run, independent of stage names
+          m => ("match", m.values.flatten.minBy(e => (e.ts.getTime, e.event_id)).event_id),
+          p => Some(("timeout", p.head.event_id)), wmDelay)
+        val q = out.writeStream.format("memory")
+          .queryName(name()).outputMode("append").start()
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val rows = spark.table(s"stream_out_$n").as[(String, Long)].collect().toSet
+        q.stop()
+        rows
+      }
+      def parity(pat: CepPattern, batches: Seq[Seq[Ev]],
+          expected: Set[(String, Long)], wmDelay: String = "1 second"): Unit = {
+        val old = run(pat, batches, wmDelay)(Cep.pattern[(String, Long)](_, _, _, _, _))
+        val tws = run(pat, batches, wmDelay)(Cep.patternTws[(String, Long)](_, _, _, _, _))
+        assert(old === tws, s"old=$old tws=$tws")
+        assert(tws === expected)
+      }
+      val wmPush = Seq(Seq(ev(9, 90, 600, "error")), Seq(ev(9, 91, 601, "error")))
+
+      // strict repeats + timeout (the bounceDetect shape): u1 bounces
+      // (and its second run dies on the click), u2's deadline passes
+      // before the late click, u3 never hears again → timer timeout
+      parity(
+        CepPattern.begin("start", (e: Ev) => e.event_type == "view")
+          .times(2).consecutive().within(60000L),
+        Seq(Seq(
+          ev(1, 10, 0, "view"), ev(1, 11, 10, "view"), ev(1, 12, 20, "click"),
+          ev(2, 20, 0, "view"), ev(2, 21, 200, "click"),
+          ev(3, 30, 0, "view"))) ++ wmPush,
+        Set(("match", 10L), ("timeout", 20L), ("timeout", 30L)))
+
+      // strict three-stage funnel: complete, abandoned, and a
+      // strict-contiguity kill with a restart
+      parity(
+        CepPattern.begin("view", (e: Ev) => e.event_type == "view")
+          .next("click", (e: Ev) => e.event_type == "click")
+          .next("purchase", (e: Ev) => e.event_type == "purchase")
+          .within(60000L),
+        Seq(Seq(
+          ev(1, 1, 0, "view"), ev(1, 2, 10, "click"), ev(1, 3, 20, "purchase"),
+          ev(2, 4, 0, "view"), ev(2, 5, 10, "click"),
+          ev(3, 6, 0, "view"), ev(3, 7, 10, "view"),
+          ev(3, 8, 20, "click"), ev(3, 9, 30, "purchase"))) ++ wmPush,
+        Set(("match", 1L), ("match", 7L), ("timeout", 4L)))
+
+      // relaxed followedBy: intervening clicks are skipped, stalls
+      // route to the timeout branch
+      parity(
+        CepPattern.begin("view", (e: Ev) => e.event_type == "view")
+          .followedBy("purchase", (e: Ev) => e.event_type == "purchase")
+          .within(60000L),
+        Seq(Seq(
+          ev(1, 1, 0, "view"), ev(1, 2, 10, "click"),
+          ev(1, 3, 20, "click"), ev(1, 4, 30, "purchase"),
+          ev(2, 5, 0, "view"), ev(2, 6, 10, "click"))) ++ wmPush,
+        Set(("match", 1L), ("timeout", 5L)))
+
+      // out-of-order inside the watermark delay: the later-arriving
+      // EARLIER click must not kill the strict view-run
+      parity(
+        CepPattern.begin("start", (e: Ev) => e.event_type == "view")
+          .times(2).consecutive().within(10000L),
+        Seq(Seq(ev(1, 11, 10, "view")), Seq(ev(1, 10, 9, "click"))) ++ wmPush,
+        Set(("timeout", 11L)), wmDelay = "5 seconds")
+
+      // the bounceDetect entry point itself, old vs new
+      def runBounce(mk: org.apache.spark.sql.Dataset[Ev] => org.apache.spark.sql.Dataset[Ev]): Set[Long] = {
+        val in = MemoryStream[Ev]
+        val q = mk(in.toDS()).writeStream.format("memory")
+          .queryName(name()).outputMode("append").start()
+        (Seq(Seq(
+          ev(1, 10, 0, "view"), ev(1, 11, 10, "view"), ev(1, 12, 20, "click"),
+          ev(2, 20, 0, "view"), ev(2, 21, 200, "click"),
+          ev(3, 30, 0, "view"))) ++ wmPush)
+          .foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val ids = spark.table(s"stream_out_$n").as[Ev].collect().map(_.event_id).toSet
+        q.stop()
+        ids
+      }
+      val oldBounce = runBounce(StreamOps.bounceDetect(_, gapMs = 60000L))
+      val twsBounce = runBounce(StreamOps.bounceDetectTws(_, gapMs = 60000L))
+      assert(oldBounce === twsBounce)
+      assert(twsBounce === Set(10L, 20L, 30L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("auto-DDL creates dim sink tables from the config stream (K5)") {
     import graft.streaming.AutoDdl
     import graft.streaming.AutoDdl.TableConfig
