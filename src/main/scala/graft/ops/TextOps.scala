@@ -529,10 +529,22 @@ object TextOps {
     * token mass is taken; report what the budget bought per source.
     * The budget test is multiplied out on BIGINT token counts
     * (cum·5 ≤ total) — no ratio, no float, so the cut point is
-    * identical in both engines. The global ORDER BY is over doc
-    * METADATA (id, hash, token count — not text), the same
-    * running-total shape as a16; per-source budgets would partition
-    * the sort away entirely at 100 TB. */
+    * identical in both engines.
+    *
+    * The running sum is TWO-PHASE, never a global single-task sort:
+    * the hash walk is range-bucketed by the first two hex chars of the
+    * content hash (256 buckets, order-aligned with the (h, doc_id)
+    * walk since lowercase hex is lexicographic), phase 1 computes
+    * partition-local running sums per bucket across every core, and
+    * phase 2 reconstructs the global prefix by adding each bucket's
+    * offset — the ≤256 bucket subtotals joined triangle-wise
+    * (broadcast, no Window at all on that side). At 10⁹ docs the old
+    * one-reducer `Window.orderBy` plan sorted a billion metadata rows
+    * on one task; this shape keeps the per-task work at N/256 and is
+    * the textbook distributed prefix sum. PlanSpec pins the invariant:
+    * no unpartitioned Window in the final plan. Bucket fan-out is a
+    * constant here; at a larger cluster widen to 3 hex chars (4096
+    * buckets) — the triangle join stays broadcast-sized. */
   val sampleBudget = QueryDef(
     "sample_budget",
     Some("""WITH tk AS (
@@ -551,14 +563,34 @@ object TextOps {
            |ORDER BY source""".stripMargin),
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import graft.Materialize.Ops
+      // corpus-sized METADATA (id, source, token count, hash — no
+      // text), referenced by three branches below: materialize once so
+      // the text scan + tokenize never re-runs
       val tk = Tables.table(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
           size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long").as("n_tok"),
           md5(col("text")).as("h"))
+        .withColumn("bk", substring(col("h"), 1, 2))
+        .materialized
       val total = tk.agg(sum(col("n_tok")).cast("long").as("total"))
-      val w = Window.orderBy("h", "doc_id")
+      // phase 1: per-bucket local running sums — the corpus-sized work,
+      // spread across all cores by the 256-way bucket shuffle
+      val wLocal = Window.partitionBy("bk").orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tk.withColumn("cum", sum(col("n_tok")).over(w))
+      // phase 2: each bucket's global prefix offset = sum of the
+      // subtotals of every EARLIER bucket — ≤256 rows, triangle join,
+      // broadcast; deliberately not a Window so the whole plan is free
+      // of unpartitioned sorts
+      val totals = tk.groupBy("bk").agg(sum(col("n_tok")).as("bk_tok"))
+      val offsets = totals.as("a")
+        .join(broadcast(totals.as("b")), col("b.bk") < col("a.bk"), "left")
+        .groupBy(col("a.bk"))
+        .agg(coalesce(sum(col("b.bk_tok")), lit(0L)).as("offset"))
+        .select(col("bk").as("o_bk"), col("offset"))
+      tk.withColumn("local_cum", sum(col("n_tok")).over(wLocal))
+        .join(broadcast(offsets), col("o_bk") === col("bk"))
+        .withColumn("cum", col("local_cum") + col("offset"))
         .crossJoin(broadcast(total))
         .filter(col("cum") * 5 <= col("total"))
         .groupBy("source")

@@ -151,6 +151,26 @@ class PlanSpec extends SparkSuite {
       s"train-side shuffle before the contamination probe:\n$plan")
   }
 
+  test("sample_budget: two-phase prefix sum — no unpartitioned Window anywhere") {
+    val plan = finalPlan("sample_budget")
+    // an unpartitioned running sum prints its FIRST windowspecdefinition
+    // argument with a sort direction (no partition columns) — that is
+    // the one-reducer global sort the two-phase rewrite removed
+    val unpartitioned =
+      "windowspecdefinition\\([^,()]* (ASC|DESC)".r.findFirstIn(plan)
+    assert(unpartitioned.isEmpty,
+      s"unpartitioned Window in sample_budget's final plan ($unpartitioned):\n$plan")
+    // the bucket-local cumsum is still a Window (partitioned by bk),
+    // the bucket-offset and scalar-total sides ride broadcast, and the
+    // thrice-referenced token metadata is materialized once — the
+    // final plan reads stored blocks, never re-scanning documents
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("documents.parquet"),
+      "sample_budget re-scans documents instead of reusing the materialized metadata")
+    assert(plan.contains("ExistingRDD"))
+  }
+
   test("the gate bites: disabling broadcast flips j3's asserted shape") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val aqeThreshold = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
