@@ -74,27 +74,43 @@ class IdleTimeoutProcessor(gapMs: Long)
   }
 }
 
+/** One seen day in [[UvDedupProcessor]] state. `firstEventId` — the
+  * event that claimed the day (dedup provenance) — was added AFTER the
+  * processor first shipped: it is Option-typed so Avro state-schema
+  * evolution reads pre-upgrade checkpoints as None instead of failing
+  * the restart. StreamingSpec proves the evolution end to end (v0
+  * checkpoint → evolved processor → old state honored, new field
+  * defaulted) — the long-lived-state upgrade path a 100 TB deployment
+  * depends on, and the reason the engine's stateful operators moved to
+  * transformWithState. */
+final case class SeenDay(day: String, firstEventId: Option[Long])
+
 /** Keyed day-dedup state machine for [[StreamOps.uvDedupTws]]: one
   * ListState of seen UTC days per user, TTL-evicted by the store. */
 class UvDedupProcessor(ttl: TTLConfig)
     extends StatefulProcessor[Long, Ev, Ev] {
 
-  @transient private var seenDays: ListState[String] = _
+  @transient private var seenDays: ListState[SeenDay] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    seenDays = getHandle.getListState[String]("seen_days", Encoders.STRING, ttl)
+    seenDays = getHandle.getListState[SeenDay]("seen_days",
+      Encoders.product[SeenDay], ttl)
 
   override def handleInputRows(key: Long, rows: Iterator[Ev],
       timers: TimerValues): Iterator[Ev] = {
     val seen = scala.collection.mutable.Set.empty[String]
     val stored = seenDays.get()
-    while (stored.hasNext) seen += stored.next()
+    while (stored.hasNext) seen += stored.next().day
     rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
       // UTC day boundary — matches uvDedup and the batch to_date analog
       val day = e.ts.toInstant.atZone(java.time.ZoneOffset.UTC)
         .toLocalDate.toString
       if (seen.contains(day)) None
-      else { seen += day; seenDays.appendValue(day); Some(e) }
+      else {
+        seen += day
+        seenDays.appendValue(SeenDay(day, Some(e.event_id)))
+        Some(e)
+      }
     }.iterator
   }
 }

@@ -8,6 +8,40 @@ import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
 
+/** Pre-upgrade shape of [[graft.streaming.UvDedupProcessor]]'s state
+  * element (day only, no provenance field) — used to WRITE an
+  * old-schema checkpoint that the evolved production processor must
+  * then read. Same state name, same semantics, one fewer field. */
+case class SeenDayV0(day: String)
+
+/** The processor as it shipped before `firstEventId` existed: writes
+  * `seen_days` with the v0 element schema. Test-only — the production
+  * class is the evolved one. */
+class UvDedupProcessorV0
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Ev] {
+
+  @transient private var seenDays: org.apache.spark.sql.streaming.ListState[SeenDayV0] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    seenDays = getHandle.getListState[SeenDayV0]("seen_days",
+      org.apache.spark.sql.Encoders.product[SeenDayV0],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Ev] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    val stored = seenDays.get()
+    while (stored.hasNext) seen += stored.next().day
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+      val day = e.ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .toLocalDate.toString
+      if (seen.contains(day)) None
+      else { seen += day; seenDays.appendValue(SeenDayV0(day)); Some(e) }
+    }.iterator
+  }
+}
+
 /** Streaming forms of the stateful operators, exercised with
   * MemoryStream: keyed state across micro-batches, event-time timeouts
   * against the watermark, watermarked window aggregation, stream-stream
@@ -909,6 +943,89 @@ class StreamingSpec extends SparkSuite {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("state-schema evolution: evolved processor restarts from a pre-upgrade checkpoint") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import scala.jdk.CollectionConverters._
+    // long-lived 100 TB state outlives the code that wrote it: prove a
+    // checkpoint written with the OLD state element (day only) restarts
+    // under the EVOLVED production processor (day + firstEventId), old
+    // entries read with the new field defaulted. Requires the Avro
+    // state encoding (the unsaferow default rejects any schema change)
+    // and RocksDB (TWS's own requirement).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val encodingKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val prevProvider = spark.conf.getOption(providerKey)
+    val prevEncoding = spark.conf.getOption(encodingKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(encodingKey, "avro")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("uv-evolve-ckpt").toString
+      val in = MemoryStream[Ev]
+      val day = 86400L
+      // the memory sink cannot recover from a checkpoint; foreachBatch
+      // can, and collecting ids is all the assertion needs
+      val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      def sink(ds: org.apache.spark.sql.Dataset[Ev]) =
+        ds.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Ev], _: Long) =>
+            b.collect().foreach(e => emitted.add(e.event_id)); (): Unit
+          }
+
+      // phase 1: the pre-upgrade processor writes the v0 checkpoint
+      val q1 = sink(in.toDS().groupByKey(_.user_id)
+        .transformWithState(new UvDedupProcessorV0, TimeMode.None(), OutputMode.Append()))
+        .start()
+      in.addData(ev(1, 1, 10, "view"), ev(1, 2, 20, "view"), ev(2, 3, 5, "view"))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(emitted.asScala.toSet === Set(1L, 3L)) // 2 is a same-day dup
+
+      // phase 2: the EVOLVED production processor resumes the same
+      // checkpoint — old state must be read (day-1 events still dedup)
+      // and new days recorded with the provenance field
+      emitted.clear()
+      val q2 = sink(StreamOps.uvDedupTws(in.toDS(), ttl = None)).start()
+      in.addData(
+        ev(1, 4, 30, "view"),        // day 1 again: deduped via v0 state
+        ev(1, 5, day + 40, "view"),  // new day: emitted, claimed by id 5
+        ev(2, 6, 15, "view"))        // day 1 again for user 2: deduped
+      q2.processAllAvailable()
+      q2.stop()
+      assert(emitted.asScala.toSet === Set(5L),
+        "pre-upgrade state was not honored after the schema evolution")
+
+      // the store itself: v0-written entries carry NULL firstEventId
+      // (the evolution default); the post-upgrade entry carries its
+      // claiming event. Read through Spark's state data source.
+      val state = spark.read.format("statestore")
+        .option("stateVarName", "seen_days")
+        .load(ckpt)
+      val entries = state
+        .selectExpr("key.value AS user_id", "list_element.day AS day",
+          "list_element.firstEventId AS first_event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+      assert(entries === Set(
+        (1L, "2024-01-01", None),       // written by v0 → defaulted
+        (2L, "2024-01-01", None),       // written by v0 → defaulted
+        (1L, "2024-01-02", Some(5L))),  // written post-evolution
+        s"state entries: $entries")
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      prevEncoding match {
+        case Some(v) => spark.conf.set(encodingKey, v)
+        case None => spark.conf.unset(encodingKey)
       }
     }
   }
