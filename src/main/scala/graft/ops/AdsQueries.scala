@@ -37,9 +37,14 @@ object AdsQueries {
     // a function over stt (date_format) would block partition pruning
     // and min/max skipping on a date-partitioned DWS table — the one
     // scale property this layer depends on. A half-open range on the
-    // raw column prunes.
+    // raw column gives parquet min/max skipping; when the relation
+    // carries the `dt` PARTITION column (the statsMergePartitioned
+    // layout), an equality on it is added too so the scan is partition
+    // pruning, not data filtering — StreamingSpec asserts the
+    // PartitionFilters on the served table.
     val day = to_date(lit(date), "yyyyMMdd")
-    df.filter(col("stt") >= day && col("stt") < date_add(day, 1))
+    val ranged = df.filter(col("stt") >= day && col("stt") < date_add(day, 1))
+    if (df.columns.contains("dt")) ranged.filter(col("dt") === day) else ranged
   }
 
   /** `KeywordStatsMapper.selectKeywordStats`: source-weighted keyword

@@ -530,6 +530,46 @@ object StreamOps {
       stateDir: String): Option[DataFrame] =
     rawDimState(spark, stateDir)
 
+  /** [[statsMerge]] generalized to the SERVING shape of the reference's
+    * ClickHouse stats tables (DWS rows keyed by window-start `stt` plus
+    * dimension columns, additive measures) with each merged version
+    * written `partitionBy(dt)` — so the ADS layer's day filter is
+    * partition PRUNING on disk, not a table scan. This closes the
+    * reference's full production loop (DWS stream → stats table →
+    * publisher query, `SugarController.java:403-436`) on parquet:
+    * stream in, versioned exactly-once merge, `AdsQueries` served from
+    * the latest version MID-STREAM while the query keeps writing.
+    * Replay safety is [[statsMerge]]'s: merge base strictly below the
+    * current batchId, a replayed batch overwrites only `v<batchId>`.
+    * StreamingSpec proves the loop end to end including the pruning. */
+  def statsMergePartitioned(stats: DataFrame, stateDir: String,
+      keyCols: Seq[String], sumCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stats.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeStatsPartitionedBatch(batch.toDF(), stateDir, batchId, keyCols, sumCols)
+    }
+
+  private[graft] def mergeStatsPartitionedBatch(batch: DataFrame,
+      stateDir: String, batchId: Long,
+      keyCols: Seq[String], sumCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    // (dt, stt, dims) grain — dt is the partition column the serving
+    // day-filter prunes on; stt keeps the reference's window grain
+    def rollup(df: DataFrame): DataFrame = {
+      val aggs = sumCols.map(c => sum(col(c)).cast(df.schema(c).dataType).as(c))
+      df.groupBy((Seq("dt", "stt") ++ keyCols).map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val partial = rollup(batch.withColumn("dt", to_date(col("stt"))))
+    val prev = rawDimState(spark, stateDir, below = batchId)
+    val merged = prev match {
+      case None => partial
+      case Some(base) => rollup(base.unionByName(partial))
+    }
+    merged.write.mode("overwrite").partitionBy("dt").parquet(s"$stateDir/v$batchId")
+    gcVersions(stateDir, batchId, keepBase = prev.isDefined)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
 
 import scala.collection.mutable
 
+/** One DWS product-stats row for the streaming→serving loop test —
+  * the reference's ProductStats bean at window grain. */
+case class DwsProd(stt: java.sql.Timestamp, tm_id: Long, tm_name: String,
+    order_amount: Double, order_ct: Long)
+
 /** Pre-upgrade shape of [[graft.streaming.UvDedupProcessor]]'s state
   * element (day only, no provenance field) — used to WRITE an
   * old-schema checkpoint that the evolved production processor must
@@ -576,6 +581,60 @@ class StreamingSpec extends SparkSuite {
     StreamOps.mergeStatsBatch(
       Seq(ev(4, 4, 3, "view"), ev(5, 5, 4, "purchase")).toDF(), stateDir, 1L)
     assert(stats() === expected)
+  }
+
+  test("streaming→serving loop: partitioned stats table served by AdsQueries mid-stream, day-pruned") {
+    import graft.ops.AdsQueries
+    // the reference's full production loop — DWS stream → ClickHouse
+    // stats table → publisher SQL — as one test: statsMergePartitioned
+    // maintains a dt-partitioned product_stats table while AdsQueries
+    // serve the latest version between micro-batches, and the day
+    // filter must reach the scan as a PARTITION filter
+    val stateDir = java.nio.file.Files.createTempDirectory("dws-serve").toString
+    val in = MemoryStream[DwsProd]
+    val day = 86400L
+    def stt(sec: Long) = new Timestamp((base + sec) * 1000L)
+    val q = StreamOps.statsMergePartitioned(in.toDS().toDF(), stateDir,
+      keyCols = Seq("tm_id", "tm_name"),
+      sumCols = Seq("order_amount", "order_ct")).start()
+
+    in.addData(
+      DwsProd(stt(10), 1L, "apple", 10.0, 1L),
+      DwsProd(stt(10), 2L, "banana", 5.0, 1L))
+    q.processAllAvailable()
+    // mid-stream serve #1: the day-1 trademark top-N over the table
+    // written so far
+    val t1 = StreamOps.latestStatsState(spark, stateDir).get
+    val r1 = AdsQueries.productStatsByTrademark(t1, "20240101", 10)
+      .select(col("tm_name"), col("order_amount")).as[(String, Double)].collect().toSeq
+    assert(r1 === Seq(("apple", 10.0), ("banana", 5.0)))
+
+    // batch 2: more day-1 mass for apple (a later window) + day 2
+    in.addData(
+      DwsProd(stt(600), 1L, "apple", 7.0, 2L),
+      DwsProd(stt(day + 20), 2L, "banana", 20.0, 3L))
+    q.processAllAvailable()
+    q.stop()
+
+    val t2 = StreamOps.latestStatsState(spark, stateDir).get
+    val r2 = AdsQueries.productStatsByTrademark(t2, "20240101", 10)
+    val r2rows = r2.select(col("tm_name"), col("order_amount"))
+      .as[(String, Double)].collect().toSeq
+    assert(r2rows === Seq(("apple", 17.0), ("banana", 5.0)))
+    val r2day2 = AdsQueries.productStatsByTrademark(t2, "20240102", 10)
+      .select(col("tm_name"), col("order_amount")).as[(String, Double)].collect().toSeq
+    assert(r2day2 === Seq(("banana", 20.0)))
+
+    // pruning proof on the SERVING query itself: the day equality
+    // landed in the scan's PartitionFilters (AQE prints final + initial
+    // — slice before matching, or assertions see the unexecuted plan)
+    val planFull = r2.queryExecution.executedPlan.toString
+    val plan = planFull.indexOf("== Initial Plan ==") match {
+      case -1 => planFull
+      case i  => planFull.substring(0, i)
+    }
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*2024-01-01[^\\]]*\\].*"),
+      s"day filter did not become a partition filter on the served table:\n$plan")
   }
 
   test("versioned state GC deletes an abandoned run's higher versions (no stale merge base)") {
