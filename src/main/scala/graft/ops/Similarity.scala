@@ -162,6 +162,73 @@ object Similarity {
     IvfIndex(centroids, corpus)
   }
 
+  /** Incremental maintenance leg 1 — ASSIGN: each new vector goes to
+    * its nearest existing centroid (squared-L2 over the broadcast
+    * centroid relation, min_by with a (d2, label) struct key so ties
+    * are deterministic). One aggregation with map-side partials — no
+    * window sort, no corpus involvement: cost is |batch| × k_coarse
+    * distance folds, the textbook IVF append. */
+  private def assignToCentroids(centroids: DataFrame, newVecs: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("cent"), col("embedding"),
+        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    newVecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"), d2.as("d2"))
+      .groupBy("vec_id")
+      .agg(
+        min_by(col("label"), struct(col("d2"), col("label"))).as("label"),
+        min_by(col("embedding"), struct(col("d2"), col("label"))).as("embedding"))
+  }
+
+  /** Incremental maintenance leg 2 — APPEND: new vectors join the
+    * corpus under their assigned cluster label; the centroids are left
+    * untouched (that is what [[ivfDrift]] measures and
+    * [[refreshIvfIndex]] repairs). At cluster scale this is an append
+    * of `nprobe`-prunable partitions — no rewrite of the existing
+    * corpus, no re-clustering on the hot path. */
+  def appendToIvfIndex(index: IvfIndex, newVecs: DataFrame): IvfIndex = {
+    val cols = Seq("vec_id", "label", "embedding", "norm").map(col)
+    val assigned = assignToCentroids(index.centroids, newVecs)
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+    IvfIndex(index.centroids,
+      index.corpus.select(cols: _*).unionByName(assigned.select(cols: _*)))
+  }
+
+  /** Incremental maintenance leg 3 — DRIFT: per-cluster squared L2
+    * between the STORED centroid and the corpus' CURRENT per-cluster
+    * mean. Zero at build time; appends move it. One posexplode
+    * aggregation pass (the build's phase-1 shape) — run at
+    * refresh-decision cadence, not per append. */
+  def ivfDrift(index: IvfIndex): DataFrame = {
+    val current = index.corpus
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
+      .groupBy("label", "dim").agg(avg(col("v")).as("cv"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("cur_cent"))
+    index.centroids.join(current, "label")
+      .select(col("label"),
+        aggregate(
+          zip_with(col("cent"), col("cur_cent"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v).as("drift"))
+  }
+
+  /** Incremental maintenance leg 4 — REFRESH policy: rebuild the
+    * centroids from the current corpus (assignments kept, means moved —
+    * one Lloyd step, which is what IVF lists drift-repair means) iff
+    * any cluster's [[ivfDrift]] exceeds `driftBound`; otherwise the
+    * existing index keeps serving. The bound check is a one-row
+    * control-plane scalar, not a data-path collect. OpsSpec proves
+    * refreshed-index recall matches a from-scratch rebuild and that an
+    * un-drifted index is returned unchanged. */
+  def refreshIvfIndex(index: IvfIndex, driftBound: Double): IvfIndex = {
+    val worst = ivfDrift(index).agg(max(col("drift")).as("d")).head()
+    val maxDrift = if (worst.isNullAt(0)) 0.0 else worst.getDouble(0)
+    if (maxDrift > driftBound) buildIvfIndexFrom(index.corpus) else index
+  }
+
   /** Phase 2 — probe (run per query): squared distance from the query
     * to each centroid is a sequential zip_with fold (deterministic, no
     * explode), the `nprobe` nearest clusters are broadcast, and exact
@@ -243,6 +310,57 @@ object Similarity {
       })
   }
 
+  /** Two-batch incremental IVF, oracle-checked: the index is built on
+    * the base corpus (vec_id % 5 <> 0), the remaining fifth arrives as
+    * a second batch and is APPENDED via nearest-centroid assignment —
+    * no re-clustering — then the probe runs over the grown index. The
+    * oracle mirrors every leg in SQL: base-only centroids, per-appended
+    * argmin assignment with the same (d2, label) tie-break, union
+    * corpus, top-2 cluster probe. The modulo split is SF-independent
+    * (every scale factor has both batches). */
+  val simTopkIvfIncremental = QueryDef(
+    "sim_topk_ivf_incremental",
+    Some(s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+            |base AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+            |app AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+            |cent AS (SELECT label, dim, avg(CAST(embedding[dim] AS DOUBLE)) AS cv
+            |         FROM base CROSS JOIN dims GROUP BY label, dim),
+            |adist AS (SELECT a.vec_id, c.label,
+            |            SUM((c.cv - CAST(a.embedding[c.dim] AS DOUBLE))
+            |              * (c.cv - CAST(a.embedding[c.dim] AS DOUBLE))) AS d2
+            |          FROM app a CROSS JOIN cent c GROUP BY a.vec_id, c.label),
+            |assign AS (SELECT vec_id, label FROM (
+            |             SELECT vec_id, label,
+            |               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+            |             FROM adist) WHERE rn = 1),
+            |corpus AS (SELECT vec_id, label, embedding FROM base
+            |           UNION ALL
+            |           SELECT a.vec_id, s.label, a.embedding
+            |           FROM app a JOIN assign s ON s.vec_id = a.vec_id),
+            |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            |qd AS (SELECT dim, CAST(qe[dim] AS DOUBLE) AS qv FROM q CROSS JOIN dims),
+            |dist AS (SELECT c.label, SUM((c.cv - qd.qv) * (c.cv - qd.qv)) AS d2
+            |         FROM cent c JOIN qd ON qd.dim = c.dim GROUP BY c.label),
+            |top2 AS (SELECT label FROM dist ORDER BY d2, label LIMIT 2),
+            |hits AS (
+            |  SELECT e.vec_id, ROUND(${dd("e.embedding", "q.qe")}
+            |    / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})), 6) AS cos_sim
+            |  FROM corpus e JOIN top2 ON e.label = top2.label, q
+            |  WHERE e.vec_id <> 0
+            |  ORDER BY ${dd("e.embedding", "q.qe")}
+            |    / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, e.vec_id
+            |  LIMIT 10)
+            |SELECT vec_id, cos_sim FROM hits
+            |ORDER BY cos_sim DESC, vec_id""".stripMargin),
+    (spark, dir) => {
+      val emb = Tables.table(spark, dir, "embeddings")
+      val idx = appendToIvfIndex(
+        buildIvfIndexFrom(emb.filter(col("vec_id") % 5 =!= 0)),
+        emb.filter(col("vec_id") % 5 === 0))
+      ivfProbe(idx, queryVecId = 0)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    })
+
   /** Corpus-wide kNN graph: every vector's top-3 cosine neighbors
     * WITHIN its sign-bit bucket — the similarity-graph builder behind
     * semantic dedup/clustering pipelines (one row per (vector,
@@ -281,5 +399,5 @@ object Similarity {
     })
 
   val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf,
-    simTopkIvfMulti, simKnnGraph)
+    simTopkIvfMulti, simTopkIvfIncremental, simKnnGraph)
 }

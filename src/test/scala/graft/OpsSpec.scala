@@ -124,6 +124,78 @@ class OpsSpec extends SparkSuite {
     assert(mean >= 0.9, s"mean recall@10 too low: $recalls")
   }
 
+  test("IVF incremental: append keeps serving, drift triggers a refresh that matches a rebuild") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val cents = Array.fill(8)(unit())
+    val shifts = Array.fill(8)(unit())
+    // vectors around cent[lbl] + shift·shiftDir[lbl], with fresh noise
+    def batch(ids: Range, shift: Double): Seq[(Long, Int, Seq[Float])] =
+      ids.map { i =>
+        val lbl = i % 8
+        val noise = unit()
+        val e = cents(lbl).indices.map(d =>
+          (cents(lbl)(d) + shift * shifts(lbl)(d) + 0.3 * noise(d)).toFloat)
+        (i.toLong, lbl, e)
+      }
+    val base = batch(0 until 240, 0.0).toDF("vec_id", "label", "embedding")
+    val idx0 = Similarity.buildIvfIndexFrom(base)
+
+    // a same-distribution append leaves drift under the bound: the
+    // refresh policy must return the index UNCHANGED (no rebuild churn)
+    val sameDist = batch(240 until 480, 0.0).toDF("vec_id", "label", "embedding")
+    val idxSame = Similarity.appendToIvfIndex(idx0, sameDist)
+    assert(Similarity.refreshIvfIndex(idxSame, driftBound = 0.01) eq idxSame,
+      "un-drifted index was rebuilt")
+    // nearest-centroid assignment recovers the generating cluster
+    val agree = idxSame.corpus.filter(col("vec_id") >= 240)
+      .select("vec_id", "label").as[(Long, Int)].collect()
+      .count { case (id, lbl) => lbl == (id % 8) }
+    assert(agree >= 216, s"only $agree/240 appended vectors assigned to their true cluster")
+
+    // a distribution-shifted append drifts past the bound → refresh
+    // rebuilds, and the rebuilt centroids sit on the new means
+    val shifted = batch(240 until 480, 0.5).toDF("vec_id", "label", "embedding")
+    val idxShift = Similarity.appendToIvfIndex(idx0, shifted)
+    val worstDrift = Similarity.ivfDrift(idxShift)
+      .agg(max(col("drift"))).head().getDouble(0)
+    assert(worstDrift > 0.01, s"shifted append did not drift: $worstDrift")
+    val refreshed = Similarity.refreshIvfIndex(idxShift, driftBound = 0.01)
+    assert(!(refreshed eq idxShift), "drifted index was not rebuilt")
+    val residual = Similarity.ivfDrift(refreshed)
+      .agg(max(col("drift"))).head().getDouble(0)
+    assert(residual < 1e-12, s"refreshed centroids still drifted: $residual")
+
+    // recall of the refreshed index matches a from-scratch rebuild over
+    // the same grown corpus (ground-truth labels), probed from the
+    // appended batch, judged against brute-force top-10
+    val full = base.unionByName(shifted)
+    val scratch = Similarity.buildIvfIndexFrom(full)
+    def recall(idx: Similarity.IvfIndex, qid: Long): Double = {
+      val got = Similarity.ivfProbe(idx, qid).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val q = full.filter(col("vec_id") === qid).select(col("embedding").as("qe"))
+      val cos = Similarity.dot(col("embedding"), col("qe")) /
+        (sqrt(Similarity.dot(col("embedding"), col("embedding"))) *
+          sqrt(Similarity.dot(col("qe"), col("qe"))))
+      val bf = full.filter(col("vec_id") =!= qid).crossJoin(broadcast(q))
+        .select(col("vec_id"), cos.as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val qids = Seq(241L, 250L, 263L)
+    val refreshedRecall = qids.map(recall(refreshed, _)).sum / qids.size
+    val scratchRecall = qids.map(recall(scratch, _)).sum / qids.size
+    assert(refreshedRecall >= scratchRecall - 0.1 && refreshedRecall >= 0.85,
+      s"refreshed recall $refreshedRecall vs scratch $scratchRecall")
+  }
+
   test("quadratic cosine baseline refuses a corpus above the row cap") {
     sys.props("GRAFT_COSINE_MAX_ROWS") = "10"
     try {
