@@ -230,4 +230,51 @@ class PropertySpec extends SparkSuite {
       assert(kept === members.size.toLong, s"sample $i: bloom dropped a member")
     }
   }
+
+  test("decimal-sum queries survive 100 TB magnitudes (×10⁶ values) without ANSI overflow") {
+    // Spark 4 runs ANSI mode: a decimal SUM that outgrows its width
+    // RAISES instead of silently wrapping — which is the right
+    // behavior, provided the widths are sized for the target scale.
+    // This gate replays the decimal-sum queries over the sf0.001
+    // tables with every money/quantity/value column multiplied by 10⁶,
+    // so aggregate totals match what a ~100 TB corpus would produce.
+    // A width narrowed in a refactor (e.g. a SUM cast back to
+    // DECIMAL(18,2) too early) fails HERE, at test time, not in a
+    // production run. q11's r3 widening is the pattern this
+    // generalizes.
+    import graft.ops.Tables
+    val src = sf("sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("sf-mag").toString
+    val M = 1000000L
+    Tables.table(spark, src, "lineitem")
+      .withColumn("l_quantity", col("l_quantity") * M)
+      .withColumn("l_extendedprice", col("l_extendedprice") * M)
+      .write.parquet(s"$dir/lineitem.parquet")
+    // dimension values stay unscaled: scaling e.g. p_retailprice too
+    // would square the ×10⁶ factor in q9's cost product
+    Seq("part", "supplier", "nation", "orders", "customer", "region")
+      .foreach { t =>
+        Tables.table(spark, src, t).write.parquet(s"$dir/$t.parquet")
+      }
+    Tables.eventsRawNanos(spark, src)
+      .withColumn("value", col("value") * M)
+      .write.parquet(s"$dir/events.parquet")
+
+    for (q <- Seq("q1_agg", "q9_product_profit", "q11_important_stock",
+        "q15_top_supplier", "q17_small_qty_revenue", "a1_product_stats")) {
+      val rows = SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows.nonEmpty, s"$q returned no rows at ×10⁶ magnitudes")
+      // a silent TRY_CAST escape valve would surface as null/NaN
+      // aggregates — every numeric cell must be a finite value
+      rows.foreach { r =>
+        (0 until r.length).foreach { i =>
+          assert(!r.isNullAt(i), s"$q: null cell $i at ×10⁶ magnitudes in $r")
+          r.get(i) match {
+            case d: Double => assert(!d.isNaN && !d.isInfinite, s"$q: $r")
+            case _ => ()
+          }
+        }
+      }
+    }
+  }
 }
