@@ -35,6 +35,43 @@ import org.apache.spark.sql.DataFrame
   */
 object Materialize {
 
+  /** [[apply]] plus an explicit release handle for the pinned blocks.
+    *
+    * `localCheckpoint()` pins its blocks for the SESSION: the only
+    * reclaim path is the ContextCleaner noticing the driver-side RDD
+    * object got garbage-collected (periodic, nondeterministic). A
+    * loop that materializes per iteration — `connectedComponentsIters`
+    * runs O(log V) rounds, each pinning an O(V) labels relation —
+    * accumulates every round's blocks until session-wide storage
+    * pressure squeezes the execution pool. This form hands the caller
+    * the unpersist handle instead: pin the new round, release the
+    * prior one, keeping the loop's live footprint at O(V) regardless
+    * of round count.
+    *
+    * Local mode: the rows are copied (toRdd reuses per-partition
+    * UnsafeRow buffers — same copy `Dataset.localCheckpoint` makes),
+    * persisted MEMORY_AND_DISK, computed eagerly, and wrapped back
+    * into a DataFrame that keeps the origin's partitioning metadata
+    * (no re-shuffle downstream). Unlike localCheckpoint the RDD
+    * lineage is retained, so a lost block recomputes instead of
+    * killing the job — release only makes a later recompute walk
+    * further back, never wrong.
+    *
+    * Reliable-checkpoint mode: delegates to [[apply]] — checkpoint
+    * blocks live on the checkpoint dir, not in executor memory, so
+    * there is nothing to release per-round; file GC stays the
+    * documented `cleanCheckpoints` conf. */
+  def releasable(df: DataFrame): (DataFrame, () => Unit) =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      (apply(df), () => ())
+    } else {
+      val rows = df.queryExecution.toRdd.map(_.copy())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rows.count()
+      (org.apache.spark.sql.GraftBridge.wrapRdd(rows, df),
+        () => { rows.unpersist(blocking = false); (): Unit })
+    }
+
   def apply(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // checkpoint() alone computes the plan TWICE: the eager count

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Materialize
 import graft.Materialize.Ops
 import graft.QueryDef
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -350,12 +351,18 @@ object Dedup {
     * so the O(log) convergence bound is testable (PropertySpec runs a
     * worst-case path graph). */
   private[graft] def connectedComponentsIters(edges: DataFrame): (DataFrame, Int) = {
-    val walk = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .distinct().materialized
-    var labels = walk.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .materialized
+    // per-round RELEASABLE materialization: each round pins its labels
+    // relation and frees the previous round's blocks once the new one
+    // is computed, so the loop's live storage stays O(V) instead of
+    // O(V × rounds) — session-long block accumulation from repeated
+    // CC runs was measurable as soak-order drift (PERF.md).
+    val (walk, releaseWalk) = Materialize.releasable(
+      edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .distinct())
+    var (labels, releaseLabels) = Materialize.releasable(
+      walk.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")))
     // labels only ever decrease, so Σlabel strictly decreases until
     // the fixpoint — convergence is one tiny aggregate over the
     // checkpointed relation instead of a self-join. decimal(38,0)
@@ -391,14 +398,20 @@ object Dedup {
             .select(col("label").as("a"), col("node").as("b")))
       val msgs = labels.join(hops, labels("node") === hops("a"))
         .select(col("b").as("node"), col("label"))
-      val next = labels.unionByName(msgs)
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .materialized
+      val (next, releaseNext) = Materialize.releasable(
+        labels.unionByName(msgs)
+          .groupBy("node").agg(min(col("label")).as("label")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
+      releaseLabels() // next is pinned; the prior round's blocks go
       labels = next
+      releaseLabels = releaseNext
     }
+    releaseWalk()
+    // the final labels stay pinned — they ARE the result the caller
+    // consumes; the ContextCleaner reclaims them when the plan is
+    // dropped (release here would free them before the read).
     (labels, iters)
   }
 
