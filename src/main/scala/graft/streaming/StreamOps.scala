@@ -532,16 +532,28 @@ object StreamOps {
 
   /** [[statsMerge]] generalized to the SERVING shape of the reference's
     * ClickHouse stats tables (DWS rows keyed by window-start `stt` plus
-    * dimension columns, additive measures) with each merged version
-    * written `partitionBy(dt)` — so the ADS layer's day filter is
-    * partition PRUNING on disk, not a table scan. This closes the
-    * reference's full production loop (DWS stream → stats table →
-    * publisher query, `SugarController.java:403-436`) on parquet:
-    * stream in, versioned exactly-once merge, `AdsQueries` served from
-    * the latest version MID-STREAM while the query keeps writing.
-    * Replay safety is [[statsMerge]]'s: merge base strictly below the
-    * current batchId, a replayed batch overwrites only `v<batchId>`.
-    * StreamingSpec proves the loop end to end including the pruning. */
+    * dimension columns, additive measures), day-partitioned on disk —
+    * so the ADS layer's day filter is partition PRUNING, not a table
+    * scan. This closes the reference's full production loop (DWS stream
+    * → stats table → publisher query, `SugarController.java:403-436`)
+    * on parquet: stream in, versioned exactly-once merge, `AdsQueries`
+    * served from the latest state MID-STREAM while the query keeps
+    * writing.
+    *
+    * Scale shape (the table ages into years of history at 10 s window
+    * grain): a micro-batch merges and rewrites ONLY the day partitions
+    * present in the batch. Each batch writes its touched days to
+    * `v<batchId>/dt=<day>` and commits a tiny manifest file
+    * `m<batchId>` mapping EVERY day to the version that owns its
+    * current rows — untouched days are carried by reference in the
+    * manifest, never re-read or re-written, so per-batch I/O is
+    * O(touched days), not O(table age). Replay safety is
+    * [[statsMerge]]'s, applied to the manifest: the merge base is the
+    * newest manifest strictly BELOW the current batchId, the manifest
+    * rename is the atomic commit, and a replayed batch overwrites only
+    * `v<batchId>` + `m<batchId>`. StreamingSpec proves the loop end to
+    * end, including the pruning and that a batch touching only day D
+    * leaves other days' files byte-identical. */
   def statsMergePartitioned(stats: DataFrame, stateDir: String,
       keyCols: Seq[String], sumCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stats.writeStream.outputMode("append").foreachBatch {
@@ -560,14 +572,123 @@ object StreamOps {
       df.groupBy((Seq("dt", "stt") ++ keyCols).map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
     }
-    val partial = rollup(batch.withColumn("dt", to_date(col("stt"))))
-    val prev = rawDimState(spark, stateDir, below = batchId)
-    val merged = prev match {
-      case None => partial
-      case Some(base) => rollup(base.unionByName(partial))
+    // pinned: the day list (control-plane collect) and the merge write
+    // both consume it — without the pin the batch aggregates twice
+    val partial = rollup(batch.withColumn("dt", to_date(col("stt")))).persist()
+    try {
+      val touched = partial.select(col("dt").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (touched.nonEmpty) {
+        val base = readManifest(stateDir, below = batchId)
+        // merge base = current rows of the TOUCHED days only, read from
+        // the versions that own them; untouched days never enter the job
+        val baseRows = readOwnedDays(spark, stateDir,
+          base._2.filter { case (d, _) => touched.contains(d) })
+        val merged = baseRows match {
+          case None => partial
+          case Some(b) => rollup(b.unionByName(partial))
+        }
+        merged.write.mode("overwrite").partitionBy("dt").parquet(s"$stateDir/v$batchId")
+        // full day→version map with touched days remapped to this
+        // version; the rename inside writeManifest is the commit point
+        val next = base._2 ++ touched.iterator.map(_ -> batchId)
+        writeManifest(stateDir, batchId, next)
+        gcPartitionedState(stateDir, batchId, baseManifestId = base._1,
+          live = (base._2.toSet ++ next.toSet).map(_.swap))
+      }
+    } finally { partial.unpersist(); () }
+  }
+
+  /** Latest merged day-partitioned stats table written by
+    * [[statsMergePartitioned]], if any — the union of every day's
+    * current rows per the newest committed manifest. `dt` is recovered
+    * as a partition column (basePath-anchored read), so serving-day
+    * filters stay partition pruning. */
+  def latestPartitionedStatsState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] =
+    readOwnedDays(spark, stateDir, readManifest(stateDir)._2)
+
+  /** Union of the given day→owning-version rows, each read from the
+    * version directory that owns the day. One read per distinct owning
+    * version (bounded by the day count), `basePath`-anchored so `dt`
+    * stays a partition column. */
+  private def readOwnedDays(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, owned: Map[String, Long]): Option[DataFrame] =
+    if (owned.isEmpty) None
+    else Some(owned.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, days) =>
+      spark.read.option("basePath", s"$stateDir/v$v")
+        .parquet(days.keys.toSeq.sorted.map(d => s"$stateDir/v$v/dt=$d"): _*)
+    }.reduce(_ unionByName _))
+
+  private def manifestIds(stateDir: String, below: Long): Array[Long] =
+    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.matches("m\\d+"))
+      .map(_.getName.drop(1).toLong)
+      .filter(_ < below)
+
+  /** (manifestId, day→owning-version) from the newest manifest strictly
+    * below `below` — exclusive, the replay contract: a replayed batch
+    * never reads the manifest it is about to overwrite. */
+  private def readManifest(stateDir: String,
+      below: Long = Long.MaxValue): (Option[Long], Map[String, Long]) = {
+    val ids = manifestIds(stateDir, below)
+    if (ids.isEmpty) (None, Map.empty)
+    else {
+      val id = ids.max
+      val src = scala.io.Source.fromFile(s"$stateDir/m$id", "UTF-8")
+      try (Some(id), src.getLines().filter(_.nonEmpty).map { line =>
+        val Array(d, v) = line.split('\t')
+        d -> v.toLong
+      }.toMap)
+      finally src.close()
     }
-    merged.write.mode("overwrite").partitionBy("dt").parquet(s"$stateDir/v$batchId")
-    gcVersions(stateDir, batchId, keepBase = prev.isDefined)
+  }
+
+  private def writeManifest(stateDir: String, batchId: Long,
+      entries: Map[String, Long]): Unit = {
+    val tmp = new java.io.File(stateDir, s".m$batchId.tmp")
+    val out = new java.io.FileOutputStream(tmp)
+    try {
+      out.write(entries.toSeq.sorted.map { case (d, v) => s"$d\t$v" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      out.getFD.sync() // data durable BEFORE the rename makes it visible
+    } finally out.close()
+    val dst = new java.io.File(stateDir, s"m$batchId")
+    dst.delete() // a replayed batch overwrites its own torn manifest
+    if (!tmp.renameTo(dst))
+      throw new java.io.IOException(s"manifest commit failed: $tmp -> $dst")
+  }
+
+  /** GC for the day-partitioned stats state — the same (base, current)
+    * two-version replay contract as [[gcVersions]], applied at
+    * (version, day) grain: keeps the base and current MANIFESTS and
+    * every day directory either references; deletes older generations,
+    * days remapped away two generations ago, and abandoned higher-
+    * batchId runs (fresh checkpoint over an old stateDir — their
+    * manifests would otherwise be served as "latest" and eventually
+    * picked as a merge base, double-counting the dead run). Live
+    * storage: every day once + at most one stale copy per
+    * recently-touched day. */
+  private def gcPartitionedState(stateDir: String, batchId: Long,
+      baseManifestId: Option[Long], live: Set[(Long, String)]): Unit = {
+    val keepManifests: Set[Long] = baseManifestId.toSet + batchId
+    val liveVersions = live.map(_._1)
+    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+      .foreach { f =>
+        val n = f.getName
+        if (f.isFile && n.matches("m\\d+") &&
+            !keepManifests.contains(n.drop(1).toLong)) {
+          f.delete(): Unit
+        } else if (f.isDirectory && n.startsWith("v")) {
+          val v = n.drop(1).toLong
+          if (!liveVersions.contains(v)) deleteRecursively(f)
+          else Option(f.listFiles()).getOrElse(Array.empty).foreach { sub =>
+            if (sub.isDirectory && sub.getName.startsWith("dt=") &&
+                !live.contains((v, sub.getName.drop("dt=".length))))
+              deleteRecursively(sub)
+          }
+        }
+      }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

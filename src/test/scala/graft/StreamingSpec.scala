@@ -604,7 +604,7 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     // mid-stream serve #1: the day-1 trademark top-N over the table
     // written so far
-    val t1 = StreamOps.latestStatsState(spark, stateDir).get
+    val t1 = StreamOps.latestPartitionedStatsState(spark, stateDir).get
     val r1 = AdsQueries.productStatsByTrademark(t1, "20240101", 10)
       .select(col("tm_name"), col("order_amount")).as[(String, Double)].collect().toSeq
     assert(r1 === Seq(("apple", 10.0), ("banana", 5.0)))
@@ -616,7 +616,7 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     q.stop()
 
-    val t2 = StreamOps.latestStatsState(spark, stateDir).get
+    val t2 = StreamOps.latestPartitionedStatsState(spark, stateDir).get
     val r2 = AdsQueries.productStatsByTrademark(t2, "20240101", 10)
     val r2rows = r2.select(col("tm_name"), col("order_amount"))
       .as[(String, Double)].collect().toSeq
@@ -635,6 +635,82 @@ class StreamingSpec extends SparkSuite {
     }
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*2024-01-01[^\\]]*\\].*"),
       s"day filter did not become a partition filter on the served table:\n$plan")
+  }
+
+  test("partitioned stats merge rewrites ONLY the touched days; history files byte-identical; replay-safe") {
+    val stateDir = java.nio.file.Files.createTempDirectory("stats-part").toString
+    val day = 86400L
+    def stt(sec: Long) = new Timestamp((base + sec) * 1000L)
+    def merge(batchId: Long, rows: DwsProd*): Unit =
+      StreamOps.mergeStatsPartitionedBatch(rows.toDF(), stateDir, batchId,
+        keyCols = Seq("tm_id", "tm_name"), sumCols = Seq("order_amount", "order_ct"))
+    def amounts(): Map[(String, String), Double] =
+      StreamOps.latestPartitionedStatsState(spark, stateDir).get
+        .select(col("dt").cast("string"), col("tm_name"), col("order_amount"))
+        .as[(String, String, Double)].collect()
+        .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    def contentHashes(dir: java.io.File): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(dir).map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.getPath -> md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    }
+
+    // batch 0 seeds two days of history
+    merge(0L, DwsProd(stt(10), 1L, "apple", 10.0, 1L),
+      DwsProd(stt(day + 10), 2L, "banana", 5.0, 1L))
+    assert(amounts() === Map(
+      ("2024-01-01", "apple") -> 10.0, ("2024-01-02", "banana") -> 5.0))
+    val day1Dir = new java.io.File(s"$stateDir/v0/dt=2024-01-01")
+    val day1Before = contentHashes(day1Dir)
+    assert(day1Before.nonEmpty)
+
+    // batch 1 touches ONLY day 2: day 1's files must not be rewritten
+    // (not even re-copied into a new version) and v1 must hold day 2 only
+    merge(1L, DwsProd(stt(day + 700), 2L, "banana", 20.0, 3L))
+    assert(contentHashes(day1Dir) === day1Before,
+      "a batch touching only day 2 rewrote day 1's partition files")
+    assert(!new java.io.File(s"$stateDir/v1/dt=2024-01-01").exists(),
+      "v1 must contain only the touched day")
+    assert(amounts() === Map(
+      ("2024-01-01", "apple") -> 10.0, ("2024-01-02", "banana") -> 25.0))
+
+    // crash replay: re-merging the same batchId re-reads the manifest
+    // BELOW it (never its own torn output) — no double-add, and day 1
+    // still untouched
+    merge(1L, DwsProd(stt(day + 700), 2L, "banana", 20.0, 3L))
+    assert(amounts() === Map(
+      ("2024-01-01", "apple") -> 10.0, ("2024-01-02", "banana") -> 25.0))
+    assert(contentHashes(day1Dir) === day1Before)
+
+    // one more generation: v0's STALE day-2 copy (kept while m0 was the
+    // replay base) is GC'd once m0 ages out; day 1's rows still live in v0
+    merge(2L, DwsProd(stt(day + 800), 2L, "banana", 1.0, 1L))
+    assert(!new java.io.File(s"$stateDir/v0/dt=2024-01-02").exists(),
+      "day-2 copy two generations old must be GC'd from v0")
+    assert(contentHashes(day1Dir) === day1Before)
+    assert(amounts() === Map(
+      ("2024-01-01", "apple") -> 10.0, ("2024-01-02", "banana") -> 26.0))
+
+    // abandoned-run residue: a fresh run (batchIds restart at 0) over an
+    // old stateDir must GC the dead run's higher manifests/versions
+    val state2 = java.nio.file.Files.createTempDirectory("stats-part2").toString
+    StreamOps.mergeStatsPartitionedBatch(
+      Seq(DwsProd(stt(10), 1L, "apple", 10.0, 1L)).toDF(), state2, 9L,
+      keyCols = Seq("tm_id", "tm_name"), sumCols = Seq("order_amount", "order_ct"))
+    StreamOps.mergeStatsPartitionedBatch(
+      Seq(DwsProd(stt(20), 3L, "cherry", 2.0, 1L)).toDF(), state2, 0L,
+      keyCols = Seq("tm_id", "tm_name"), sumCols = Seq("order_amount", "order_ct"))
+    assert(!new java.io.File(s"$state2/v9").exists() &&
+      !new java.io.File(s"$state2/m9").exists(),
+      "stale v9/m9 from the abandoned run must be GC'd by the fresh run")
+    val fresh = StreamOps.latestPartitionedStatsState(spark, state2).get
+      .select(col("tm_name")).as[String].collect().toSeq
+    assert(fresh === Seq("cherry"))
   }
 
   test("versioned state GC deletes an abandoned run's higher versions (no stale merge base)") {
