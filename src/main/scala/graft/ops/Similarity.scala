@@ -131,14 +131,20 @@ object Similarity {
     * eagerly (Materialize) so every probe scans the tiny persisted
     * relation — a probe plan NEVER re-aggregates the corpus. `corpus`
     * is the cluster-assigned embedding relation with precomputed norms.
-    * At cluster scale: centroids live on < 1 MB (k_coarse rows), the
-    * corpus is written partitioned by `label`, so a probe reads
-    * `nprobe` partitions of the corpus and nothing else. */
-  final case class IvfIndex(centroids: DataFrame, corpus: DataFrame)
+    * `stats` is the per-cluster SUFFICIENT STATISTICS for drift
+    * tracking — (label, vsum: per-dimension Σvec, n: row count),
+    * maintained by [[appendToIvfIndex]] so the drift decision never
+    * re-reads the corpus (k_coarse rows, same scale as the centroids).
+    * At cluster scale: centroids+stats live on < 1 MB, the corpus is
+    * written partitioned by `label`, so a probe reads `nprobe`
+    * partitions of the corpus and nothing else. */
+  final case class IvfIndex(centroids: DataFrame, corpus: DataFrame,
+      stats: DataFrame)
 
   /** Phase 1 — index construction (run once per corpus version):
-    * per-dimension centroid means via one posexplode + two
-    * aggregations, then checkpointed. This is the ONLY place the
+    * per-dimension centroid means AND sufficient statistics in ONE
+    * posexplode pass (avg + sum + count per (label, dim) share the
+    * aggregation), then checkpointed. This is the ONLY place the
     * full-corpus explode happens. */
   def buildIvfIndex(spark: SparkSession, dir: String): IvfIndex =
     buildIvfIndexFrom(Tables.table(spark, dir, "embeddings"))
@@ -152,14 +158,19 @@ object Similarity {
   def buildIvfIndexFrom(emb: DataFrame): IvfIndex = {
     val corpus = emb
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-    val centroids = emb
+    val collected = emb
       .select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
-      .groupBy("label", "dim").agg(avg(col("v")).as("cv"))
+      .groupBy("label", "dim")
+      .agg(avg(col("v")).as("cv"), sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
       .groupBy("label")
-      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("cent"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("cent"),
+        expr("transform(array_sort(collect_list(struct(dim, sv))), x -> x.sv)").as("vsum"),
+        max(col("cnt")).as("n"))
       .materialized
-    IvfIndex(centroids, corpus)
+    IvfIndex(collected.select("label", "cent"), corpus,
+      collected.select("label", "vsum", "n"))
   }
 
   /** Incremental maintenance leg 1 — ASSIGN: each new vector goes to
@@ -183,24 +194,46 @@ object Similarity {
   }
 
   /** Incremental maintenance leg 2 — APPEND: new vectors join the
-    * corpus under their assigned cluster label; the centroids are left
-    * untouched (that is what [[ivfDrift]] measures and
-    * [[refreshIvfIndex]] repairs). At cluster scale this is an append
-    * of `nprobe`-prunable partitions — no rewrite of the existing
-    * corpus, no re-clustering on the hot path. */
+    * corpus under their assigned cluster label, and the per-cluster
+    * sufficient statistics absorb the batch's (Σvec, count) deltas;
+    * the centroids are left untouched (that is what the drift legs
+    * measure and [[refreshIvfIndex]] repairs). At cluster scale this
+    * is an append of `nprobe`-prunable partitions plus a k_coarse-row
+    * stats merge — no rewrite of the existing corpus, no re-clustering,
+    * and no corpus re-read on the hot path. */
   def appendToIvfIndex(index: IvfIndex, newVecs: DataFrame): IvfIndex = {
     val cols = Seq("vec_id", "label", "embedding", "norm").map(col)
     val assigned = assignToCentroids(index.centroids, newVecs)
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+    // batch-sized explode — the delta aggregation touches the APPENDED
+    // vectors only, never the existing corpus
+    val delta = assigned
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
+      .groupBy("label", "dim")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+    val mergedStats = index.stats
+      .select(col("label"), col("n").as("cnt"), posexplode(col("vsum")))
+      .select(col("label"), col("pos").as("dim"), col("col").as("sv"), col("cnt"))
+      .unionByName(delta)
+      .groupBy("label", "dim")
+      .agg(sum(col("sv")).as("sv"), sum(col("cnt")).as("cnt"))
+      .groupBy("label")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, sv))), x -> x.sv)").as("vsum"),
+        max(col("cnt")).as("n"))
     IvfIndex(index.centroids,
-      index.corpus.select(cols: _*).unionByName(assigned.select(cols: _*)))
+      index.corpus.select(cols: _*).unionByName(assigned.select(cols: _*)),
+      mergedStats)
   }
 
-  /** Incremental maintenance leg 3 — DRIFT: per-cluster squared L2
-    * between the STORED centroid and the corpus' CURRENT per-cluster
-    * mean. Zero at build time; appends move it. One posexplode
-    * aggregation pass (the build's phase-1 shape) — run at
-    * refresh-decision cadence, not per append. */
+  /** Full-recompute DRIFT (audit form): per-cluster squared L2 between
+    * the STORED centroid and the corpus' CURRENT per-cluster mean,
+    * re-aggregated from every embedding (one posexplode pass, the
+    * build's phase-1 shape). O(corpus×dim) — kept as the ground truth
+    * [[ivfDriftIncremental]] is equivalence-tested against (OpsSpec),
+    * and as the integrity check after an out-of-band corpus edit. The
+    * refresh-decision cadence path is the incremental form. */
   def ivfDrift(index: IvfIndex): DataFrame = {
     val current = index.corpus
       .select(col("label"), posexplode(col("embedding")))
@@ -215,27 +248,42 @@ object Similarity {
           lit(0.0), (acc, v) => acc + v).as("drift"))
   }
 
+  /** Incremental maintenance leg 3 — DRIFT from the maintained
+    * sufficient statistics: current mean = vsum/n per cluster, so the
+    * whole computation is O(k_coarse × dim) over the k-row `stats`
+    * relation — the corpus is NOT read. At 100 TB of embeddings this
+    * is the difference between a control-plane scalar per cadence tick
+    * and a full-corpus explode per cadence tick. */
+  def ivfDriftIncremental(index: IvfIndex): DataFrame =
+    index.centroids.join(index.stats, "label")
+      .select(col("label"),
+        aggregate(
+          zip_with(col("cent"), col("vsum"),
+            (c, s) => (c - s / col("n")) * (c - s / col("n"))),
+          lit(0.0), (acc, v) => acc + v).as("drift"))
+
   /** Incremental maintenance leg 4 — REFRESH policy: rebuild the
     * centroids from the current corpus (assignments kept, means moved —
     * one Lloyd step, which is what IVF lists drift-repair means) iff
-    * any cluster's [[ivfDrift]] exceeds `driftBound`; otherwise the
-    * existing index keeps serving. The bound check is a one-row
-    * control-plane scalar, not a data-path collect. OpsSpec proves
-    * refreshed-index recall matches a from-scratch rebuild and that an
-    * un-drifted index is returned unchanged. */
+    * any cluster's [[ivfDriftIncremental]] exceeds `driftBound`;
+    * otherwise the existing index keeps serving. The bound check reads
+    * only the k-row stats relation — a one-row control-plane scalar
+    * with no corpus involvement. OpsSpec proves refreshed-index recall
+    * matches a from-scratch rebuild, an un-drifted index is returned
+    * unchanged, and the incremental drift equals the full recompute. */
   def refreshIvfIndex(index: IvfIndex, driftBound: Double): IvfIndex = {
-    val worst = ivfDrift(index).agg(max(col("drift")).as("d")).head()
+    val worst = ivfDriftIncremental(index).agg(max(col("drift")).as("d")).head()
     val maxDrift = if (worst.isNullAt(0)) 0.0 else worst.getDouble(0)
     if (maxDrift > driftBound) buildIvfIndexFrom(index.corpus) else index
   }
 
-  /** Phase 2 — probe (run per query): squared distance from the query
-    * to each centroid is a sequential zip_with fold (deterministic, no
-    * explode), the `nprobe` nearest clusters are broadcast, and exact
-    * cosine runs only inside those clusters. */
-  def ivfProbe(index: IvfIndex, queryVecId: Long, k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val q = index.corpus.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("qe"), col("norm").as("qnorm"))
+  /** Shared probe plan over a one-row `(qe, qnorm)` query relation:
+    * squared distance from the query to each centroid is a sequential
+    * zip_with fold (deterministic, no explode), the `nprobe` nearest
+    * clusters are broadcast, and exact cosine runs only inside those
+    * clusters. */
+  private def probeCore(index: IvfIndex, q: DataFrame, exclude: Option[Long],
+      k: Int, nprobe: Int): DataFrame = {
     val d2 = aggregate(
       zip_with(col("cent"), col("qe"),
         (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
@@ -246,13 +294,38 @@ object Similarity {
       .limit(nprobe)
       .select("label")
     val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
-    index.corpus.filter(col("vec_id") =!= queryVecId)
+    exclude.fold(index.corpus)(id => index.corpus.filter(col("vec_id") =!= id))
       .join(broadcast(topClusters), "label")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), cos.as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Phase 2 — probe by the id of a corpus vector (the oracle-friendly
+    * form: both engines fetch the same stored row). Fetching the query
+    * row is a corpus scan — id is not the partition key — so this form
+    * is for offline evaluation; online serving uses
+    * [[ivfProbeVector]]. */
+  def ivfProbe(index: IvfIndex, queryVecId: Long, k: Int = 10, nprobe: Int = 2): DataFrame =
+    probeCore(index,
+      index.corpus.filter(col("vec_id") === queryVecId)
+        .select(col("embedding").as("qe"), col("norm").as("qnorm")),
+      exclude = Some(queryVecId), k, nprobe)
+
+  /** Phase 2 — probe by an ARBITRARY embedding (the ANN serving path:
+    * the query vector arrives from outside, e.g. a freshly embedded
+    * document, and is NOT in the corpus). The vector becomes a one-row
+    * literal relation — no corpus scan to fetch it — and the rest of
+    * the plan is identical to [[ivfProbe]]: centroid fold, `nprobe`
+    * broadcast, within-cluster exact cosine. */
+  def ivfProbeVector(index: IvfIndex, query: Seq[Float], k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val q = index.centroids.sparkSession.range(1)
+      .select(typedLit(query).as("qe"))
+      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+    probeCore(index, q, exclude = None, k, nprobe)
   }
 
   /** Per-query-id IVF oracle block (the SQL mirror of one `ivfProbe`
@@ -361,6 +434,41 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     })
 
+  /** IVF probe by EXTERNAL literal vector, oracle-checked: the query
+    * embedding (a deterministic quarter-step ramp, exactly
+    * representable in binary float on both engines) exists only as a
+    * literal — no corpus row backs it, mirroring real ANN serving
+    * where the query arrives from outside. The oracle rebuilds the
+    * same centroid means and probes the same two clusters with the
+    * literal spelled in SQL. OpsSpec additionally proves the external
+    * probe at nprobe = all-clusters equals brute-force top-k on the
+    * same vector. */
+  val simTopkIvfExternal = QueryDef(
+    "sim_topk_ivf_external",
+    Some(s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+            |q AS (SELECT list_transform(generate_series(1, 64),
+            |        i -> CAST(((i - 1) % 7 - 3) / 4.0 AS FLOAT)) AS qe),
+            |cent AS (SELECT label, dim, avg(CAST(embedding[dim] AS DOUBLE)) AS cv
+            |         FROM embeddings CROSS JOIN dims GROUP BY label, dim),
+            |qd AS (SELECT dim, CAST(qe[dim] AS DOUBLE) AS qv FROM q CROSS JOIN dims),
+            |dist AS (SELECT c.label, SUM((c.cv - qd.qv) * (c.cv - qd.qv)) AS d2
+            |         FROM cent c JOIN qd ON qd.dim = c.dim GROUP BY c.label),
+            |top2 AS (SELECT label FROM dist ORDER BY d2, label LIMIT 2),
+            |hits AS (
+            |  SELECT e.vec_id, ROUND(${dd("e.embedding", "q.qe")}
+            |    / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})), 6) AS cos_sim
+            |  FROM embeddings e JOIN top2 ON e.label = top2.label, q
+            |  ORDER BY ${dd("e.embedding", "q.qe")}
+            |    / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, e.vec_id
+            |  LIMIT 10)
+            |SELECT vec_id, cos_sim FROM hits
+            |ORDER BY cos_sim DESC, vec_id""".stripMargin),
+    (spark, dir) => {
+      val qvec = Array.tabulate(64)(i => (((i % 7) - 3) / 4.0).toFloat).toSeq
+      ivfProbeVector(buildIvfIndex(spark, dir), qvec)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    })
+
   /** Corpus-wide kNN graph: every vector's top-3 cosine neighbors
     * WITHIN its sign-bit bucket — the similarity-graph builder behind
     * semantic dedup/clustering pipelines (one row per (vector,
@@ -399,5 +507,5 @@ object Similarity {
     })
 
   val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf,
-    simTopkIvfMulti, simTopkIvfIncremental, simKnnGraph)
+    simTopkIvfMulti, simTopkIvfIncremental, simTopkIvfExternal, simKnnGraph)
 }

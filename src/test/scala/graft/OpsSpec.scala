@@ -196,6 +196,66 @@ class OpsSpec extends SparkSuite {
       s"refreshed recall $refreshedRecall vs scratch $scratchRecall")
   }
 
+  test("incremental drift from sufficient statistics equals the full recompute") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(shift: Double): Seq[Float] =
+      Seq.tabulate(16)(_ => (rnd.nextGaussian() + shift).toFloat)
+    val base = (0 until 120).map(i => (i.toLong, i % 4, vec(0.0)))
+      .toDF("vec_id", "label", "embedding")
+    val app = (120 until 200).map(i => (i.toLong, i % 4, vec(0.4)))
+      .toDF("vec_id", "label", "embedding")
+    def toMap(df: org.apache.spark.sql.DataFrame): Map[Int, Double] =
+      df.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+    // at build time both forms agree AND the incremental one is exact
+    // zero: cent and vsum/n come from the same aggregation pass
+    val fresh = Similarity.buildIvfIndexFrom(base)
+    val fz = toMap(Similarity.ivfDrift(fresh))
+    val iz = toMap(Similarity.ivfDriftIncremental(fresh))
+    assert(fz.keySet === iz.keySet)
+    for ((l, d) <- fz) assert(math.abs(d - iz(l)) < 1e-9, s"label $l: $d vs ${iz(l)}")
+    assert(iz.values.max < 1e-12, s"build-time incremental drift not zero: $iz")
+
+    // after a shifted append the maintained (Σvec, n) reproduce the
+    // full-corpus recompute within float noise — same refresh decision
+    val idx = Similarity.appendToIvfIndex(fresh, app)
+    val full = toMap(Similarity.ivfDrift(idx))
+    val inc = toMap(Similarity.ivfDriftIncremental(idx))
+    assert(full.keySet === inc.keySet)
+    for ((l, d) <- full)
+      assert(math.abs(d - inc(l)) < 1e-9, s"label $l: full=$d inc=${inc(l)}")
+    assert(full.values.max > 0.01, s"shifted append did not drift: $full")
+    assert((inc.values.max > 0.01) === (full.values.max > 0.01))
+    // the decision path over a built index reads only the k-row stats
+    // relation: no Generate (posexplode) in the plan. (After a lazy
+    // append the plan also explodes the BATCH delta — batch-sized by
+    // design — so the corpus-free claim is asserted on the built form.)
+    val plan = Similarity.ivfDriftIncremental(fresh).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"incremental drift exploded something:\n${plan.linesIterator.take(30).mkString("\n")}")
+  }
+
+  test("external-vector probe at nprobe=all equals brute-force top-k on the same vector") {
+    val emb = graft.ops.Tables.table(spark, sf("sf0.001"), "embeddings")
+    val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))
+    val nLabels = emb.select("label").distinct().count().toInt
+    val qvec = Array.tabulate(64)(i => (((i % 7) - 3) / 4.0).toFloat).toSeq
+    val got = Similarity.ivfProbeVector(idx, qvec, k = 10, nprobe = nLabels)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val q = spark.range(1).select(typedLit(qvec).as("qe"))
+      .withColumn("qnorm", sqrt(Similarity.dot(col("qe"), col("qe"))))
+    val cos = Similarity.dot(col("embedding"), col("qe")) /
+      (sqrt(Similarity.dot(col("embedding"), col("embedding"))) * col("qnorm"))
+    val bf = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), cos.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === bf, s"external probe with full nprobe diverged from brute force")
+  }
+
   test("quadratic cosine baseline refuses a corpus above the row cap") {
     sys.props("GRAFT_COSINE_MAX_ROWS") = "10"
     try {
