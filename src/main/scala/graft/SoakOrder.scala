@@ -16,8 +16,12 @@ import org.apache.spark.sql.SparkSession
   * files, JIT/GC pressure) rather than to the probe's plan.
   *
   * Motivated by `dedup_clusters` at ×30: 23.7× in the round-3
-  * full-session soak vs 11.6× measured targeted — the experiment and
-  * its outcome live in PERF.md.
+  * full-session soak vs 11.6× measured targeted. Outcome (round 5,
+  * recorded in PERF.md): first 77.34 s, last 40.79 s — last/first
+  * 0.53, i.e. NO accumulation penalty; the drift was session
+  * POSITION (cold codegen/JIT early in a session), so warmed targeted
+  * medians are the plan-cost numbers and single-pass full-session
+  * soak ratios carry up to ~2× cold-start inflation.
   *
   * Usage: runMain graft.SoakOrder [factor] [baseSfDir] [probe]
   */

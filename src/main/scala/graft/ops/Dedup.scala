@@ -354,8 +354,10 @@ object Dedup {
     // per-round RELEASABLE materialization: each round pins its labels
     // relation and frees the previous round's blocks once the new one
     // is computed, so the loop's live storage stays O(V) instead of
-    // O(V × rounds) — session-long block accumulation from repeated
-    // CC runs was measurable as soak-order drift (PERF.md).
+    // O(V × rounds). The round-5 SoakOrder run (PERF.md) confirms the
+    // post-fix loop leaves no session-state drag: a full session of
+    // soak load AFTER repeated CC runs made the probe FASTER
+    // (last/first = 0.53, warmup-dominated), not slower.
     val (walk, releaseWalk) = Materialize.releasable(
       edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
