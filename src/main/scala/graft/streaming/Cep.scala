@@ -83,10 +83,16 @@ object CepPattern {
 }
 
 /** One partial CEP run for [[CepProcessor]] state: the matched prefix
-  * in match order. A case-class row — NOT Kryo blobs — so the state
+  * in match order, plus `admittedAtWm` — the watermark position (ms)
+  * when the run OPENED, readable through the state data source to
+  * answer "how long has this partial match been waiting" without
+  * decoding events. A case-class row — NOT Kryo blobs — so the state
   * store holds an introspectable, evolvable schema, which is the point
-  * of carrying CEP on the transformWithState store. */
-final case class CepRun(events: Seq[Ev])
+  * of carrying CEP on the transformWithState store: `admittedAtWm` was
+  * added AFTER the events-only v0 shipped, and StreamingSpec proves a
+  * v0 checkpoint restarts under this evolved schema (old rows read
+  * with the field defaulted to None, Avro state encoding). */
+final case class CepRun(events: Seq[Ev], admittedAtWm: Option[Long] = None)
 
 /** [[Cep.pattern]]'s buffer-and-sort state machine on Spark 4's
   * `transformWithState` — the forward-path state API (native timers via
@@ -132,11 +138,15 @@ class CepProcessor[Out](
   private def drain(arrivals: Seq[Ev], wm: Long): Iterator[Out] = {
     val out = List.newBuilder[Out]
 
-    def expire(runs: List[List[Ev]], nowMs: Long): List[List[Ev]] =
+    // a live run = (matched prefix, watermark when it opened); the
+    // admission mark rides along untouched so pre-evolution rows
+    // (admittedAtWm = None) survive round trips unchanged
+    def expire(runs: List[(List[Ev], Option[Long])],
+        nowMs: Long): List[(List[Ev], Option[Long])] =
       withinMs match {
         case Some(w) =>
-          val (dead, alive) = runs.partition(p => nowMs - p.head.ts.getTime > w)
-          dead.foreach(p => onTimeout(p).foreach(out += _))
+          val (dead, alive) = runs.partition(p => nowMs - p._1.head.ts.getTime > w)
+          dead.foreach(p => onTimeout(p._1).foreach(out += _))
           alive
         case None => runs
       }
@@ -145,9 +155,12 @@ class CepProcessor[Out](
     val storedPending = pending.get()
     while (storedPending.hasNext) buf += storedPending.next()
     buf ++= arrivals
-    var runs = List.newBuilder[List[Ev]]
+    var runs = List.newBuilder[(List[Ev], Option[Long])]
     val storedRuns = partials.get()
-    while (storedRuns.hasNext) runs += storedRuns.next().events.toList
+    while (storedRuns.hasNext) {
+      val r = storedRuns.next()
+      runs += ((r.events.toList, r.admittedAtWm))
+    }
 
     // only events the watermark has passed are safe to order; anything
     // newer could still be preceded by an in-flight earlier event
@@ -155,19 +168,19 @@ class CepProcessor[Out](
     var live = runs.result()
     for (e <- ready.sortBy(e => (e.ts.getTime, e.event_id))) {
       live = expire(live, e.ts.getTime)
-      val advanced = List.newBuilder[List[Ev]]
-      def offer(run: List[Ev]): Unit = {
+      val advanced = List.newBuilder[(List[Ev], Option[Long])]
+      def offer(run: List[Ev], adm: Option[Long]): Unit = {
         val next = run :+ e
         if (next.length == conds.length) out += select(grouped(next))
-        else advanced += next
+        else advanced += ((next, adm))
       }
-      for (p <- live) {
+      for ((p, adm) <- live) {
         val stage = conds(p.length)
-        if (stage.cond(e)) offer(p)
-        else if (!stage.strict) advanced += p // relaxed: skip e, run lives
+        if (stage.cond(e)) offer(p, adm)
+        else if (!stage.strict) advanced += ((p, adm)) // relaxed: skip e, run lives
         // else: strict contiguity — the run dies silently
       }
-      if (conds.head.cond(e)) offer(Nil) // every event may start a run
+      if (conds.head.cond(e)) offer(Nil, Some(wm)) // every event may start a run
       live = advanced.result()
     }
     // deadlines the watermark itself has passed: no event <= wm remains
@@ -180,12 +193,13 @@ class CepProcessor[Out](
     partials.clear()
     if (live.nonEmpty || waiting.nonEmpty) {
       if (waiting.nonEmpty) pending.appendList(waiting.toArray)
-      if (live.nonEmpty) partials.appendList(live.map(r => CepRun(r)).toArray)
+      if (live.nonEmpty)
+        partials.appendList(live.map { case (r, adm) => CepRun(r, adm) }.toArray)
       // wake when the watermark reaches the next buffered event or the
       // earliest run deadline, whichever comes first
       val wakeAt =
         waiting.map(_.ts.getTime) ++
-          withinMs.toList.flatMap(w => live.map(_.head.ts.getTime + w))
+          withinMs.toList.flatMap(w => live.map(_._1.head.ts.getTime + w))
       if (wakeAt.nonEmpty)
         getHandle.registerTimer(math.max(wakeAt.min, wm + 1))
     }

@@ -47,6 +47,101 @@ class UvDedupProcessorV0
   }
 }
 
+/** Pre-upgrade shape of [[graft.streaming.CepRun]] — the matched
+  * prefix only, no `admittedAtWm` provenance field. Used to WRITE an
+  * old-schema CEP checkpoint that the evolved production processor
+  * must then resume. */
+case class CepRunV0(events: Seq[Ev])
+
+/** [[graft.streaming.CepProcessor]] as it shipped before `CepRun`
+  * grew `admittedAtWm`: byte-for-byte the v0 drain (same state var
+  * names `pending`/`partials`, same timer discipline) with the v0 run
+  * element, so the checkpoint it writes is exactly what the evolved
+  * class inherits in production. Test-only. */
+class CepProcessorV0(
+    conds: Vector[graft.streaming.CepStage],
+    withinMs: Option[Long],
+    select: Map[String, Seq[Ev]] => (String, Long),
+    onTimeout: Seq[Ev] => Option[(String, Long)])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (String, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var pending: ListState[Ev] = _
+  @transient private var partials: ListState[CepRunV0] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    pending = getHandle.getListState[Ev]("pending",
+      Encoders.product[Ev], TTLConfig.NONE)
+    partials = getHandle.getListState[CepRunV0]("partials",
+      Encoders.product[CepRunV0], TTLConfig.NONE)
+  }
+
+  private def grouped(run: List[Ev]): Map[String, Seq[Ev]] =
+    conds.map(_.name).zip(run).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSeq }
+
+  private def drain(arrivals: Seq[Ev], wm: Long): Iterator[(String, Long)] = {
+    val out = List.newBuilder[(String, Long)]
+    def expire(runs: List[List[Ev]], nowMs: Long): List[List[Ev]] =
+      withinMs match {
+        case Some(w) =>
+          val (dead, alive) = runs.partition(p => nowMs - p.head.ts.getTime > w)
+          dead.foreach(p => onTimeout(p).foreach(out += _))
+          alive
+        case None => runs
+      }
+    var buf = List.newBuilder[Ev]
+    val storedPending = pending.get()
+    while (storedPending.hasNext) buf += storedPending.next()
+    buf ++= arrivals
+    var runs = List.newBuilder[List[Ev]]
+    val storedRuns = partials.get()
+    while (storedRuns.hasNext) runs += storedRuns.next().events.toList
+    val (ready, waiting) = buf.result().partition(_.ts.getTime <= wm)
+    var live = runs.result()
+    for (e <- ready.sortBy(e => (e.ts.getTime, e.event_id))) {
+      live = expire(live, e.ts.getTime)
+      val advanced = List.newBuilder[List[Ev]]
+      def offer(run: List[Ev]): Unit = {
+        val next = run :+ e
+        if (next.length == conds.length) out += select(grouped(next))
+        else advanced += next
+      }
+      for (p <- live) {
+        val stage = conds(p.length)
+        if (stage.cond(e)) offer(p)
+        else if (!stage.strict) advanced += p
+      }
+      if (conds.head.cond(e)) offer(Nil)
+      live = advanced.result()
+    }
+    live = expire(live, wm)
+    val timerIt = getHandle.listTimers()
+    while (timerIt.hasNext) getHandle.deleteTimer(timerIt.next())
+    pending.clear()
+    partials.clear()
+    if (live.nonEmpty || waiting.nonEmpty) {
+      if (waiting.nonEmpty) pending.appendList(waiting.toArray)
+      if (live.nonEmpty) partials.appendList(live.map(r => CepRunV0(r)).toArray)
+      val wakeAt =
+        waiting.map(_.ts.getTime) ++
+          withinMs.toList.flatMap(w => live.map(_.head.ts.getTime + w))
+      if (wakeAt.nonEmpty)
+        getHandle.registerTimer(math.max(wakeAt.min, wm + 1))
+    }
+    out.result().iterator
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timers: TimerValues): Iterator[(String, Long)] =
+    drain(rows.toSeq, timers.getCurrentWatermarkInMs())
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(String, Long)] =
+    drain(Nil, timers.getCurrentWatermarkInMs())
+}
+
 /** Streaming forms of the stateful operators, exercised with
   * MemoryStream: keyed state across micro-batches, event-time timeouts
   * against the watermark, watermarked window aggregation, stream-stream
@@ -1377,6 +1472,107 @@ class StreamingSpec extends SparkSuite {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("CEP state-schema evolution: evolved CepProcessor resumes a pre-upgrade checkpoint") {
+    import graft.streaming.{Cep, CepPattern, CepStage}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import scala.jdk.CollectionConverters._
+    // CEP partial runs are the longest-lived state in the engine (open
+    // funnels wait out their within() window); prove a checkpoint
+    // written with the v0 run element (events only) restarts under the
+    // EVOLVED CepProcessor — old runs still advance to matches, their
+    // state rows read with `admittedAtWm` defaulted to null. Same
+    // requirements as the T2 evolution proof: Avro state encoding +
+    // RocksDB (TWS's own requirement).
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val encodingKey = "spark.sql.streaming.stateStore.encodingFormat"
+    val prevProvider = spark.conf.getOption(providerKey)
+    val prevEncoding = spark.conf.getOption(encodingKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(encodingKey, "avro")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("cep-evolve-ckpt").toString
+      val pat = CepPattern
+        .begin("start", (e: Ev) => e.event_type == "view")
+        .times(2).consecutive()
+        .within(600000L) // 600 s — nothing times out inside the test window
+      // pat.expanded, spelled out: times(2) = two strict "start" stages
+      val cond = (e: Ev) => e.event_type == "view"
+      val conds = Vector(CepStage("start", cond, 1), CepStage("start", cond, 1))
+      val select = (m: Map[String, Seq[Ev]]) => ("match", m("start").head.event_id)
+      val onTimeout = (p: Seq[Ev]) => Some(("timeout", p.head.event_id))
+
+      // the memory sink cannot recover from a checkpoint; foreachBatch can
+      val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+      def sink(ds: org.apache.spark.sql.Dataset[(String, Long)]) =
+        ds.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], _: Long) =>
+            b.collect().foreach(t => emitted.add(t)); (): Unit
+          }
+
+      // phase 1: the pre-upgrade processor leaves OPEN partial runs
+      // (users 1 and 3, one view each) in the v0 checkpoint
+      val in = MemoryStream[Ev]
+      val q1 = sink(in.toDS().withWatermark("ts", "1 second")
+        .groupByKey(_.user_id)
+        .transformWithState(new CepProcessorV0(conds, Some(600000L), select, onTimeout),
+          TimeMode.EventTime(), OutputMode.Append()))
+        .start()
+      in.addData(ev(1, 1, 10, "view"), ev(3, 7, 12, "view"), ev(9, 90, 20, "click"))
+      q1.processAllAvailable()
+      in.addData(ev(9, 91, 30, "click")) // watermark past the views → runs open
+      q1.processAllAvailable()
+      q1.stop()
+      assert(emitted.asScala.isEmpty, "no run should have completed in phase 1")
+
+      // phase 2: the EVOLVED production compilation resumes the same
+      // checkpoint. User 1's v0 partial run must be honored (its second
+      // view completes the match); user 2 opens a post-evolution run.
+      emitted.clear()
+      val q2 = sink(Cep.patternTws[(String, Long)](in.toDS(), pat, select, onTimeout,
+        watermark = "1 second")).start()
+      in.addData(ev(1, 2, 40, "view"), ev(2, 5, 45, "view"), ev(9, 92, 60, "click"))
+      q2.processAllAvailable()
+      in.addData(ev(9, 93, 62, "click")) // timers fire the batch after
+      q2.processAllAvailable()
+      q2.stop()
+      assert(emitted.asScala.toSet === Set(("match", 1L)),
+        "pre-upgrade partial run was not honored after the schema evolution")
+
+      // the store itself, through Spark's state data source: v0-written
+      // runs carry NULL admittedAtWm (the evolution default); runs
+      // opened post-evolution carry their admission watermark. User 1's
+      // completed run left a fresh one-view run (its second view also
+      // starts a run); user 3's v0 run is still waiting untouched.
+      val state = spark.read.format("statestore")
+        .option("stateVarName", "partials")
+        .load(ckpt)
+      val entries = state.selectExpr(
+          "key.value AS user_id",
+          "size(list_element.events) AS n_events",
+          "list_element.events[0].event_id AS first_id",
+          "list_element.admittedAtWm AS admitted")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), !r.isNullAt(3)))
+        .toSet
+      assert(entries === Set(
+        (1L, 1, 2L, true),   // post-evolution run: admission mark present
+        (2L, 1, 5L, true),   // post-evolution run
+        (3L, 1, 7L, false)), // written by v0 → defaulted to null
+        s"state entries: $entries")
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      prevEncoding match {
+        case Some(v) => spark.conf.set(encodingKey, v)
+        case None => spark.conf.unset(encodingKey)
       }
     }
   }
