@@ -91,6 +91,15 @@ object Bench {
     // failed queries (-1 markers) must not subtract from the total
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(results)},"queries_median":${j(medians)},"calib":${calib.min},"sf":"$sfDir"}""")
+    // COMPACT SUMMARY LAST (and nothing after it): the driver keeps only
+    // the final ~2000 chars of output, and the full per-query map above
+    // is ~3.5k chars — in rounds 4 and 5 the suite total and any failure
+    // markers printed first were truncated away. This self-contained
+    // line is ~400 chars, so the tail window always carries the total,
+    // the failed-query names, and the slowest queries.
+    val slowest = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(5)
+    val failedNames = queries.collect { case (n, _) if failed(n) => "\"" + n + "\"" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"slowest5":${j(slowest.toMap)},"calib":${calib.min},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

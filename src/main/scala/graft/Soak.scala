@@ -38,12 +38,15 @@ object Soak {
     "dedup_embedding_lsh", "dedup_semantic_clusters", "sim_knn_graph")
 
   def blowUp(spark: SparkSession, baseDir: String, outDir: String, f: Int): Unit = {
-    val ev = graft.ops.Tables.eventsRawNanos(spark, baseDir)
+    // normalized (timestamp-typed) form: the blown-up copy is written
+    // with a plain timestamp ts, which Tables.events passes through —
+    // layout-independent of whether the base data was nanos or micros
+    val ev = graft.ops.Tables.events(spark, baseDir)
     ev.crossJoin(spark.range(f.toLong).toDF("r"))
       .select(
         (col("event_id") * f + col("r")).as("event_id"),
-        // keep ns-long ts column shape; jitter replicas by r seconds
-        (col("ts") + col("r") * lit(1000000000L)).as("ts"),
+        // jitter replicas by r seconds so they aren't identical
+        expr("timestampadd(SECOND, r, ts)").as("ts"),
         (col("user_id") * f + col("r")).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")

@@ -26,6 +26,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail-fast schema tripwire: if the driver regenerated testdata
+    // with a new layout, die HERE with one line naming the file and
+    // type — not 100+ identical per-query analysis errors (round 5
+    // lost 34 queries to exactly that failure mode).
+    try graft.ops.Tables.sanityCheck(spark, sfDir)
+    catch { case e: Exception =>
+      System.err.println(s"[verify] ${e.getMessage}")
+      spark.stop()
+      sys.exit(2)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

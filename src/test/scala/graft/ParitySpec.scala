@@ -172,4 +172,42 @@ class ParitySpec extends SparkSuite {
       .as[(Long, String, Boolean)].collect().map(r => r._1 -> r._3).toMap
     assert(got === Map(1L -> true, 2L -> false, 3L -> true))
   }
+
+  test("events NTZ seam: loader type + epoch/format semantics match DuckDB CAST") {
+    // The cross-engine contract at the Tables.events seam: whatever the
+    // on-disk layout (INT64 nanos rounds 1-4, TIMESTAMP(MICROS) NTZ
+    // round 5+), the normalized ts must be session-TZ TimestampType
+    // under the pinned-UTC session, and epoch/format must FLOOR exactly
+    // like DuckDB's CAST(ts AS TIMESTAMP)+epoch()/strftime(). Expected
+    // values are computed independently with java.time, not via Spark's
+    // own cast path.
+    import java.time.{LocalDateTime, ZoneOffset}
+    import java.time.format.DateTimeFormatter
+    assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
+    val dir = sf("sf0.001")
+    assert(graft.ops.Tables.events(spark, dir).schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+
+    val raw = graft.ops.Tables.eventsRaw(spark, dir)
+      .select("event_id", "ts").orderBy("event_id").limit(5).collect()
+    val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    val expected = raw.map { r =>
+      val id = r.getLong(0)
+      val (epochSec, str) = r.get(1) match {
+        case nanos: java.lang.Long => // legacy layout: floor ns -> s
+          val s = Math.floorDiv(nanos, 1000000000L)
+          (s, LocalDateTime.ofEpochSecond(s, 0, ZoneOffset.UTC).format(fmt))
+        case ldt: LocalDateTime => // NTZ: wall-clock IS the UTC instant
+          (ldt.toEpochSecond(ZoneOffset.UTC), ldt.format(fmt))
+        case other => fail(s"unexpected raw ts ${other.getClass}")
+      }
+      id -> ((epochSec, str))
+    }.toMap
+
+    val got = SparkEntry.queries("f_scalar_datetime")(spark, dir)
+      .select("event_id", "epoch_sec", "ts_str")
+      .filter(col("event_id").isin(expected.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === expected)
+  }
 }

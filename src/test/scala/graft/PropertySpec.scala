@@ -256,7 +256,7 @@ class PropertySpec extends SparkSuite {
       .foreach { t =>
         Tables.table(spark, src, t).write.parquet(s"$dir/$t.parquet")
       }
-    Tables.eventsRawNanos(spark, src)
+    Tables.events(spark, src)
       .withColumn("value", col("value") * M)
       .write.parquet(s"$dir/events.parquet")
 

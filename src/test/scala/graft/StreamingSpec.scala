@@ -808,6 +808,57 @@ class StreamingSpec extends SparkSuite {
     assert(fresh === Seq("cherry"))
   }
 
+  test("partitioned stats serving read racing a mid-commit batch never sees a torn day set") {
+    // The concurrent-reader contract the scaladoc asserts: a serving
+    // read is consistent at SOME committed manifest — an in-flight merge
+    // (version dir written, manifest not yet renamed) is invisible, and
+    // a read that resolved the previous manifest keeps collecting its
+    // exact pre-batch rows even after the next batch commits and GCs
+    // (the base manifest + the version dirs it references are retained).
+    val stateDir = java.nio.file.Files.createTempDirectory("stats-race").toString
+    val day = 86400L
+    def stt(sec: Long) = new Timestamp((base + sec) * 1000L)
+    def merge(batchId: Long, rows: DwsProd*): Unit =
+      StreamOps.mergeStatsPartitionedBatch(rows.toDF(), stateDir, batchId,
+        keyCols = Seq("tm_id", "tm_name"), sumCols = Seq("order_amount", "order_ct"))
+    def amounts(df: org.apache.spark.sql.DataFrame): Map[(String, String), Double] =
+      df.select(col("dt").cast("string"), col("tm_name"), col("order_amount"))
+        .as[(String, String, Double)].collect()
+        .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+
+    merge(0L, DwsProd(stt(10), 1L, "apple", 10.0, 1L),
+      DwsProd(stt(day + 10), 2L, "banana", 5.0, 1L))
+    val state0 = Map(("2024-01-01", "apple") -> 10.0, ("2024-01-02", "banana") -> 5.0)
+
+    // reader A resolves the manifest NOW, defers its scan until after
+    // the next commit+GC — a mid-read writer must not tear it
+    val heldRead = StreamOps.latestPartitionedStatsState(spark, stateDir).get
+    merge(1L, DwsProd(stt(day + 700), 2L, "banana", 20.0, 3L))
+    assert(amounts(heldRead) === state0,
+      "a read resolved before a commit must keep serving its manifest's rows")
+    val state1 = Map(("2024-01-01", "apple") -> 10.0, ("2024-01-02", "banana") -> 25.0)
+    assert(amounts(StreamOps.latestPartitionedStatsState(spark, stateDir).get) === state1)
+
+    // mid-commit batch 2: version directory fully written, manifest
+    // still at its dot-tmp (pre-fsync-rename) stage — a reader must see
+    // EXACTLY the batch-1 state: no day from v2, no partial manifest
+    Seq(DwsProd(stt(2 * day + 10), 3L, "cherry", 7.0, 1L)).toDF()
+      .withColumn("dt", to_date(col("stt")))
+      .write.partitionBy("dt").parquet(s"$stateDir/v2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stateDir/.m2.tmp"),
+      "2024-01-01\t0\n2024-01-02\t1\n2024-01-03\t2\n")
+    assert(amounts(StreamOps.latestPartitionedStatsState(spark, stateDir).get) === state1,
+      "an uncommitted (tmp) manifest or orphan version dir leaked into a serving read")
+
+    // the atomic rename IS the commit: the very next read serves the
+    // full new day set, nothing in between ever existed for readers
+    assert(new java.io.File(s"$stateDir/.m2.tmp")
+      .renameTo(new java.io.File(s"$stateDir/m2")))
+    assert(amounts(StreamOps.latestPartitionedStatsState(spark, stateDir).get) ===
+      state1 + (("2024-01-03", "cherry") -> 7.0))
+  }
+
   test("versioned state GC deletes an abandoned run's higher versions (no stale merge base)") {
     // old stateDir + FRESH checkpoint: batchIds restart at 0 while the
     // dead run's v9 still exists. Served as "latest" it would later be
