@@ -19,16 +19,21 @@ object Tables {
     *   - `LongType`           → legacy nanos: truncate to micros
     *                            (`ts div 1000`), identical to DuckDB's
     *                            `CAST(ts AS TIMESTAMP)` floor.
-    *   - `TimestampNTZType`   → wall-clock micros: reinterpret in the
-    *                            session TZ (pinned UTC everywhere —
-    *                            Verify/Bench/Soak/tests), so
-    *                            `unix_timestamp`/`date_format`
-    *                            semantics are unchanged and DuckDB's
-    *                            `CAST(ts AS TIMESTAMP)` is a no-op on
-    *                            the same file.
-    *   - `TimestampType`      → already session-TZ micros: pass
-    *                            through (Soak's blown-up copies land
-    *                            here).
+    *   - `TimestampType`      → pass through untouched. The CURRENT
+    *                            testdata lands here: [[eventsRaw]]
+    *                            disables `inferTimestampNTZ`, so the
+    *                            scan itself produces TimestampType and
+    *                            `ts` predicates stay SARGABLE — pushed
+    *                            to the parquet reader instead of
+    *                            evaluated above a cast. Under the
+    *                            engine-wide pinned-UTC session this is
+    *                            value-identical to casting the NTZ
+    *                            wall clock (and to DuckDB's no-op
+    *                            `CAST(ts AS TIMESTAMP)`).
+    *   - `TimestampNTZType`   → robustness branch (a session that
+    *                            re-enabled the inference flag):
+    *                            reinterpret the wall clock in the
+    *                            session TZ via cast.
     *
     * Every query reads events ONLY through this method, so a future
     * layout change fails in exactly one place with a one-line
@@ -55,14 +60,22 @@ object Tables {
     * for the current micros layout). For tooling that must see the
     * disk shape; everything else uses [[events]].
     *
-    * NOTE this sets `spark.sql.legacy.parquet.nanosAsLong` SESSION-WIDE
-    * (the flag is read at scan planning, not per-read, so a scoped
-    * set/restore would be racy against lazy evaluation of the returned
-    * plan). It is a no-op on non-nanos files; the engine's other tables
-    * carry no INT64-nanos columns, so the only observable effect is the
-    * intended one. */
+    * NOTE this sets two flags SESSION-WIDE (they are read at scan
+    * planning, not per-read, so a scoped set/restore would be racy
+    * against lazy evaluation of the returned plan):
+    * `spark.sql.legacy.parquet.nanosAsLong` (legacy layout readable at
+    * all; no-op on non-nanos files) and
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false` (the MICROS
+    * layout scans directly as session-TZ TimestampType — value-
+    * identical to the NTZ wall clock under the engine's pinned-UTC
+    * sessions, and it keeps `ts` predicates pushable at the scan). The
+    * engine's other tables carry no INT64-nanos or NTZ columns, so the
+    * only observable effects are the intended ones; a session mixing
+    * in foreign NTZ parquet should read it before first touching
+    * `events`. */
   def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     table(spark, sfDir, "events")
   }
 

@@ -9,9 +9,16 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupStateTimeout, List
   * (Flink `followedBy`). `repStrict` is the contiguity BETWEEN the
   * stage's own repeats (entry into repeat 1 follows `strict`; repeats
   * 2..n follow `repStrict` — Flink's `consecutive()` switches exactly
-  * this, leaving the entry contiguity alone). */
+  * this, leaving the entry contiguity alone). `anyMatch` = after this
+  * stage consumes a matching event the SOURCE run also stays alive, so
+  * every later matching event spawns an alternative continuation
+  * (Flink `followedByAny`, skip-till-any-match). `negated` = a
+  * zero-width assertion (Flink `notNext`): the event immediately after
+  * the previous match must NOT satisfy `cond` — it captures nothing,
+  * and the same event then feeds the following stage. */
 final case class CepStage(name: String, cond: Ev => Boolean, reps: Int,
-    strict: Boolean = true, repStrict: Boolean = true)
+    strict: Boolean = true, repStrict: Boolean = true,
+    anyMatch: Boolean = false, negated: Boolean = false)
     extends Serializable
 
 /** Generic CEP pattern combinator — the reference's Flink-CEP surface
@@ -48,9 +55,35 @@ final class CepPattern private (
       stages :+ CepStage(name, cond, 1, strict = false, repStrict = false),
       withinMs)
 
+  /** Relaxed NON-DETERMINISTIC stage (Flink `.followedByAny(name)
+    * .where(cond)`, skip-till-any-match): like [[followedBy]], but the
+    * source run ALSO stays alive after a match, so every later
+    * matching event inside the within() window spawns an alternative
+    * match. The kept run expires through the timeout branch like any
+    * partial (pass `onTimeout = _ => None` to drop those). State cost:
+    * one extra live run per alternative, bounded by within(). */
+  def followedByAny(name: String, cond: Ev => Boolean): CepPattern =
+    new CepPattern(
+      stages :+ CepStage(name, cond, 1, strict = false, repStrict = false,
+        anyMatch = true),
+      withinMs)
+
+  /** Negative strict stage (Flink `.notNext(name).where(cond)`): the
+    * event immediately after the previous stage's match must NOT
+    * satisfy `cond`, or the run dies. The assertion captures nothing —
+    * the same event then feeds the following stage, which must be
+    * STRICT (`next`) and must exist: `Cep.validate` rejects a pattern
+    * ending in `notNext` or chasing it with a relaxed stage, because
+    * "the immediately-next event" is only well-defined against a
+    * strict follower. */
+  def notNext(name: String, cond: Ev => Boolean): CepPattern =
+    new CepPattern(stages :+ CepStage(name, cond, 1, negated = true),
+      withinMs)
+
   /** Repeat the last declared stage n times (Flink `.times(n)`). */
   def times(n: Int): CepPattern = {
     require(n >= 1, s"times($n)")
+    require(!stages.last.negated, "times() cannot repeat a notNext assertion")
     new CepPattern(stages.init :+ stages.last.copy(reps = n), withinMs)
   }
 
@@ -59,8 +92,10 @@ final class CepPattern private (
     * stages the repeats are already strict, so this is an identity;
     * for a `followedBy(...).times(n)` it tightens repeats 2..n while
     * the ENTRY into the first repeat stays relaxed, matching Flink. */
-  def consecutive(): CepPattern =
+  def consecutive(): CepPattern = {
+    require(!stages.last.negated, "consecutive() is meaningless on a notNext assertion")
     new CepPattern(stages.init :+ stages.last.copy(repStrict = true), withinMs)
+  }
 
   /** Whole-match time bound: last event must arrive within `ms` of the
     * first, else the partial run is routed to the timeout branch. */
@@ -132,8 +167,10 @@ class CepProcessor[Out](
   }
 
   private def grouped(run: List[Ev]): Map[String, Seq[Ev]] =
-    conds.map(_.name).zip(run).groupBy(_._1)
+    conds.filterNot(_.negated).map(_.name).zip(run).groupBy(_._1)
       .map { case (k, v) => k -> v.map(_._2).toSeq }
+
+  private val concrete = conds.count(!_.negated)
 
   private def drain(arrivals: Seq[Ev], wm: Long): Iterator[Out] = {
     val out = List.newBuilder[Out]
@@ -169,18 +206,17 @@ class CepProcessor[Out](
     for (e <- ready.sortBy(e => (e.ts.getTime, e.event_id))) {
       live = expire(live, e.ts.getTime)
       val advanced = List.newBuilder[(List[Ev], Option[Long])]
-      def offer(run: List[Ev], adm: Option[Long]): Unit = {
-        val next = run :+ e
-        if (next.length == conds.length) out += select(grouped(next))
+      def emitOrKeep(next: List[Ev], adm: Option[Long]): Unit =
+        if (next.length == concrete) out += select(grouped(next))
         else advanced += ((next, adm))
-      }
       for ((p, adm) <- live) {
-        val stage = conds(p.length)
-        if (stage.cond(e)) offer(p, adm)
-        else if (!stage.strict) advanced += ((p, adm)) // relaxed: skip e, run lives
-        // else: strict contiguity — the run dies silently
+        val (adv, stays) = Cep.step(conds, p, e)
+        adv.foreach(n => emitOrKeep(n, adm))
+        // relaxed skip, or followedByAny keep-behind; a strict miss or
+        // a matched notNext assertion kills the run
+        if (stays) advanced += ((p, adm))
       }
-      if (conds.head.cond(e)) offer(Nil, Some(wm)) // every event may start a run
+      if (conds.head.cond(e)) emitOrKeep(List(e), Some(wm)) // every event may start a run
       live = advanced.result()
     }
     // deadlines the watermark itself has passed: no event <= wm remains
@@ -217,6 +253,56 @@ class CepProcessor[Out](
 
 object Cep {
 
+  /** Structural checks shared by both compilations. The notNext rules
+    * are what keep run state position-free (see [[step]]): an
+    * assertion chain is always resolved by the single event that feeds
+    * the strict stage after it, so a run never RESTS mid-negation and
+    * its evaluation pointer stays a pure function of its matched-event
+    * count — no schema change to either engine's run state. */
+  private[streaming] def validate(conds: Vector[CepStage]): Unit = {
+    require(conds.nonEmpty, "empty pattern")
+    require(!conds.head.negated, "pattern cannot begin with notNext")
+    require(!conds.last.negated,
+      "pattern cannot end with notNext: the assertion needs a following strict stage to anchor to")
+    for (i <- conds.indices.dropRight(1))
+      if (conds(i).negated)
+        require(conds(i + 1).negated || conds(i + 1).strict,
+          "notNext must be followed by a strict (next) stage: the assertion is about the exact event that feeds it")
+  }
+
+  /** Evaluation pointer for a run with `k` matched events: the index
+    * just after the stage that matched the k-th event (0 for a fresh
+    * run). Runs never rest AT a negated stage (validate()), so the
+    * pointer is derivable and run state carries no position field. */
+  private[streaming] def posAfter(conds: Vector[CepStage], k: Int): Int =
+    if (k == 0) 0
+    else {
+      var seen = 0
+      var i = 0
+      while (seen < k) { if (!conds(i).negated) seen += 1; i += 1 }
+      i
+    }
+
+  /** Offer ready event `e` to a run with matched prefix `run`. Returns
+    * (the advanced run if `e` was consumed by the next concrete stage,
+    * whether the ORIGINAL run also stays alive — relaxed skip or
+    * `followedByAny` keep-behind). Any notNext assertions between the
+    * run's last match and the next concrete stage are resolved against
+    * `e` itself: a banned match kills the run, a pass moves the
+    * pointer onto the (strict) stage `e` then feeds. Completion is the
+    * caller's check: advanced length == conds.count(!_.negated). */
+  private[streaming] def step(conds: Vector[CepStage], run: List[Ev],
+      e: Ev): (Option[List[Ev]], Boolean) = {
+    var pos = posAfter(conds, run.length)
+    while (conds(pos).negated) {
+      if (conds(pos).cond(e)) return (None, false) // banned next event: run dies
+      pos += 1 // assertion passed; e feeds the following stage
+    }
+    val stage = conds(pos)
+    if (stage.cond(e)) (Some(run :+ e), stage.anyMatch)
+    else (None, !stage.strict)
+  }
+
   /** Run `pat` per key over the event stream. Complete matches map
     * through `select` (stage name → matched events, in match order);
     * partial runs whose within-window closes map through `onTimeout`
@@ -246,7 +332,7 @@ object Cep {
       watermark: String = "1 second"): Dataset[Out] = {
     import ds.sparkSession.implicits._
     val conds = pat.expanded
-    require(conds.nonEmpty, "empty pattern")
+    validate(conds)
     // without within() a multi-stage pattern's partial runs are never
     // evicted — per-key state would grow without bound on a stream of
     // stage-1 matches. The reference always bounds its patterns; so
@@ -258,8 +344,9 @@ object Cep {
       Encoders.kryo[(List[Ev], List[List[Ev]])]
 
     def grouped(run: List[Ev]): Map[String, Seq[Ev]] =
-      conds.map(_.name).zip(run).groupBy(_._1)
+      conds.filterNot(_.negated).map(_.name).zip(run).groupBy(_._1)
         .map { case (k, v) => k -> v.map(_._2).toSeq }
+    val concrete = conds.count(!_.negated)
 
     ds.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -290,18 +377,17 @@ object Cep {
             // runs whose window closed before e cannot accept it
             partials = expire(partials, e.ts.getTime)
             val advanced = List.newBuilder[List[Ev]]
-            def offer(run: List[Ev]): Unit = {
-              val next = run :+ e
-              if (next.length == conds.length) out += select(grouped(next))
+            def emitOrKeep(next: List[Ev]): Unit =
+              if (next.length == concrete) out += select(grouped(next))
               else advanced += next
-            }
             for (p <- partials) {
-              val stage = conds(p.length)
-              if (stage.cond(e)) offer(p)
-              else if (!stage.strict) advanced += p // relaxed: skip e, run lives
-              // else: strict contiguity — the run dies silently
+              val (adv, stays) = Cep.step(conds, p, e)
+              adv.foreach(emitOrKeep)
+              // relaxed skip, or followedByAny keep-behind; a strict
+              // miss or a matched notNext assertion kills the run
+              if (stays) advanced += p
             }
-            if (conds.head.cond(e)) offer(Nil) // every event may start a run
+            if (conds.head.cond(e)) emitOrKeep(List(e)) // every event may start a run
             partials = advanced.result()
           }
           // deadlines the watermark itself has passed: no event <= wm
@@ -338,7 +424,7 @@ object Cep {
       watermark: String = "1 second"): Dataset[Out] = {
     import ds.sparkSession.implicits._
     val conds = pat.expanded
-    require(conds.nonEmpty, "empty pattern")
+    validate(conds)
     require(conds.length == 1 || pat.withinMs.isDefined,
       "a multi-stage CepPattern requires within(...): unbounded patterns would accumulate state forever")
     ds.withWatermark("ts", watermark)

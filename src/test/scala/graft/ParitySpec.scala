@@ -199,6 +199,9 @@ class ParitySpec extends SparkSuite {
           (s, LocalDateTime.ofEpochSecond(s, 0, ZoneOffset.UTC).format(fmt))
         case ldt: LocalDateTime => // NTZ: wall-clock IS the UTC instant
           (ldt.toEpochSecond(ZoneOffset.UTC), ldt.format(fmt))
+        case t: java.sql.Timestamp => // micros scanned natively as TZ type
+          val s = Math.floorDiv(t.getTime, 1000L)
+          (s, LocalDateTime.ofEpochSecond(s, 0, ZoneOffset.UTC).format(fmt))
         case other => fail(s"unexpected raw ts ${other.getClass}")
       }
       id -> ((epochSec, str))

@@ -171,6 +171,23 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("ExistingRDD"))
   }
 
+  test("events.ts is sargable: a time-range filter reaches the parquet scan as a pushed filter") {
+    // The schema-adaptive loader reads the MICROS layout natively as
+    // TimestampType (no cast above the scan), so event-time range
+    // predicates — the dominant prune on an append-only 100 TB events
+    // table — push into the parquet reader instead of filtering rows
+    // post-scan. A cast-on-top loader regression would empty
+    // PushedFilters for ts while the query still returns right answers.
+    val df = ops.Tables.events(spark, sf("sf0.001"))
+      .filter(col("ts") >= lit("2024-01-01 00:10:00").cast("timestamp"))
+      .groupBy("event_type").count()
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("GreaterThanOrEqual(ts"),
+      s"ts range filter not pushed to the events scan: $scan")
+  }
+
   test("the gate bites: disabling broadcast flips j3's asserted shape") {
     val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     val aqeThreshold = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")

@@ -1527,6 +1527,107 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("CEP followedByAny and notNext: Flink surface parity on both engines") {
+    import graft.streaming.{Cep, CepPattern}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // like the big parity harness, but the select is keyed on the
+      // LAST matched event so followedByAny's alternative matches stay
+      // distinguishable; results compared as Seq multisets, not Sets
+      def run(pat: CepPattern, batches: Seq[Seq[Ev]])(
+          compile: (org.apache.spark.sql.Dataset[Ev], CepPattern,
+            Map[String, Seq[Ev]] => (String, Long),
+            Seq[Ev] => Option[(String, Long)], String) =>
+            org.apache.spark.sql.Dataset[(String, Long)]): Seq[(String, Long)] = {
+        val in = MemoryStream[Ev]
+        val out = compile(in.toDS(), pat,
+          m => ("match", m.values.flatten.maxBy(e => (e.ts.getTime, e.event_id)).event_id),
+          p => Some(("timeout", p.head.event_id)), "1 second")
+        val q = out.writeStream.format("memory")
+          .queryName(name()).outputMode("append").start()
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        val rows = spark.table(s"stream_out_$n").as[(String, Long)].collect().toSeq.sorted
+        q.stop()
+        rows
+      }
+      def parity(pat: CepPattern, batches: Seq[Seq[Ev]],
+          expected: Seq[(String, Long)]): Unit = {
+        val old = run(pat, batches)(Cep.pattern[(String, Long)](_, _, _, _, _))
+        val tws = run(pat, batches)(Cep.patternTws[(String, Long)](_, _, _, _, _))
+        assert(old === tws, s"old=$old tws=$tws")
+        assert(tws === expected.sorted)
+      }
+      val wmPush = Seq(Seq(ev(9, 90, 600, "error")), Seq(ev(9, 91, 601, "error")))
+
+      // followedByAny: EVERY purchase inside the window is an
+      // alternative match for the one view (plain followedBy stops at
+      // the first); the kept-behind run and u2's stall both route to
+      // the timeout branch at the deadline
+      parity(
+        CepPattern.begin("view", (e: Ev) => e.event_type == "view")
+          .followedByAny("purchase", (e: Ev) => e.event_type == "purchase")
+          .within(60000L),
+        Seq(Seq(
+          ev(1, 1, 0, "view"), ev(1, 2, 10, "purchase"),
+          ev(1, 3, 20, "click"), ev(1, 4, 30, "purchase"),
+          ev(2, 5, 0, "view"), ev(2, 6, 10, "click"))) ++ wmPush,
+        Seq(("match", 2L), ("match", 4L), ("timeout", 1L), ("timeout", 5L)))
+
+      // the deterministic control: followedBy consumes the run at the
+      // FIRST purchase — one match, no alternative at id 4
+      parity(
+        CepPattern.begin("view", (e: Ev) => e.event_type == "view")
+          .followedBy("purchase", (e: Ev) => e.event_type == "purchase")
+          .within(60000L),
+        Seq(Seq(
+          ev(1, 1, 0, "view"), ev(1, 2, 10, "purchase"),
+          ev(1, 3, 20, "click"), ev(1, 4, 30, "purchase"))) ++ wmPush,
+        Seq(("match", 2L)))
+
+      // notNext guard between two stages: the event immediately after
+      // the view must not be an error, and that same event must be the
+      // click. u1 matches; u2's error kills the run silently (no
+      // timeout — a failed assertion is a dead run, not a stall); u3's
+      // second view fails the strict click stage but starts its own
+      // run, which times out
+      parity(
+        CepPattern.begin("view", (e: Ev) => e.event_type == "view")
+          .notNext("err", (e: Ev) => e.event_type == "error")
+          .next("click", (e: Ev) => e.event_type == "click")
+          .within(60000L),
+        Seq(Seq(
+          ev(1, 1, 0, "view"), ev(1, 2, 10, "click"),
+          ev(2, 3, 0, "view"), ev(2, 4, 10, "error"), ev(2, 5, 20, "click"),
+          ev(3, 6, 0, "view"), ev(3, 7, 10, "view"))) ++ wmPush,
+        Seq(("match", 2L), ("timeout", 7L)))
+
+      // structural guards: the assertion must anchor to a strict stage
+      def compileOf(pat: CepPattern): Unit = {
+        val in0 = MemoryStream[Ev]
+        Cep.pattern[(String, Long)](in0.toDS(), pat,
+          m => ("x", 0L), _ => None, "1 second")
+        ()
+      }
+      intercept[IllegalArgumentException] {
+        compileOf(CepPattern.begin("a", (_: Ev) => true)
+          .notNext("b", (_: Ev) => true).within(1000L))
+      }
+      intercept[IllegalArgumentException] {
+        compileOf(CepPattern.begin("a", (_: Ev) => true)
+          .notNext("b", (_: Ev) => true)
+          .followedBy("c", (_: Ev) => true).within(1000L))
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("CEP state-schema evolution: evolved CepProcessor resumes a pre-upgrade checkpoint") {
     import graft.streaming.{Cep, CepPattern, CepStage}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
