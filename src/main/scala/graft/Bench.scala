@@ -33,6 +33,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same fail-fast tripwire as Verify: a testdata layout drift should
+    // cost one clear line here, not 100+ identical -1 markers
+    try graft.ops.Tables.sanityCheck(spark, sfDir)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] ${e.getMessage}")
+      println(s"""{"metric":"total","value":-1,"unit":"sec","n":0,"failed":["SCHEMA TRIPWIRE"],"sf":"$sfDir"}""")
+      spark.stop()
+      sys.exit(2)
+    }
     // One-time warmup (JIT, codegen, parquet footer/session init) so
     // the first timed query doesn't absorb initialization costs.
     spark.range(1000000L).selectExpr("sum(id)").collect()
