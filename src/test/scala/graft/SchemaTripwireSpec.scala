@@ -33,6 +33,33 @@ class SchemaTripwireSpec extends SparkSuite {
     assert(e.getMessage.contains("string")) // the observed type, by name
   }
 
+  test("the loader's layout branches agree: nanos-Long and timestamp files yield identical events") {
+    import org.apache.spark.sql.types.TimestampType
+    // same 50 logical instants written in BOTH layouts the driver has
+    // shipped: a bigint nanos column (rounds 1-4; the LongType branch
+    // truncates) and a native timestamp column (round 5+; scans as
+    // TimestampType). The normalized outputs must be cell-identical —
+    // the cross-engine floor semantics encoded once, not per branch.
+    val src = graft.ops.Tables.events(spark, sf("sf0.001")).orderBy("event_id").limit(50)
+      .select("event_id", "ts", "event_type")
+    val asMicros = src.collect()
+    val nanosDir = java.nio.file.Files.createTempDirectory("layout-nanos").toString
+    val tsDir = java.nio.file.Files.createTempDirectory("layout-ts").toString
+    // nanos layout: micros * 1000 + 999 — sub-micro jitter the
+    // truncation must floor away, not round up
+    src.withColumn("ts", expr("unix_micros(ts) * 1000L + 999L"))
+      .write.parquet(s"$nanosDir/events.parquet")
+    src.write.parquet(s"$tsDir/events.parquet")
+    val fromNanos = graft.ops.Tables.events(spark, nanosDir)
+    val fromTs = graft.ops.Tables.events(spark, tsDir)
+    assert(fromNanos.schema("ts").dataType === TimestampType)
+    assert(fromTs.schema("ts").dataType === TimestampType)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSeq
+    assert(rows(fromNanos) === rows(fromTs))
+    assert(rows(fromTs) === asMicros.map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSeq)
+  }
+
   test("a missing table yields one failure naming the file") {
     val dir = Files.createTempDirectory("tripwire2").toString
     val e = intercept[IllegalStateException] {

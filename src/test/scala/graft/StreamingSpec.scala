@@ -859,6 +859,69 @@ class StreamingSpec extends SparkSuite {
       state1 + (("2024-01-03", "cherry") -> 7.0))
   }
 
+  test("partitioned stats: a reader thread racing live merges only ever observes committed states") {
+    // The curated-interleaving test above stages the commit by hand;
+    // this one runs a REAL race: a reader thread hammers
+    // latestPartitionedStatsState while the writer commits batch after
+    // batch. Every successful read must equal the post-state of SOME
+    // batch — never a torn mix of two. A reader that lags behind the
+    // two-generation GC horizon may hit deleted files; per the
+    // documented contract that read RETRIES (it is counted, to show
+    // the race was genuinely exercised, but any OTHER failure rethrows).
+    val stateDir = java.nio.file.Files.createTempDirectory("stats-live-race").toString
+    val day = 86400L
+    def stt(sec: Long) = new Timestamp((base + sec) * 1000L)
+    val nBatches = 8
+    // batch i drops 1.0 on day (i % 3): the post-state of batch b is
+    // fully determined, so "some committed state" is a closed set
+    def expected(b: Long): Map[String, Double] =
+      (1L to b).groupBy(i => (i % 3).toString).map { case (d, is) =>
+        s"2024-01-0${d.toInt + 1}" -> is.size.toDouble
+      }
+    val committedStates = (1L to nBatches).map(expected).toSet
+
+    @volatile var writerDone = false
+    @volatile var writerError: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try {
+        for (i <- 1L to nBatches)
+          StreamOps.mergeStatsPartitionedBatch(
+            Seq(DwsProd(stt((i % 3) * day + i), 1L, "apple", 1.0, 1L)).toDF(),
+            stateDir, i, keyCols = Seq("tm_id", "tm_name"), sumCols = Seq("order_amount", "order_ct"))
+      } catch { case t: Throwable => writerError = Some(t) }
+      finally writerDone = true
+    })
+    val observed = scala.collection.mutable.ListBuffer[Map[String, Double]]()
+    var retried = 0
+    writer.start()
+    while (!writerDone) {
+      try {
+        StreamOps.latestPartitionedStatsState(spark, stateDir).foreach { df =>
+          observed += df.select(col("dt").cast("string"), col("order_amount"))
+            .as[(String, Double)].collect()
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        }
+      } catch {
+        // GC'd out from under a lagging read — the documented retry case
+        case e: Exception
+          if e.getMessage != null && (e.getMessage.contains("FileNotFound") ||
+            e.getMessage.contains("does not exist") ||
+            e.getMessage.contains("PATH_NOT_FOUND")) => retried += 1
+        case e: java.io.FileNotFoundException => retried += 1
+      }
+    }
+    writer.join()
+    writerError.foreach(throw _)
+    assert(observed.nonEmpty, "reader never completed a read during the race")
+    val torn = observed.filterNot(committedStates.contains)
+    assert(torn.isEmpty, s"reader observed non-committed states: ${torn.distinct}")
+    // final read must be the last batch's state
+    val fin = StreamOps.latestPartitionedStatsState(spark, stateDir).get
+      .select(col("dt").cast("string"), col("order_amount"))
+      .as[(String, Double)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(fin === expected(nBatches))
+  }
+
   test("versioned state GC deletes an abandoned run's higher versions (no stale merge base)") {
     // old stateDir + FRESH checkpoint: batchIds restart at 0 while the
     // dead run's v9 still exists. Served as "latest" it would later be
