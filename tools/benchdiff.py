@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Round-over-round bench triage.
+
+Usage: python3 tools/benchdiff.py <old> <new> [ratio_threshold]
+
+Each arg is either a driver BENCH_r{N}.json ({"tail": ...}) or a raw
+Bench stdout/log containing the full JSON line. Per-query numbers are
+recovered from whatever survives truncation; queries visible in only
+one side are listed separately so a truncated tail can't masquerade as
+a regression or an improvement. Movers are ranked by ratio new/old;
+-1 markers (failed queries) are reported, never ratio'd.
+
+Caveat: the first surviving occurrence of each query name wins. A
+left-truncated tail may have lost a query's min-based entry while its
+median-based entry ("queries_median") survived, so cross-check any
+surprising mover against the full bench log before chasing it.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+        if isinstance(doc, dict) and "tail" in doc:
+            text = doc["tail"]
+            if doc.get("parsed"):
+                q = doc["parsed"].get("queries")
+                if q:
+                    return {k: float(v) for k, v in q.items()}, doc["parsed"].get("calib")
+    except json.JSONDecodeError:
+        pass
+    pairs = re.findall(r'"([a-z0-9_]+)":(-?[0-9.]+)', text)
+    out = {}
+    for k, v in pairs:
+        out.setdefault(k, float(v))  # first occurrence = min-based "queries" map
+    calib = out.pop("calib", None)
+    for meta in ("value", "n"):
+        out.pop(meta, None)
+    return out, calib
+
+
+def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    old, calib_old = load(sys.argv[1])
+    new, calib_new = load(sys.argv[2])
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    failed_old = sorted(k for k, v in old.items() if v < 0)
+    failed_new = sorted(k for k, v in new.items() if v < 0)
+    both = {k: (old[k], new[k]) for k in old.keys() & new.keys()
+            if old[k] > 0 and new[k] > 0}
+    if calib_old and calib_new:
+        print(f"calib: old={calib_old:.3f} new={calib_new:.3f} "
+              f"(container health ratio {calib_new / calib_old:.2f})")
+    print(f"comparable queries: {len(both)} "
+          f"(old-only: {len(old.keys() - new.keys())}, new-only: {len(new.keys() - old.keys())})")
+    tot_o = sum(a for a, _ in both.values())
+    tot_n = sum(b for _, b in both.values())
+    if tot_o:
+        print(f"same-set totals: old={tot_o:.1f}s new={tot_n:.1f}s ratio={tot_n / tot_o:.2f}")
+    if failed_new:
+        print(f"FAILED in new: {failed_new}")
+    if failed_old:
+        print(f"(failed in old: {failed_old})")
+    movers = sorted(((k, a, b, b / a) for k, (a, b) in both.items()
+                     if b / a >= thr or a / b >= thr), key=lambda t: -t[3])
+    if movers:
+        print(f"movers (>= {thr}x either way):")
+        for k, a, b, r in movers:
+            print(f"  {k:30s} old={a:7.3f} new={b:7.3f} ratio={r:.2f}")
+    else:
+        print(f"no movers >= {thr}x in either direction")
+
+
+if __name__ == "__main__":
+    main()
