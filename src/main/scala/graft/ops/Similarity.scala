@@ -328,6 +328,72 @@ object Similarity {
     probeCore(index, q, exclude = None, k, nprobe)
   }
 
+  /** Persist the index as a SERVING layout: centroids and sufficient
+    * stats as small parquet relations, the corpus PARTITIONED BY the
+    * cluster `label` — one directory per coarse cell. A probe against
+    * the persisted form touches exactly its `nprobe` label directories
+    * and nothing else (path-level partition pruning), which is the
+    * on-disk IVF contract at 100 TB: index build cost is paid once,
+    * serving I/O is proportional to the probed cells, not the corpus. */
+  def persistIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.stats.write.mode("overwrite").parquet(s"$dir/stats")
+    index.corpus.write.mode("overwrite").partitionBy("label")
+      .parquet(s"$dir/corpus")
+  }
+
+  /** Load a [[persistIvfIndex]] layout back into the in-memory form
+    * ([[ivfProbe]]/[[appendToIvfIndex]]/drift all work on it). `label`
+    * is re-cast to long: parquet partition-column inference narrows
+    * small integral values to int. */
+  def loadIvfIndex(spark: SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.option("basePath", s"$dir/corpus").parquet(s"$dir/corpus")
+        .withColumn("label", col("label").cast("long")),
+      spark.read.parquet(s"$dir/stats"))
+
+  /** The `nprobe` nearest cluster labels for a query vector, computed
+    * CLIENT-SIDE over the collected centroid relation — k_coarse rows,
+    * the control-plane collect every real ANN server performs (the
+    * coarse quantizer lives with the router, not in the cluster).
+    * Shared by the batch served probe and the streaming server's
+    * partition pruning. */
+  private[graft] def nearestLabels(spark: SparkSession, indexDir: String,
+      query: Seq[Float], nprobe: Int): Seq[Long] = {
+    val qd = query.map(_.toDouble).toArray
+    spark.read.parquet(s"$indexDir/centroids").collect().map { r =>
+      val cent = r.getSeq[Double](r.fieldIndex("cent"))
+      var d2 = 0.0
+      var i = 0
+      while (i < qd.length) { val d = cent(i) - qd(i); d2 += d * d; i += 1 }
+      (d2, r.getAs[Number]("label").longValue) // label is int32 or int64 by source
+    }.sorted.take(nprobe).map(_._2).toSeq
+  }
+
+  /** Probe a PERSISTED index by an external vector — the on-disk ANN
+    * serving path. The coarse quantizer runs client-side
+    * ([[nearestLabels]]), then ONLY the probed `label=` directories are
+    * listed into the scan (path-level pruning by construction — OpsSpec
+    * asserts `inputFiles` never leaves the probed cells); exact cosine
+    * against the one-row literal query relation runs inside them.
+    * Result contract is identical to [[ivfProbeVector]] over the same
+    * index. */
+  def ivfProbeVectorServed(spark: SparkSession, indexDir: String,
+      query: Seq[Float], k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val labels = nearestLabels(spark, indexDir, query, nprobe)
+    val corpus = spark.read.option("basePath", s"$indexDir/corpus")
+      .parquet(labels.map(l => s"$indexDir/corpus/label=$l"): _*)
+    val q = spark.range(1).select(typedLit(query).as("qe"))
+      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+    val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
+    corpus.crossJoin(broadcast(q))
+      .select(col("vec_id"), cos.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Per-query-id IVF oracle block (the SQL mirror of one `ivfProbe`
     * against freshly computed centroids — SQL has no index lifetime,
     * which agrees because the means are identical). */
@@ -469,6 +535,25 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     })
 
+  /** The PERSISTED-index serving leg, oracle-checked end to end:
+    * build → [[persistIvfIndex]] (label-partitioned corpus on disk) →
+    * [[ivfProbeVectorServed]] with the same literal query vector as
+    * `sim_topk_ivf_external`. Same result contract, same oracle — what
+    * changes is the execution shape: the probe reads only its two
+    * `label=` directories instead of holding the corpus in the session
+    * (PlanSpec/OpsSpec pin the pruning). */
+  val simTopkIvfServed = QueryDef(
+    "sim_topk_ivf_served",
+    simTopkIvfExternal.oracle,
+    (spark, dir) => {
+      val qvec = Array.tabulate(64)(i => (((i % 7) - 3) / 4.0).toFloat).toSeq
+      val indexDir = java.nio.file.Files
+        .createTempDirectory("ivf-serve").toString
+      persistIvfIndex(buildIvfIndex(spark, dir), indexDir)
+      ivfProbeVectorServed(spark, indexDir, qvec)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    })
+
   /** Corpus-wide kNN graph: every vector's top-3 cosine neighbors
     * WITHIN its sign-bit bucket — the similarity-graph builder behind
     * semantic dedup/clustering pipelines (one row per (vector,
@@ -507,5 +592,6 @@ object Similarity {
     })
 
   val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf,
-    simTopkIvfMulti, simTopkIvfIncremental, simTopkIvfExternal, simKnnGraph)
+    simTopkIvfMulti, simTopkIvfIncremental, simTopkIvfExternal,
+    simTopkIvfServed, simKnnGraph)
 }

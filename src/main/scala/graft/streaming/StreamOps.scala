@@ -835,4 +835,84 @@ object StreamOps {
         col("window.start").as("stt"), col("window.end").as("edt"),
         col("source"), col("n_docs"), col("n_tokens"))
   }
+
+  /** Streaming ANN serving over a PERSISTED IVF index
+    * ([[graft.ops.Similarity.persistIvfIndex]]): each micro-batch of
+    * `(query_id, qe)` query vectors is answered with its exact-cosine
+    * top-k from the `nprobe` nearest coarse cells per query.
+    *
+    * Shape per batch — the 100 TB serving contract:
+    *   1. every query is assigned its `nprobe` clusters via one
+    *      broadcast of the k_coarse-row centroid relation (row_number
+    *      over a |batch|×k_coarse frame — no corpus involvement);
+    *   2. the UNION of probed labels (control-plane collect, bounded
+    *      by |batch|×nprobe) selects which `label=` directories are
+    *      listed into the scan: serving I/O is proportional to the
+    *      probed cells, never the corpus;
+    *   3. the batch-sized probe relation broadcasts into the pruned
+    *      corpus read; per-query top-k is a window rank inside it.
+    *
+    * Output lands in `outDir/b<batchId>` with mode Overwrite — a
+    * replayed micro-batch overwrites its own output (the same
+    * batchId-idempotence contract as [[ExactlyOnceSink]]);
+    * [[annResults]] reads the union. */
+  def annServe(queries: DataFrame, indexDir: String, outDir: String,
+      k: Int = 10, nprobe: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        annServeBatch(batch.toDF(), indexDir, outDir, batchId, k, nprobe)
+    }
+
+  private[graft] def annServeBatch(batch: DataFrame, indexDir: String,
+      outDir: String, batchId: Long, k: Int, nprobe: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val d2 = aggregate(
+      zip_with(col("cent"), col("qe"),
+        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val wc = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
+    // pinned: the touched-label list (control plane) and the serving
+    // join both consume the assignment — without the pin the
+    // |batch|×k_coarse fold runs twice
+    val probes = batch.select(col("query_id"), col("qe"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("label"), d2.as("d2"))
+      .withColumn("rk", row_number().over(wc)).filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qe"), col("label"))
+      .persist()
+    try {
+      val touched = probes.select("label").distinct()
+        .collect().map(_.getAs[Number](0).longValue).sorted
+      if (touched.nonEmpty) {
+        val corpus = spark.read.option("basePath", s"$indexDir/corpus")
+          .parquet(touched.map(l => s"$indexDir/corpus/label=$l"): _*)
+          .withColumn("label", col("label").cast("long"))
+        val cos = graft.ops.Similarity.dot(col("embedding"), col("qe")) /
+          (col("norm") * col("qnorm"))
+        val wq = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id"))
+        corpus
+          .join(broadcast(probes.withColumn("qnorm",
+            sqrt(graft.ops.Similarity.dot(col("qe"), col("qe"))))), Seq("label"))
+          .select(col("query_id"), col("vec_id"), cos.as("cos"))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= k)
+          .select(col("query_id"), col("vec_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+      }
+    } finally { probes.unpersist(); () }
+  }
+
+  /** Union of every served batch's results (empty schema-stable frame
+    * if nothing was served yet). */
+  def annResults(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Option[DataFrame] = {
+    val dirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .map(_.getPath).sorted
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
+  }
 }

@@ -256,6 +256,34 @@ class OpsSpec extends SparkSuite {
     assert(got === bf, s"external probe with full nprobe diverged from brute force")
   }
 
+  test("persisted-index served probe equals the in-memory probe and reads only its probed cells") {
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-persist").toString
+    val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))
+    Similarity.persistIvfIndex(idx, indexDir)
+    val qvec = Array.tabulate(64)(i => (((i % 7) - 3) / 4.0).toFloat).toSeq
+
+    val served = Similarity.ivfProbeVectorServed(spark, indexDir, qvec)
+    val inMem = Similarity.ivfProbeVector(idx, qvec)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === inMem)
+
+    // serving I/O contract: every file feeding the probe lives under a
+    // probed label directory — the corpus outside the nprobe cells is
+    // never listed into the scan
+    val probed = Similarity.nearestLabels(spark, indexDir, qvec, nprobe = 2)
+      .map(l => s"label=$l").toSet
+    val files = served.inputFiles.filter(_.contains("/corpus/"))
+    assert(files.nonEmpty)
+    val leaked = files.filterNot(f => probed.exists(f.contains))
+    assert(leaked.isEmpty, s"probe read outside its cells: ${leaked.take(3).toSeq}")
+
+    // the loaded index round-trips into the in-memory API too
+    val loaded = Similarity.loadIvfIndex(spark, indexDir)
+    val viaLoaded = Similarity.ivfProbeVector(loaded, qvec)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaLoaded === inMem)
+  }
+
   test("quadratic cosine baseline refuses a corpus above the row cap") {
     sys.props("GRAFT_COSINE_MAX_ROWS") = "10"
     try {

@@ -859,6 +859,42 @@ class StreamingSpec extends SparkSuite {
       state1 + (("2024-01-03", "cherry") -> 7.0))
   }
 
+  test("streaming ANN serving over a persisted IVF index matches the batch served probe") {
+    import graft.ops.Similarity
+    val indexDir = java.nio.file.Files.createTempDirectory("ann-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ann-out").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    // four distinct query vectors across two micro-batches — ramps with
+    // different phases probe different coarse cells, so the touched-
+    // label union per batch is exercised, not just one cell
+    def ramp(phase: Int): Seq[Float] =
+      Array.tabulate(64)(i => ((((i + phase) % 7) - 3) / 4.0).toFloat).toSeq
+    val queries = (0L to 3L).map(q => q -> ramp(q.toInt * 2)).toMap
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.annServe(
+      in.toDF().toDF("query_id", "qe"), indexDir, outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ann-ckpt").toString)
+      .start()
+    in.addData(0L -> queries(0L), 1L -> queries(1L)); q.processAllAvailable()
+    in.addData(2L -> queries(2L), 3L -> queries(3L)); q.processAllAvailable()
+    q.stop()
+
+    val got = StreamOps.annResults(spark, outDir).get
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy(t => (-t._2, t._1)).toSeq).toMap
+    assert(got.keySet === queries.keySet)
+    for ((qid, qe) <- queries) {
+      val expect = Similarity.ivfProbeVectorServed(spark, indexDir, qe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(qid) === expect, s"query $qid diverged from the batch served probe")
+    }
+  }
+
   test("partitioned stats: a reader thread racing live merges only ever observes committed states") {
     // The curated-interleaving test above stages the commit by hand;
     // this one runs a REAL race: a reader thread hammers
