@@ -371,19 +371,89 @@ object Similarity {
     }.sorted.take(nprobe).map(_._2).toSeq
   }
 
+  /** Grow a PERSISTED index in place: the batch is assigned to its
+    * nearest existing centroids and written as a label-partitioned
+    * DELTA under `delta/b<batchId>` — the base corpus is never
+    * rewritten, and a replayed batch OVERWRITES its own delta
+    * directory (batchId idempotence, the [[graft.streaming.StreamOps
+    * .statsMergePartitioned]] discipline applied to index growth).
+    * Serving reads base + deltas per probed label
+    * ([[servingLabelPaths]]); [[compactIvfIndex]] folds deltas back
+    * into the base offline. Centroids/stats stay as built — drift is
+    * the signal to recompact/rebuild, exactly as in the in-memory
+    * [[appendToIvfIndex]] story. */
+  def appendToPersistedIvfIndex(spark: SparkSession, indexDir: String,
+      newVecs: DataFrame, batchId: Long): Unit = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    assignToCentroids(centroids, newVecs)
+      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+      .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$indexDir/delta/b$batchId")
+  }
+
+  /** The probed labels' vectors across the base corpus and every
+    * committed delta: per root, only the existing `label=` partition
+    * directories are listed into a basePath-anchored read (so `label`
+    * stays a column for the serving join), then the per-root frames
+    * union. Listing-time existence checks are local-FS here; on a
+    * cluster the same listing goes through the Hadoop FileSystem. */
+  private[graft] def servingCorpus(spark: SparkSession, indexDir: String,
+      labels: Seq[Long]): DataFrame = {
+    val deltas = Option(new java.io.File(s"$indexDir/delta").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+      .map(_.getPath).sorted
+    val perRoot = (s"$indexDir/corpus" +: deltas.toSeq).flatMap { root =>
+      val paths = labels.map(l => s"$root/label=$l")
+        .filter(p => new java.io.File(p).isDirectory)
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", root).parquet(paths: _*))
+    }
+    require(perRoot.nonEmpty, s"no corpus data for probed labels $labels under $indexDir")
+    perRoot.reduce(_ unionByName _)
+      .withColumn("label", col("label").cast("long"))
+  }
+
+  /** Fold every delta back into the base corpus (offline maintenance,
+    * the small-files compaction of the index lifecycle): one
+    * label-partitioned rewrite of base+deltas, atomically swapped in
+    * by directory rename, then the delta dir is dropped. Run it when
+    * delta count (or drift) crosses the operator's threshold. */
+  def compactIvfIndex(spark: SparkSession, indexDir: String): Unit = {
+    val deltaRoot = new java.io.File(s"$indexDir/delta")
+    if (!deltaRoot.isDirectory) return
+    val all = (s"$indexDir/corpus" +:
+      deltaRoot.listFiles().filter(_.getName.matches("b\\d+"))
+        .map(_.getPath).sorted.toSeq)
+      .map(root => spark.read.option("basePath", root).parquet(root))
+      .reduce(_ unionByName _)
+      .withColumn("label", col("label").cast("long"))
+    all.write.mode("overwrite").partitionBy("label")
+      .parquet(s"$indexDir/corpus_compacting")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$indexDir/corpus"))
+    require(new java.io.File(s"$indexDir/corpus_compacting")
+      .renameTo(new java.io.File(s"$indexDir/corpus")), "compaction swap failed")
+    rm(deltaRoot)
+  }
+
   /** Probe a PERSISTED index by an external vector — the on-disk ANN
     * serving path. The coarse quantizer runs client-side
     * ([[nearestLabels]]), then ONLY the probed `label=` directories are
-    * listed into the scan (path-level pruning by construction — OpsSpec
-    * asserts `inputFiles` never leaves the probed cells); exact cosine
+    * listed into the scan — base corpus plus any committed deltas
+    * (path-level pruning by construction — OpsSpec asserts
+    * `inputFiles` never leaves the probed cells); exact cosine
     * against the one-row literal query relation runs inside them.
     * Result contract is identical to [[ivfProbeVector]] over the same
     * index. */
   def ivfProbeVectorServed(spark: SparkSession, indexDir: String,
       query: Seq[Float], k: Int = 10, nprobe: Int = 2): DataFrame = {
     val labels = nearestLabels(spark, indexDir, query, nprobe)
-    val corpus = spark.read.option("basePath", s"$indexDir/corpus")
-      .parquet(labels.map(l => s"$indexDir/corpus/label=$l"): _*)
+    val corpus = servingCorpus(spark, indexDir, labels)
     val q = spark.range(1).select(typedLit(query).as("qe"))
       .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
     val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))

@@ -886,9 +886,8 @@ object StreamOps {
       val touched = probes.select("label").distinct()
         .collect().map(_.getAs[Number](0).longValue).sorted
       if (touched.nonEmpty) {
-        val corpus = spark.read.option("basePath", s"$indexDir/corpus")
-          .parquet(touched.map(l => s"$indexDir/corpus/label=$l"): _*)
-          .withColumn("label", col("label").cast("long"))
+        val corpus = graft.ops.Similarity
+          .servingCorpus(spark, indexDir, touched.toIndexedSeq)
         val cos = graft.ops.Similarity.dot(col("embedding"), col("qe")) /
           (col("norm") * col("qnorm"))
         val wq = Window.partitionBy("query_id")
@@ -904,6 +903,26 @@ object StreamOps {
       }
     } finally { probes.unpersist(); () }
   }
+
+  /** Streaming index growth — the ingest side of the ANN loop: each
+    * micro-batch of `(vec_id, embedding)` vectors is assigned to its
+    * nearest centroids and appended as a label-partitioned delta under
+    * the persisted index ([[graft.ops.Similarity
+    * .appendToPersistedIvfIndex]]). A replayed micro-batch OVERWRITES
+    * its own `delta/b<batchId>` directory, so the index never
+    * double-counts; serving ([[annServe]] /
+    * `ivfProbeVectorServed`) picks appended vectors up on its next
+    * probe with no coordination — both sides list base + committed
+    * deltas per probed cell. Compaction
+    * (`Similarity.compactIvfIndex`) folds deltas into the base
+    * offline. */
+  def annIngest(vectors: DataFrame, indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Similarity.appendToPersistedIvfIndex(
+            batch.sparkSession, indexDir, batch.toDF(), batchId)
+    }
 
   /** Union of every served batch's results (empty schema-stable frame
     * if nothing was served yet). */

@@ -284,6 +284,38 @@ class OpsSpec extends SparkSuite {
     assert(viaLoaded === inMem)
   }
 
+  test("persisted-index delta lifecycle: append is replay-idempotent, serving sees deltas, compaction folds them") {
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-delta").toString
+    Similarity.persistIvfIndex(Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    // a distinctive appended vector: nothing in the synthetic corpus is
+    // axis-aligned, so probing with the vector itself must return it at
+    // cos_sim exactly 1.0
+    val spike = (Seq(8f, 8f, 8f, 8f) ++ Seq.fill(60)(0f))
+    val newVec = Seq((1000000L, spike)).toDF("vec_id", "embedding")
+    Similarity.appendToPersistedIvfIndex(spark, indexDir, newVec, batchId = 1L)
+
+    def hits(): Seq[(Long, Double)] =
+      Similarity.ivfProbeVectorServed(spark, indexDir, spike)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val afterAppend = hits()
+    assert(afterAppend.head === ((1000000L, 1.0)),
+      s"appended vector not served as the top hit: ${afterAppend.take(3)}")
+
+    // crash replay: the same batch re-appends; its delta dir is
+    // overwritten, so the vector appears ONCE
+    Similarity.appendToPersistedIvfIndex(spark, indexDir, newVec, batchId = 1L)
+    val afterReplay = hits()
+    assert(afterReplay.count(_._1 == 1000000L) === 1, s"replayed append duplicated: $afterReplay")
+    assert(afterReplay === afterAppend)
+
+    // compaction folds the delta into the base and drops the delta dir;
+    // serving results are unchanged
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(!new java.io.File(s"$indexDir/delta").exists())
+    assert(hits() === afterAppend)
+  }
+
   test("quadratic cosine baseline refuses a corpus above the row cap") {
     sys.props("GRAFT_COSINE_MAX_ROWS") = "10"
     try {

@@ -895,6 +895,33 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming ANN ingest+serve loop: ingested vectors become servable with no coordination") {
+    import graft.ops.Similarity
+    val indexDir = java.nio.file.Files.createTempDirectory("ann-grow").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    val spikeA = (Seq(9f, 9f, 0f, 0f) ++ Seq.fill(60)(0f))
+    val spikeB = (Seq(0f, 0f, 9f, 9f) ++ Seq.fill(60)(0f))
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.annIngest(
+      in.toDF().toDF("vec_id", "embedding"), indexDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ann-grow-ckpt").toString)
+      .start()
+    in.addData(2000000L -> spikeA); q.processAllAvailable()
+    in.addData(2000001L -> spikeB); q.processAllAvailable()
+    q.stop()
+
+    // each ingested vector is now the exact-match top hit of a probe
+    // with itself — served straight off the deltas, no compaction
+    for ((id, v) <- Seq(2000000L -> spikeA, 2000001L -> spikeB)) {
+      val top = Similarity.ivfProbeVectorServed(spark, indexDir, v)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).head
+      assert(top === ((id, 1.0)), s"ingested vector $id not served: $top")
+    }
+  }
+
   test("partitioned stats: a reader thread racing live merges only ever observes committed states") {
     // The curated-interleaving test above stages the commit by hand;
     // this one runs a REAL race: a reader thread hammers
