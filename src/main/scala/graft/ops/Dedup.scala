@@ -20,13 +20,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** 3-word shingle relation: (doc_id, s) distinct. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.table(spark, dir, "documents")
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))")).as("s"))
       .distinct()
+
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.table(spark, dir, "documents"))
 
   /** 8 independent 32-bit MinHash functions from two md5 calls per
     * shingle: hash i is the lexicographic min over shingles of the i-th
@@ -82,6 +85,29 @@ object Dedup {
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |         FROM bands a JOIN bands b
       |           ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Oracle CTEs for the cross-split near-dup check: same shingle →
+    * minhash → band chain as [[lshCtes]], but candidates pair the
+    * odd-id PROBE side against the even-id INDEX side only, and every
+    * candidate is scored with exact shingle-set Jaccard. */
+  private val lshSplitCtes =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w WHERE len(ws) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM g),
+      |sig AS (SELECT doc_id,
+      |  min(substr(md5(s), 1, 8))||min(substr(md5(s), 9, 8))||min(substr(md5(s), 17, 8))||min(substr(md5(s), 25, 8)) AS band0,
+      |  min(substr(md5('x' || s), 1, 8))||min(substr(md5('x' || s), 9, 8))||min(substr(md5('x' || s), 17, 8))||min(substr(md5('x' || s), 25, 8)) AS band1
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (SELECT doc_id, 0 AS band_id, band0 AS sig FROM sig
+      |          UNION ALL SELECT doc_id, 1, band1 FROM sig),
+      |sets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id),
+      |cand AS (SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS index_id
+      |         FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+      |         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+      |j AS (SELECT c.probe_id, c.index_id,
+      |        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+      |          / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jac
+      |      FROM cand c JOIN sets sa ON sa.doc_id = c.probe_id JOIN sets sb ON sb.doc_id = c.index_id)""".stripMargin
 
   /** Exact dedup: hash-groupBy on content; survivor = min doc_id. */
   val dedupExact = QueryDef(
@@ -162,6 +188,147 @@ object Dedup {
     sh.unpersist()
     scored
   }
+
+  /** One row per (doc, LSH band) carrying everything a near-dup probe
+    * needs: the band signature (candidate key), the cell prefix
+    * `sig_p` (first 2 hex chars — the partition cell), and the doc's
+    * full shingle set (the exact-verify side INLINED, so a probe never
+    * needs a second lookup relation: 2× shingle storage traded for
+    * cell-local verification, the serving-layout tradeoff). */
+  private def bandRows(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs)
+    val sig = minhashSig(sh)
+    val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+    sig.join(sets, "doc_id")
+      .select(col("doc_id"), col("ss"),
+        explode(array(
+          struct(lit(0).as("band_id"), col("band0").as("sig")),
+          struct(lit(1).as("band_id"), col("band1").as("sig")))).as("b"))
+      .select(col("doc_id"), col("b.band_id").as("band_id"),
+        col("b.sig").as("sig"), substring(col("b.sig"), 1, 2).as("sig_p"),
+        col("ss"))
+  }
+
+  /** Persist a MinHash/LSH near-dup index for dedup-AT-INGEST: the
+    * band rows land partitioned by `(band_id, sig_p)` — 2×256 cells —
+    * so a probe lists only the cells its own band signatures fall in
+    * (path-level pruning, the same serving discipline as the persisted
+    * IVF index). At larger corpora widen `sig_p`; the layout contract
+    * is cells small enough that a batch's probe I/O is proportional to
+    * its candidate mass, not the corpus. */
+  def persistLshIndex(docs: DataFrame, indexDir: String): Unit =
+    bandRows(docs).write.mode("overwrite").partitionBy("band_id", "sig_p")
+      .parquet(s"$indexDir/bands")
+
+  /** Grow the persisted index without rewriting it: the batch's band
+    * rows land under `delta/b<batchId>` (same cell layout); a replayed
+    * batch OVERWRITES its own delta — batchId idempotence, the
+    * discipline shared with `statsMergePartitioned` and the IVF
+    * deltas. */
+  def appendToLshIndex(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame, batchId: Long): Unit =
+    bandRows(newDocs).write.mode("overwrite").partitionBy("band_id", "sig_p")
+      .parquet(s"$indexDir/delta/b$batchId")
+
+  /** The index rows of the probed cells across the base layout and the
+    * committed deltas — `belowBatch` bounds which deltas count
+    * (exclusive), so a REPLAYED ingest batch never probes against its
+    * own torn output. */
+  private def lshCells(spark: SparkSession, indexDir: String,
+      cells: Seq[(Int, String)], belowBatch: Long): Seq[DataFrame] = {
+    val deltas = Option(new java.io.File(s"$indexDir/delta").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("b\\d+") &&
+        f.getName.drop(1).toLong < belowBatch)
+      .map(_.getPath).sorted
+    (s"$indexDir/bands" +: deltas.toSeq).flatMap { root =>
+      val paths = cells.map { case (b, p) => s"$root/band_id=$b/sig_p=$p" }
+        .filter(p => new java.io.File(p).isDirectory)
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", root).parquet(paths: _*))
+    }
+  }
+
+  /** Near-dup check of a document batch AGAINST the persisted index —
+    * the ingest-time gate of a growing corpus ("is this new document a
+    * near-copy of anything we already hold?"). Shape per batch:
+    * shingle+sign the batch (batch-sized), collect its distinct
+    * `(band_id, sig_p)` cells (control plane, ≤ 2×|batch|), read ONLY
+    * those cells from base+deltas, candidate-join on the full band
+    * signature, exact-Jaccard verify on the inlined shingle sets.
+    * Returns `(probe_id, index_id, jac)` for every confirmed pair at
+    * `threshold` or above. */
+  def nearDupCheck(spark: SparkSession, indexDir: String,
+      probeDocs: DataFrame, threshold: Double = jaccardThreshold,
+      belowBatch: Long = Long.MaxValue): DataFrame = {
+    val probe = bandRows(probeDocs)
+      .select(col("doc_id").as("probe_id"), col("band_id"), col("sig"),
+        col("sig_p"), col("ss").as("pss"))
+      .materialized
+    val cells = probe.select("band_id", "sig_p").distinct()
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+    val perRoot = lshCells(spark, indexDir, cells, belowBatch)
+    if (perRoot.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "probe_id BIGINT, index_id BIGINT, jac DOUBLE"))
+    val index = perRoot.reduce(_ unionByName _)
+      .select(col("doc_id").as("index_id"), col("band_id"), col("sig"),
+        col("ss").as("iss"))
+    val inter = size(array_intersect(col("pss"), col("iss")))
+    val jac = inter.cast("double") /
+      (size(col("pss")) + size(col("iss")) - inter)
+    index.join(broadcast(probe), Seq("band_id", "sig"))
+      // a pair sharing both bands appears twice — collapse before the
+      // (per-pair) verify; the sets ride along, identical per doc
+      .groupBy("probe_id", "index_id")
+      .agg(first(col("pss")).as("pss"), first(col("iss")).as("iss"))
+      .select(col("probe_id"), col("index_id"), jac.as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Fold the deltas into the base cell layout (offline maintenance,
+    * rename swap) — the LSH twin of `Similarity.compactIvfIndex`. */
+  def compactLshIndex(spark: SparkSession, indexDir: String): Unit = {
+    val deltaRoot = new java.io.File(s"$indexDir/delta")
+    if (!deltaRoot.isDirectory) return
+    (s"$indexDir/bands" +:
+      deltaRoot.listFiles().filter(_.getName.matches("b\\d+"))
+        .map(_.getPath).sorted.toSeq)
+      .map(root => spark.read.option("basePath", root).parquet(root))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("band_id", "sig_p")
+      .parquet(s"$indexDir/bands_compacting")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$indexDir/bands"))
+    require(new java.io.File(s"$indexDir/bands_compacting")
+      .renameTo(new java.io.File(s"$indexDir/bands")), "LSH compaction swap failed")
+    rm(deltaRoot)
+  }
+
+  /** Dedup-against-index, oracle-checked end to end: the even-id half
+    * of `documents` is persisted as the LSH index, the odd-id half
+    * probes it, and every confirmed cross-split near-dup pair comes
+    * back with its exact Jaccard. The oracle recomputes the identical
+    * candidates+verify across the same split in SQL. */
+  val dedupAgainstIndex = QueryDef(
+    "dedup_against_index",
+    Some(s"""$lshSplitCtes
+            |SELECT probe_id, index_id, ROUND(jac, 6) AS jac
+            |FROM j WHERE jac >= $jaccardThreshold
+            |ORDER BY probe_id, index_id""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val indexDir = java.nio.file.Files
+        .createTempDirectory("lsh-index").toString
+      persistLshIndex(docs.filter(col("doc_id") % 2 === 0), indexDir)
+      nearDupCheck(spark, indexDir, docs.filter(col("doc_id") % 2 === 1))
+        .select(col("probe_id"), col("index_id"), round(col("jac"), 6).as("jac"))
+        .orderBy("probe_id", "index_id")
+    })
 
   val dedupJaccardNgram = QueryDef(
     "dedup_jaccard_ngram",
@@ -544,5 +711,5 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhashLsh, dedupJaccardNgram,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupClusters,
-    dedupLines, dedupSemanticClusters, dedupEditdist)
+    dedupLines, dedupSemanticClusters, dedupEditdist, dedupAgainstIndex)
 }

@@ -924,6 +924,64 @@ object StreamOps {
             batch.sparkSession, indexDir, batch.toDF(), batchId)
     }
 
+  /** Self-building streaming dedup: each micro-batch of `(doc_id,
+    * text, ...)` documents is checked against the PERSISTED near-dup
+    * index ([[graft.ops.Dedup.persistLshIndex]]) and the index then
+    * absorbs the batch's genuinely-new documents — so later batches
+    * are deduplicated against everything accepted before them, across
+    * the whole stream's history, with per-batch I/O bounded by the
+    * batch's own LSH cells.
+    *
+    * Per batch: (1) within-batch EXACT dedup (bag-of-words
+    * fingerprint, min doc_id survives — batch-local near-dups are the
+    * corpus-wide operators' job); (2) [[graft.ops.Dedup.nearDupCheck]]
+    * against base + deltas STRICTLY BELOW this batchId — a replayed
+    * batch never probes its own torn output; (3) un-flagged docs are
+    * appended as this batch's delta
+    * ([[graft.ops.Dedup.appendToLshIndex]], overwrite = idempotent);
+    * (4) a decision log lands in `outDir/b<batchId>` (overwrite):
+    * one row per unique incoming doc — `(doc_id, dup_of, jac)` with
+    * `dup_of`/`jac` null for accepted docs, else the best-matching
+    * index doc (highest Jaccard, ties to the lowest id). */
+  def dedupIngest(docs: DataFrame, indexDir: String, outDir: String,
+      threshold: Double = 0.4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        dedupIngestBatch(batch.toDF(), indexDir, outDir, batchId, threshold)
+    }
+
+  private[graft] def dedupIngestBatch(batch: DataFrame, indexDir: String,
+      outDir: String, batchId: Long, threshold: Double): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val fp = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+    val uniq = batch
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(fp).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .persist()
+    try {
+      val dups = graft.ops.Dedup
+        .nearDupCheck(spark, indexDir, uniq, threshold, belowBatch = batchId)
+        .persist()
+      try {
+        val fresh = uniq.join(
+          dups.select(col("probe_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        graft.ops.Dedup.appendToLshIndex(spark, indexDir, fresh, batchId)
+        val best = dups
+          .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+            .orderBy(col("jac").desc, col("index_id"))))
+          .filter(col("rn") === 1)
+          .select(col("probe_id").as("doc_id"),
+            col("index_id").as("dup_of"), round(col("jac"), 6).as("jac"))
+        uniq.select("doc_id").join(best, Seq("doc_id"), "left")
+          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+      } finally { dups.unpersist(); () }
+    } finally { uniq.unpersist(); () }
+  }
+
   /** Union of every served batch's results (empty schema-stable frame
     * if nothing was served yet). */
   def annResults(spark: org.apache.spark.sql.SparkSession,

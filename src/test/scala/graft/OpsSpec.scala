@@ -316,6 +316,48 @@ class OpsSpec extends SparkSuite {
     assert(hits() === afterAppend)
   }
 
+  test("persisted LSH index: a probe reads only its own cells; compaction folds deltas losslessly") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-cells").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textA = "one two three four five six seven eight nine ten eleven twelve"
+    val textC = "red orange yellow green blue indigo violet septaria umbra ochre sienna teal"
+    Dedup.persistLshIndex(
+      Seq(1L -> seeded, 2L -> textA, 3L -> textC).toDF("doc_id", "text"), indexDir)
+
+    // "nu" keeps band 0 of the seeded doc (verified against the md5
+    // band minima), so doc 1 is a guaranteed candidate and a confirmed
+    // near-dup; docs 2/3 live in other cells and must not be read
+    val probe = Seq(11L -> seeded.replace(" mu", " nu")).toDF("doc_id", "text")
+    val res = Dedup.nearDupCheck(spark, indexDir, probe)
+    val pairs = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((11L, 1L)))
+
+    val cellDirsRead = res.inputFiles.filter(_.contains("/bands/"))
+      .map(_.replaceAll("/[^/]*$", "")).distinct
+    val cellDirsOnDisk = (0 to 1).flatMap(b =>
+      Option(new java.io.File(s"$indexDir/bands/band_id=$b").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory))
+    assert(cellDirsRead.length <= 2, s"probe read ${cellDirsRead.toSeq}")
+    assert(cellDirsOnDisk.length > cellDirsRead.length,
+      "pruning untestable: every cell on disk was probed")
+
+    // append a delta, then compact: the delta dir disappears and the
+    // same probe (which now also matches the appended doc) is stable
+    // across the fold
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(4L -> seeded.replace(" mu", " xi")).toDF("doc_id", "text"), batchId = 7L)
+    val before = Dedup.nearDupCheck(spark, indexDir, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(before.map(_._2) === Set(1L, 4L))
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(!new java.io.File(s"$indexDir/delta").exists())
+    val after = Dedup.nearDupCheck(spark, indexDir, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after === before)
+  }
+
   test("quadratic cosine baseline refuses a corpus above the row cap") {
     sys.props("GRAFT_COSINE_MAX_ROWS") = "10"
     try {

@@ -922,6 +922,64 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming dedup ingest: the index absorbs new docs and flags near-copies across batches") {
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dedup-out").toString
+    // seeded corpus: one indexed doc the stream will near-copy
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(
+      Seq((2L, seeded)).toDF("doc_id", "text"), indexDir)
+
+    val textA = "one two three four five six seven eight nine ten eleven twelve"
+    val textC = "red orange yellow green blue indigo violet septaria umbra ochre sienna teal"
+    // 1-token edits CHOSEN so at least one LSH band signature provably
+    // survives (band match is what makes a candidate; Jaccard alone is
+    // not enough — "nu" keeps band 0 of the seeded doc, "fifteen"
+    // keeps band 1 of textA, verified against the md5 band minima)
+    val nearSeeded = seeded.replace(" mu", " nu")
+    val nearA = textA.replace(" twelve", " fifteen")
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupIngest(
+      in.toDF().toDF("doc_id", "text"), indexDir, outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dedup-ckpt").toString)
+      .start()
+    // batch 0: a near-copy of the SEEDED doc (flag), a new doc, and an
+    // exact within-batch copy of it (dropped before any check)
+    in.addData(101L -> nearSeeded, 103L -> textA, 105L -> textA)
+    q.processAllAvailable()
+    // batch 1: a near-copy of batch 0's accepted doc (flag against the
+    // DELTA, not the base) and a fresh doc
+    in.addData(107L -> nearA, 109L -> textC)
+    q.processAllAvailable()
+    q.stop()
+
+    def decisions(b: Int): Map[Long, Option[Long]] =
+      spark.read.parquet(s"$outDir/b$b")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // b0: 105 never appears (exact within-batch dup of 103); 101 is a
+    // near-dup of the seeded doc 2; 103 is accepted
+    assert(decisions(0) === Map(101L -> Some(2L), 103L -> None))
+    // b1: 107 flagged against 103 — a doc the INDEX only knows from
+    // batch 0's delta; 109 accepted
+    assert(decisions(1) === Map(107L -> Some(103L), 109L -> None))
+
+    // crash replay of batch 1: probes only deltas BELOW it (not its own
+    // torn output), decisions identical, index not double-grown — a
+    // fresh probe of textC still finds exactly one copy
+    StreamOps.dedupIngestBatch(
+      Seq(107L -> nearA, 109L -> textC).toDF("doc_id", "text"),
+      indexDir, outDir, batchId = 1L, threshold = 0.4)
+    assert(decisions(1) === Map(107L -> Some(103L), 109L -> None))
+    val copies = Dedup.nearDupCheck(spark, indexDir,
+      Seq(999L -> textC).toDF("doc_id", "text"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(copies === Seq((999L, 109L)), s"replay double-grew the index: $copies")
+  }
+
   test("partitioned stats: a reader thread racing live merges only ever observes committed states") {
     // The curated-interleaving test above stages the commit by hand;
     // this one runs a REAL race: a reader thread hammers
