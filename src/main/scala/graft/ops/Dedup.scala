@@ -195,7 +195,7 @@ object Dedup {
     * full shingle set (the exact-verify side INLINED, so a probe never
     * needs a second lookup relation: 2× shingle storage traded for
     * cell-local verification, the serving-layout tradeoff). */
-  private def bandRows(docs: DataFrame): DataFrame = {
+  private def bandRows(docs: DataFrame, prefixLen: Int): DataFrame = {
     val sh = shinglesOf(docs)
     val sig = minhashSig(sh)
     val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
@@ -205,20 +205,34 @@ object Dedup {
           struct(lit(0).as("band_id"), col("band0").as("sig")),
           struct(lit(1).as("band_id"), col("band1").as("sig")))).as("b"))
       .select(col("doc_id"), col("b.band_id").as("band_id"),
-        col("b.sig").as("sig"), substring(col("b.sig"), 1, 2).as("sig_p"),
+        col("b.sig").as("sig"),
+        substring(col("b.sig"), 1, prefixLen).as("sig_p"),
         col("ss"))
   }
+
+  /** One partitioned write of band rows, cell-clustered first: without
+    * the repartition every shuffle task writes a fragment file into
+    * every cell it touches (tasks × cells tiny files — the classic
+    * partitioned-write mistake); with it each cell is one task's
+    * output. At corpus scale add a size-bound second key to split hot
+    * cells across several files. */
+  private def writeBandCells(rows: DataFrame, path: String): Unit =
+    rows.repartition(col("band_id"), col("sig_p"))
+      .write.mode("overwrite").partitionBy("band_id", "sig_p")
+      .parquet(path)
 
   /** Persist a MinHash/LSH near-dup index for dedup-AT-INGEST: the
     * band rows land partitioned by `(band_id, sig_p)` — 2×256 cells —
     * so a probe lists only the cells its own band signatures fall in
     * (path-level pruning, the same serving discipline as the persisted
-    * IVF index). At larger corpora widen `sig_p`; the layout contract
-    * is cells small enough that a batch's probe I/O is proportional to
-    * its candidate mass, not the corpus. */
-  def persistLshIndex(docs: DataFrame, indexDir: String): Unit =
-    bandRows(docs).write.mode("overwrite").partitionBy("band_id", "sig_p")
-      .parquet(s"$indexDir/bands")
+    * IVF index). `prefixLen` sets the cell count (16^len per band):
+    * size it to the corpus — the layout contract is cells small enough
+    * that a batch's probe I/O is proportional to its candidate mass,
+    * not the corpus, but large enough that a cell is a real file, not
+    * a fragment. The probe side must use the same `prefixLen`. */
+  def persistLshIndex(docs: DataFrame, indexDir: String,
+      prefixLen: Int = 2): Unit =
+    writeBandCells(bandRows(docs, prefixLen), s"$indexDir/bands")
 
   /** Grow the persisted index without rewriting it: the batch's band
     * rows land under `delta/b<batchId>` (same cell layout); a replayed
@@ -226,9 +240,9 @@ object Dedup {
     * discipline shared with `statsMergePartitioned` and the IVF
     * deltas. */
   def appendToLshIndex(spark: SparkSession, indexDir: String,
-      newDocs: DataFrame, batchId: Long): Unit =
-    bandRows(newDocs).write.mode("overwrite").partitionBy("band_id", "sig_p")
-      .parquet(s"$indexDir/delta/b$batchId")
+      newDocs: DataFrame, batchId: Long, prefixLen: Int = 2): Unit =
+    writeBandCells(bandRows(newDocs, prefixLen),
+      s"$indexDir/delta/b$batchId")
 
   /** The index rows of the probed cells across the base layout and the
     * committed deltas — `belowBatch` bounds which deltas count
@@ -260,8 +274,8 @@ object Dedup {
     * `threshold` or above. */
   def nearDupCheck(spark: SparkSession, indexDir: String,
       probeDocs: DataFrame, threshold: Double = jaccardThreshold,
-      belowBatch: Long = Long.MaxValue): DataFrame = {
-    val probe = bandRows(probeDocs)
+      belowBatch: Long = Long.MaxValue, prefixLen: Int = 2): DataFrame = {
+    val probe = bandRows(probeDocs, prefixLen)
       .select(col("doc_id").as("probe_id"), col("band_id"), col("sig"),
         col("sig_p"), col("ss").as("pss"))
       .materialized
@@ -297,6 +311,7 @@ object Dedup {
         .map(_.getPath).sorted.toSeq)
       .map(root => spark.read.option("basePath", root).parquet(root))
       .reduce(_ unionByName _)
+      .repartition(col("band_id"), col("sig_p"))
       .write.mode("overwrite").partitionBy("band_id", "sig_p")
       .parquet(s"$indexDir/bands_compacting")
     def rm(f: java.io.File): Unit = {
@@ -324,8 +339,11 @@ object Dedup {
       val docs = Tables.table(spark, dir, "documents")
       val indexDir = java.nio.file.Files
         .createTempDirectory("lsh-index").toString
-      persistLshIndex(docs.filter(col("doc_id") % 2 === 0), indexDir)
-      nearDupCheck(spark, indexDir, docs.filter(col("doc_id") % 2 === 1))
+      // 32 cells at test SFs — the cell count is a corpus-size knob
+      persistLshIndex(docs.filter(col("doc_id") % 2 === 0), indexDir,
+        prefixLen = 1)
+      nearDupCheck(spark, indexDir, docs.filter(col("doc_id") % 2 === 1),
+        prefixLen = 1)
         .select(col("probe_id"), col("index_id"), round(col("jac"), 6).as("jac"))
         .orderBy("probe_id", "index_id")
     })

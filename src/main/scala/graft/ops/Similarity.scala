@@ -338,7 +338,11 @@ object Similarity {
   def persistIvfIndex(index: IvfIndex, dir: String): Unit = {
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     index.stats.write.mode("overwrite").parquet(s"$dir/stats")
-    index.corpus.write.mode("overwrite").partitionBy("label")
+    // cluster-first repartition: one output file per cell, not one
+    // fragment per (task, cell); at corpus scale add a size-bound
+    // second key to split hot cells
+    index.corpus.repartition(col("label"))
+      .write.mode("overwrite").partitionBy("label")
       .parquet(s"$dir/corpus")
   }
 
@@ -388,6 +392,7 @@ object Similarity {
     assignToCentroids(centroids, newVecs)
       .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
       .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
+      .repartition(col("label"))
       .write.mode("overwrite").partitionBy("label")
       .parquet(s"$indexDir/delta/b$batchId")
   }
@@ -429,7 +434,8 @@ object Similarity {
       .map(root => spark.read.option("basePath", root).parquet(root))
       .reduce(_ unionByName _)
       .withColumn("label", col("label").cast("long"))
-    all.write.mode("overwrite").partitionBy("label")
+    all.repartition(col("label"))
+      .write.mode("overwrite").partitionBy("label")
       .parquet(s"$indexDir/corpus_compacting")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
