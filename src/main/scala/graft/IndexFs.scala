@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** All control-plane filesystem access for the persisted serving/state
+  * layouts (LSH near-dup index, IVF ANN index, versioned dim/stats
+  * state, streaming result unions) goes through this seam, resolved
+  * per-path via the Hadoop `FileSystem` API — the SAME code path Spark
+  * itself uses for the data plane. A `file:` path (or bare local path)
+  * resolves to the local filesystem in this sandbox; on a cluster the
+  * identical call resolves `hdfs:`/`s3a:` from the session's Hadoop
+  * conf with zero code changes. (Round-6 shipped these listings on
+  * `java.io.File`, which silently returns "nothing exists" for any
+  * non-local URI — an index that serves empty results instead of
+  * failing. IndexFsSpec drives the full lifecycle through `file:` URIs
+  * to prove no `java.io` leakage remains.)
+  *
+  * Paths are kept as the caller's strings and children are built by
+  * concatenation, so `basePath`-anchored Spark reads see the same
+  * spelling the listing produced.
+  */
+object IndexFs {
+
+  private def fp(spark: SparkSession, path: String): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fp(spark, path)
+    fs.exists(p)
+  }
+
+  def isDir(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fp(spark, path)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  /** Child NAMES of `dir` matching `pattern` (whole-name regex),
+    * sorted; empty if the directory does not exist. Names, not paths —
+    * callers rebuild child paths by concatenation so the path spelling
+    * stays the caller's. */
+  def listNames(spark: SparkSession, dir: String, pattern: String): Seq[String] = {
+    val (fs, p) = fp(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.matches(pattern)).sorted
+  }
+
+  /** Recursive delete, idempotent (missing path is a no-op). */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fp(spark, path)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** Rename (same filesystem). Returns false on failure — HDFS-style
+    * semantics: fails rather than overwrites an existing destination. */
+  def rename(spark: SparkSession, src: String, dst: String): Boolean = {
+    val (fs, s) = fp(spark, src)
+    fs.rename(s, new Path(dst))
+  }
+
+  def readUtf8(spark: SparkSession, path: String): String = {
+    val (fs, p) = fp(spark, path)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** Atomic small-file commit: write `.name.tmp`, flush+sync to
+    * durable storage, delete any existing destination (a replayed
+    * batch overwrites its own torn file), rename in. The rename is the
+    * commit point — readers see the old content or the new, never a
+    * torn prefix. */
+  def writeUtf8Atomic(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(content.getBytes("UTF-8"))
+      out.hflush()
+      out.hsync() // durable BEFORE the rename makes it visible
+    } finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"atomic commit failed: $tmp -> $p")
+  }
+}
+
+/** Generation-manifest commit protocol shared by the two persisted
+  * index families (LSH `bands`, IVF `corpus`/`centroids`/`stats`) —
+  * the [[graft.streaming.StreamOps.statsMergePartitioned]] manifest
+  * discipline applied to index bases and deltas.
+  *
+  * Layout under an index dir:
+  *   - `<prefix>_g<gen>`  — base generation directories (immutable
+  *     once a later manifest exists)
+  *   - `delta/b<batchId>` — batch deltas (batchId-idempotent
+  *     overwrites)
+  *   - `m<seq>`           — manifests; the NEWEST one is the truth:
+  *     `gen`   = the generation that owns the base,
+  *     `floor` = the highest delta batchId folded INTO that base
+  *     (readers consume base + deltas with id > floor only).
+  *
+  * Commit = atomic manifest rename ([[IndexFs.writeUtf8Atomic]]).
+  * Compaction writes the next generation FIRST, then commits, then
+  * GCs — a crash at any point leaves the previous manifest serving a
+  * complete state, and re-running compaction resumes (overwrites the
+  * torn generation, commits, GCs). GC keeps the newest TWO manifests,
+  * their generations, and every delta above the older floor — so a
+  * reader that resolved the previous manifest keeps every file it
+  * references until two more commits happen (the stats tables'
+  * keep-two replay discipline). A replayed append of an ABSORBED
+  * batch rewrites `delta/b<id>` below the floor and is simply never
+  * read again.
+  */
+private[graft] object GenManifest {
+
+  final case class State(seq: Long, gen: Long, floor: Long)
+
+  def manifestIds(spark: SparkSession, dir: String): Seq[Long] =
+    IndexFs.listNames(spark, dir, "m\\d+").map(_.drop(1).toLong).sorted
+
+  /** Newest committed state, if any manifest exists. */
+  def resolve(spark: SparkSession, dir: String): Option[State] = {
+    val ids = manifestIds(spark, dir)
+    if (ids.isEmpty) None else Some(read(spark, dir, ids.max))
+  }
+
+  def read(spark: SparkSession, dir: String, seq: Long): State = {
+    val kv = IndexFs.readUtf8(spark, s"$dir/m$seq").linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val Array(k, v) = l.split('\t'); k -> v.toLong
+      }.toMap
+    State(seq, kv("gen"), kv("floor"))
+  }
+
+  def commit(spark: SparkSession, dir: String, seq: Long, gen: Long,
+      floor: Long): Unit =
+    IndexFs.writeUtf8Atomic(spark, s"$dir/m$seq", s"gen\t$gen\nfloor\t$floor\n")
+
+  /** Delta batchIds in (above, below) — exclusive on both ends: a
+    * reader never consumes deltas at or below its manifest's floor,
+    * and an ingest batch never probes its own (possibly torn)
+    * output. */
+  def deltaIds(spark: SparkSession, dir: String, above: Long,
+      below: Long = Long.MaxValue): Seq[Long] =
+    IndexFs.listNames(spark, s"$dir/delta", "b\\d+")
+      .map(_.drop(1).toLong).filter(id => id > above && id < below).sorted
+
+  /** Reset to an empty index root: drop every manifest, every base
+    * generation of the given prefixes, and the delta dir. Called by
+    * the persist entry points ("create/replace the index"). */
+  def reset(spark: SparkSession, dir: String, prefixes: Seq[String]): Unit = {
+    manifestIds(spark, dir).foreach(id => IndexFs.delete(spark, s"$dir/m$id"))
+    prefixes.foreach { pre =>
+      IndexFs.listNames(spark, dir, s"${java.util.regex.Pattern.quote(pre)}_g\\d+")
+        .foreach(n => IndexFs.delete(spark, s"$dir/$n"))
+    }
+    IndexFs.delete(spark, s"$dir/delta")
+  }
+
+  /** Keep-two GC: retains the newest two manifests, the generations
+    * either references, and every delta strictly above the OLDER
+    * retained floor; deletes the rest. Idempotent — safe to run after
+    * every commit and as crash cleanup. */
+  def gc(spark: SparkSession, dir: String, prefixes: Seq[String]): Unit = {
+    val ids = manifestIds(spark, dir)
+    if (ids.isEmpty) return
+    val keepIds = ids.takeRight(2)
+    val keepStates = keepIds.map(read(spark, dir, _))
+    val keepGens = keepStates.map(_.gen).toSet
+    val minFloor = keepStates.map(_.floor).min
+    ids.dropRight(2).foreach(id => IndexFs.delete(spark, s"$dir/m$id"))
+    prefixes.foreach { pre =>
+      IndexFs.listNames(spark, dir, s"${java.util.regex.Pattern.quote(pre)}_g\\d+")
+        .foreach { n =>
+          if (!keepGens.contains(n.drop(pre.length + 2).toLong))
+            IndexFs.delete(spark, s"$dir/$n")
+        }
+    }
+    IndexFs.listNames(spark, s"$dir/delta", "b\\d+").foreach { n =>
+      if (n.drop(1).toLong <= minFloor) IndexFs.delete(spark, s"$dir/delta/$n")
+    }
+  }
+}
+
+/** Session-lifetime temp directories with JVM-exit cleanup — the
+  * query-surface index builders (`dedup_against_index`,
+  * `sim_topk_ivf_served`, and the serve-only cached variants) persist
+  * into these; one shutdown hook removes everything so repeated bench
+  * passes don't accumulate dead index trees in the container's tmp. */
+private[graft] object TempDirs {
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      created.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }))
+    ()
+  }
+
+  def create(prefix: String): String = {
+    hook
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    created.add(d)
+    d
+  }
+}

@@ -194,12 +194,25 @@ object Dedup {
     * `sig_p` (first 2 hex chars — the partition cell), and the doc's
     * full shingle set (the exact-verify side INLINED, so a probe never
     * needs a second lookup relation: 2× shingle storage traded for
-    * cell-local verification, the serving-layout tradeoff). */
-  private def bandRows(docs: DataFrame, prefixLen: Int): DataFrame = {
+    * cell-local verification, the serving-layout tradeoff).
+    *
+    * `exactFallback` closes the short-doc blind spot: documents with
+    * fewer than 3 whitespace tokens produce no shingles, so the
+    * MinHash bands never see them. With the fallback on, each such doc
+    * (with at least one non-empty token) emits ONE extra row under the
+    * reserved `band_id = 2`, whose signature is the bag-of-words
+    * fingerprint (md5 over the sorted distinct token set) and whose
+    * "shingle set" is the distinct token set — so an identical or
+    * token-reordered short doc collides in its fallback cell and
+    * verifies at Jaccard 1.0. Zero-token docs stay un-indexed (no
+    * content to match on). Off by default: the oracle-checked
+    * `dedup_against_index` mirrors the shingle pipeline only. */
+  private def bandRows(docs: DataFrame, prefixLen: Int,
+      exactFallback: Boolean = false): DataFrame = {
     val sh = shinglesOf(docs)
     val sig = minhashSig(sh)
     val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
-    sig.join(sets, "doc_id")
+    val shingled = sig.join(sets, "doc_id")
       .select(col("doc_id"), col("ss"),
         explode(array(
           struct(lit(0).as("band_id"), col("band0").as("sig")),
@@ -208,18 +221,49 @@ object Dedup {
         col("b.sig").as("sig"),
         substring(col("b.sig"), 1, prefixLen).as("sig_p"),
         col("ss"))
+    if (!exactFallback) shingled
+    else {
+      val shorts = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) < 3)
+        .select(col("doc_id"),
+          array_sort(array_distinct(filter(col("ws"),
+            (w: Column) => length(w) > 0))).as("ss"))
+        .filter(size(col("ss")) > 0)
+        .select(col("doc_id"), lit(2).as("band_id"),
+          md5(concat_ws(" ", col("ss"))).as("sig"), col("ss"))
+        .select(col("doc_id"), col("band_id"), col("sig"),
+          substring(col("sig"), 1, prefixLen).as("sig_p"), col("ss"))
+      shingled.unionByName(shorts)
+    }
   }
+
+  /** Default per-file row bound for a hot index cell — the size-bound
+    * split knob of [[writeBandCells]] and the IVF corpus writes. */
+  private[graft] val defaultMaxCellRows: Long = 1000000L
 
   /** One partitioned write of band rows, cell-clustered first: without
     * the repartition every shuffle task writes a fragment file into
     * every cell it touches (tasks × cells tiny files — the classic
     * partitioned-write mistake); with it each cell is one task's
-    * output. At corpus scale add a size-bound second key to split hot
-    * cells across several files. */
-  private def writeBandCells(rows: DataFrame, path: String): Unit =
-    rows.repartition(col("band_id"), col("sig_p"))
-      .write.mode("overwrite").partitionBy("band_id", "sig_p")
-      .parquet(path)
+    * output — EXCEPT hot cells. A skewed cell (common shingle prefix)
+    * above `maxCellRows` rows gets a second shuffle key (row-hash mod
+    * a size-derived slot count), so its rows spread across several
+    * tasks and land as several bounded files inside the one cell
+    * directory — path-level probe pruning is untouched (the split is
+    * files-within-cell, not a new partition column) and the classic
+    * one-giant-task skew stall cannot happen. The input is
+    * materialized once (releasably) because the slot assignment needs
+    * per-cell counts — one cheap count pass over the materialized
+    * rows instead of recomputing the band pipeline twice. */
+  private def writeBandCells(rows: DataFrame, path: String,
+      maxCellRows: Long = defaultMaxCellRows): Unit =
+    Storage.writeCellClustered(rows, Seq("band_id", "sig_p"), "doc_id",
+      path, maxCellRows)
+
+  private val lshPrefix = "bands"
+  private def lshBase(indexDir: String, gen: Long) =
+    s"$indexDir/${lshPrefix}_g$gen"
 
   /** Persist a MinHash/LSH near-dup index for dedup-AT-INGEST: the
     * band rows land partitioned by `(band_id, sig_p)` — 2×256 cells —
@@ -229,37 +273,59 @@ object Dedup {
     * size it to the corpus — the layout contract is cells small enough
     * that a batch's probe I/O is proportional to its candidate mass,
     * not the corpus, but large enough that a cell is a real file, not
-    * a fragment. The probe side must use the same `prefixLen`. */
+    * a fragment. The probe side must use the same `prefixLen`.
+    *
+    * On-disk lifecycle is the [[graft.GenManifest]] protocol: the
+    * base lands as generation 0 (`bands_g0`) and an atomic manifest
+    * commit makes it visible; creates/replaces the index at
+    * `indexDir`. All listing/commit I/O goes through the Hadoop
+    * FileSystem seam ([[graft.IndexFs]]) — the same code serves
+    * `file:`, `hdfs:` or `s3a:` index roots. */
   def persistLshIndex(docs: DataFrame, indexDir: String,
-      prefixLen: Int = 2): Unit =
-    writeBandCells(bandRows(docs, prefixLen), s"$indexDir/bands")
+      prefixLen: Int = 2, exactFallback: Boolean = false,
+      maxCellRows: Long = defaultMaxCellRows): Unit = {
+    val spark = docs.sparkSession
+    graft.GenManifest.reset(spark, indexDir, Seq(lshPrefix))
+    writeBandCells(bandRows(docs, prefixLen, exactFallback),
+      lshBase(indexDir, 0), maxCellRows)
+    graft.GenManifest.commit(spark, indexDir, seq = 0, gen = 0, floor = -1)
+  }
 
   /** Grow the persisted index without rewriting it: the batch's band
     * rows land under `delta/b<batchId>` (same cell layout); a replayed
     * batch OVERWRITES its own delta — batchId idempotence, the
     * discipline shared with `statsMergePartitioned` and the IVF
-    * deltas. */
+    * deltas. A replayed append of a batch the manifest floor has
+    * already absorbed rewrites a delta nobody reads again — compaction
+    * cannot double-count. */
   def appendToLshIndex(spark: SparkSession, indexDir: String,
-      newDocs: DataFrame, batchId: Long, prefixLen: Int = 2): Unit =
-    writeBandCells(bandRows(newDocs, prefixLen),
-      s"$indexDir/delta/b$batchId")
+      newDocs: DataFrame, batchId: Long, prefixLen: Int = 2,
+      exactFallback: Boolean = false,
+      maxCellRows: Long = defaultMaxCellRows): Unit =
+    writeBandCells(bandRows(newDocs, prefixLen, exactFallback),
+      s"$indexDir/delta/b$batchId", maxCellRows)
 
-  /** The index rows of the probed cells across the base layout and the
-    * committed deltas — `belowBatch` bounds which deltas count
-    * (exclusive), so a REPLAYED ingest batch never probes against its
-    * own torn output. */
+  /** The index rows of the probed cells across the base generation and
+    * the committed deltas above the manifest floor — `belowBatch`
+    * additionally bounds which deltas count (exclusive), so a REPLAYED
+    * ingest batch never probes against its own torn output. `sig_p`
+    * is cast back to string: partition-column inference can narrow an
+    * all-digit cell value to int, and the per-root frames must union.
+    */
   private def lshCells(spark: SparkSession, indexDir: String,
       cells: Seq[(Int, String)], belowBatch: Long): Seq[DataFrame] = {
-    val deltas = Option(new java.io.File(s"$indexDir/delta").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+") &&
-        f.getName.drop(1).toLong < belowBatch)
-      .map(_.getPath).sorted
-    (s"$indexDir/bands" +: deltas.toSeq).flatMap { root =>
+    val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no LSH index manifest under $indexDir — persistLshIndex first"))
+    val roots = lshBase(indexDir, st.gen) +:
+      graft.GenManifest.deltaIds(spark, indexDir, above = st.floor,
+        below = belowBatch).map(id => s"$indexDir/delta/b$id")
+    roots.flatMap { root =>
       val paths = cells.map { case (b, p) => s"$root/band_id=$b/sig_p=$p" }
-        .filter(p => new java.io.File(p).isDirectory)
+        .filter(p => graft.IndexFs.isDir(spark, p))
       if (paths.isEmpty) None
-      else Some(spark.read.option("basePath", root).parquet(paths: _*))
+      else Some(spark.read.option("basePath", root).parquet(paths: _*)
+        .withColumn("sig_p", col("sig_p").cast("string")))
     }
   }
 
@@ -274,61 +340,158 @@ object Dedup {
     * `threshold` or above. */
   def nearDupCheck(spark: SparkSession, indexDir: String,
       probeDocs: DataFrame, threshold: Double = jaccardThreshold,
-      belowBatch: Long = Long.MaxValue, prefixLen: Int = 2): DataFrame = {
-    val probe = bandRows(probeDocs, prefixLen)
-      .select(col("doc_id").as("probe_id"), col("band_id"), col("sig"),
-        col("sig_p"), col("ss").as("pss"))
-      .materialized
+      belowBatch: Long = Long.MaxValue, prefixLen: Int = 2,
+      broadcastProbe: Boolean = true, exactFallback: Boolean = false): DataFrame =
+    nearDupCheckReleasable(spark, indexDir, probeDocs, threshold,
+      belowBatch, prefixLen, broadcastProbe, exactFallback)._1
+
+  /** [[nearDupCheck]] plus the release handle for the pinned probe
+    * relation. A once-per-query caller can ignore it (the
+    * ContextCleaner reclaims the blocks when the plan is dropped); a
+    * LOOP caller — `dedupIngest` runs one check per micro-batch for
+    * the stream's lifetime — must call release after the batch's
+    * writes complete, or the pinned probe blocks accumulate without
+    * bound (the Materialize.releasable discipline).
+    *
+    * `broadcastProbe` gates the probe-side broadcast hint: right for
+    * the ingest path (a probe is micro-batch-sized), wrong for a
+    * corpus-scale probe (e.g. `dedup_against_index` feeds half the
+    * corpus with inlined shingle sets) — there the planner (AQE) picks
+    * the join side from real sizes instead. */
+  private[graft] def nearDupCheckReleasable(spark: SparkSession,
+      indexDir: String, probeDocs: DataFrame, threshold: Double,
+      belowBatch: Long, prefixLen: Int, broadcastProbe: Boolean,
+      exactFallback: Boolean): (DataFrame, () => Unit) = {
+    val (probe, release) = Materialize.releasable(
+      bandRows(probeDocs, prefixLen, exactFallback)
+        .select(col("doc_id").as("probe_id"), col("band_id"), col("sig"),
+          col("sig_p"), col("ss").as("pss")))
     val cells = probe.select("band_id", "sig_p").distinct()
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
     val perRoot = lshCells(spark, indexDir, cells, belowBatch)
-    if (perRoot.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    if (perRoot.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "probe_id BIGINT, index_id BIGINT, jac DOUBLE"))
+      release()
+      return (empty, () => ())
+    }
     val index = perRoot.reduce(_ unionByName _)
       .select(col("doc_id").as("index_id"), col("band_id"), col("sig"),
         col("ss").as("iss"))
     val inter = size(array_intersect(col("pss"), col("iss")))
     val jac = inter.cast("double") /
       (size(col("pss")) + size(col("iss")) - inter)
-    index.join(broadcast(probe), Seq("band_id", "sig"))
+    val probeSide = if (broadcastProbe) broadcast(probe) else probe
+    val out = index.join(probeSide, Seq("band_id", "sig"))
       // a pair sharing both bands appears twice — collapse before the
       // (per-pair) verify; the sets ride along, identical per doc
       .groupBy("probe_id", "index_id")
       .agg(first(col("pss")).as("pss"), first(col("iss")).as("iss"))
       .select(col("probe_id"), col("index_id"), jac.as("jac"))
       .filter(col("jac") >= threshold)
+    (out, release)
   }
 
-  /** Fold the deltas into the base cell layout (offline maintenance,
-    * rename swap) — the LSH twin of `Similarity.compactIvfIndex`. */
-  def compactLshIndex(spark: SparkSession, indexDir: String): Unit = {
-    val deltaRoot = new java.io.File(s"$indexDir/delta")
-    if (!deltaRoot.isDirectory) return
-    (s"$indexDir/bands" +:
-      deltaRoot.listFiles().filter(_.getName.matches("b\\d+"))
-        .map(_.getPath).sorted.toSeq)
-      .map(root => spark.read.option("basePath", root).parquet(root))
-      .reduce(_ unionByName _)
-      .repartition(col("band_id"), col("sig_p"))
-      .write.mode("overwrite").partitionBy("band_id", "sig_p")
-      .parquet(s"$indexDir/bands_compacting")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(s"$indexDir/bands"))
-    require(new java.io.File(s"$indexDir/bands_compacting")
-      .renameTo(new java.io.File(s"$indexDir/bands")), "LSH compaction swap failed")
-    rm(deltaRoot)
+  /** Confirmed near-dup pairs WITHIN one document batch (no persisted
+    * index involved): band the batch, self-join within (band_id, sig),
+    * verify with exact shingle-set Jaccard — the batch-local leg of
+    * dedup-at-ingest, closing the same-batch hole the index probe
+    * cannot see (two near-identical docs arriving together both miss
+    * the index and would otherwise both join it). Output: one row per
+    * confirmed pair, `doc_a < doc_b`, with its Jaccard. */
+  private[graft] def nearDupPairsLocal(docs: DataFrame,
+      threshold: Double = jaccardThreshold, prefixLen: Int = 2): DataFrame = {
+    val (rows, release) = Materialize.releasable(bandRows(docs, prefixLen))
+    val a = rows.select(col("doc_id").as("doc_a"), col("band_id"),
+      col("sig"), col("ss").as("sa"))
+    val b = rows.select(col("doc_id").as("doc_b"), col("band_id"),
+      col("sig"), col("ss").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") /
+      (size(col("sa")) + size(col("sb")) - inter)
+    val out = a.join(b, Seq("band_id", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      .filter(col("jac") >= threshold)
+      .materialized
+    release()
+    out
   }
+
+  /** Fold the committed deltas into a NEW base generation and commit
+    * it by atomic manifest rename — the LSH twin of
+    * `Similarity.compactIvfIndex`, on the [[graft.GenManifest]]
+    * protocol. Crash-recoverable: the next generation is fully written
+    * BEFORE the manifest commit, so a crash anywhere leaves the
+    * previous manifest serving a complete base+deltas view and a
+    * re-run resumes by overwriting the torn generation. A call with no
+    * new deltas commits a manifest-only bump, which advances the
+    * keep-two GC horizon — absorbed deltas and the previous generation
+    * retire on the SECOND call after their absorption, never while a
+    * reader pinned to the previous manifest might still list them. */
+  def compactLshIndex(spark: SparkSession, indexDir: String,
+      maxCellRows: Long = defaultMaxCellRows): Unit = {
+    val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(return)
+    val deltas = graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
+    if (deltas.nonEmpty) {
+      val roots = lshBase(indexDir, st.gen) +:
+        deltas.map(id => s"$indexDir/delta/b$id")
+      val all = roots
+        .map(root => spark.read.option("basePath", root).parquet(root)
+          .withColumn("sig_p", col("sig_p").cast("string")))
+        .reduce(_ unionByName _)
+      writeBandCells(all, lshBase(indexDir, st.gen + 1), maxCellRows)
+      graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen + 1,
+        floor = deltas.max)
+    } else {
+      graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen, st.floor)
+    }
+    graft.GenManifest.gc(spark, indexDir, Seq(lshPrefix))
+  }
+
+  /** The probe leg shared by the build+serve and serve-only forms:
+    * odd-id documents against a persisted even-id index. The probe
+    * side is HALF THE CORPUS (inlined shingle sets), so the broadcast
+    * hint is explicitly off — AQE picks the join build side from real
+    * sizes. */
+  private def probeOddAgainstIndex(spark: SparkSession, dir: String,
+      indexDir: String): DataFrame =
+    nearDupCheck(spark, indexDir,
+      Tables.table(spark, dir, "documents").filter(col("doc_id") % 2 === 1),
+      prefixLen = 1, broadcastProbe = false)
+      .select(col("probe_id"), col("index_id"), round(col("jac"), 6).as("jac"))
+      .orderBy("probe_id", "index_id")
+
+  /** One persisted even-id LSH index per sfDir per session, built
+    * lazily — the serve-only query's amortized index, and the
+    * session-cache that keeps repeated bench passes measuring SERVING
+    * cost instead of re-paying the build. Dirs are registered for
+    * JVM-exit cleanup. */
+  private val cachedIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def cachedLshIndexDir(spark: SparkSession, dir: String): String =
+    cachedIndexDirs.computeIfAbsent(dir, _ => {
+      val indexDir = graft.TempDirs.create("lsh-index-cache")
+      persistLshIndex(
+        Tables.table(spark, dir, "documents").filter(col("doc_id") % 2 === 0),
+        indexDir, prefixLen = 1)
+      indexDir
+    })
 
   /** Dedup-against-index, oracle-checked end to end: the even-id half
     * of `documents` is persisted as the LSH index, the odd-id half
     * probes it, and every confirmed cross-split near-dup pair comes
     * back with its exact Jaccard. The oracle recomputes the identical
-    * candidates+verify across the same split in SQL. */
+    * candidates+verify across the same split in SQL.
+    *
+    * TIMING CONTRACT (deliberate): this form rebuilds AND persists the
+    * index inside the measured query, so its bench number is
+    * build+write+serve end to end — the index lifecycle cost. The
+    * serving cost alone is `dedup_against_index_serve_only` below. */
   val dedupAgainstIndex = QueryDef(
     "dedup_against_index",
     Some(s"""$lshSplitCtes
@@ -337,16 +500,23 @@ object Dedup {
             |ORDER BY probe_id, index_id""".stripMargin),
     (spark, dir) => {
       val docs = Tables.table(spark, dir, "documents")
-      val indexDir = java.nio.file.Files
-        .createTempDirectory("lsh-index").toString
+      val indexDir = graft.TempDirs.create("lsh-index")
       // 32 cells at test SFs — the cell count is a corpus-size knob
       persistLshIndex(docs.filter(col("doc_id") % 2 === 0), indexDir,
         prefixLen = 1)
-      nearDupCheck(spark, indexDir, docs.filter(col("doc_id") % 2 === 1),
-        prefixLen = 1)
-        .select(col("probe_id"), col("index_id"), round(col("jac"), 6).as("jac"))
-        .orderBy("probe_id", "index_id")
+      probeOddAgainstIndex(spark, dir, indexDir)
     })
+
+  /** The SERVE-ONLY leg of [[dedupAgainstIndex]]: identical probe,
+    * identical oracle, but the index is the session-cached persisted
+    * one — built once per sfDir, reused across invocations. This is
+    * the number a serving regression shows up in (the build+serve form
+    * can hide a 2× serving slowdown under build cost). */
+  val dedupAgainstIndexServeOnly = QueryDef(
+    "dedup_against_index_serve_only",
+    dedupAgainstIndex.oracle,
+    (spark, dir) =>
+      probeOddAgainstIndex(spark, dir, cachedLshIndexDir(spark, dir)))
 
   val dedupJaccardNgram = QueryDef(
     "dedup_jaccard_ngram",
@@ -729,5 +899,6 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     dedupExact, dedupFingerprint, dedupMinhashLsh, dedupJaccardNgram,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupClusters,
-    dedupLines, dedupSemanticClusters, dedupEditdist, dedupAgainstIndex)
+    dedupLines, dedupSemanticClusters, dedupEditdist, dedupAgainstIndex,
+    dedupAgainstIndexServeOnly)
 }

@@ -328,34 +328,57 @@ object Similarity {
     probeCore(index, q, exclude = None, k, nprobe)
   }
 
+  /** Generation-dir prefixes of the persisted layout: every generation
+    * `g` owns `corpus_g<g>` + `centroids_g<g>` + `stats_g<g>`, and the
+    * newest manifest (`m<seq>`, [[graft.GenManifest]]) names the live
+    * generation plus the delta floor. All listing/commit I/O goes
+    * through the Hadoop FileSystem seam ([[graft.IndexFs]]). */
+  private val ivfPrefixes = Seq("corpus", "centroids", "stats")
+  private def gdir(indexDir: String, pre: String, gen: Long) =
+    s"$indexDir/${pre}_g$gen"
+
+  private def resolveIvf(spark: SparkSession, indexDir: String): graft.GenManifest.State =
+    graft.GenManifest.resolve(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no IVF index manifest under $indexDir — persistIvfIndex first"))
+
   /** Persist the index as a SERVING layout: centroids and sufficient
     * stats as small parquet relations, the corpus PARTITIONED BY the
     * cluster `label` — one directory per coarse cell. A probe against
     * the persisted form touches exactly its `nprobe` label directories
     * and nothing else (path-level partition pruning), which is the
     * on-disk IVF contract at 100 TB: index build cost is paid once,
-    * serving I/O is proportional to the probed cells, not the corpus. */
-  def persistIvfIndex(index: IvfIndex, dir: String): Unit = {
-    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    index.stats.write.mode("overwrite").parquet(s"$dir/stats")
-    // cluster-first repartition: one output file per cell, not one
-    // fragment per (task, cell); at corpus scale add a size-bound
-    // second key to split hot cells
-    index.corpus.repartition(col("label"))
-      .write.mode("overwrite").partitionBy("label")
-      .parquet(s"$dir/corpus")
+    * serving I/O is proportional to the probed cells, not the corpus.
+    * Creates/replaces the index at `indexDir` as generation 0,
+    * committed by atomic manifest rename; a hot label cell above
+    * `maxCellRows` rows splits into several bounded files
+    * ([[Storage.writeCellClustered]]). */
+  def persistIvfIndex(index: IvfIndex, dir: String,
+      maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
+    val spark = index.centroids.sparkSession
+    graft.GenManifest.reset(spark, dir, ivfPrefixes)
+    index.centroids.write.mode("overwrite").parquet(gdir(dir, "centroids", 0))
+    index.stats.write.mode("overwrite").parquet(gdir(dir, "stats", 0))
+    Storage.writeCellClustered(index.corpus, Seq("label"), "vec_id",
+      gdir(dir, "corpus", 0), maxCellRows)
+    graft.GenManifest.commit(spark, dir, seq = 0, gen = 0, floor = -1)
   }
 
   /** Load a [[persistIvfIndex]] layout back into the in-memory form
-    * ([[ivfProbe]]/[[appendToIvfIndex]]/drift all work on it). `label`
-    * is re-cast to long: parquet partition-column inference narrows
-    * small integral values to int. */
-  def loadIvfIndex(spark: SparkSession, dir: String): IvfIndex =
+    * ([[ivfProbe]]/[[appendToIvfIndex]]/drift all work on it). Base
+    * generation only — un-compacted deltas are a serving-path concern
+    * ([[servingCorpus]]); compact first for a full in-memory load.
+    * `label` is re-cast to long: parquet partition-column inference
+    * narrows small integral values to int. */
+  def loadIvfIndex(spark: SparkSession, dir: String): IvfIndex = {
+    val st = resolveIvf(spark, dir)
+    val corpusDir = gdir(dir, "corpus", st.gen)
     IvfIndex(
-      spark.read.parquet(s"$dir/centroids"),
-      spark.read.option("basePath", s"$dir/corpus").parquet(s"$dir/corpus")
+      spark.read.parquet(gdir(dir, "centroids", st.gen)),
+      spark.read.option("basePath", corpusDir).parquet(corpusDir)
         .withColumn("label", col("label").cast("long")),
-      spark.read.parquet(s"$dir/stats"))
+      spark.read.parquet(gdir(dir, "stats", st.gen)))
+  }
 
   /** The `nprobe` nearest cluster labels for a query vector, computed
     * CLIENT-SIDE over the collected centroid relation — k_coarse rows,
@@ -366,7 +389,8 @@ object Similarity {
   private[graft] def nearestLabels(spark: SparkSession, indexDir: String,
       query: Seq[Float], nprobe: Int): Seq[Long] = {
     val qd = query.map(_.toDouble).toArray
-    spark.read.parquet(s"$indexDir/centroids").collect().map { r =>
+    val st = resolveIvf(spark, indexDir)
+    spark.read.parquet(gdir(indexDir, "centroids", st.gen)).collect().map { r =>
       val cent = r.getSeq[Double](r.fieldIndex("cent"))
       var d2 = 0.0
       var i = 0
@@ -381,70 +405,127 @@ object Similarity {
     * rewritten, and a replayed batch OVERWRITES its own delta
     * directory (batchId idempotence, the [[graft.streaming.StreamOps
     * .statsMergePartitioned]] discipline applied to index growth).
-    * Serving reads base + deltas per probed label
-    * ([[servingLabelPaths]]); [[compactIvfIndex]] folds deltas back
-    * into the base offline. Centroids/stats stay as built — drift is
-    * the signal to recompact/rebuild, exactly as in the in-memory
+    * A replayed append of a batch the manifest floor already absorbed
+    * rewrites a delta nobody reads again. Serving reads base + deltas
+    * above the floor per probed label ([[servingCorpus]]);
+    * [[compactIvfIndex]] folds deltas back into the base offline.
+    * Centroids/stats stay as built — drift is the signal to
+    * recompact/rebuild, exactly as in the in-memory
     * [[appendToIvfIndex]] story. */
   def appendToPersistedIvfIndex(spark: SparkSession, indexDir: String,
-      newVecs: DataFrame, batchId: Long): Unit = {
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
-    assignToCentroids(centroids, newVecs)
-      .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-      .select(col("vec_id"), col("label"), col("embedding"), col("norm"))
-      .repartition(col("label"))
-      .write.mode("overwrite").partitionBy("label")
-      .parquet(s"$indexDir/delta/b$batchId")
+      newVecs: DataFrame, batchId: Long,
+      maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
+    val st = resolveIvf(spark, indexDir)
+    val centroids = spark.read.parquet(gdir(indexDir, "centroids", st.gen))
+    Storage.writeCellClustered(
+      assignToCentroids(centroids, newVecs)
+        .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+        .select(col("vec_id"), col("label"), col("embedding"), col("norm")),
+      Seq("label"), "vec_id", s"$indexDir/delta/b$batchId", maxCellRows)
   }
 
-  /** The probed labels' vectors across the base corpus and every
-    * committed delta: per root, only the existing `label=` partition
-    * directories are listed into a basePath-anchored read (so `label`
-    * stays a column for the serving join), then the per-root frames
-    * union. Listing-time existence checks are local-FS here; on a
-    * cluster the same listing goes through the Hadoop FileSystem. */
+  /** The probed labels' vectors across the base generation and every
+    * committed delta above the manifest floor: per root, only the
+    * existing `label=` partition directories are listed into a
+    * basePath-anchored read (so `label` stays a column for the serving
+    * join), then the per-root frames union. All existence checks go
+    * through the Hadoop FileSystem seam, so `file:`/`hdfs:`/`s3a:`
+    * index roots serve identically. A probe whose labels have no data
+    * anywhere degrades to an EMPTY schema-stable frame (zero hits) —
+    * matching `nearDupCheck`'s contract — rather than killing a
+    * streaming server over one edge-case query. */
   private[graft] def servingCorpus(spark: SparkSession, indexDir: String,
       labels: Seq[Long]): DataFrame = {
-    val deltas = Option(new java.io.File(s"$indexDir/delta").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-      .map(_.getPath).sorted
-    val perRoot = (s"$indexDir/corpus" +: deltas.toSeq).flatMap { root =>
+    val st = resolveIvf(spark, indexDir)
+    val roots = gdir(indexDir, "corpus", st.gen) +:
+      graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
+        .map(id => s"$indexDir/delta/b$id")
+    val perRoot = roots.flatMap { root =>
       val paths = labels.map(l => s"$root/label=$l")
-        .filter(p => new java.io.File(p).isDirectory)
+        .filter(p => graft.IndexFs.isDir(spark, p))
       if (paths.isEmpty) None
       else Some(spark.read.option("basePath", root).parquet(paths: _*))
     }
-    require(perRoot.nonEmpty, s"no corpus data for probed labels $labels under $indexDir")
-    perRoot.reduce(_ unionByName _)
+    if (perRoot.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, embedding ARRAY<FLOAT>, norm DOUBLE, label BIGINT"))
+    else perRoot.reduce(_ unionByName _)
       .withColumn("label", col("label").cast("long"))
   }
 
-  /** Fold every delta back into the base corpus (offline maintenance,
-    * the small-files compaction of the index lifecycle): one
-    * label-partitioned rewrite of base+deltas, atomically swapped in
-    * by directory rename, then the delta dir is dropped. Run it when
-    * delta count (or drift) crosses the operator's threshold. */
-  def compactIvfIndex(spark: SparkSession, indexDir: String): Unit = {
-    val deltaRoot = new java.io.File(s"$indexDir/delta")
-    if (!deltaRoot.isDirectory) return
-    val all = (s"$indexDir/corpus" +:
-      deltaRoot.listFiles().filter(_.getName.matches("b\\d+"))
-        .map(_.getPath).sorted.toSeq)
-      .map(root => spark.read.option("basePath", root).parquet(root))
-      .reduce(_ unionByName _)
-      .withColumn("label", col("label").cast("long"))
-    all.repartition(col("label"))
-      .write.mode("overwrite").partitionBy("label")
-      .parquet(s"$indexDir/corpus_compacting")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
+  /** Lloyd refinement over an in-memory index: `iters` rounds of
+    * (reassign every vector to its nearest current centroid; recompute
+    * per-label means and sufficient stats). This is the RE-CLUSTERING
+    * leg of drift repair — [[refreshIvfIndex]]'s single mean-move
+    * fixes centroids that lag their own members, but appended mass
+    * that straddles two centroids' boundary stays SPLIT across both
+    * labels until a reassignment round unifies it (the recall failure
+    * the PropertySpec drift arc reproduces). Each round's corpus is
+    * materialized releasably so round N+1 never re-runs round N's
+    * assignment join. */
+  def lloydRefine(index: IvfIndex, iters: Int): IvfIndex = {
+    var cur = index
+    var release: () => Unit = () => ()
+    for (_ <- 1 to iters) {
+      val (reassigned, rel) = graft.Materialize.releasable(
+        assignToCentroids(cur.centroids,
+          cur.corpus.select(col("vec_id"), col("embedding")))
+          .select(col("vec_id"), col("label"), col("embedding")))
+      release() // previous round's corpus is consumed
+      release = rel
+      cur = buildIvfIndexFrom(reassigned)
     }
-    rm(new java.io.File(s"$indexDir/corpus"))
-    require(new java.io.File(s"$indexDir/corpus_compacting")
-      .renameTo(new java.io.File(s"$indexDir/corpus")), "compaction swap failed")
-    rm(deltaRoot)
+    cur
+  }
+
+  /** Fold every committed delta into a NEW base generation and commit
+    * it by atomic manifest rename ([[graft.GenManifest]] protocol —
+    * the versioned-manifest discipline of `statsMergePartitioned`
+    * applied to the index base). Crash-recoverable: the next
+    * generation is fully written BEFORE the commit, so a crash
+    * anywhere leaves the previous manifest serving a complete view and
+    * a re-run resumes. A serving read racing compaction resolves ONE
+    * manifest and keeps every file it references until two further
+    * commits pass (keep-two GC) — never a missing base, never
+    * base+stale-delta double counting. A call with no new deltas
+    * commits a manifest-only bump that advances the GC horizon.
+    *
+    * `lloydIters > 0` additionally RE-CLUSTERS while compacting
+    * ([[lloydRefine]]): the new generation gets moved centroids,
+    * refreshed stats, and reassigned labels — the drift-repair
+    * rebuild. With 0 the centroids/stats are carried to the new
+    * generation unchanged. */
+  def compactIvfIndex(spark: SparkSession, indexDir: String,
+      lloydIters: Int = 0,
+      maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
+    val st = resolveIvf(spark, indexDir)
+    val deltas = graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
+    if (deltas.nonEmpty || lloydIters > 0) {
+      val roots = gdir(indexDir, "corpus", st.gen) +:
+        deltas.map(id => s"$indexDir/delta/b$id")
+      val all = roots
+        .map(root => spark.read.option("basePath", root).parquet(root))
+        .reduce(_ unionByName _)
+        .withColumn("label", col("label").cast("long"))
+      val gen = st.gen + 1
+      val idx0 = IvfIndex(
+        spark.read.parquet(gdir(indexDir, "centroids", st.gen)),
+        all,
+        spark.read.parquet(gdir(indexDir, "stats", st.gen)))
+      // lloydRefine's corpus already carries norms (buildIvfIndexFrom)
+      val idx = if (lloydIters > 0) lloydRefine(idx0, lloydIters) else idx0
+      idx.centroids.write.mode("overwrite").parquet(gdir(indexDir, "centroids", gen))
+      idx.stats.write.mode("overwrite").parquet(gdir(indexDir, "stats", gen))
+      Storage.writeCellClustered(
+        idx.corpus.select(col("vec_id"), col("label"), col("embedding"), col("norm")),
+        Seq("label"), "vec_id", gdir(indexDir, "corpus", gen), maxCellRows)
+      graft.GenManifest.commit(spark, indexDir, st.seq + 1, gen,
+        floor = if (deltas.nonEmpty) deltas.max else st.floor)
+    } else {
+      graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen, st.floor)
+    }
+    graft.GenManifest.gc(spark, indexDir, ivfPrefixes)
   }
 
   /** Probe a PERSISTED index by an external vector — the on-disk ANN
@@ -611,24 +692,56 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     })
 
+  /** The deterministic literal query vector shared by the external /
+    * served / serve-only probes and their common oracle. */
+  private val externalQueryVec: Seq[Float] =
+    Array.tabulate(64)(i => (((i % 7) - 3) / 4.0).toFloat).toSeq
+
+  /** One persisted IVF index per sfDir per session, built lazily —
+    * the serve-only query's amortized index; dirs registered for
+    * JVM-exit cleanup. */
+  private val cachedIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def cachedIvfIndexDir(spark: SparkSession, dir: String): String =
+    cachedIndexDirs.computeIfAbsent(dir, _ => {
+      val indexDir = graft.TempDirs.create("ivf-serve-cache")
+      persistIvfIndex(buildIvfIndex(spark, dir), indexDir)
+      indexDir
+    })
+
   /** The PERSISTED-index serving leg, oracle-checked end to end:
     * build → [[persistIvfIndex]] (label-partitioned corpus on disk) →
     * [[ivfProbeVectorServed]] with the same literal query vector as
     * `sim_topk_ivf_external`. Same result contract, same oracle — what
     * changes is the execution shape: the probe reads only its two
     * `label=` directories instead of holding the corpus in the session
-    * (PlanSpec/OpsSpec pin the pruning). */
+    * (PlanSpec/OpsSpec pin the pruning).
+    *
+    * TIMING CONTRACT (deliberate): this form rebuilds AND persists the
+    * index inside the measured query — its bench number is the index
+    * lifecycle end to end. The serving cost alone is
+    * `sim_topk_ivf_serve_only`. */
   val simTopkIvfServed = QueryDef(
     "sim_topk_ivf_served",
     simTopkIvfExternal.oracle,
     (spark, dir) => {
-      val qvec = Array.tabulate(64)(i => (((i % 7) - 3) / 4.0).toFloat).toSeq
-      val indexDir = java.nio.file.Files
-        .createTempDirectory("ivf-serve").toString
+      val indexDir = graft.TempDirs.create("ivf-serve")
       persistIvfIndex(buildIvfIndex(spark, dir), indexDir)
-      ivfProbeVectorServed(spark, indexDir, qvec)
+      ivfProbeVectorServed(spark, indexDir, externalQueryVec)
         .orderBy(col("cos_sim").desc, col("vec_id"))
     })
+
+  /** The SERVE-ONLY leg of [[simTopkIvfServed]]: identical probe and
+    * oracle over the session-cached persisted index — built once per
+    * sfDir, reused across invocations. This is the steady-state ANN
+    * serving number; a serving regression shows up here instead of
+    * hiding under the build+persist cost of the end-to-end form. */
+  val simTopkIvfServeOnly = QueryDef(
+    "sim_topk_ivf_serve_only",
+    simTopkIvfExternal.oracle,
+    (spark, dir) =>
+      ivfProbeVectorServed(spark, cachedIvfIndexDir(spark, dir), externalQueryVec)
+        .orderBy(col("cos_sim").desc, col("vec_id")))
 
   /** Corpus-wide kNN graph: every vector's top-3 cosine neighbors
     * WITHIN its sign-bit bucket — the similarity-graph builder behind
@@ -669,5 +782,5 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf,
     simTopkIvfMulti, simTopkIvfIncremental, simTopkIvfExternal,
-    simTopkIvfServed, simKnnGraph)
+    simTopkIvfServed, simTopkIvfServeOnly, simKnnGraph)
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-path maintenance: the small-files compaction pass every
@@ -55,5 +55,46 @@ object Storage {
     }
     out.write.mode("overwrite").parquet(outDir)
     parquetFiles(outDir).size.toLong
+  }
+
+  /** Cell-clustered partitioned write with size-bound HOT-CELL
+    * splitting — the shared write shape of both persisted index
+    * families (LSH band cells, IVF label cells).
+    *
+    * Baseline: repartition on the cell columns before `partitionBy`,
+    * so each cell is one task's single output file instead of one
+    * fragment per (shuffle task × cell). Skew guard: a cell above
+    * `maxCellRows` rows (a common shingle prefix, a hot IVF cluster)
+    * would make that one task the job's straggler and its file
+    * unboundedly large — so each row gets a slot key
+    * `hash(hashCol) mod ceil(cell_rows / maxCellRows)` and the shuffle
+    * clusters on (cell, slot): a hot cell's rows spread across its
+    * slot count of tasks and land as that many bounded files INSIDE
+    * the one cell directory. Probe-side path pruning is untouched —
+    * the split never adds a partition column. Cold cells have one
+    * slot, preserving the one-file-per-cell layout.
+    *
+    * The input is materialized releasably because the slot assignment
+    * needs per-cell counts: one count pass over materialized rows
+    * instead of running the (often expensive) producing pipeline
+    * twice; the pin is released once the write completes. The count
+    * relation is cell-cardinality (thousands of rows) and broadcasts.
+    */
+  private[graft] def writeCellClustered(rows: DataFrame,
+      cellCols: Seq[String], hashCol: String, path: String,
+      maxCellRows: Long): Unit = {
+    require(maxCellRows > 0, s"maxCellRows=$maxCellRows")
+    val (pinned, release) = graft.Materialize.releasable(rows)
+    try {
+      val counts = pinned.groupBy(cellCols.map(col): _*)
+        .agg(count(lit(1)).as("_cell_n"))
+      pinned.join(broadcast(counts), cellCols)
+        .withColumn("_slot", pmod(hash(col(hashCol)),
+          greatest(lit(1L), ceil(col("_cell_n").cast("double") / maxCellRows)
+            .cast("long")).cast("int")))
+        .repartition((cellCols :+ "_slot").map(col): _*)
+        .drop("_cell_n", "_slot")
+        .write.mode("overwrite").partitionBy(cellCols: _*).parquet(path)
+    } finally release()
   }
 }

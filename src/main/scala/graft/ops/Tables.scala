@@ -84,14 +84,70 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Fail-fast schema tripwire: every driver table must load (footer
-    * schema resolves, non-empty) and `events.ts` must normalize to a
-    * session-TZ timestamp through [[events]]. Throws ONE message
-    * naming the file and the observed raw type instead of letting a
-    * testdata layout drift surface as dozens of identical analysis
-    * errors downstream (which is exactly how round 5 lost 34 queries).
+  /** Expected column:type contract for EVERY driver table — the full
+    * tripwire (round-7 hardening: the r5 incident proved the driver
+    * regenerates layouts, and `events` is merely the table it happened
+    * to hit). Types are as the engine's loaders resolve them under the
+    * pinned session flags ([[eventsRaw]] disables NTZ inference, so
+    * micros-timestamp columns scan as session-TZ timestamp). `events
+    * .ts` is the one adaptive column: any of the three raw forms the
+    * loader normalizes is accepted here, and the normalized form is
+    * checked separately below. */
+  private val expectedColumns: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "<adaptive>",
+      "user_id" -> "bigint", "event_type" -> "string",
+      "value" -> "double", "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint",
+      "embedding" -> "array<float>", "label" -> "int"))
+
+  /** The raw `ts` forms the adaptive [[events]] loader accepts. */
+  private val adaptiveTsTypes = Set("bigint", "timestamp", "timestamp_ntz")
+
+  /** Fail-fast schema tripwire: every driver table must load AND match
+    * the pinned column:type contract exactly (names, order, types),
+    * and `events.ts` must normalize to a session-TZ timestamp through
+    * [[events]]. Throws ONE message naming the file, the column and
+    * the observed type instead of letting a testdata layout drift
+    * surface as dozens of identical analysis errors downstream (which
+    * is exactly how round 5 lost 34 queries).
     */
   def sanityCheck(spark: SparkSession, sfDir: String): Unit = {
+    // events first: its loader pins the session scan flags (NTZ
+    // inference off) that the timestamp expectations below assume
+    val tsType =
+      try events(spark, sfDir).schema("ts").dataType // throws the one-liner on drift
+      catch {
+        case e: IllegalStateException => throw e
+        case e: Exception =>
+          throw new IllegalStateException(
+            s"SCHEMA TRIPWIRE: $sfDir/events.parquet failed to load: " +
+              e.getMessage.linesIterator.next(), e)
+      }
+    require(tsType == TimestampType,
+      s"SCHEMA TRIPWIRE: $sfDir/events.parquet `ts` normalized to " +
+        s"${tsType.catalogString}, expected timestamp")
     allNames.foreach { name =>
       val schema =
         try {
@@ -103,11 +159,21 @@ object Tables {
               s"SCHEMA TRIPWIRE: $sfDir/$name.parquet failed to load: " +
                 e.getMessage.linesIterator.next(), e)
         }
-      require(schema.nonEmpty, s"SCHEMA TRIPWIRE: $sfDir/$name.parquet has an empty schema")
+      val got = schema.fields.map(f => f.name -> f.dataType.catalogString).toSeq
+      val want = expectedColumns(name)
+      require(got.size == want.size,
+        s"SCHEMA TRIPWIRE: $sfDir/$name.parquet has ${got.size} columns " +
+          s"${got.map(_._1).mkString("(", ", ", ")")}, expected ${want.size} " +
+          s"${want.map(_._1).mkString("(", ", ", ")")}")
+      got.zip(want).foreach { case ((gn, gt), (wn, wt)) =>
+        require(gn == wn,
+          s"SCHEMA TRIPWIRE: $sfDir/$name.parquet column `$gn` where " +
+            s"`$wn` was expected (column order/name drift)")
+        val ok = if (wt == "<adaptive>") adaptiveTsTypes.contains(gt) else gt == wt
+        require(ok,
+          s"SCHEMA TRIPWIRE: $sfDir/$name.parquet `$gn` resolved to $gt, " +
+            s"expected ${if (wt == "<adaptive>") adaptiveTsTypes.mkString(" or ") else wt}")
+      }
     }
-    val tsType = events(spark, sfDir).schema("ts").dataType // throws the one-liner on drift
-    require(tsType == TimestampType,
-      s"SCHEMA TRIPWIRE: $sfDir/events.parquet `ts` normalized to " +
-        s"${tsType.catalogString}, expected timestamp")
   }
 }

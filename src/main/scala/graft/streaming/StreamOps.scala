@@ -463,7 +463,7 @@ object StreamOps {
       .filter(col("rn") === 1)
       .drop("rn").withColumn("is_state", lit(true))
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    gcVersions(stateDir, batchId, keepBase = prev.isDefined)
+    gcVersions(spark, stateDir, batchId, keepBase = prev.isDefined)
   }
 
   /** Version GC for the state sinks: each version is a FULL copy, so
@@ -479,17 +479,17 @@ object StreamOps {
     * Left alive it would be served as "latest" state and eventually
     * picked as a merge base once batchIds caught up, silently
     * double-counting the dead run's data. */
-  private def gcVersions(stateDir: String, batchId: Long, keepBase: Boolean): Unit = {
-    val keep = if (keepBase) Some(rawVersions(stateDir, below = batchId).max) else None
-    val d = new java.io.File(stateDir)
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter { f =>
-        f.isDirectory && f.getName.startsWith("v") && {
-          val v = f.getName.drop(1).toLong
-          (v < batchId && !keep.contains(v)) || v > batchId
-        }
+  private def gcVersions(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, batchId: Long, keepBase: Boolean): Unit = {
+    val keep =
+      if (keepBase) Some(rawVersions(spark, stateDir, below = batchId).max)
+      else None
+    graft.IndexFs.listNames(spark, stateDir, "v\\d+")
+      .filter { n =>
+        val v = n.drop(1).toLong
+        (v < batchId && !keep.contains(v)) || v > batchId
       }
-      .foreach(deleteRecursively)
+      .foreach(n => graft.IndexFs.delete(spark, s"$stateDir/$n"))
   }
 
   /** DWS stats-table maintenance (the reference's per-window ClickHouse
@@ -522,7 +522,7 @@ object StreamOps {
           sum(col("total_value")).cast("decimal(18,2)").as("total_value"))
     }
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    gcVersions(stateDir, batchId, keepBase = prev.isDefined)
+    gcVersions(spark, stateDir, batchId, keepBase = prev.isDefined)
   }
 
   /** Latest merged stats table written by [[statsMerge]], if any. */
@@ -579,7 +579,7 @@ object StreamOps {
       val touched = partial.select(col("dt").cast("string")).distinct()
         .collect().map(_.getString(0)).toSet
       if (touched.nonEmpty) {
-        val base = readManifest(stateDir, below = batchId)
+        val base = readManifest(spark, stateDir, below = batchId)
         // merge base = current rows of the TOUCHED days only, read from
         // the versions that own them; untouched days never enter the job
         val baseRows = readOwnedDays(spark, stateDir,
@@ -592,8 +592,8 @@ object StreamOps {
         // full day→version map with touched days remapped to this
         // version; the rename inside writeManifest is the commit point
         val next = base._2 ++ touched.iterator.map(_ -> batchId)
-        writeManifest(stateDir, batchId, next)
-        gcPartitionedState(stateDir, batchId, baseManifestId = base._1,
+        writeManifest(spark, stateDir, batchId, next)
+        gcPartitionedState(spark, stateDir, batchId, baseManifestId = base._1,
           live = (base._2.toSet ++ next.toSet).map(_.swap))
       }
     } finally { partial.unpersist(); () }
@@ -606,7 +606,7 @@ object StreamOps {
     * filters stay partition pruning. */
   def latestPartitionedStatsState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Option[DataFrame] =
-    readOwnedDays(spark, stateDir, readManifest(stateDir)._2)
+    readOwnedDays(spark, stateDir, readManifest(spark, stateDir)._2)
 
   /** Union of the given day→owning-version rows, each read from the
     * version directory that owns the day. One read per distinct owning
@@ -620,44 +620,38 @@ object StreamOps {
         .parquet(days.keys.toSeq.sorted.map(d => s"$stateDir/v$v/dt=$d"): _*)
     }.reduce(_ unionByName _))
 
-  private def manifestIds(stateDir: String, below: Long): Array[Long] =
-    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.matches("m\\d+"))
-      .map(_.getName.drop(1).toLong)
+  private def manifestIds(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, below: Long): Seq[Long] =
+    graft.IndexFs.listNames(spark, stateDir, "m\\d+")
+      .map(_.drop(1).toLong)
       .filter(_ < below)
 
   /** (manifestId, day→owning-version) from the newest manifest strictly
     * below `below` — exclusive, the replay contract: a replayed batch
     * never reads the manifest it is about to overwrite. */
-  private def readManifest(stateDir: String,
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
       below: Long = Long.MaxValue): (Option[Long], Map[String, Long]) = {
-    val ids = manifestIds(stateDir, below)
+    val ids = manifestIds(spark, stateDir, below)
     if (ids.isEmpty) (None, Map.empty)
     else {
       val id = ids.max
-      val src = scala.io.Source.fromFile(s"$stateDir/m$id", "UTF-8")
-      try (Some(id), src.getLines().filter(_.nonEmpty).map { line =>
-        val Array(d, v) = line.split('\t')
-        d -> v.toLong
-      }.toMap)
-      finally src.close()
+      (Some(id), graft.IndexFs.readUtf8(spark, s"$stateDir/m$id")
+        .linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(d, v) = line.split('\t')
+          d -> v.toLong
+        }.toMap)
     }
   }
 
-  private def writeManifest(stateDir: String, batchId: Long,
-      entries: Map[String, Long]): Unit = {
-    val tmp = new java.io.File(stateDir, s".m$batchId.tmp")
-    val out = new java.io.FileOutputStream(tmp)
-    try {
-      out.write(entries.toSeq.sorted.map { case (d, v) => s"$d\t$v" }
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
-      out.getFD.sync() // data durable BEFORE the rename makes it visible
-    } finally out.close()
-    val dst = new java.io.File(stateDir, s"m$batchId")
-    dst.delete() // a replayed batch overwrites its own torn manifest
-    if (!tmp.renameTo(dst))
-      throw new java.io.IOException(s"manifest commit failed: $tmp -> $dst")
-  }
+  private def writeManifest(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, batchId: Long,
+      entries: Map[String, Long]): Unit =
+    // sync-then-atomic-rename commit via the Hadoop FS seam (a
+    // replayed batch overwrites its own torn manifest)
+    graft.IndexFs.writeUtf8Atomic(spark, s"$stateDir/m$batchId",
+      entries.toSeq.sorted.map { case (d, v) => s"$d\t$v" }
+        .mkString("", "\n", "\n"))
 
   /** GC for the day-partitioned stats state — the same (base, current)
     * two-version replay contract as [[gcVersions]], applied at
@@ -669,46 +663,38 @@ object StreamOps {
     * picked as a merge base, double-counting the dead run). Live
     * storage: every day once + at most one stale copy per
     * recently-touched day. */
-  private def gcPartitionedState(stateDir: String, batchId: Long,
+  private def gcPartitionedState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, batchId: Long,
       baseManifestId: Option[Long], live: Set[(Long, String)]): Unit = {
     val keepManifests: Set[Long] = baseManifestId.toSet + batchId
     val liveVersions = live.map(_._1)
-    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-      .foreach { f =>
-        val n = f.getName
-        if (f.isFile && n.matches("m\\d+") &&
-            !keepManifests.contains(n.drop(1).toLong)) {
-          f.delete(): Unit
-        } else if (f.isDirectory && n.startsWith("v")) {
-          val v = n.drop(1).toLong
-          if (!liveVersions.contains(v)) deleteRecursively(f)
-          else Option(f.listFiles()).getOrElse(Array.empty).foreach { sub =>
-            if (sub.isDirectory && sub.getName.startsWith("dt=") &&
-                !live.contains((v, sub.getName.drop("dt=".length))))
-              deleteRecursively(sub)
-          }
-        }
+    graft.IndexFs.listNames(spark, stateDir, "m\\d+").foreach { n =>
+      if (!keepManifests.contains(n.drop(1).toLong))
+        graft.IndexFs.delete(spark, s"$stateDir/$n")
+    }
+    graft.IndexFs.listNames(spark, stateDir, "v\\d+").foreach { n =>
+      val v = n.drop(1).toLong
+      if (!liveVersions.contains(v)) graft.IndexFs.delete(spark, s"$stateDir/$n")
+      else graft.IndexFs.listNames(spark, s"$stateDir/$n", "dt=.*").foreach { sub =>
+        if (!live.contains((v, sub.drop("dt=".length))))
+          graft.IndexFs.delete(spark, s"$stateDir/$n/$sub")
       }
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
+    }
   }
 
   /** Latest raw compacted state incl. delete tombstones — the merge
     * input; external readers use `latestDimState`. `below` bounds the
     * version (exclusive) so a replayed batch never reads its own
     * output. */
-  private def rawVersions(stateDir: String, below: Long): Array[Long] =
-    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .map(_.getName.drop(1).toLong)
+  private def rawVersions(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, below: Long): Seq[Long] =
+    graft.IndexFs.listNames(spark, stateDir, "v\\d+")
+      .map(_.drop(1).toLong)
       .filter(_ < below)
 
   private def rawDimState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, below: Long = Long.MaxValue): Option[DataFrame] = {
-    val versions = rawVersions(stateDir, below)
+    val versions = rawVersions(spark, stateDir, below)
     if (versions.isEmpty) None
     else Some(spark.read.parquet(s"$stateDir/v${versions.max}"))
   }
@@ -933,16 +919,25 @@ object StreamOps {
     * batch's own LSH cells.
     *
     * Per batch: (1) within-batch EXACT dedup (bag-of-words
-    * fingerprint, min doc_id survives — batch-local near-dups are the
-    * corpus-wide operators' job); (2) [[graft.ops.Dedup.nearDupCheck]]
-    * against base + deltas STRICTLY BELOW this batchId — a replayed
-    * batch never probes its own torn output; (3) un-flagged docs are
-    * appended as this batch's delta
+    * fingerprint, min doc_id survives); (2) [[graft.ops.Dedup
+    * .nearDupCheck]] against base + deltas STRICTLY BELOW this
+    * batchId — a replayed batch never probes its own torn output —
+    * with the SHORT-DOC exact-fingerprint fallback on (sub-3-token
+    * docs index and probe by their token-set fingerprint, so a
+    * cross-batch copy of a short doc is flagged too; zero-token docs
+    * remain unmatchable); (3) within-batch NEAR-dup self-check over
+    * the docs the index didn't flag ([[graft.ops.Dedup
+    * .nearDupPairsLocal]] + connected components): each near-dup
+    * family keeps its minimum doc_id, the rest are flagged against
+    * that survivor — two near-identical docs arriving in ONE
+    * micro-batch can no longer both slip past the index and join the
+    * corpus; (4) accepted docs are appended as this batch's delta
     * ([[graft.ops.Dedup.appendToLshIndex]], overwrite = idempotent);
-    * (4) a decision log lands in `outDir/b<batchId>` (overwrite):
+    * (5) a decision log lands in `outDir/b<batchId>` (overwrite):
     * one row per unique incoming doc — `(doc_id, dup_of, jac)` with
     * `dup_of`/`jac` null for accepted docs, else the best-matching
-    * index doc (highest Jaccard, ties to the lowest id). */
+    * index doc (highest Jaccard, ties to the lowest id) or the
+    * in-batch family survivor. */
   def dedupIngest(docs: DataFrame, indexDir: String, outDir: String,
       threshold: Double = 0.4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
@@ -962,23 +957,61 @@ object StreamOps {
       .filter(col("rn") === 1).drop("rn")
       .persist()
     try {
-      val dups = graft.ops.Dedup
-        .nearDupCheck(spark, indexDir, uniq, threshold, belowBatch = batchId)
-        .persist()
+      // releasable probe: one check runs per micro-batch for the
+      // stream's lifetime — the pinned probe relation is freed once
+      // this batch's writes land, not when the ContextCleaner gets
+      // around to it
+      val (dupsRaw, releaseProbe) = graft.ops.Dedup.nearDupCheckReleasable(
+        spark, indexDir, uniq, threshold, belowBatch = batchId,
+        prefixLen = 2, broadcastProbe = true, exactFallback = true)
+      val dups = dupsRaw.persist()
       try {
         val fresh = uniq.join(
           dups.select(col("probe_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
-        graft.ops.Dedup.appendToLshIndex(spark, indexDir, fresh, batchId)
-        val best = dups
-          .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
-            .orderBy(col("jac").desc, col("index_id"))))
-          .filter(col("rn") === 1)
-          .select(col("probe_id").as("doc_id"),
-            col("index_id").as("dup_of"), round(col("jac"), 6).as("jac"))
-        uniq.select("doc_id").join(best, Seq("doc_id"), "left")
-          .write.mode("overwrite").parquet(s"$outDir/b$batchId")
-      } finally { dups.unpersist(); () }
+          .persist()
+        try {
+          // within-batch near-dup families among the index-fresh docs:
+          // min doc_id per connected component survives, the rest are
+          // flagged with the family survivor and their best edge's
+          // Jaccard as evidence
+          val localPairs = graft.ops.Dedup
+            .nearDupPairsLocal(fresh, threshold).persist()
+          val (inBatchDups, accepted) =
+            if (localPairs.isEmpty) {
+              localPairs.unpersist()
+              (None, fresh)
+            } else {
+              val labels = graft.ops.Dedup.connectedComponents(
+                localPairs.select(col("doc_a"), col("doc_b")))
+              val bestJac = localPairs
+                .select(col("doc_a").as("d"), col("jac"))
+                .unionByName(localPairs.select(col("doc_b").as("d"), col("jac")))
+                .groupBy("d").agg(max(col("jac")).as("jac"))
+              val flagged = labels.filter(col("node") =!= col("label"))
+                .select(col("node").as("doc_id"),
+                  col("label").cast("long").as("dup_of"))
+                .join(bestJac.withColumnRenamed("d", "doc_id"), Seq("doc_id"))
+                .select(col("doc_id"), col("dup_of"),
+                  round(col("jac"), 6).as("jac"))
+              val flaggedM = graft.Materialize(flagged)
+              localPairs.unpersist()
+              (Some(flaggedM),
+                fresh.join(flaggedM.select("doc_id"), Seq("doc_id"), "left_anti"))
+            }
+          graft.ops.Dedup.appendToLshIndex(spark, indexDir, accepted, batchId,
+            exactFallback = true)
+          val bestIndex = dups
+            .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+              .orderBy(col("jac").desc, col("index_id"))))
+            .filter(col("rn") === 1)
+            .select(col("probe_id").as("doc_id"),
+              col("index_id").as("dup_of"), round(col("jac"), 6).as("jac"))
+          val best = inBatchDups.fold(bestIndex)(bestIndex.unionByName(_))
+          uniq.select("doc_id").join(best, Seq("doc_id"), "left")
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        } finally { fresh.unpersist(); () }
+      } finally { dups.unpersist(); releaseProbe() }
     } finally { uniq.unpersist(); () }
   }
 
@@ -986,10 +1019,8 @@ object StreamOps {
     * if nothing was served yet). */
   def annResults(spark: org.apache.spark.sql.SparkSession,
       outDir: String): Option[DataFrame] = {
-    val dirs = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
-      .map(_.getPath).sorted
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
+    val dirs = graft.IndexFs.listNames(spark, outDir, "b\\d+")
+      .map(n => s"$outDir/$n")
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 }

@@ -272,7 +272,7 @@ class OpsSpec extends SparkSuite {
     // never listed into the scan
     val probed = Similarity.nearestLabels(spark, indexDir, qvec, nprobe = 2)
       .map(l => s"label=$l").toSet
-    val files = served.inputFiles.filter(_.contains("/corpus/"))
+    val files = served.inputFiles.filter(_.contains("/corpus_g"))
     assert(files.nonEmpty)
     val leaked = files.filterNot(f => probed.exists(f.contains))
     assert(leaked.isEmpty, s"probe read outside its cells: ${leaked.take(3).toSeq}")
@@ -309,10 +309,24 @@ class OpsSpec extends SparkSuite {
     assert(afterReplay.count(_._1 == 1000000L) === 1, s"replayed append duplicated: $afterReplay")
     assert(afterReplay === afterAppend)
 
-    // compaction folds the delta into the base and drops the delta dir;
-    // serving results are unchanged
+    // compaction folds the delta into a NEW base generation and raises
+    // the manifest floor; the absorbed delta file stays on disk for one
+    // keep-two cycle but is never read again — serving is unchanged and
+    // nothing double-counts
     Similarity.compactIvfIndex(spark, indexDir)
-    assert(!new java.io.File(s"$indexDir/delta").exists())
+    assert(hits() === afterAppend)
+
+    // a crash-replay of the ABSORBED batch rewrites a delta below the
+    // floor: readers must keep ignoring it (no duplicate vec_ids)
+    Similarity.appendToPersistedIvfIndex(spark, indexDir, newVec, batchId = 1L)
+    assert(hits() === afterAppend,
+      "replayed absorbed batch leaked back into serving")
+
+    // the SECOND compaction call advances the keep-two GC horizon:
+    // the absorbed delta and the old generation retire
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(graft.IndexFs.listNames(spark, s"$indexDir/delta", "b\\d+").isEmpty,
+      "absorbed deltas survived two compaction passes")
     assert(hits() === afterAppend)
   }
 
@@ -334,28 +348,33 @@ class OpsSpec extends SparkSuite {
     val pairs = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs === Seq((11L, 1L)))
 
-    val cellDirsRead = res.inputFiles.filter(_.contains("/bands/"))
+    val cellDirsRead = res.inputFiles.filter(_.contains("/bands_g"))
       .map(_.replaceAll("/[^/]*$", "")).distinct
     val cellDirsOnDisk = (0 to 1).flatMap(b =>
-      Option(new java.io.File(s"$indexDir/bands/band_id=$b").listFiles())
+      Option(new java.io.File(s"$indexDir/bands_g0/band_id=$b").listFiles())
         .getOrElse(Array.empty).filter(_.isDirectory))
     assert(cellDirsRead.length <= 2, s"probe read ${cellDirsRead.toSeq}")
     assert(cellDirsOnDisk.length > cellDirsRead.length,
       "pruning untestable: every cell on disk was probed")
 
-    // append a delta, then compact: the delta dir disappears and the
-    // same probe (which now also matches the appended doc) is stable
-    // across the fold
+    // append a delta, then compact: the fold lands as a new manifested
+    // generation and the same probe (which now also matches the
+    // appended doc) is stable across it; the absorbed delta retires on
+    // the SECOND compaction (keep-two GC)
     Dedup.appendToLshIndex(spark, indexDir,
       Seq(4L -> seeded.replace(" mu", " xi")).toDF("doc_id", "text"), batchId = 7L)
     val before = Dedup.nearDupCheck(spark, indexDir, probe)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(before.map(_._2) === Set(1L, 4L))
     Dedup.compactLshIndex(spark, indexDir)
-    assert(!new java.io.File(s"$indexDir/delta").exists())
     val after = Dedup.nearDupCheck(spark, indexDir, probe)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(after === before)
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(graft.IndexFs.listNames(spark, s"$indexDir/delta", "b\\d+").isEmpty,
+      "absorbed deltas survived two compaction passes")
+    assert(Dedup.nearDupCheck(spark, indexDir, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === before)
   }
 
   test("quadratic cosine baseline refuses a corpus above the row cap") {

@@ -60,6 +60,41 @@ class SchemaTripwireSpec extends SparkSuite {
     assert(rows(fromTs) === asMicros.map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSeq)
   }
 
+  test("a type flip on a NON-events table yields one failure naming file and column") {
+    // round-7 hardening: the contract pins every table's column:type
+    // map, not just the events seam the r5 incident happened to hit
+    val dir = Files.createTempDirectory("tripwire3").toString
+    graft.ops.Tables.allNames.filter(_ != "customer").foreach { t =>
+      Files.createSymbolicLink(
+        Paths.get(s"$dir/$t.parquet"),
+        Paths.get(sf("sf0.001") + s"/$t.parquet"))
+    }
+    graft.ops.Tables.table(spark, sf("sf0.001"), "customer")
+      .withColumn("c_acctbal", col("c_acctbal").cast("string"))
+      .write.parquet(s"$dir/customer.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Tables.sanityCheck(spark, dir)
+    }
+    assert(e.getMessage.contains("customer.parquet"))
+    assert(e.getMessage.contains("c_acctbal"))
+    assert(e.getMessage.contains("string"))
+  }
+
+  test("a dropped column yields one failure naming the file") {
+    val dir = Files.createTempDirectory("tripwire4").toString
+    graft.ops.Tables.allNames.filter(_ != "part").foreach { t =>
+      Files.createSymbolicLink(
+        Paths.get(s"$dir/$t.parquet"),
+        Paths.get(sf("sf0.001") + s"/$t.parquet"))
+    }
+    graft.ops.Tables.table(spark, sf("sf0.001"), "part").drop("p_size")
+      .write.parquet(s"$dir/part.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Tables.sanityCheck(spark, dir)
+    }
+    assert(e.getMessage.contains("part.parquet"))
+  }
+
   test("a missing table yields one failure naming the file") {
     val dir = Files.createTempDirectory("tripwire2").toString
     val e = intercept[IllegalStateException] {
