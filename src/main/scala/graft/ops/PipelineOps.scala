@@ -113,6 +113,47 @@ object PipelineOps {
         .orderBy("lang", "split")
     })
 
+  /** Distinct md5-hashed 4-token shingle relation `(doc_id, h)` —
+    * the contamination key shared by the batch decontamination forms
+    * and the streaming leg ([[graft.streaming.StreamOps
+    * .decontaminateIngest]]). In-row `array_distinct` instead of a
+    * corpus-wide `distinct()`: the relation reaches its consumer with
+    * zero exchanges. */
+  private[graft] def shingleHashes(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(ws) - 3), i -> md5(concat_ws(' ', slice(ws, i, 4))))"))).as("h"))
+
+  /** Bloom filter bytes over a shingle relation's `h` column (None for
+    * an empty relation — `BloomFilterAggregate` over zero rows yields
+    * SQL null). Built once, shipped as a literal into every consumer
+    * plan. */
+  private[graft] def shingleBloom(sh: org.apache.spark.sql.DataFrame,
+      expectedItems: Long = 100000L): Option[Array[Byte]] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    Option(sh
+      .select(GraftBridge.column(new BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("h"))), expectedItems)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf"))
+  }
+
+  /** `might_contain(bloomBytes, xxhash64(h))` as a Column — the
+    * map-side prefilter (no false negatives, so prefilter + exact
+    * verify ≡ the unfiltered exact overlap). */
+  private[graft] def bloomMightContain(bloomBytes: Array[Byte],
+      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    GraftBridge.column(new BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), GraftBridge.expression(xxhash64(h))))
+  }
+
   /** Eval-set decontamination: training docs sharing an n-token
     * shingle with any benchmark/eval doc are flagged with the overlap
     * count — the step that keeps test sets out of training corpora.
@@ -180,27 +221,13 @@ object PipelineOps {
            |GROUP BY tr.doc_id
            |ORDER BY train_doc""".stripMargin),
     (spark, dir) => {
-      import org.apache.spark.sql.GraftBridge
-      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-      import org.apache.spark.sql.types.BinaryType
-      val sh = Tables.table(spark, dir, "documents")
-        .select(col("doc_id"),
-          filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
-        .filter(size(col("ws")) >= 4)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, size(ws) - 3), i -> md5(concat_ws(' ', slice(ws, i, 4))))"))).as("h"))
+      val sh = shingleHashes(Tables.table(spark, dir, "documents"))
       val train = sh.filter(col("doc_id") % 23 =!= 0).as("t")
       // eval side is read twice (bloom build + exact verify): pin it
       val eval_ = sh.filter(col("doc_id") % 23 === 0).materialized.as("e")
-      val bloomBytes = eval_
-        .select(GraftBridge.column(new BloomFilterAggregate(
-          GraftBridge.expression(xxhash64(col("h"))), 100000L).toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
-      val mightContain = GraftBridge.column(new BloomFilterMightContain(
-        Literal(bloomBytes, BinaryType),
-        GraftBridge.expression(xxhash64(col("t.h")))))
-      train.filter(mightContain)
+      val bloomBytes = shingleBloom(eval_).getOrElse(
+        throw new IllegalStateException("empty eval slice"))
+      train.filter(bloomMightContain(bloomBytes, col("t.h")))
         .join(broadcast(eval_), col("t.h") === col("e.h"))
         .groupBy(col("t.doc_id").as("train_doc"))
         .agg(

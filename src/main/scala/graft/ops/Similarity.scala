@@ -389,14 +389,25 @@ object Similarity {
   private[graft] def nearestLabels(spark: SparkSession, indexDir: String,
       query: Seq[Float], nprobe: Int): Seq[Long] = {
     val qd = query.map(_.toDouble).toArray
-    val st = resolveIvf(spark, indexDir)
-    spark.read.parquet(gdir(indexDir, "centroids", st.gen)).collect().map { r =>
+    servingCentroids(spark, indexDir).collect().map { r =>
       val cent = r.getSeq[Double](r.fieldIndex("cent"))
       var d2 = 0.0
       var i = 0
       while (i < qd.length) { val d = cent(i) - qd(i); d2 += d * d; i += 1 }
       (d2, r.getAs[Number]("label").longValue) // label is int32 or int64 by source
     }.sorted.take(nprobe).map(_._2).toSeq
+  }
+
+  /** The live generation's centroid relation of a persisted index —
+    * the coarse-quantizer side shared by [[nearestLabels]] and the
+    * streaming ANN server's per-batch cluster assignment (k_coarse
+    * rows; always broadcast-sized). Resolves the newest manifest, so
+    * a compaction that moved the centroids to a new generation is
+    * picked up on the next batch with no coordination. */
+  private[graft] def servingCentroids(spark: SparkSession,
+      indexDir: String): DataFrame = {
+    val st = resolveIvf(spark, indexDir)
+    spark.read.parquet(gdir(indexDir, "centroids", st.gen))
   }
 
   /** Grow a PERSISTED index in place: the batch is assigned to its

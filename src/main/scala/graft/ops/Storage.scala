@@ -88,12 +88,23 @@ object Storage {
     try {
       val counts = pinned.groupBy(cellCols.map(col): _*)
         .agg(count(lit(1)).as("_cell_n"))
+        .withColumn("_slots", greatest(lit(1L),
+          ceil(col("_cell_n").cast("double") / maxCellRows).cast("long")))
+      // the shuffle's partition count is pinned EXPLICITLY to the total
+      // slot count (also the natural write parallelism): an adaptive
+      // coalesce of small shuffle blocks would merge a hot cell's
+      // slots back into one task — and one unbounded file — exactly
+      // the skew stall the slot key exists to prevent. (Hash collisions
+      // can still co-locate two slots of one cell in a task; the
+      // per-file bound is therefore ~2× maxCellRows worst-case, not a
+      // hard ceiling.)
+      val totalRow = counts.agg(sum(col("_slots"))).head()
+      val totalSlots =
+        (if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)).toInt max 1
       pinned.join(broadcast(counts), cellCols)
-        .withColumn("_slot", pmod(hash(col(hashCol)),
-          greatest(lit(1L), ceil(col("_cell_n").cast("double") / maxCellRows)
-            .cast("long")).cast("int")))
-        .repartition((cellCols :+ "_slot").map(col): _*)
-        .drop("_cell_n", "_slot")
+        .withColumn("_slot", pmod(hash(col(hashCol)), col("_slots").cast("int")))
+        .repartition(totalSlots, (cellCols :+ "_slot").map(col): _*)
+        .drop("_cell_n", "_slots", "_slot")
         .write.mode("overwrite").partitionBy(cellCols: _*).parquet(path)
     } finally release()
   }

@@ -857,7 +857,7 @@ object StreamOps {
       zip_with(col("cent"), col("qe"),
         (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val centroids = graft.ops.Similarity.servingCentroids(spark, indexDir)
     val wc = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
     // pinned: the touched-label list (control plane) and the serving
     // join both consume the assignment — without the pin the
@@ -1023,4 +1023,65 @@ object StreamOps {
       .map(n => s"$outDir/$n")
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
+
+  /** The eval-set contamination index the streaming leg probes: the
+    * pinned distinct eval shingle relation (the exact-verify side) and
+    * its bloom filter bytes (the map-side prefilter literal; None for
+    * an empty eval set). Built ONCE per stream
+    * ([[buildEvalContamIndex]]) — the 100 TB contract is that the eval
+    * side is benchmark-sized and amortized across the stream's whole
+    * lifetime, while each micro-batch pays only its own shingling plus
+    * a map-side hash probe. */
+  private[graft] final case class EvalContamIndex(evalShingles: DataFrame,
+      bloom: Option[Array[Byte]])
+
+  private[graft] def buildEvalContamIndex(evalDocs: DataFrame): EvalContamIndex = {
+    val sh = graft.Materialize(graft.ops.PipelineOps.shingleHashes(evalDocs))
+    EvalContamIndex(sh, graft.ops.PipelineOps.shingleBloom(sh))
+  }
+
+  /** One micro-batch of the streaming decontamination: shingle the
+    * batch, bloom-prefilter train-side rows map-side (no false
+    * negatives ⇒ prefilter + exact verify ≡ the exact overlap), exact
+    * broadcast-join verify against the pinned eval shingles, and land
+    * one `(train_doc, n_shingles, n_eval_docs)` row per contaminated
+    * doc in `outDir/b<batchId>` (overwrite — a replayed batch rewrites
+    * its own output, the [[ExactlyOnceSink]] idempotence contract). A
+    * clean batch writes an empty (schema-stable) result. */
+  private[graft] def decontaminateBatch(idx: EvalContamIndex,
+      batch: DataFrame, outDir: String, batchId: Long): Unit = {
+    val sh = graft.ops.PipelineOps.shingleHashes(batch).as("t")
+    val pre = idx.bloom match {
+      case Some(b) =>
+        sh.filter(graft.ops.PipelineOps.bloomMightContain(b, col("t.h")))
+      case None => sh.filter(lit(false)) // empty eval set: nothing matches
+    }
+    pre
+      .join(broadcast(idx.evalShingles.as("e")), col("t.h") === col("e.h"))
+      .groupBy(col("t.doc_id").as("train_doc"))
+      .agg(
+        countDistinct(col("t.h")).as("n_shingles"),
+        countDistinct(col("e.doc_id")).as("n_eval_docs"))
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+  }
+
+  /** Streaming eval-set decontamination — the streaming leg of
+    * `decontaminate_bloom` (previously the one prep-chain op with
+    * none): the eval bloom + shingle relation are built once at stream
+    * construction, then every micro-batch of training documents is
+    * checked by [[decontaminateBatch]]. Read the union of decisions
+    * with [[decontaminationResults]]. */
+  def decontaminateIngest(docs: DataFrame, evalDocs: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val idx = buildEvalContamIndex(evalDocs)
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) decontaminateBatch(idx, batch.toDF(), outDir, batchId)
+    }
+  }
+
+  /** Union of every decontamination batch's flagged docs (None if no
+    * batch has landed yet). */
+  def decontaminationResults(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Option[DataFrame] = annResults(spark, outDir)
 }

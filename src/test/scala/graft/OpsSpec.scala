@@ -604,4 +604,44 @@ class OpsSpec extends SparkSuite {
     assert(counts("构建") === 2L)
     assert(counts("pipeline") === 1L)
   }
+
+  test("a hot index cell splits into bounded files and probe pruning survives the split") {
+    // Storage.writeCellClustered is the one writer under BOTH persisted
+    // index families (LSH band cells, IVF label cells); the hot-cell
+    // split is exercised here through the IVF path. label 0 is
+    // deliberately hot (500 rows against maxCellRows=100): without the
+    // size-derived slot key its whole cell is one task's one unbounded
+    // file — the classic partitioned-write skew stall.
+    val rnd = new scala.util.Random(5)
+    def v(c: Int): Seq[Float] =
+      Seq.tabulate(16)(d => ((if (d == c) 10.0 else 0.0) + rnd.nextGaussian() * 0.3).toFloat)
+    val corpus = ((0 until 500).map(i => (i.toLong, 0, v(0))) ++
+      (500 until 540).map(i => (i.toLong, 1, v(1))) ++
+      (540 until 580).map(i => (i.toLong, 2, v(2))))
+      .toDF("vec_id", "label", "embedding")
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-hot").toString
+    Similarity.persistIvfIndex(Similarity.buildIvfIndexFrom(corpus), indexDir,
+      maxCellRows = 100)
+
+    def parquets(dir: String): Seq[java.io.File] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).toSeq
+    val hot = parquets(s"$indexDir/corpus_g0/label=0")
+    assert(hot.length >= 3, s"hot cell not split: ${hot.length} file(s)")
+    for (f <- hot) {
+      val n = spark.read.parquet(f.toString).count()
+      assert(n <= 200, s"hot-cell file above the bound: ${f.getName} has $n rows")
+    }
+    assert(parquets(s"$indexDir/corpus_g0/label=1").length === 1,
+      "cold cell fragmented — the clustered write regressed")
+
+    // the split adds files INSIDE the cell directory, never a partition
+    // column: a probe into a cold cell still reads only that cell
+    val q = Seq.tabulate(16)(d => if (d == 1) 10.0f else 0.0f)
+    val served = Similarity.ivfProbeVectorServed(spark, indexDir, q, nprobe = 1)
+    assert(served.collect().nonEmpty)
+    val files = served.inputFiles.filter(_.contains("/corpus_g"))
+    assert(files.nonEmpty && files.forall(_.contains("label=1")),
+      s"probe leaked outside its cell: ${files.filterNot(_.contains("label=1")).take(3).toSeq}")
+  }
 }

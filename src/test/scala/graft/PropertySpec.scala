@@ -231,6 +231,138 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  /** recall@10 of one ANN probe against the brute-force exact top-10
+    * for the same query vector (both computed over `corpus`). */
+  private def recallAt10(corpus: org.apache.spark.sql.DataFrame,
+      got: Seq[Long], qe: Seq[Float], exclude: Option[Long]): Double = {
+    val q = spark.range(1).select(typedLit(qe).as("qe"))
+      .withColumn("qnorm", sqrt(Similarity.dot(col("qe"), col("qe"))))
+    val cos = Similarity.dot(col("embedding"), col("qe")) /
+      (sqrt(Similarity.dot(col("embedding"), col("embedding"))) * col("qnorm"))
+    val base = exclude.fold(corpus)(id => corpus.filter(col("vec_id") =!= id))
+    val bf = base.crossJoin(broadcast(q))
+      .select(col("vec_id"), cos.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    got.toSet.intersect(bf).size.toDouble / bf.size
+  }
+
+  test("IVF recall@10 at nprobe=2 clears the floor over 20 sampled query vectors") {
+    // The operational ANN metric the exact-agreement oracle checks
+    // can't see: across a spread of query points, how much of the TRUE
+    // top-10 does the 2-cell probe recover? The floor is gated on a
+    // CLUSTERED corpus — the data shape IVF is for; tight clusters,
+    // queries from every cluster including members near cell
+    // boundaries. (A floor this high is unattainable on isotropic
+    // vectors, by the geometry, not the index — see the second half.)
+    val rnd = new scala.util.Random(31)
+    def cv(c: Int): Seq[Float] =
+      Seq.tabulate(16)(d =>
+        ((if (d == c) 10.0 else 0.0) + rnd.nextGaussian() * 0.8).toFloat)
+    val corpus = (0 until 400).map(i => (i.toLong, i % 4, cv(i % 4)))
+      .toDF("vec_id", "label", "embedding").cache()
+    val idx = Similarity.buildIvfIndexFrom(corpus)
+    val qids = (0 until 20).map(i => (i * 20 + i % 4).toLong)
+    val vecs = corpus.filter(col("vec_id").isin(qids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val recalls = qids.map { qid =>
+      val got = Similarity.ivfProbe(idx, qid, k = 10, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      recallAt10(corpus, got, vecs(qid), exclude = Some(qid))
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"IVF recall@10 floor broken: avg=$avg per-query=$recalls")
+    corpus.unpersist()
+
+    // On the driver-generated embeddings table the labels cluster only
+    // weakly (near-isotropic vectors): the honest operational claims
+    // are (a) a 2-of-10-cell probe still beats the random cell share,
+    // and (b) recall is monotone in nprobe and exact at full probe —
+    // the dial an operator actually turns.
+    val emb = graft.ops.Tables.table(spark, sf("sf0.001"), "embeddings")
+    val ridx = Similarity.buildIvfIndex(spark, sf("sf0.001"))
+    val rids = emb.select("vec_id").orderBy("vec_id").collect().map(_.getLong(0))
+    val rqids = (0 until 10).map(i => rids(i * rids.length / 10))
+    val rvecs = emb.filter(col("vec_id").isin(rqids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    def avgAt(nprobe: Int): Double = {
+      val rs = rqids.map { qid =>
+        val got = Similarity.ivfProbe(ridx, qid, k = 10, nprobe = nprobe)
+          .collect().map(_.getLong(0)).toSeq
+        recallAt10(emb, got, rvecs(qid), exclude = Some(qid))
+      }
+      rs.sum / rs.size
+    }
+    val (r2, r5, r10) = (avgAt(2), avgAt(5), avgAt(10))
+    assert(r2 > 0.2, s"2-of-10-cell probe under the random share: $r2")
+    assert(r2 <= r5 && r5 <= r10, s"recall not monotone in nprobe: $r2 $r5 $r10")
+    assert(r10 === 1.0, s"full probe must be exact: $r10")
+  }
+
+  test("drifted index: off-cluster appends split across cells drop recall until compaction's Lloyd rebuild restores it") {
+    // The drift→compact→recover arc on the PERSISTED serving path. An
+    // appended semantic cluster that straddles two stored centroids'
+    // boundary is SPLIT across both cells (nearest-centroid assignment
+    // has no better choice), so an nprobe=1 query into that region
+    // sees only half its true neighbors — the recall failure a stored
+    // coarse quantizer cannot repair without re-clustering. Compaction
+    // with Lloyd iterations moves a centroid onto the appended mass
+    // and reunifies it in ONE cell; the same probe then recovers.
+    val rnd = new scala.util.Random(7)
+    def v(mean: Seq[Double], jitterFrom: Int): Seq[Float] =
+      Seq.tabulate(16)(d =>
+        ((if (d < mean.length) mean(d) else 0.0) +
+          (if (d >= jitterFrom) rnd.nextGaussian() * 0.3 else 0.0)).toFloat)
+    // base: big cluster 0 at 10·e1, SMALL cluster 1 at 10·e2 (so the
+    // appended mass can out-pull it), big cluster 2 at 10·e3
+    val base =
+      (0 until 100).map(i => (i.toLong, 0, v(Seq(10.0, 0.0), 2))) ++
+      (100 until 115).map(i => (i.toLong, 1, v(Seq(0.0, 10.0), 2))) ++
+      (200 until 300).map(i => (i.toLong, 2, v(Seq(0.0, 0.0, 10.0), 3)))
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-drift").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndexFrom(base.toDF("vec_id", "label", "embedding")), indexDir)
+
+    // appended cloud at 10·(e1+e2) — equidistant from c0 and c1. The
+    // ±0.5 parity offset along (e1−e2) makes the split DETERMINISTIC:
+    // even ids land in cell 0, odd ids in cell 1, 40/40 (jitter lives
+    // in dims ≥3, where c0 and c1 agree, so it cannot flip the
+    // assignment).
+    val cloud = (1000 until 1080).map { i =>
+      val d = if (i % 2 == 0) 0.5 else -0.5
+      (i.toLong, v(Seq(10.0 + d, 10.0 - d), 3))
+    }
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      cloud.toDF("vec_id", "embedding"), batchId = 1L)
+
+    // 20 query vectors in the cloud's region, symmetric in dims 0–1
+    val queries = (0 until 20).map(_ => v(Seq(10.0, 10.0), 3))
+    val corpus = (base.map(t => (t._1, t._3)) ++ cloud)
+      .toDF("vec_id", "embedding")
+    def avgRecall(): Double = {
+      val rs = queries.map { qe =>
+        val got = Similarity.ivfProbeVectorServed(spark, indexDir, qe, nprobe = 1)
+          .collect().map(_.getLong(0)).toSeq
+        recallAt10(corpus, got, qe, exclude = None)
+      }
+      rs.sum / rs.size
+    }
+    val dropped = avgRecall()
+    assert(dropped < 0.8,
+      s"straddling append did not split across cells (recall=$dropped) — the arc is untestable")
+
+    // compaction WITH Lloyd re-clustering: the small cluster-1 centroid
+    // is pulled onto the appended mass, the next assignment round hands
+    // it the whole cloud, and the probe's one cell now holds every true
+    // neighbor
+    Similarity.compactIvfIndex(spark, indexDir, lloydIters = 4)
+    val recovered = avgRecall()
+    assert(recovered >= 0.9 && recovered > dropped,
+      s"Lloyd rebuild did not restore recall: dropped=$dropped recovered=$recovered")
+  }
+
   test("decimal-sum queries survive 100 TB magnitudes (×10⁶ values) without ANSI overflow") {
     // Spark 4 runs ANSI mode: a decimal SUM that outgrows its width
     // RAISES instead of silently wrapping — which is the right
