@@ -150,11 +150,21 @@ private[graft] object GenManifest {
   /** Delta batchIds in (above, below) — exclusive on both ends: a
     * reader never consumes deltas at or below its manifest's floor,
     * and an ingest batch never probes its own (possibly torn)
-    * output. */
+    * output. Only COMMITTED deltas count: a delta directory without
+    * its `_SUCCESS` marker (the write is still in flight, crashed, or
+    * is being replay-overwritten right now) is invisible to serving
+    * AND to compaction — folding a torn delta would make the partial
+    * batch permanent, because the completing replay then lands below
+    * the raised floor and is never read. (Writers are sequential per
+    * index — the streaming ingest contract — so an uncommitted delta
+    * is always the NEWEST one and can never be orphaned below the
+    * floor by a later sibling.) */
   def deltaIds(spark: SparkSession, dir: String, above: Long,
       below: Long = Long.MaxValue): Seq[Long] =
     IndexFs.listNames(spark, s"$dir/delta", "b\\d+")
-      .map(_.drop(1).toLong).filter(id => id > above && id < below).sorted
+      .map(_.drop(1).toLong).filter(id => id > above && id < below)
+      .filter(id => IndexFs.exists(spark, s"$dir/delta/b$id/_SUCCESS"))
+      .sorted
 
   /** Reset to an empty index root: drop every manifest, every base
     * generation of the given prefixes, and the delta dir. Called by
@@ -166,6 +176,31 @@ private[graft] object GenManifest {
         .foreach(n => IndexFs.delete(spark, s"$dir/$n"))
     }
     IndexFs.delete(spark, s"$dir/delta")
+  }
+
+  /** Operational view of a persisted index layout: one row per
+    * (root, cell-column values) with its row count, where root is
+    * `base` or `delta/b<id>` for every delta above the manifest floor.
+    * This is the standing signal an index operator watches — delta
+    * backlog (how much serving I/O each probe pays on top of the
+    * base → schedule compaction), per-cell row skew (hot cells →
+    * lower `maxCellRows` or re-bucket), and empty-cell fraction. Reads
+    * parquet footers only (counts, no data columns), so it stays cheap
+    * on a corpus-scale index. */
+  private[graft] def cellStats(spark: SparkSession, dir: String,
+      basePrefix: String, cellCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val st = resolve(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no index manifest under $dir"))
+    val roots = ("base", s"$dir/${basePrefix}_g${st.gen}") +:
+      deltaIds(spark, dir, above = st.floor)
+        .map(id => (s"delta/b$id", s"$dir/delta/b$id"))
+    roots.map { case (label, root) =>
+      spark.read.option("basePath", root).parquet(root)
+        .groupBy(cellCols.map(c => col(c).cast("string").as(c)): _*)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(label).as("root") +: cellCols.map(col) :+ col("n_rows"): _*)
+    }.reduce(_ unionByName _)
   }
 
   /** Keep-two GC: retains the newest two manifests, the generations

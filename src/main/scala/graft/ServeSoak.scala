@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serving-path scale soak: builds the persisted LSH and IVF indexes
+  * over the base corpus and an N× blowup ([[Soak.blowUp]]), then times
+  * the SERVE leg alone — an ingest-sized near-dup probe against the
+  * LSH index and an external-vector ANN probe against the IVF index.
+  *
+  * The claim under test is the round-7 serving contract: probe I/O is
+  * proportional to the probed cells' mass, never the corpus. Cells
+  * grow linearly with the corpus, so serve time may grow with N — but
+  * it must stay a small corpus fraction (the probed-cells share), and
+  * the ingest probe must stay interactive at ×N while a full-corpus
+  * scan would not. Build time is reported alongside so the two legs
+  * stay separately visible (the Bench serve-only split, at soak
+  * scale).
+  *
+  * Usage: runMain graft.ServeSoak [factor] [baseSfDir]
+  */
+object ServeSoak {
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val baseDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val soakDir = s"/tmp/graft-soak-x$factor"
+    Soak.blowUp(spark, baseDir, soakDir, factor)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def median3(f: => Unit): Double =
+      Bench.median((1 to 3).map(_ => timed(f)._2).drop(1))
+
+    // the ingest-shaped probe: a handful of near-copies of corpus docs
+    def probeDocs(dir: String) = {
+      import spark.implicits._
+      val sample = spark.read.parquet(s"$dir/documents.parquet")
+        .orderBy("doc_id").limit(5)
+        .select("doc_id", "text").as[(Long, String)].collect()
+      sample.map { case (id, t) =>
+        (id + 10000000L, t.replaceFirst(" [a-z]+$", " zz")) }.toSeq
+        .toDF("doc_id", "text")
+    }
+    val qvec = Array.tabulate(64)(i => (((i % 7) - 3) / 4.0).toFloat).toSeq
+
+    for ((tag, dir) <- Seq(("base", baseDir), (s"x$factor", soakDir))) {
+      val rows = spark.read.parquet(s"$dir/documents.parquet").count()
+      val vecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+
+      val lshDir = java.nio.file.Files.createTempDirectory(s"soak-lsh-$tag").toString
+      val (_, lshBuild) = timed(graft.ops.Dedup.persistLshIndex(
+        spark.read.parquet(s"$dir/documents.parquet"), lshDir))
+      val probe = probeDocs(dir)
+      probe.collect() // materialize the probe outside the timed region
+      val lshServe = median3 {
+        graft.ops.Dedup.nearDupCheck(spark, lshDir, probe).collect(); ()
+      }
+
+      val ivfDir = java.nio.file.Files.createTempDirectory(s"soak-ivf-$tag").toString
+      val (_, ivfBuild) = timed(graft.ops.Similarity.persistIvfIndex(
+        graft.ops.Similarity.buildIvfIndexFrom(
+          spark.read.parquet(s"$dir/embeddings.parquet")), ivfDir))
+      val ivfServe = median3 {
+        graft.ops.Similarity.ivfProbeVectorServed(spark, ivfDir, qvec).collect(); ()
+      }
+      println(f"[servesoak] $tag%-5s docs=$rows%8d vecs=$vecs%8d " +
+        f"lsh_build=$lshBuild%7.2fs lsh_serve=$lshServe%6.2fs " +
+        f"ivf_build=$ivfBuild%7.2fs ivf_serve=$ivfServe%6.2fs")
+    }
+    spark.stop()
+  }
+}

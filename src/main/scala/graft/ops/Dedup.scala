@@ -453,6 +453,15 @@ object Dedup {
     graft.GenManifest.gc(spark, indexDir, Seq(lshPrefix))
   }
 
+  /** Operational stats of a persisted LSH index: `(root, band_id,
+    * sig_p, n_rows)` per band cell across the live base generation and
+    * every committed delta — the delta-backlog (compaction cadence)
+    * and hot-cell (re-bucketing) monitoring signal
+    * ([[graft.GenManifest]] cellStats over the `bands` layout). */
+  def lshIndexStats(spark: SparkSession, indexDir: String): DataFrame =
+    graft.GenManifest.cellStats(spark, indexDir, lshPrefix,
+      Seq("band_id", "sig_p"))
+
   /** The probe leg shared by the build+serve and serve-only forms:
     * odd-id documents against a persisted even-id index. The probe
     * side is HALF THE CORPUS (inlined shingle sets), so the broadcast

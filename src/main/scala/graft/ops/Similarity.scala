@@ -539,6 +539,14 @@ object Similarity {
     graft.GenManifest.gc(spark, indexDir, ivfPrefixes)
   }
 
+  /** Operational stats of a persisted IVF index: `(root, label,
+    * n_rows)` per coarse cell across the live base generation and
+    * every committed delta — delta backlog says when to compact, cell
+    * skew says when to re-cluster or lower `maxCellRows`
+    * ([[graft.GenManifest]] cellStats over the `corpus` layout). */
+  def ivfIndexStats(spark: SparkSession, indexDir: String): DataFrame =
+    graft.GenManifest.cellStats(spark, indexDir, "corpus", Seq("label"))
+
   /** Probe a PERSISTED index by an external vector — the on-disk ANN
     * serving path. The coarse quantizer runs client-side
     * ([[nearestLabels]]), then ONLY the probed `label=` directories are

@@ -605,6 +605,81 @@ class OpsSpec extends SparkSuite {
     assert(counts("pipeline") === 1L)
   }
 
+  test("a torn delta (no _SUCCESS) is invisible to serving AND compaction until its replay commits") {
+    // A delta mid-write — crashed, in flight, or being replay-
+    // overwritten — has no _SUCCESS marker. Serving must skip it (a
+    // transient half-batch would surface phantom vectors) and
+    // compaction MUST skip it: folding a torn delta makes the partial
+    // batch permanent, because the completing replay then lands below
+    // the raised floor and is never read again.
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-torn").toString
+    Similarity.persistIvfIndex(Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    val spike = Seq(8f, 8f, 8f, 8f) ++ Seq.fill(60)(0f)
+    val newVec = Seq((1000000L, spike)).toDF("vec_id", "embedding")
+    Similarity.appendToPersistedIvfIndex(spark, indexDir, newVec, batchId = 1L)
+    // simulate the crash: the delta's files are on disk, the commit
+    // marker is not
+    assert(new java.io.File(s"$indexDir/delta/b1/_SUCCESS").delete())
+
+    def topHit(): (Long, Double) =
+      Similarity.ivfProbeVectorServed(spark, indexDir, spike)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).head
+    assert(topHit()._1 !== 1000000L, "serving read a torn delta")
+
+    // compaction ignores the torn delta: the floor must NOT advance
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(GenManifest.resolve(spark, indexDir).get.floor === -1L,
+      "compaction folded a torn delta")
+    assert(topHit()._1 !== 1000000L)
+
+    // the replay overwrites the torn delta COMPLETELY: now it serves,
+    // and the next compaction folds it for real
+    Similarity.appendToPersistedIvfIndex(spark, indexDir, newVec, batchId = 1L)
+    assert(topHit() === ((1000000L, 1.0)), "replayed delta not served")
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(GenManifest.resolve(spark, indexDir).get.floor === 1L)
+    assert(topHit() === ((1000000L, 1.0)))
+  }
+
+  test("index stats expose delta backlog and per-cell counts; compaction drains the backlog") {
+    import spark.implicits._
+    // IVF family: base + one delta visible with exact counts; after
+    // compaction the delta rows fold into the (new) base and the
+    // backlog empties — the operational signal that schedules
+    // compaction and flags hot cells
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-stats").toString
+    Similarity.persistIvfIndex(Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    val spike = Seq(8f, 8f, 8f, 8f) ++ Seq.fill(60)(0f)
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      Seq((1000000L, spike)).toDF("vec_id", "embedding"), batchId = 3L)
+
+    val stats = Similarity.ivfIndexStats(spark, indexDir)
+      .as[(String, String, Long)].collect()
+    val baseRows = stats.filter(_._1 == "base").map(_._3).sum
+    val deltaRows = stats.filter(_._1 == "delta/b3")
+    assert(baseRows === 500L, s"base row total wrong: $baseRows")
+    assert(deltaRows.map(_._3).sum === 1L, s"delta backlog wrong: ${deltaRows.toSeq}")
+
+    Similarity.compactIvfIndex(spark, indexDir)
+    val after = Similarity.ivfIndexStats(spark, indexDir)
+      .as[(String, String, Long)].collect()
+    assert(after.forall(_._1 == "base"), s"backlog not drained: ${after.filter(_._1 != "base").toSeq}")
+    assert(after.map(_._3).sum === 501L)
+
+    // LSH family: same contract over (band_id, sig_p) cells
+    val lshDir = java.nio.file.Files.createTempDirectory("lsh-stats").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(Seq(1L -> seeded).toDF("doc_id", "text"), lshDir)
+    Dedup.appendToLshIndex(spark, lshDir,
+      Seq(4L -> seeded.replace(" mu", " xi")).toDF("doc_id", "text"), batchId = 9L)
+    val lsh = Dedup.lshIndexStats(spark, lshDir)
+      .as[(String, String, String, Long)].collect()
+    // one doc emits one row per band (2); roots are base and delta/b9
+    assert(lsh.filter(_._1 == "base").map(_._4).sum === 2L, lsh.toSeq)
+    assert(lsh.filter(_._1 == "delta/b9").map(_._4).sum === 2L, lsh.toSeq)
+  }
+
   test("a hot index cell splits into bounded files and probe pruning survives the split") {
     // Storage.writeCellClustered is the one writer under BOTH persisted
     // index families (LSH band cells, IVF label cells); the hot-cell

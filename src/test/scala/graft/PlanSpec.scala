@@ -96,6 +96,38 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sim_topk_ivf_serve_only: probe plan is one cell-pruned scan, top-k without a shuffle") {
+    val plan = finalPlan("sim_topk_ivf_serve_only")
+    // the query literal folds into the projection, top-k is
+    // TakeOrderedAndProject, and the whole probe runs shuffle-free —
+    // serving cost is the probed cells' scan, nothing else
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // every corpus location in the scan is a probed label directory —
+    // no corpus-root (un-pruned) read
+    val corpusLocs = plan.linesIterator
+      .filter(l => l.contains("Location") && l.contains("corpus_g")).toSeq
+    assert(corpusLocs.nonEmpty, "no corpus scan found in the probe plan")
+    assert(corpusLocs.forall(_.contains("label=")),
+      s"probe scanned the corpus root:\n${corpusLocs.mkString("\n")}")
+  }
+
+  test("dedup_against_index_serve_only: cell-pruned scans, no all-pairs join") {
+    val plan = finalPlan("dedup_against_index_serve_only")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // every index location in the scan is below a band cell directory
+    // — the probe never lists the bands root. (The plan printer elides
+    // long path lists, so only the first path's prefix is assertable
+    // here; exact cell containment is OpsSpec's inputFiles check.)
+    val bandLocs = plan.linesIterator
+      .filter(l => l.contains("Location") && l.contains("bands_g")).toSeq
+    assert(bandLocs.nonEmpty, "no index scan found in the probe plan")
+    assert(bandLocs.forall(_.contains("band_id=")),
+      s"probe scanned the bands root:\n${bandLocs.mkString("\n")}")
+  }
+
   test("j8: LATERAL decorrelates to a ranked window, not a per-row rescan") {
     val plan = finalPlan("j8_lateral_topn")
     assert(plan.contains("Window"), plan)
