@@ -363,6 +363,33 @@ class PropertySpec extends SparkSuite {
       s"Lloyd rebuild did not restore recall: dropped=$dropped recovered=$recovered")
   }
 
+  test("MinHash banding candidate recall follows the s-curve: high-overlap pairs collide, low-overlap pairs don't") {
+    // The analytical property behind every LSH dedup operator: with 2
+    // bands of 4 minhashes, a pair at shingle-Jaccard s collides with
+    // probability 1-(1-s⁴)² — ≈0.88 at s≈0.9, ≈0.01 at s≈0.28. 40
+    // generated pairs per regime (disjoint vocabularies, so cross-pair
+    // collisions are impossible); the md5-backed minhash is
+    // deterministic, so the measured fractions are fixed, not flaky.
+    val nPairs = 40
+    def pairDocs(changed: Int): Seq[(Long, String)] =
+      (0 until nPairs).flatMap { i =>
+        val base = (0 until 60).map(j => s"p${i}t$j")
+        val edited = base.dropRight(changed) ++ (0 until changed).map(j => s"p${i}x$j")
+        Seq((i * 2L, base.mkString(" ")), (i * 2L + 1, edited.mkString(" ")))
+      }
+    def detected(changed: Int): Double = {
+      val pairs = graft.ops.Dedup.nearDupPairsLocal(
+        pairDocs(changed).toDF("doc_id", "text"), threshold = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0 until nPairs).count(i => pairs.contains((i * 2L, i * 2L + 1))).toDouble / nPairs
+    }
+    val hi = detected(1)  // tail-edit of 1 token: shingle Jaccard ≈ 0.90
+    val lo = detected(30) // half the doc rewritten: ≈ 0.28
+    assert(hi >= 0.6, s"high-overlap candidate recall broken: $hi")
+    assert(lo <= 0.2, s"low-overlap pairs leaking into candidates: $lo")
+    assert(hi > lo + 0.4, s"no s-curve separation: hi=$hi lo=$lo")
+  }
+
   test("decimal-sum queries survive 100 TB magnitudes (×10⁶ values) without ANSI overflow") {
     // Spark 4 runs ANSI mode: a decimal SUM that outgrows its width
     // RAISES instead of silently wrapping — which is the right

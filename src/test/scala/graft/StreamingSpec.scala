@@ -1158,6 +1158,73 @@ class StreamingSpec extends SparkSuite {
     assert(StreamOps.decontaminationResults(spark, outDir).get.count() === 2)
   }
 
+  test("IVF serving racing live ingest only ever sees committed append prefixes") {
+    // The "no coordination" claim raced for real: a prober thread
+    // hammers the served probe while the main thread appends delta
+    // after delta. Writers are sequential (the ingest contract), so
+    // the committed states form a PREFIX chain — every successful
+    // concurrent probe must equal the top-k of some prefix of the
+    // append history: the _SUCCESS gate makes an in-flight delta
+    // invisible rather than half-visible (no phantom or duplicate
+    // vec_ids, no torn batch).
+    import graft.ops.Similarity
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-ingest-race").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    val probe = Seq(8f, 8f, 8f, 8f) ++ Seq.fill(60)(0f)
+    // each appended batch adds one vector strictly CLOSER to the probe
+    // than the last (the off-axis component shrinks with k): the top
+    // hit after batch k is vec 1000000+k, so which prefix a read saw
+    // is identified by its TOP ROW alone and the full result must
+    // match that prefix's expected top-k exactly
+    def spike(k: Int): Seq[Float] =
+      (Seq(8f, 8f, 8f, 8f, 1.5f - 0.25f * k) ++ Seq.fill(59)(0f))
+    def hits(): Seq[(Long, Double)] =
+      Similarity.ivfProbeVectorServed(spark, indexDir, probe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val nBatches = 5
+    // committed states, computed by replaying the appends on a TWIN
+    // index ahead of the race (same data, same plan, no concurrency)
+    val twin = java.nio.file.Files.createTempDirectory("ivf-ingest-twin").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), twin)
+    def twinHits(): Seq[(Long, Double)] =
+      Similarity.ivfProbeVectorServed(spark, twin, probe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val states = Seq(twinHits()) ++ (1 to nBatches).map { k =>
+      Similarity.appendToPersistedIvfIndex(spark, twin,
+        Seq((1000000L + k, spike(k))).toDF("vec_id", "embedding"), batchId = k.toLong)
+      twinHits()
+    }
+    assert(states.map(_.head._1).distinct.size === nBatches + 1,
+      "prefix states not distinguishable by top hit — race untestable")
+
+    @volatile var done = false
+    @volatile var proberError: Option[Throwable] = None
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, Double)]]()
+    val prober = new Thread(() => {
+      while (!done && proberError.isEmpty) {
+        try observed.add(hits())
+        catch { case t: Throwable => proberError = Some(t) }
+      }
+    })
+    prober.start()
+    try {
+      for (k <- 1 to nBatches)
+        Similarity.appendToPersistedIvfIndex(spark, indexDir,
+          Seq((1000000L + k, spike(k))).toDF("vec_id", "embedding"), batchId = k.toLong)
+    } finally { done = true; prober.join() }
+    proberError.foreach(t => throw t)
+    import scala.jdk.CollectionConverters._
+    val probes = observed.asScala.toSeq
+    assert(probes.nonEmpty, "prober never completed a read during the race")
+    val legal = states.toSet
+    val torn = probes.filterNot(legal.contains)
+    assert(torn.isEmpty,
+      s"racing probe saw a non-prefix state (${torn.size}/${probes.size}): ${torn.headOption}")
+    assert(hits() === states.last)
+  }
+
   test("LSH near-dup serving racing compaction never returns a torn candidate set") {
     // the LSH twin of the IVF race above: same GenManifest discipline,
     // different serving plan (cell listing + candidate join + in-cell
