@@ -55,13 +55,6 @@ object IndexFs {
     ()
   }
 
-  /** Rename (same filesystem). Returns false on failure — HDFS-style
-    * semantics: fails rather than overwrites an existing destination. */
-  def rename(spark: SparkSession, src: String, dst: String): Boolean = {
-    val (fs, s) = fp(spark, src)
-    fs.rename(s, new Path(dst))
-  }
-
   def readUtf8(spark: SparkSession, path: String): String = {
     val (fs, p) = fp(spark, path)
     val in = fs.open(p)
@@ -78,10 +71,23 @@ object IndexFs {
     * durable storage, delete any existing destination (a replayed
     * batch overwrites its own torn file), rename in. The rename is the
     * commit point — readers see the old content or the new, never a
-    * torn prefix. */
+    * torn prefix.
+    *
+    * The sync goes through the RAW filesystem when the resolved one is
+    * a `ChecksumFileSystem` wrapper (the `file:` scheme): the checksum
+    * wrapper's output stream is not `Syncable`, so `hsync()` on it
+    * silently degrades to a buffer flush — durable-before-rename in
+    * name only. `RawLocalFileSystem`'s stream syncs the real file
+    * descriptor; HDFS/S3A resolve to natively `Syncable` streams and
+    * take the plain path. (Skipping the `.crc` sidecar for a manifest
+    * is fine — the atomic rename is the integrity mechanism here.) */
   def writeUtf8Atomic(spark: SparkSession, path: String, content: String): Unit = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolved = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = resolved match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem => cfs.getRawFileSystem
+      case other => other
+    }
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     val out = fs.create(tmp, true)
     try {
@@ -188,7 +194,8 @@ private[graft] object GenManifest {
     * parquet footers only (counts, no data columns), so it stays cheap
     * on a corpus-scale index. */
   private[graft] def cellStats(spark: SparkSession, dir: String,
-      basePrefix: String, cellCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+      basePrefix: String, cellCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val st = resolve(spark, dir).getOrElse(
       throw new IllegalStateException(s"no index manifest under $dir"))
@@ -196,7 +203,9 @@ private[graft] object GenManifest {
       deltaIds(spark, dir, above = st.floor)
         .map(id => (s"delta/b$id", s"$dir/delta/b$id"))
     roots.map { case (label, root) =>
-      spark.read.option("basePath", root).parquet(root)
+      // explicit schema, never inferred: keeps string partition values
+      // raw (leading zeros) and reads an empty delta as zero rows
+      spark.read.schema(schema).option("basePath", root).parquet(root)
         .groupBy(cellCols.map(c => col(c).cast("string").as(c)): _*)
         .agg(count(lit(1)).as("n_rows"))
         .select(lit(label).as("root") +: cellCols.map(col) :+ col("n_rows"): _*)

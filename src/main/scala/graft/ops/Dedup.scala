@@ -205,8 +205,11 @@ object Dedup {
     * "shingle set" is the distinct token set — so an identical or
     * token-reordered short doc collides in its fallback cell and
     * verifies at Jaccard 1.0. Zero-token docs stay un-indexed (no
-    * content to match on). Off by default: the oracle-checked
-    * `dedup_against_index` mirrors the shingle pipeline only. */
+    * content to match on). ON by default for the ingest-facing persist
+    * path ([[persistLshIndex]]) so a seeded base participates in the
+    * same short-doc contract `dedupIngest` probes with; the
+    * oracle-checked `dedup_against_index` turns it off explicitly
+    * (its oracle mirrors the shingle pipeline only). */
   private def bandRows(docs: DataFrame, prefixLen: Int,
       exactFallback: Boolean = false): DataFrame = {
     val sh = shinglesOf(docs)
@@ -265,6 +268,23 @@ object Dedup {
   private def lshBase(indexDir: String, gen: Long) =
     s"$indexDir/${lshPrefix}_g$gen"
 
+  /** Explicit read schema for a band-cell layout — NEVER inferred.
+    * Partition-value inference would narrow an all-digit `sig_p` cell
+    * ('07') to int and lose the leading zero; a compaction rewriting
+    * that cell as `sig_p=7` would orphan its rows from every future
+    * probe (paths are built from `substring(sig, 1, len)`). The
+    * explicit schema keeps the raw path string AND makes an EMPTY
+    * committed delta (a batch where nothing was accepted writes only
+    * `_SUCCESS`) read as zero rows instead of failing schema
+    * inference. */
+  private val bandReadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, sig STRING, ss ARRAY<STRING>, band_id INT, sig_p STRING")
+
+  private def readBandRoot(spark: SparkSession, root: String,
+      paths: Seq[String]): DataFrame =
+    spark.read.schema(bandReadSchema).option("basePath", root)
+      .parquet(paths: _*)
+
   /** Persist a MinHash/LSH near-dup index for dedup-AT-INGEST: the
     * band rows land partitioned by `(band_id, sig_p)` — 2×256 cells —
     * so a probe lists only the cells its own band signatures fall in
@@ -282,7 +302,7 @@ object Dedup {
     * FileSystem seam ([[graft.IndexFs]]) — the same code serves
     * `file:`, `hdfs:` or `s3a:` index roots. */
   def persistLshIndex(docs: DataFrame, indexDir: String,
-      prefixLen: Int = 2, exactFallback: Boolean = false,
+      prefixLen: Int = 2, exactFallback: Boolean = true,
       maxCellRows: Long = defaultMaxCellRows): Unit = {
     val spark = docs.sparkSession
     graft.GenManifest.reset(spark, indexDir, Seq(lshPrefix))
@@ -324,8 +344,7 @@ object Dedup {
       val paths = cells.map { case (b, p) => s"$root/band_id=$b/sig_p=$p" }
         .filter(p => graft.IndexFs.isDir(spark, p))
       if (paths.isEmpty) None
-      else Some(spark.read.option("basePath", root).parquet(paths: _*)
-        .withColumn("sig_p", col("sig_p").cast("string")))
+      else Some(readBandRoot(spark, root, paths))
     }
   }
 
@@ -402,7 +421,17 @@ object Dedup {
     * the index and would otherwise both join it). Output: one row per
     * confirmed pair, `doc_a < doc_b`, with its Jaccard. */
   private[graft] def nearDupPairsLocal(docs: DataFrame,
-      threshold: Double = jaccardThreshold, prefixLen: Int = 2): DataFrame = {
+      threshold: Double = jaccardThreshold, prefixLen: Int = 2): DataFrame =
+    nearDupPairsLocalReleasable(docs, threshold, prefixLen)._1
+
+  /** [[nearDupPairsLocal]] plus the release handle for the pinned
+    * pair relation — the loop form: `dedupIngest` runs one self-check
+    * per micro-batch for the stream's lifetime, and a non-releasable
+    * pin per batch accumulates blocks without bound (the same
+    * discipline as [[nearDupCheckReleasable]]). */
+  private[graft] def nearDupPairsLocalReleasable(docs: DataFrame,
+      threshold: Double = jaccardThreshold,
+      prefixLen: Int = 2): (DataFrame, () => Unit) = {
     val (rows, release) = Materialize.releasable(bandRows(docs, prefixLen))
     val a = rows.select(col("doc_id").as("doc_a"), col("band_id"),
       col("sig"), col("ss").as("sa"))
@@ -411,13 +440,13 @@ object Dedup {
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jac = inter.cast("double") /
       (size(col("sa")) + size(col("sb")) - inter)
-    val out = a.join(b, Seq("band_id", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
-      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
-      .filter(col("jac") >= threshold)
-      .materialized
+    val out = Materialize.releasable(
+      a.join(b, Seq("band_id", "sig"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+        .filter(col("jac") >= threshold))
     release()
     out
   }
@@ -441,8 +470,7 @@ object Dedup {
       val roots = lshBase(indexDir, st.gen) +:
         deltas.map(id => s"$indexDir/delta/b$id")
       val all = roots
-        .map(root => spark.read.option("basePath", root).parquet(root)
-          .withColumn("sig_p", col("sig_p").cast("string")))
+        .map(root => readBandRoot(spark, root, Seq(root)))
         .reduce(_ unionByName _)
       writeBandCells(all, lshBase(indexDir, st.gen + 1), maxCellRows)
       graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen + 1,
@@ -460,7 +488,7 @@ object Dedup {
     * ([[graft.GenManifest]] cellStats over the `bands` layout). */
   def lshIndexStats(spark: SparkSession, indexDir: String): DataFrame =
     graft.GenManifest.cellStats(spark, indexDir, lshPrefix,
-      Seq("band_id", "sig_p"))
+      Seq("band_id", "sig_p"), bandReadSchema)
 
   /** The probe leg shared by the build+serve and serve-only forms:
     * odd-id documents against a persisted even-id index. The probe
@@ -487,7 +515,7 @@ object Dedup {
       val indexDir = graft.TempDirs.create("lsh-index-cache")
       persistLshIndex(
         Tables.table(spark, dir, "documents").filter(col("doc_id") % 2 === 0),
-        indexDir, prefixLen = 1)
+        indexDir, prefixLen = 1, exactFallback = false)
       indexDir
     })
 
@@ -510,9 +538,10 @@ object Dedup {
     (spark, dir) => {
       val docs = Tables.table(spark, dir, "documents")
       val indexDir = graft.TempDirs.create("lsh-index")
-      // 32 cells at test SFs — the cell count is a corpus-size knob
+      // 32 cells at test SFs — the cell count is a corpus-size knob.
+      // fallback OFF: the oracle mirrors the shingle pipeline only
       persistLshIndex(docs.filter(col("doc_id") % 2 === 0), indexDir,
-        prefixLen = 1)
+        prefixLen = 1, exactFallback = false)
       probeOddAgainstIndex(spark, dir, indexDir)
     })
 
@@ -709,12 +738,26 @@ object Dedup {
     * invariant, so components never bleed. Extra state stays O(V)
     * (one star edge pair per non-root node). */
   def connectedComponents(edges: DataFrame): DataFrame =
-    connectedComponentsIters(edges)._1
+    connectedComponentsCore(edges)._1
 
   /** [[connectedComponents]] plus the iteration count — package-visible
     * so the O(log) convergence bound is testable (PropertySpec runs a
     * worst-case path graph). */
   private[graft] def connectedComponentsIters(edges: DataFrame): (DataFrame, Int) = {
+    val (labels, iters, _) = connectedComponentsCore(edges)
+    (labels, iters)
+  }
+
+  /** [[connectedComponents]] plus the release handle for the pinned
+    * final labels — the loop form for per-micro-batch callers
+    * (`dedupIngest`); one-shot callers use the plain form and let the
+    * ContextCleaner reclaim the result with the plan. */
+  private[graft] def connectedComponentsReleasable(edges: DataFrame): (DataFrame, () => Unit) = {
+    val (labels, _, release) = connectedComponentsCore(edges)
+    (labels, release)
+  }
+
+  private def connectedComponentsCore(edges: DataFrame): (DataFrame, Int, () => Unit) = {
     // per-round RELEASABLE materialization: each round pins its labels
     // relation and frees the previous round's blocks once the new one
     // is computed, so the loop's live storage stays O(V) instead of
@@ -777,8 +820,9 @@ object Dedup {
     releaseWalk()
     // the final labels stay pinned — they ARE the result the caller
     // consumes; the ContextCleaner reclaims them when the plan is
-    // dropped (release here would free them before the read).
-    (labels, iters)
+    // dropped, or a loop caller releases them explicitly through the
+    // returned handle once its derived writes land.
+    (labels, iters, releaseLabels)
   }
 
   /** Line-level boilerplate dedup (the CCNet/RefinedWeb pass): split

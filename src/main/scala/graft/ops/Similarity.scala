@@ -337,10 +337,22 @@ object Similarity {
   private def gdir(indexDir: String, pre: String, gen: Long) =
     s"$indexDir/${pre}_g$gen"
 
-  private def resolveIvf(spark: SparkSession, indexDir: String): graft.GenManifest.State =
+  private[graft] def resolveIvf(spark: SparkSession, indexDir: String): graft.GenManifest.State =
     graft.GenManifest.resolve(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no IVF index manifest under $indexDir — persistIvfIndex first"))
+
+  /** Explicit read schema for the label-partitioned corpus — NEVER
+    * inferred: the explicit type keeps `label` a BIGINT without a
+    * per-root cast, and an EMPTY committed delta (only `_SUCCESS` on
+    * disk) reads as zero rows instead of failing schema inference. */
+  private val corpusReadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, norm DOUBLE, label BIGINT")
+
+  private def readCorpusRoot(spark: SparkSession, root: String,
+      paths: Seq[String]): DataFrame =
+    spark.read.schema(corpusReadSchema).option("basePath", root)
+      .parquet(paths: _*)
 
   /** Persist the index as a SERVING layout: centroids and sufficient
     * stats as small parquet relations, the corpus PARTITIONED BY the
@@ -375,8 +387,7 @@ object Similarity {
     val corpusDir = gdir(dir, "corpus", st.gen)
     IvfIndex(
       spark.read.parquet(gdir(dir, "centroids", st.gen)),
-      spark.read.option("basePath", corpusDir).parquet(corpusDir)
-        .withColumn("label", col("label").cast("long")),
+      readCorpusRoot(spark, corpusDir, Seq(corpusDir)),
       spark.read.parquet(gdir(dir, "stats", st.gen)))
   }
 
@@ -387,9 +398,13 @@ object Similarity {
     * Shared by the batch served probe and the streaming server's
     * partition pruning. */
   private[graft] def nearestLabels(spark: SparkSession, indexDir: String,
-      query: Seq[Float], nprobe: Int): Seq[Long] = {
+      query: Seq[Float], nprobe: Int): Seq[Long] =
+    nearestLabelsAt(spark, indexDir, resolveIvf(spark, indexDir), query, nprobe)
+
+  private def nearestLabelsAt(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State, query: Seq[Float], nprobe: Int): Seq[Long] = {
     val qd = query.map(_.toDouble).toArray
-    servingCentroids(spark, indexDir).collect().map { r =>
+    spark.read.parquet(gdir(indexDir, "centroids", st.gen)).collect().map { r =>
       val cent = r.getSeq[Double](r.fieldIndex("cent"))
       var d2 = 0.0
       var i = 0
@@ -405,10 +420,12 @@ object Similarity {
     * a compaction that moved the centroids to a new generation is
     * picked up on the next batch with no coordination. */
   private[graft] def servingCentroids(spark: SparkSession,
-      indexDir: String): DataFrame = {
-    val st = resolveIvf(spark, indexDir)
+      indexDir: String): DataFrame =
+    servingCentroidsAt(spark, indexDir, resolveIvf(spark, indexDir))
+
+  private[graft] def servingCentroidsAt(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State): DataFrame =
     spark.read.parquet(gdir(indexDir, "centroids", st.gen))
-  }
 
   /** Grow a PERSISTED index in place: the batch is assigned to its
     * nearest existing centroids and written as a label-partitioned
@@ -446,8 +463,18 @@ object Similarity {
     * matching `nearDupCheck`'s contract — rather than killing a
     * streaming server over one edge-case query. */
   private[graft] def servingCorpus(spark: SparkSession, indexDir: String,
-      labels: Seq[Long]): DataFrame = {
-    val st = resolveIvf(spark, indexDir)
+      labels: Seq[Long]): DataFrame =
+    servingCorpusAt(spark, indexDir, resolveIvf(spark, indexDir), labels)
+
+  /** [[servingCorpus]] against an ALREADY-RESOLVED manifest state: a
+    * probe must resolve the manifest ONCE and use the same state for
+    * both the coarse quantizer and the corpus read — resolving twice
+    * races a Lloyd compaction (`compactIvfIndex(lloydIters>0)`
+    * re-clusters, so gen-N label ids denote different regions in gen
+    * N+1; labels picked against one generation's centroids must scan
+    * that same generation's cells). */
+  private[graft] def servingCorpusAt(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State, labels: Seq[Long]): DataFrame = {
     val roots = gdir(indexDir, "corpus", st.gen) +:
       graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
         .map(id => s"$indexDir/delta/b$id")
@@ -455,14 +482,12 @@ object Similarity {
       val paths = labels.map(l => s"$root/label=$l")
         .filter(p => graft.IndexFs.isDir(spark, p))
       if (paths.isEmpty) None
-      else Some(spark.read.option("basePath", root).parquet(paths: _*))
+      else Some(readCorpusRoot(spark, root, paths))
     }
     if (perRoot.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "vec_id BIGINT, embedding ARRAY<FLOAT>, norm DOUBLE, label BIGINT"))
+        corpusReadSchema)
     else perRoot.reduce(_ unionByName _)
-      .withColumn("label", col("label").cast("long"))
   }
 
   /** Lloyd refinement over an in-memory index: `iters` rounds of
@@ -506,7 +531,19 @@ object Similarity {
     * ([[lloydRefine]]): the new generation gets moved centroids,
     * refreshed stats, and reassigned labels — the drift-repair
     * rebuild. With 0 the centroids/stats are carried to the new
-    * generation unchanged. */
+    * generation unchanged.
+    *
+    * CONCURRENCY CONTRACT: serving may race any compaction (probes
+    * resolve one manifest and use it end to end), and INGEST may race
+    * a label-preserving compaction (`lloydIters = 0` — labels mean
+    * the same thing in every generation). A Lloyd compaction is
+    * OFFLINE MAINTENANCE with respect to ingest: a delta committed
+    * while the re-clustering fold is in flight carries labels
+    * assigned against the pre-fold centroids, and until the NEXT
+    * compaction folds (and relabels) it, probes into re-clustered
+    * cells can miss those vectors — degraded recall, self-healing at
+    * the next fold, but quiesce ingest around `lloydIters > 0` runs
+    * to avoid the window entirely. */
   def compactIvfIndex(spark: SparkSession, indexDir: String,
       lloydIters: Int = 0,
       maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
@@ -516,9 +553,8 @@ object Similarity {
       val roots = gdir(indexDir, "corpus", st.gen) +:
         deltas.map(id => s"$indexDir/delta/b$id")
       val all = roots
-        .map(root => spark.read.option("basePath", root).parquet(root))
+        .map(root => readCorpusRoot(spark, root, Seq(root)))
         .reduce(_ unionByName _)
-        .withColumn("label", col("label").cast("long"))
       val gen = st.gen + 1
       val idx0 = IvfIndex(
         spark.read.parquet(gdir(indexDir, "centroids", st.gen)),
@@ -545,7 +581,8 @@ object Similarity {
     * skew says when to re-cluster or lower `maxCellRows`
     * ([[graft.GenManifest]] cellStats over the `corpus` layout). */
   def ivfIndexStats(spark: SparkSession, indexDir: String): DataFrame =
-    graft.GenManifest.cellStats(spark, indexDir, "corpus", Seq("label"))
+    graft.GenManifest.cellStats(spark, indexDir, "corpus", Seq("label"),
+      corpusReadSchema)
 
   /** Probe a PERSISTED index by an external vector — the on-disk ANN
     * serving path. The coarse quantizer runs client-side
@@ -558,8 +595,11 @@ object Similarity {
     * index. */
   def ivfProbeVectorServed(spark: SparkSession, indexDir: String,
       query: Seq[Float], k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val labels = nearestLabels(spark, indexDir, query, nprobe)
-    val corpus = servingCorpus(spark, indexDir, labels)
+    // ONE manifest resolve serves both the coarse quantizer and the
+    // corpus read — see servingCorpusAt's race note
+    val st = resolveIvf(spark, indexDir)
+    val labels = nearestLabelsAt(spark, indexDir, st, query, nprobe)
+    val corpus = servingCorpusAt(spark, indexDir, st, labels)
     val q = spark.range(1).select(typedLit(query).as("qe"))
       .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
     val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))

@@ -857,7 +857,12 @@ object StreamOps {
       zip_with(col("cent"), col("qe"),
         (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
-    val centroids = graft.ops.Similarity.servingCentroids(spark, indexDir)
+    // ONE manifest resolve per batch: the cluster assignment and the
+    // pruned corpus read must see the SAME generation (a Lloyd
+    // compaction committing between two resolves would mix old-gen
+    // label ids with a re-clustered corpus)
+    val st = graft.ops.Similarity.resolveIvf(spark, indexDir)
+    val centroids = graft.ops.Similarity.servingCentroidsAt(spark, indexDir, st)
     val wc = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
     // pinned: the touched-label list (control plane) and the serving
     // join both consume the assignment — without the pin the
@@ -873,7 +878,7 @@ object StreamOps {
         .collect().map(_.getAs[Number](0).longValue).sorted
       if (touched.nonEmpty) {
         val corpus = graft.ops.Similarity
-          .servingCorpus(spark, indexDir, touched.toIndexedSeq)
+          .servingCorpusAt(spark, indexDir, st, touched.toIndexedSeq)
         val cos = graft.ops.Similarity.dot(col("embedding"), col("qe")) /
           (col("norm") * col("qnorm"))
         val wq = Window.partitionBy("query_id")
@@ -974,42 +979,50 @@ object StreamOps {
           // within-batch near-dup families among the index-fresh docs:
           // min doc_id per connected component survives, the rest are
           // flagged with the family survivor and their best edge's
-          // Jaccard as evidence
-          val localPairs = graft.ops.Dedup
-            .nearDupPairsLocal(fresh, threshold).persist()
-          val (inBatchDups, accepted) =
-            if (localPairs.isEmpty) {
-              localPairs.unpersist()
-              (None, fresh)
-            } else {
-              val labels = graft.ops.Dedup.connectedComponents(
-                localPairs.select(col("doc_a"), col("doc_b")))
-              val bestJac = localPairs
-                .select(col("doc_a").as("d"), col("jac"))
-                .unionByName(localPairs.select(col("doc_b").as("d"), col("jac")))
-                .groupBy("d").agg(max(col("jac")).as("jac"))
-              val flagged = labels.filter(col("node") =!= col("label"))
-                .select(col("node").as("doc_id"),
-                  col("label").cast("long").as("dup_of"))
-                .join(bestJac.withColumnRenamed("d", "doc_id"), Seq("doc_id"))
-                .select(col("doc_id"), col("dup_of"),
-                  round(col("jac"), 6).as("jac"))
-              val flaggedM = graft.Materialize(flagged)
-              localPairs.unpersist()
-              (Some(flaggedM),
-                fresh.join(flaggedM.select("doc_id"), Seq("doc_id"), "left_anti"))
-            }
-          graft.ops.Dedup.appendToLshIndex(spark, indexDir, accepted, batchId,
-            exactFallback = true)
-          val bestIndex = dups
-            .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
-              .orderBy(col("jac").desc, col("index_id"))))
-            .filter(col("rn") === 1)
-            .select(col("probe_id").as("doc_id"),
-              col("index_id").as("dup_of"), round(col("jac"), 6).as("jac"))
-          val best = inBatchDups.fold(bestIndex)(bestIndex.unionByName(_))
-          uniq.select("doc_id").join(best, Seq("doc_id"), "left")
-            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          // Jaccard as evidence. EVERY pin in this leg is releasable
+          // and released once the batch's writes land — one self-check
+          // runs per micro-batch for the stream's lifetime, so a
+          // session-pinned block per batch would accumulate without
+          // bound (the same discipline as the probe side above).
+          val (localPairs, releasePairs) = graft.ops.Dedup
+            .nearDupPairsLocalReleasable(fresh, threshold)
+          try {
+            val (inBatchDups, accepted, releaseFlagged) =
+              if (localPairs.isEmpty) (None, fresh, () => ())
+              else {
+                val (labels, releaseLabels) = graft.ops.Dedup
+                  .connectedComponentsReleasable(
+                    localPairs.select(col("doc_a"), col("doc_b")))
+                val bestJac = localPairs
+                  .select(col("doc_a").as("d"), col("jac"))
+                  .unionByName(localPairs.select(col("doc_b").as("d"), col("jac")))
+                  .groupBy("d").agg(max(col("jac")).as("jac"))
+                val flagged = labels.filter(col("node") =!= col("label"))
+                  .select(col("node").as("doc_id"),
+                    col("label").cast("long").as("dup_of"))
+                  .join(bestJac.withColumnRenamed("d", "doc_id"), Seq("doc_id"))
+                  .select(col("doc_id"), col("dup_of"),
+                    round(col("jac"), 6).as("jac"))
+                val (flaggedM, releaseF) = graft.Materialize.releasable(flagged)
+                releaseLabels() // flaggedM is materialized off the labels
+                (Some(flaggedM),
+                  fresh.join(flaggedM.select("doc_id"), Seq("doc_id"), "left_anti"),
+                  releaseF)
+              }
+            try {
+              graft.ops.Dedup.appendToLshIndex(spark, indexDir, accepted, batchId,
+                exactFallback = true)
+              val bestIndex = dups
+                .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+                  .orderBy(col("jac").desc, col("index_id"))))
+                .filter(col("rn") === 1)
+                .select(col("probe_id").as("doc_id"),
+                  col("index_id").as("dup_of"), round(col("jac"), 6).as("jac"))
+              val best = inBatchDups.fold(bestIndex)(bestIndex.unionByName(_))
+              uniq.select("doc_id").join(best, Seq("doc_id"), "left")
+                .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+            } finally releaseFlagged()
+          } finally releasePairs()
         } finally { fresh.unpersist(); () }
       } finally { dups.unpersist(); releaseProbe() }
     } finally { uniq.unpersist(); () }

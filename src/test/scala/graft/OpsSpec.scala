@@ -605,6 +605,80 @@ class OpsSpec extends SparkSuite {
     assert(counts("pipeline") === 1L)
   }
 
+  test("an all-digit sig_p cell keeps its leading zero through compaction") {
+    // Partition-value inference narrows '07' to int 7; a compaction
+    // reading the cell that way would rewrite it as sig_p=7 and every
+    // future probe (whose path comes from substring(sig,1,2)) would
+    // miss the cell's rows forever. The explicit read schema keeps the
+    // raw string; this pins it with an md5-hunted document whose
+    // band-0 cell is exactly '0<digit>'.
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def band0Prefix(tokens: Seq[String]): String = {
+      val shingles = tokens.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      (0 until 4).map(i =>
+        shingles.map(s => md5hex(s).substring(8 * i, 8 * i + 8)).min)
+        .mkString.substring(0, 2)
+    }
+    val (toks, cell) = (0 until 5000).iterator.map { i =>
+      val t = Seq(s"q$i", s"w$i", s"e$i", s"r$i", s"t$i")
+      (t, band0Prefix(t))
+    }.find(_._2.matches("0[0-9]")).get
+    val text = toks.mkString(" ")
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-zero").toString
+    Dedup.persistLshIndex(Seq(1L -> text).toDF("doc_id", "text"), indexDir)
+    assert(new java.io.File(s"$indexDir/bands_g0/band_id=0/sig_p=$cell").isDirectory,
+      s"hunted cell $cell not on disk — prefix math drifted from bandRows")
+
+    val probe = Seq(9L -> text).toDF("doc_id", "text")
+    def matched(): Seq[(Long, Long)] =
+      Dedup.nearDupCheck(spark, indexDir, probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(matched() === Seq((9L, 1L)))
+
+    // the read→rewrite cycle that used to narrow '0d' → 'd'
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(2L -> "unrelated tokens entirely different from before now").toDF("doc_id", "text"),
+      batchId = 1L)
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(new java.io.File(s"$indexDir/bands_g1/band_id=0/sig_p=$cell").isDirectory,
+      "compaction lost the leading zero — cell rows orphaned from every future probe")
+    assert(matched() === Seq((9L, 1L)))
+  }
+
+  test("an empty committed delta neither wedges compaction nor corrupts stats") {
+    // An all-duplicate micro-batch accepts nothing: its delta lands as
+    // _SUCCESS with no cells. Listing treats it as committed — the
+    // explicit read schema must make compaction and stats read it as
+    // zero rows instead of dying on schema inference (a wedged
+    // compaction is permanent: every retry hits the same delta).
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-empty").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lsh-empty-out").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(Seq(2L -> seeded).toDF("doc_id", "text"), indexDir)
+    // batch 1: an exact near-copy of the seeded doc — flagged, nothing
+    // accepted, empty delta written
+    graft.streaming.StreamOps.dedupIngestBatch(
+      Seq(11L -> seeded.replace(" mu", " nu")).toDF("doc_id", "text"),
+      indexDir, outDir, batchId = 1L, threshold = 0.4)
+    assert(new java.io.File(s"$indexDir/delta/b1/_SUCCESS").isFile,
+      "empty delta not committed — test premise broken")
+
+    val stats = Dedup.lshIndexStats(spark, indexDir)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(stats.forall(_._1 == "base"), s"phantom rows in the empty delta: ${stats.toSeq}")
+
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(GenManifest.resolve(spark, indexDir).get.floor === 1L)
+    val pairs = Dedup.nearDupCheck(spark, indexDir,
+      Seq(21L -> seeded.replace(" mu", " nu")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((21L, 2L)))
+  }
+
   test("a torn delta (no _SUCCESS) is invisible to serving AND compaction until its replay commits") {
     // A delta mid-write — crashed, in flight, or being replay-
     // overwritten — has no _SUCCESS marker. Serving must skip it (a

@@ -1030,31 +1030,38 @@ class StreamingSpec extends SparkSuite {
     val indexDir = java.nio.file.Files.createTempDirectory("dedup-short-idx").toString
     val outDir = java.nio.file.Files.createTempDirectory("dedup-short-out").toString
     val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
-    Dedup.persistLshIndex(Seq(2L -> seeded).toDF("doc_id", "text"), indexDir)
+    // the seeded BASE includes a short doc: persistLshIndex's default
+    // fallback indexes it under the reserved band, so the base
+    // population participates in the same short-doc contract the
+    // ingest probes with (a base built fallback-less would silently
+    // exempt its short docs from dedup forever)
+    Dedup.persistLshIndex(
+      Seq(2L -> seeded, 3L -> "tiny document").toDF("doc_id", "text"), indexDir)
 
     def decisions(b: Int): Map[Long, Option[Long]] =
       spark.read.parquet(s"$outDir/b$b")
         .collect().map(r => r.getLong(0) ->
           (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-    // batch 0: a 2-token doc (no shingles — the round-6 blind spot)
-    // and a zero-token doc; both accepted
+    // batch 0: a 2-token doc (no shingles — the round-6 blind spot),
+    // a zero-token doc, and a reordered copy of the BASE short doc
     StreamOps.dedupIngestBatch(
-      Seq(401L -> "hello world", 403L -> "").toDF("doc_id", "text"),
+      Seq(401L -> "hello world", 403L -> "", 405L -> "document tiny")
+        .toDF("doc_id", "text"),
       indexDir, outDir, batchId = 0L, threshold = 0.4)
-    assert(decisions(0) === Map(401L -> None, 403L -> None))
+    assert(decisions(0) === Map(401L -> None, 403L -> None, 405L -> Some(3L)))
     // batch 1: an exact cross-batch copy of the short doc is flagged
     // via the fingerprint fallback cell (Jaccard 1.0 on the token set)
     StreamOps.dedupIngestBatch(
-      Seq(405L -> "hello world").toDF("doc_id", "text"),
+      Seq(407L -> "hello world").toDF("doc_id", "text"),
       indexDir, outDir, batchId = 1L, threshold = 0.4)
-    assert(decisions(1) === Map(405L -> Some(401L)))
+    assert(decisions(1) === Map(407L -> Some(401L)))
     // batch 2: a token-REORDERED copy collides in the same fallback
     // cell (bag-of-words fingerprint); a zero-token doc stays
     // unmatchable by contract (no content to match on)
     StreamOps.dedupIngestBatch(
-      Seq(407L -> "world hello", 409L -> "").toDF("doc_id", "text"),
+      Seq(409L -> "world hello", 411L -> "").toDF("doc_id", "text"),
       indexDir, outDir, batchId = 2L, threshold = 0.4)
-    assert(decisions(2) === Map(407L -> Some(401L), 409L -> None))
+    assert(decisions(2) === Map(409L -> Some(401L), 411L -> None))
   }
 
   test("IVF serving racing compaction never returns a truncated or double-counted top-k") {
