@@ -95,9 +95,23 @@ object IndexFs {
       out.hflush()
       out.hsync() // durable BEFORE the rename makes it visible
     } finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"atomic commit failed: $tmp -> $p")
+    // rename with OVERWRITE semantics: a replayed batch rewriting its
+    // own manifest must never open a window where NO manifest file
+    // exists (a delete-then-rename would briefly make a concurrent
+    // manifestIds listing resolve the OLDER manifest as "latest").
+    // FileContext provides atomic overwrite on file:/hdfs:; schemes
+    // without an AbstractFileSystem binding fall back to
+    // delete+rename, accepting the narrow window there.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"atomic commit failed: $tmp -> $p")
+    }
   }
 }
 

@@ -42,8 +42,6 @@ object ServeSoak {
       val a = f
       (a, (System.nanoTime() - t0) / 1e9)
     }
-    def median3(f: => Unit): Double =
-      Bench.median((1 to 3).map(_ => timed(f)._2).drop(1))
 
     // the ingest-shaped probe: a handful of near-copies of corpus docs
     def probeDocs(dir: String) = {
@@ -57,29 +55,38 @@ object ServeSoak {
     }
     val qvec = Array.tabulate(64)(i => (((i % 7) - 3) / 4.0).toFloat).toSeq
 
-    for ((tag, dir) <- Seq(("base", baseDir), (s"x$factor", soakDir))) {
-      val rows = spark.read.parquet(s"$dir/documents.parquet").count()
-      val vecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
-
-      val lshDir = java.nio.file.Files.createTempDirectory(s"soak-lsh-$tag").toString
-      val (_, lshBuild) = timed(graft.ops.Dedup.persistLshIndex(
-        spark.read.parquet(s"$dir/documents.parquet"), lshDir))
-      val probe = probeDocs(dir)
-      probe.collect() // materialize the probe outside the timed region
-      val lshServe = median3 {
-        graft.ops.Dedup.nearDupCheck(spark, lshDir, probe).collect(); ()
-      }
-
-      val ivfDir = java.nio.file.Files.createTempDirectory(s"soak-ivf-$tag").toString
-      val (_, ivfBuild) = timed(graft.ops.Similarity.persistIvfIndex(
-        graft.ops.Similarity.buildIvfIndexFrom(
-          spark.read.parquet(s"$dir/embeddings.parquet")), ivfDir))
-      val ivfServe = median3 {
-        graft.ops.Similarity.ivfProbeVectorServed(spark, ivfDir, qvec).collect(); ()
-      }
-      println(f"[servesoak] $tag%-5s docs=$rows%8d vecs=$vecs%8d " +
-        f"lsh_build=$lshBuild%7.2fs lsh_serve=$lshServe%6.2fs " +
-        f"ivf_build=$ivfBuild%7.2fs ivf_serve=$ivfServe%6.2fs")
+    // build ALL indexes first (one timed build each), then measure the
+    // four serve legs over INTERLEAVED passes — back-to-back repeats of
+    // one measurement are the non-robust form (container-load drift
+    // lands entirely on one leg; see CLAUDE.md / Bench).
+    final case class Leg(tag: String, dir: String, name: String,
+        serve: () => Unit, build: Double, docs: Long, vecs: Long)
+    val legs = Seq(("base", baseDir), (s"x$factor", soakDir)).flatMap {
+      case (tag, dir) =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+        val vecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        val lshDir = java.nio.file.Files.createTempDirectory(s"soak-lsh-$tag").toString
+        val (_, lshBuild) = timed(graft.ops.Dedup.persistLshIndex(
+          spark.read.parquet(s"$dir/documents.parquet"), lshDir))
+        val probe = probeDocs(dir)
+        probe.collect() // materialize the probe outside the timed region
+        val ivfDir = java.nio.file.Files.createTempDirectory(s"soak-ivf-$tag").toString
+        val (_, ivfBuild) = timed(graft.ops.Similarity.persistIvfIndex(
+          graft.ops.Similarity.buildIvfIndexFrom(
+            spark.read.parquet(s"$dir/embeddings.parquet")), ivfDir))
+        Seq(
+          Leg(tag, dir, "lsh_serve",
+            () => { graft.ops.Dedup.nearDupCheck(spark, lshDir, probe).collect(); () },
+            lshBuild, docs, vecs),
+          Leg(tag, dir, "ivf_serve",
+            () => { graft.ops.Similarity.ivfProbeVectorServed(spark, ivfDir, qvec).collect(); () },
+            ivfBuild, docs, vecs))
+    }
+    val passes = (1 to 3).map(_ => legs.map(l => timed(l.serve())._2))
+    for ((leg, i) <- legs.zipWithIndex) {
+      val serve = Bench.median(passes.drop(1).map(_(i)))
+      println(f"[servesoak] ${leg.tag}%-5s ${leg.name}%-9s docs=${leg.docs}%8d " +
+        f"vecs=${leg.vecs}%8d build=${leg.build}%7.2fs serve=$serve%6.2fs")
     }
     spark.stop()
   }

@@ -381,6 +381,22 @@ object Dedup {
       indexDir: String, probeDocs: DataFrame, threshold: Double,
       belowBatch: Long, prefixLen: Int, broadcastProbe: Boolean,
       exactFallback: Boolean): (DataFrame, () => Unit) = {
+    val (out, _, release) = nearDupCheckWithProbe(spark, indexDir, probeDocs,
+      threshold, belowBatch, prefixLen, broadcastProbe, exactFallback)
+    (out, release)
+  }
+
+  /** [[nearDupCheckReleasable]] that ALSO hands back the pinned probe
+    * band-row relation `(probe_id, band_id, sig, sig_p, pss)` — the
+    * most expensive per-batch computation (shingle + MinHash + set
+    * collection). `dedupIngest` reuses it for the within-batch
+    * self-check instead of re-banding the batch's text from scratch,
+    * halving steady-state ingest CPU. The single release handle frees
+    * the probe pin; call it only after every derived read is done. */
+  private[graft] def nearDupCheckWithProbe(spark: SparkSession,
+      indexDir: String, probeDocs: DataFrame, threshold: Double,
+      belowBatch: Long, prefixLen: Int, broadcastProbe: Boolean,
+      exactFallback: Boolean): (DataFrame, DataFrame, () => Unit) = {
     val (probe, release) = Materialize.releasable(
       bandRows(probeDocs, prefixLen, exactFallback)
         .select(col("doc_id").as("probe_id"), col("band_id"), col("sig"),
@@ -393,8 +409,7 @@ object Dedup {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "probe_id BIGINT, index_id BIGINT, jac DOUBLE"))
-      release()
-      return (empty, () => ())
+      return (empty, probe, release)
     }
     val index = perRoot.reduce(_ unionByName _)
       .select(col("doc_id").as("index_id"), col("band_id"), col("sig"),
@@ -404,13 +419,21 @@ object Dedup {
       (size(col("pss")) + size(col("iss")) - inter)
     val probeSide = if (broadcastProbe) broadcast(probe) else probe
     val out = index.join(probeSide, Seq("band_id", "sig"))
+      // a doc is never a near-dup OF ITSELF: ids are globally unique
+      // in this contract, and a crash-replayed ingest batch whose
+      // delta was already COMPACTED finds its own docs in the base
+      // generation (belowBatch can only exclude deltas) — without
+      // this guard the replay would flag every previously-accepted
+      // doc as dup_of its own id and corrupt the rewritten decision
+      // log
+      .filter(col("probe_id") =!= col("index_id"))
       // a pair sharing both bands appears twice — collapse before the
       // (per-pair) verify; the sets ride along, identical per doc
       .groupBy("probe_id", "index_id")
       .agg(first(col("pss")).as("pss"), first(col("iss")).as("iss"))
       .select(col("probe_id"), col("index_id"), jac.as("jac"))
       .filter(col("jac") >= threshold)
-    (out, release)
+    (out, probe, release)
   }
 
   /** Confirmed near-dup pairs WITHIN one document batch (no persisted
@@ -433,6 +456,18 @@ object Dedup {
       threshold: Double = jaccardThreshold,
       prefixLen: Int = 2): (DataFrame, () => Unit) = {
     val (rows, release) = Materialize.releasable(bandRows(docs, prefixLen))
+    val out = nearDupPairsFromBandRows(rows, threshold)
+    release()
+    out
+  }
+
+  /** The self-join + verify leg of the within-batch check over
+    * ALREADY-BANDED rows `(doc_id, band_id, sig, ss)` — so a caller
+    * that has the batch's band rows pinned (the ingest path, via
+    * [[nearDupCheckWithProbe]]) never re-runs the banding pipeline.
+    * Returns the confirmed pairs materialized releasably. */
+  private[graft] def nearDupPairsFromBandRows(rows: DataFrame,
+      threshold: Double): (DataFrame, () => Unit) = {
     val a = rows.select(col("doc_id").as("doc_a"), col("band_id"),
       col("sig"), col("ss").as("sa"))
     val b = rows.select(col("doc_id").as("doc_b"), col("band_id"),
@@ -440,15 +475,13 @@ object Dedup {
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jac = inter.cast("double") /
       (size(col("sa")) + size(col("sb")) - inter)
-    val out = Materialize.releasable(
+    Materialize.releasable(
       a.join(b, Seq("band_id", "sig"))
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
         .select(col("doc_a"), col("doc_b"), jac.as("jac"))
         .filter(col("jac") >= threshold))
-    release()
-    out
   }
 
   /** Fold the committed deltas into a NEW base generation and commit

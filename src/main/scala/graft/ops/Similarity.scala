@@ -386,7 +386,7 @@ object Similarity {
     val st = resolveIvf(spark, dir)
     val corpusDir = gdir(dir, "corpus", st.gen)
     IvfIndex(
-      spark.read.parquet(gdir(dir, "centroids", st.gen)),
+      servingCentroidsAt(spark, dir, st),
       readCorpusRoot(spark, corpusDir, Seq(corpusDir)),
       spark.read.parquet(gdir(dir, "stats", st.gen)))
   }
@@ -404,7 +404,7 @@ object Similarity {
   private def nearestLabelsAt(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State, query: Seq[Float], nprobe: Int): Seq[Long] = {
     val qd = query.map(_.toDouble).toArray
-    spark.read.parquet(gdir(indexDir, "centroids", st.gen)).collect().map { r =>
+    servingCentroidsAt(spark, indexDir, st).collect().map { r =>
       val cent = r.getSeq[Double](r.fieldIndex("cent"))
       var d2 = 0.0
       var i = 0
@@ -444,7 +444,7 @@ object Similarity {
       newVecs: DataFrame, batchId: Long,
       maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
     val st = resolveIvf(spark, indexDir)
-    val centroids = spark.read.parquet(gdir(indexDir, "centroids", st.gen))
+    val centroids = servingCentroidsAt(spark, indexDir, st)
     Storage.writeCellClustered(
       assignToCentroids(centroids, newVecs)
         .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
@@ -500,7 +500,16 @@ object Similarity {
     * the PropertySpec drift arc reproduces). Each round's corpus is
     * materialized releasably so round N+1 never re-runs round N's
     * assignment join. */
-  def lloydRefine(index: IvfIndex, iters: Int): IvfIndex = {
+  def lloydRefine(index: IvfIndex, iters: Int): IvfIndex =
+    lloydRefineReleasable(index, iters)._1
+
+  /** [[lloydRefine]] plus the release handle for the FINAL round's
+    * pinned corpus — a caller that persists the result and drops the
+    * index (`compactIvfIndex`) must release it, or every Lloyd
+    * compaction leaves an O(corpus) pin behind until the
+    * nondeterministic ContextCleaner notices. */
+  private[graft] def lloydRefineReleasable(index: IvfIndex,
+      iters: Int): (IvfIndex, () => Unit) = {
     var cur = index
     var release: () => Unit = () => ()
     for (_ <- 1 to iters) {
@@ -512,7 +521,7 @@ object Similarity {
       release = rel
       cur = buildIvfIndexFrom(reassigned)
     }
-    cur
+    (cur, release)
   }
 
   /** Fold every committed delta into a NEW base generation and commit
@@ -557,18 +566,22 @@ object Similarity {
         .reduce(_ unionByName _)
       val gen = st.gen + 1
       val idx0 = IvfIndex(
-        spark.read.parquet(gdir(indexDir, "centroids", st.gen)),
+        servingCentroidsAt(spark, indexDir, st),
         all,
         spark.read.parquet(gdir(indexDir, "stats", st.gen)))
       // lloydRefine's corpus already carries norms (buildIvfIndexFrom)
-      val idx = if (lloydIters > 0) lloydRefine(idx0, lloydIters) else idx0
-      idx.centroids.write.mode("overwrite").parquet(gdir(indexDir, "centroids", gen))
-      idx.stats.write.mode("overwrite").parquet(gdir(indexDir, "stats", gen))
-      Storage.writeCellClustered(
-        idx.corpus.select(col("vec_id"), col("label"), col("embedding"), col("norm")),
-        Seq("label"), "vec_id", gdir(indexDir, "corpus", gen), maxCellRows)
-      graft.GenManifest.commit(spark, indexDir, st.seq + 1, gen,
-        floor = if (deltas.nonEmpty) deltas.max else st.floor)
+      val (idx, releaseRefined) =
+        if (lloydIters > 0) lloydRefineReleasable(idx0, lloydIters)
+        else (idx0, () => ())
+      try {
+        idx.centroids.write.mode("overwrite").parquet(gdir(indexDir, "centroids", gen))
+        idx.stats.write.mode("overwrite").parquet(gdir(indexDir, "stats", gen))
+        Storage.writeCellClustered(
+          idx.corpus.select(col("vec_id"), col("label"), col("embedding"), col("norm")),
+          Seq("label"), "vec_id", gdir(indexDir, "corpus", gen), maxCellRows)
+        graft.GenManifest.commit(spark, indexDir, st.seq + 1, gen,
+          floor = if (deltas.nonEmpty) deltas.max else st.floor)
+      } finally releaseRefined()
     } else {
       graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen, st.floor)
     }

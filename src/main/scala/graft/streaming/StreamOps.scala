@@ -966,7 +966,7 @@ object StreamOps {
       // stream's lifetime — the pinned probe relation is freed once
       // this batch's writes land, not when the ContextCleaner gets
       // around to it
-      val (dupsRaw, releaseProbe) = graft.ops.Dedup.nearDupCheckReleasable(
+      val (dupsRaw, probeRows, releaseProbe) = graft.ops.Dedup.nearDupCheckWithProbe(
         spark, indexDir, uniq, threshold, belowBatch = batchId,
         prefixLen = 2, broadcastProbe = true, exactFallback = true)
       val dups = dupsRaw.persist()
@@ -984,8 +984,16 @@ object StreamOps {
           // runs per micro-batch for the stream's lifetime, so a
           // session-pinned block per batch would accumulate without
           // bound (the same discipline as the probe side above).
+          // the batch is already banded (the pinned probe relation) —
+          // restrict it to the index-fresh docs and self-join, instead
+          // of re-running shingle+MinHash over the batch's text
+          val freshBandRows = probeRows
+            .join(fresh.select(col("doc_id").as("probe_id")),
+              Seq("probe_id"), "left_semi")
+            .select(col("probe_id").as("doc_id"), col("band_id"),
+              col("sig"), col("pss").as("ss"))
           val (localPairs, releasePairs) = graft.ops.Dedup
-            .nearDupPairsLocalReleasable(fresh, threshold)
+            .nearDupPairsFromBandRows(freshBandRows, threshold)
           try {
             val (inBatchDups, accepted, releaseFlagged) =
               if (localPairs.isEmpty) (None, fresh, () => ())
@@ -1028,14 +1036,27 @@ object StreamOps {
     } finally { uniq.unpersist(); () }
   }
 
-  /** Union of every served batch's results (empty schema-stable frame
-    * if nothing was served yet). */
-  def annResults(spark: org.apache.spark.sql.SparkSession,
-      outDir: String): Option[DataFrame] = {
+  /** Union of batch-result directories under an explicit schema —
+    * NEVER inferred: a batch whose result was empty (all probed cells
+    * missing, or an all-clean decontamination batch) writes only
+    * `_SUCCESS`, and schema inference over file-less directories
+    * throws instead of returning zero rows. */
+  private def batchResults(spark: org.apache.spark.sql.SparkSession,
+      outDir: String,
+      schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
     val dirs = graft.IndexFs.listNames(spark, outDir, "b\\d+")
       .map(n => s"$outDir/$n")
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema(schema).parquet(dirs: _*))
   }
+
+  /** Union of every served batch's results (None if no batch landed
+    * yet; a batch that served zero hits contributes zero rows). */
+  def annResults(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Option[DataFrame] =
+    batchResults(spark, outDir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id BIGINT, vec_id BIGINT, cos_sim DOUBLE"))
 
   /** The eval-set contamination index the streaming leg probes: the
     * pinned distinct eval shingle relation (the exact-verify side) and
@@ -1094,7 +1115,11 @@ object StreamOps {
   }
 
   /** Union of every decontamination batch's flagged docs (None if no
-    * batch has landed yet). */
+    * batch has landed yet; an all-clean batch contributes zero rows —
+    * the common case, which must not crash the reader). */
   def decontaminationResults(spark: org.apache.spark.sql.SparkSession,
-      outDir: String): Option[DataFrame] = annResults(spark, outDir)
+      outDir: String): Option[DataFrame] =
+    batchResults(spark, outDir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "train_doc BIGINT, n_shingles BIGINT, n_eval_docs BIGINT"))
 }

@@ -1165,6 +1165,42 @@ class StreamingSpec extends SparkSuite {
     assert(StreamOps.decontaminationResults(spark, outDir).get.count() === 2)
   }
 
+  test("a crash-replayed batch whose delta was already compacted does not flag its own docs") {
+    // Crash order: batch 1 appends its delta (committed), then dies
+    // BEFORE the streaming checkpoint commits. Offline compaction runs
+    // — the blessed anytime-maintenance op — and folds b1 into the
+    // base. On restart batch 1 replays: belowBatch can only exclude
+    // DELTAS, so the batch's own docs are now visible in the base, and
+    // without the self-match guard every previously-accepted doc would
+    // be rewritten as dup_of its own id.
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-replay-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dedup-replay-out").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(Seq(2L -> seeded).toDF("doc_id", "text"), indexDir)
+    val textA = "one two three four five six seven eight nine ten eleven twelve"
+    val textC = "red orange yellow green blue indigo violet septaria umbra ochre sienna teal"
+    val batch = Seq(301L -> textA, 303L -> textC).toDF("doc_id", "text")
+    StreamOps.dedupIngestBatch(batch, indexDir, outDir, batchId = 1L, threshold = 0.4)
+    def decisions(): Map[Long, Option[Long]] =
+      spark.read.parquet(s"$outDir/b1")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(decisions() === Map(301L -> None, 303L -> None))
+
+    Dedup.compactLshIndex(spark, indexDir) // folds b1 into the base
+    assert(GenManifest.resolve(spark, indexDir).get.floor === 1L)
+
+    StreamOps.dedupIngestBatch(batch, indexDir, outDir, batchId = 1L, threshold = 0.4)
+    assert(decisions() === Map(301L -> None, 303L -> None),
+      "replayed batch flagged its own compacted docs")
+    // and the index still holds exactly one copy of each
+    val copies = Dedup.nearDupCheck(spark, indexDir,
+      Seq(999L -> textA).toDF("doc_id", "text"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(copies === Seq((999L, 301L)), s"replay duplicated the index: $copies")
+  }
+
   test("IVF serving racing live ingest only ever sees committed append prefixes") {
     // The "no coordination" claim raced for real: a prober thread
     // hammers the served probe while the main thread appends delta
