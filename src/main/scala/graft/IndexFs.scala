@@ -55,6 +55,17 @@ object IndexFs {
     ()
   }
 
+  /** Rename (same filesystem). Returns false on failure — the caller
+    * must treat false as "commit did not happen" (on HDFS a rename
+    * onto an existing destination fails rather than overwrites; the
+    * local scheme can overwrite, so check-then-rename callers must
+    * tolerate either). Used by the batch-directory commit of
+    * [[graft.streaming.ExactlyOnceSink]]. */
+  def rename(spark: SparkSession, src: String, dst: String): Boolean = {
+    val (fs, s) = fp(spark, src)
+    fs.rename(s, new Path(dst))
+  }
+
   def readUtf8(spark: SparkSession, path: String): String = {
     val (fs, p) = fp(spark, path)
     val in = fs.open(p)

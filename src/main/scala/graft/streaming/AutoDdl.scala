@@ -134,6 +134,14 @@ object AutoDdl {
       if (cfg.sinkType == "dim") {
         if (isValid(cfg)) ensureTable(spark, db, cfg)
         else rejected += cfg
+      } else if (cfg.sinkType == null || cfg.sinkType.trim.isEmpty) {
+        // a half-written config row (null/blank sinkType) is MALFORMED,
+        // not merely non-dim: silently skipping it leaves no evidence
+        // when data later routes to its sinkTable and fails — route it
+        // to the side channel like any other invalid row. (Recognized
+        // non-dim types, e.g. kafka-routed configs, are legitimately
+        // not this DDL layer's concern and pass through untouched.)
+        rejected += cfg
       }
     }
     onReject(rejected.result())

@@ -34,12 +34,16 @@ object ExactlyOnceSink {
     * outDir reused) — silently skipping would drop every new batch,
     * so that case fails loudly instead. */
   def commit(batch: DataFrame, outDir: String, batchId: Long): Boolean = {
-    val target = new java.io.File(s"$outDir/batch=$batchId")
-    if (target.exists()) {
-      val maxCommitted = Option(new java.io.File(outDir).listFiles())
-        .getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-        .map(_.getName.stripPrefix("batch=").toLong).max
+    // all control-plane FS access through the Hadoop seam
+    // (graft.IndexFs): java.io.File silently answers "nothing exists"
+    // for hdfs:/s3a: outDirs — a replayed batch would then RE-commit
+    // (duplicates, the one failure this sink exists to prevent) and
+    // renameTo would fail every first commit
+    val spark = batch.sparkSession
+    val target = s"$outDir/batch=$batchId"
+    if (graft.IndexFs.exists(spark, target)) {
+      val maxCommitted = graft.IndexFs.listNames(spark, outDir, "batch=\\d+")
+        .map(_.stripPrefix("batch=").toLong).max
       if (batchId < maxCommitted)
         throw new IllegalStateException(
           s"batch=$batchId already exists but commits reach batch=$maxCommitted: " +
@@ -47,9 +51,16 @@ object ExactlyOnceSink {
             "clear the outDir or restore the matching checkpoint")
       false
     } else {
-      val tmp = new java.io.File(s"$outDir/.inflight-$batchId")
-      batch.write.mode("overwrite").parquet(tmp.toString)
-      if (!tmp.renameTo(target))
+      // record the sink schema ONCE (atomic sidecar): an empty batch
+      // writes only _SUCCESS, and a reader over an all-empty history
+      // must still get a typed empty frame instead of a
+      // schema-inference failure
+      if (!graft.IndexFs.exists(spark, s"$outDir/_schema.ddl"))
+        graft.IndexFs.writeUtf8Atomic(spark, s"$outDir/_schema.ddl",
+          batch.schema.toDDL)
+      val tmp = s"$outDir/.inflight-$batchId"
+      batch.write.mode("overwrite").parquet(tmp)
+      if (!graft.IndexFs.rename(spark, tmp, target))
         throw new java.io.IOException(s"commit rename failed for batch $batchId")
       true
     }
@@ -64,13 +75,24 @@ object ExactlyOnceSink {
 
   /** Everything committed so far (inflight temp dirs invisible).
     * Before any batch has committed there is no schema to offer, so
-    * the result is an empty zero-column frame rather than the
-    * AnalysisException a bare glob read would throw. */
+    * the result is an empty zero-column frame. Committed batches read
+    * under the sink's recorded `_schema.ddl` sidecar — NEVER inferred:
+    * empty batches commit only a `_SUCCESS` marker, and inference over
+    * file-less directories throws instead of contributing zero rows
+    * (a legacy outDir without the sidecar falls back to inference,
+    * which worked exactly when every batch had data). */
   def readCommitted(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
-    val committed = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    val committed = graft.IndexFs.listNames(spark, outDir, "batch=\\d+")
+      .map(n => s"$outDir/$n")
     if (committed.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(committed.map(_.toString).toIndexedSeq: _*)
+    else {
+      val ddl = s"$outDir/_schema.ddl"
+      val reader =
+        if (graft.IndexFs.exists(spark, ddl))
+          spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+            graft.IndexFs.readUtf8(spark, ddl)))
+        else spark.read
+      reader.parquet(committed: _*)
+    }
   }
 }

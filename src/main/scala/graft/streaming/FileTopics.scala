@@ -56,33 +56,71 @@ object FileTopics {
     * Falls back to a log scan for topics written before the ledger
     * existed. */
   def endOffsets(spark: SparkSession, brokerDir: String, topic: String): Map[Int, Long] =
-    readLedger(brokerDir, topic).getOrElse {
-      if (!topicExists(brokerDir, topic)) Map.empty
-      else spark.read.schema(recordSchema).parquet(topicDir(brokerDir, topic))
-        .groupBy("partition").agg(max("offset").as("m"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
-    }
+    readLedger(brokerDir, topic).map(_.cur)
+      .getOrElse(scanEndOffsets(spark, brokerDir, topic))
+
+  private def scanEndOffsets(spark: SparkSession, brokerDir: String,
+      topic: String): Map[Int, Long] =
+    if (!topicExists(brokerDir, topic)) Map.empty
+    else spark.read.schema(recordSchema).parquet(topicDir(brokerDir, topic))
+      .groupBy("partition").agg(max("offset").as("m"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
 
   private def ledgerFile(brokerDir: String, topic: String) =
     new java.io.File(s"${topicDir(brokerDir, topic)}/_offsets.json")
 
-  /** The sidecar is a tiny `partition:offset` map, swapped atomically
-    * (tmp + rename) by the single writer after each append. */
-  private def readLedger(brokerDir: String, topic: String): Option[Map[Int, Long]] = {
+  /** The producer's commit record: `cur` = committed log-end offsets;
+    * `batch`/`pre` = the last streaming batchId absorbed and the
+    * offsets BEFORE its append — what a replay of that same batchId
+    * must restore to (producer-side exactly-once). */
+  private[streaming] final case class Ledger(batch: Option[Long],
+      pre: Map[Int, Long], cur: Map[Int, Long])
+
+  private def parseOffsets(s: String): Map[Int, Long] =
+    s.split(",").filter(_.nonEmpty)
+      .map { kv => val Array(p, o) = kv.split(":"); p.toInt -> o.toLong }
+      .toMap
+
+  /** The sidecar is a tiny text record, swapped atomically (fsync'd
+    * tmp + ATOMIC_MOVE) by the single writer after each append. V1
+    * files (one `p:o,...` line) parse as cur-only. */
+  private[streaming] def readLedger(brokerDir: String, topic: String): Option[Ledger] = {
     val f = ledgerFile(brokerDir, topic)
     if (!f.exists()) None
-    else Some(
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .split(",").filter(_.nonEmpty)
-        .map { kv => val Array(p, o) = kv.split(":"); p.toInt -> o.toLong }
-        .toMap)
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .linesIterator.filter(_.nonEmpty).toSeq
+      if (!lines.exists(_.startsWith("cur=")))
+        Some(Ledger(None, Map.empty, parseOffsets(lines.mkString(","))))
+      else {
+        def field(k: String): Option[String] =
+          lines.find(_.startsWith(s"$k=")).map(_.drop(k.length + 1))
+        Some(Ledger(
+          field("batch").map(_.toLong),
+          field("pre").map(parseOffsets).getOrElse(Map.empty),
+          field("cur").map(parseOffsets).getOrElse(Map.empty)))
+      }
+    }
   }
 
-  private def writeLedger(brokerDir: String, topic: String, offsets: Map[Int, Long]): Unit = {
+  private def fmtOffsets(m: Map[Int, Long]): String =
+    m.toSeq.sorted.map { case (p, o) => s"$p:$o" }.mkString(",")
+
+  private def writeLedger(brokerDir: String, topic: String, ledger: Ledger): Unit = {
     val f = ledgerFile(brokerDir, topic)
     val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      offsets.toSeq.sorted.map { case (p, o) => s"$p:$o" }.mkString(",").getBytes("UTF-8"))
+    val body = (ledger.batch.map(b => s"batch=$b").toSeq ++
+      Seq(s"pre=${fmtOffsets(ledger.pre)}", s"cur=${fmtOffsets(ledger.cur)}"))
+      .mkString("\n")
+    // fsync BEFORE the atomic move (the LogCollector.post discipline):
+    // an un-synced rename can survive a power loss with torn content,
+    // and a torn ledger either restarts offsets at 0 (duplicate
+    // (partition, offset) rows) or kills produce on parse
+    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.SYNC)
     java.nio.file.Files.move(tmp.toPath, f.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -95,26 +133,30 @@ object FileTopics {
     * dense per-partition offsets continuing from the topic's current
     * end. Intra-batch order per partition is (key, value) — a
     * deterministic stand-in for producer send order. */
-  /** Torn-produce recovery: delete files whose offsets lie beyond the
-    * committed ledger. A produce that crashed between the parquet
-    * append and the ledger swap left files with offsets >= the ledger
-    * end; replaying the batch would assign those same offsets again,
-    * putting duplicate (partition, offset) rows in the log. Committed
-    * data never carries offsets beyond the ledger, so file-level
-    * deletion of the overshoot is safe. (Remaining window, stated
-    * precisely: a consumer that read a torn file BEFORE the producer
-    * restarted saw uncommitted records — the read_uncommitted face of
-    * Kafka; transactional read_committed would need consumers to gate
-    * on the ledger, which a plain file source cannot.) */
+  /** Torn-produce recovery: delete files whose offsets lie at or
+    * beyond the committed cut. A produce that crashed between the
+    * parquet append and the ledger swap left files with offsets >= the
+    * ledger end; replaying the batch would assign those same offsets
+    * again, putting duplicate (partition, offset) rows in the log.
+    * Committed data never carries offsets beyond the ledger, so
+    * file-level deletion of the overshoot is safe. A partition ABSENT
+    * from the cut map is at offset 0 — every file in it is
+    * uncommitted (this is what makes a torn FIRST produce healable:
+    * [[produce]] commits an empty/scanned ledger before its first
+    * append). (Remaining window, stated precisely: a consumer that
+    * read a torn file BEFORE the producer restarted saw uncommitted
+    * records — the read_uncommitted face of Kafka; transactional
+    * read_committed would need consumers to gate on the ledger, which
+    * a plain file source cannot.) */
   private def healTornProduce(spark: SparkSession, brokerDir: String,
-      topic: String, ledger: Map[Int, Long]): Unit = {
-    if (topicExists(brokerDir, topic) && ledger.nonEmpty) {
+      topic: String, cut: Map[Int, Long]): Unit = {
+    if (topicExists(brokerDir, topic)) {
       import spark.implicits._
-      val cut = broadcast(ledger.toSeq.toDF("partition", "cut"))
+      val cutDf = broadcast(cut.toSeq.toDF("partition", "cut"))
       val orphans = spark.read.schema(recordSchema)
         .parquet(topicDir(brokerDir, topic))
-        .join(cut, Seq("partition"), "left")
-        .filter(col("cut").isNotNull && col("offset") >= col("cut"))
+        .join(cutDf, Seq("partition"), "left")
+        .filter(col("offset") >= coalesce(col("cut"), lit(0L)))
         .select(input_file_name()).distinct()
         .collect().map(_.getString(0))
       orphans.foreach { uri =>
@@ -124,13 +166,46 @@ object FileTopics {
     }
   }
 
-  def produce(frame: DataFrame, brokerDir: String, nPartitions: Int = 4): Unit = {
+  /** Produce a frame of `(topic, key, value)` rows. `batchId` is the
+    * streaming micro-batch id when called from `foreachBatch` — with
+    * it the producer is EXACTLY-ONCE under replay: the ledger records
+    * the last absorbed batchId and the pre-batch offsets, so a
+    * replayed batch first restores the pre-batch cut (deleting its own
+    * torn or fully-appended files) and re-appends at the same offsets
+    * instead of duplicating the records after them. Without a batchId
+    * (ad-hoc/batch callers) the append is at-least-once under caller
+    * retries, exactly like a non-transactional Kafka producer. */
+  def produce(frame: DataFrame, brokerDir: String, nPartitions: Int = 4,
+      batchId: Option[Long] = None): Unit = {
     val spark = frame.sparkSession
     import spark.implicits._
     val topics = frame.select("topic").distinct().as[String].collect().sorted
     for (t <- topics) {
-      readLedger(brokerDir, t).foreach(healTornProduce(spark, brokerDir, t, _))
-      val base = endOffsets(spark, brokerDir, t)
+      // a ledger ALWAYS exists before any append this producer makes:
+      // the first call to a fresh (or pre-ledger legacy) topic commits
+      // the current log state first, so a crash between any append and
+      // its ledger swap is healable on replay (nothing else
+      // distinguishes committed files from torn ones)
+      val ledger = readLedger(brokerDir, t).getOrElse {
+        new java.io.File(topicDir(brokerDir, t)).mkdirs()
+        val l = Ledger(None, Map.empty, scanEndOffsets(spark, brokerDir, t))
+        writeLedger(brokerDir, t, l)
+        l
+      }
+      val replayOfAbsorbed = batchId.isDefined && ledger.batch == batchId
+      if (batchId.isDefined && ledger.batch.exists(_ > batchId.get)) {
+        // older fully-committed batch re-produced (out-of-lineage
+        // replay) — appending would duplicate records committed long
+        // ago, and restoring its pre-state would destroy later batches
+        throw new IllegalStateException(
+          s"produce(batchId=${batchId.get}) to topic $t behind the ledger's " +
+            s"batch=${ledger.batch.get}: replay can only be of the last batch")
+      }
+      // the committed cut this append starts from: a replay of the
+      // LAST absorbed batch restores the pre-batch cut (and heal below
+      // deletes that batch's earlier append); otherwise the current end
+      val base = if (replayOfAbsorbed) ledger.pre else ledger.cur
+      healTornProduce(spark, brokerDir, t, base)
       val baseDf = broadcast(
         base.toSeq.toDF("partition", "base_off"))
       val w = Window.partitionBy("partition").orderBy("key", "value")
@@ -154,7 +229,7 @@ object FileTopics {
         val advanced = (base.keySet ++ counts.keySet).map { p =>
           p -> (base.getOrElse(p, 0L) + counts.getOrElse(p, 0L))
         }.toMap
-        writeLedger(brokerDir, t, advanced)
+        writeLedger(brokerDir, t, Ledger(batchId, pre = base, cur = advanced))
       } finally batch.unpersist()
     }
   }

@@ -69,6 +69,9 @@ object LogCollector {
         get_json_object(col("value"), "$.user_id").as("key"),
         col("value"))
       .writeStream.outputMode("append").foreachBatch {
-        (batch: DataFrame, _: Long) => FileTopics.produce(batch, brokerDir)
+        // batchId threads through so a replayed micro-batch restores
+        // its own produce instead of appending the posts twice
+        (batch: DataFrame, batchId: Long) =>
+          FileTopics.produce(batch, brokerDir, batchId = Some(batchId))
       }
 }

@@ -409,8 +409,18 @@ object StreamOps {
       ds: Dataset[Ev],
       loadConfig: () => DataFrame,
       sink: (String, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Ev] =
+    dynamicRouteBatched(ds, loadConfig, (_, t, df) => sink(t, df))
+
+  /** [[dynamicRoute]] whose sink also receives the micro-batch id —
+    * the form a replay-idempotent producer needs (pass the id through
+    * to `TopicTransport.produce`/`FileTopics.produce` so a replayed
+    * batch restores its own append instead of duplicating it). */
+  def dynamicRouteBatched(
+      ds: Dataset[Ev],
+      loadConfig: () => DataFrame,
+      sink: (Long, String, DataFrame) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Ev] =
     ds.writeStream.outputMode("append").foreachBatch {
-      (batch: Dataset[Ev], _: Long) =>
+      (batch: Dataset[Ev], batchId: Long) =>
         // persist the routed batch: the fan-out loop runs one job per
         // sink table and must not re-read the source / re-join per sink
         val routed = batch.toDF().join(broadcast(loadConfig()), "event_type")
@@ -418,7 +428,7 @@ object StreamOps {
         try {
           val tables = routed.select("sink_table").distinct()
             .collect().map(_.getString(0)).sorted
-          for (t <- tables) sink(t, routed.filter(col("sink_table") === t))
+          for (t <- tables) sink(batchId, t, routed.filter(col("sink_table") === t))
         } finally routed.unpersist()
     }
 
@@ -691,6 +701,12 @@ object StreamOps {
     graft.IndexFs.listNames(spark, stateDir, "v\\d+")
       .map(_.drop(1).toLong)
       .filter(_ < below)
+      // only COMMITTED versions are servable or usable as a merge
+      // base: a v<id> dir exists from the moment its overwrite starts,
+      // so without the _SUCCESS gate a concurrent reader (or a replay
+      // racing a crash-abandoned write) serves a torn "latest" state —
+      // the same delta-visibility discipline as GenManifest.deltaIds
+      .filter(v => graft.IndexFs.exists(spark, s"$stateDir/v$v/_SUCCESS"))
 
   private def rawDimState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, below: Long = Long.MaxValue): Option[DataFrame] = {
@@ -810,8 +826,14 @@ object StreamOps {
         sum(when(col("n_words") >= minWords && !col("model_keep"), 1L)
           .otherwise(0L)).as("model_rejected"))
       .filter(col("n_words") >= minWords && col("model_keep"))
+      // IDENTICAL fingerprint expression to dedup_fingerprint /
+      // dedupIngestBatch (raw split, empty tokens included): the
+      // streaming and batch legs must agree on which documents count
+      // as duplicates, or the "beyond the watermark is batch
+      // compaction's job" handoff silently changes the dedup set on
+      // whitespace-variant docs
       .withColumn("fp",
-        md5(concat_ws(" ", array_sort(array_distinct(col("ws_arr"))))))
+        md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
       .withWatermark("ts", s"$watermarkSeconds seconds")
       .dropDuplicatesWithinWatermark("fp")
       .groupBy(window(col("ts"), s"$windowSeconds seconds"), col("source"))

@@ -73,10 +73,14 @@ object TopicTransport {
     }
 
   /** Produce a (topic, key, value) batch, in the session's transport
-    * mode. File mode appends to the broker dir ledger; kafka mode
-    * writes through the connector (topic column routes per row, the
-    * connector's own dynamic-topic contract). */
-  def produce(batch: DataFrame, broker: String): Unit =
+    * mode. File mode appends to the broker dir ledger (pass the
+    * foreachBatch `batchId` for producer-side exactly-once under
+    * replay); kafka mode writes through the connector (topic column
+    * routes per row, the connector's own dynamic-topic contract —
+    * replay idempotence there is the broker's transactional producer).
+    */
+  def produce(batch: DataFrame, broker: String,
+      batchId: Option[Long] = None): Unit =
     mode(batch.sparkSession) match {
       case "kafka" =>
         // built FROM the tested plan so the pinned configuration and
@@ -87,6 +91,6 @@ object TopicTransport {
             .write.format(p.format)) {
           case (w, (k, v)) => w.option(k, v)
         }.save()
-      case _ => FileTopics.produce(batch, broker)
+      case _ => FileTopics.produce(batch, broker, batchId = batchId)
     }
 }

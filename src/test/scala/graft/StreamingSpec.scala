@@ -1509,6 +1509,95 @@ class StreamingSpec extends SparkSuite {
     assert(FileTopics.read(spark, broker, "dwd_click_log").count() === 1L)
   }
 
+  test("file-topic producer batch replay restores its own append (producer-side exactly-once)") {
+    import graft.streaming.FileTopics
+    val broker = java.nio.file.Files.createTempDirectory("producer-eos").toString
+    val b0 = Seq(("t1", "u1", "v1"), ("t1", "u2", "v2"), ("t1", "u3", "v3"))
+      .toDF("topic", "key", "value")
+    FileTopics.produce(b0, broker, batchId = Some(0L))
+    def rows(): Set[(Long, String, String, Int)] =
+      FileTopics.read(spark, broker, "t1")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    val committed = rows()
+    assert(committed.size === 3)
+
+    // crash-replay of batch 0 (append + ledger landed, checkpoint did
+    // NOT): the ledger's recorded pre-state is restored and the batch
+    // re-appends at the SAME offsets — no payload duplicates
+    FileTopics.produce(b0, broker, batchId = Some(0L))
+    assert(rows() === committed, "replayed batch duplicated its records")
+
+    val b1 = Seq(("t1", "u1", "v4")).toDF("topic", "key", "value")
+    FileTopics.produce(b1, broker, batchId = Some(1L))
+    val after1 = rows()
+    assert(after1.size === 4)
+    FileTopics.produce(b1, broker, batchId = Some(1L))
+    assert(rows() === after1)
+
+    // a replay of an OLDER batch is an out-of-lineage error: appending
+    // would duplicate long-committed records, so it fails loudly
+    intercept[IllegalStateException] {
+      FileTopics.produce(b0, broker, batchId = Some(0L))
+    }
+    assert(rows() === after1)
+  }
+
+  test("a torn FIRST produce (crash before the ledger swap) is healed on replay") {
+    import graft.streaming.FileTopics
+    val broker = java.nio.file.Files.createTempDirectory("producer-torn").toString
+    val b0 = Seq(("t2", "u1", "v1"), ("t2", "u2", "v2")).toDF("topic", "key", "value")
+    FileTopics.produce(b0, broker, batchId = Some(0L))
+    val committed = FileTopics.read(spark, broker, "t2").count()
+    assert(committed === 2L)
+    // simulate the crash: the parquet append survived, the ledger swap
+    // did not — restore the ledger to the empty pre-append commit that
+    // produce() writes before any first append (this is exactly why it
+    // writes it: with NO ledger at all the torn files would be
+    // indistinguishable from committed ones and the replay would
+    // append duplicates after them)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$broker/t2/_offsets.json"),
+      "pre=\ncur=".getBytes("UTF-8"))
+    FileTopics.produce(b0, broker, batchId = Some(0L))
+    val healed = FileTopics.read(spark, broker, "t2")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(healed.length === 2, s"torn first produce left duplicates: $healed")
+  }
+
+  test("exactly-once sink serves a typed empty frame while only empty batches have committed") {
+    import graft.streaming.ExactlyOnceSink
+    val out = java.nio.file.Files.createTempDirectory("eos-empty").toString + "/out"
+    new java.io.File(out).mkdirs()
+    // early micro-batches of a watermarked append-mode agg emit zero
+    // rows: the commit lands only _SUCCESS, and the reader must serve
+    // a TYPED empty frame, not a schema-inference failure
+    ExactlyOnceSink.commit(Seq.empty[Ev].toDF(), out, 0L)
+    val empty = ExactlyOnceSink.readCommitted(spark, out)
+    assert(empty.count() === 0L)
+    assert(empty.schema.fieldNames.contains("event_id"), empty.schema.toDDL)
+    ExactlyOnceSink.commit(Seq(ev(1, 1, 1, "view")).toDF(), out, 1L)
+    assert(ExactlyOnceSink.readCommitted(spark, out)
+      .select("event_id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("a torn (no _SUCCESS) dim state version is invisible to serving") {
+    val stateDir = java.nio.file.Files.createTempDirectory("dim-torn").toString
+    StreamOps.mergeDimBatch(
+      Seq((1L, 1L, "insert", "a")).toDF("pk", "seq", "op", "payload"),
+      stateDir, 0L)
+    assert(StreamOps.latestDimState(spark, stateDir).get
+      .select("pk").as[Long].collect().toSeq === Seq(1L))
+    // a crash-abandoned (or in-progress) overwrite: v5 exists on disk
+    // with data files but no _SUCCESS — serving must keep answering
+    // from the committed v0, not the torn "latest"
+    Seq((9L, 9L, "insert", "torn")).toDF("pk", "seq", "op", "payload")
+      .write.parquet(s"$stateDir/v5")
+    assert(new java.io.File(s"$stateDir/v5/_SUCCESS").delete())
+    val served = StreamOps.latestDimState(spark, stateDir).get
+      .select("pk", "payload").as[(Long, String)].collect().toSeq
+    assert(served === Seq((1L, "a")), s"torn version served: $served")
+  }
+
   test("exactly-once sink: crash-after-commit replay does not double-write") {
     import graft.streaming.ExactlyOnceSink
     val dir = java.nio.file.Files.createTempDirectory("eos").toString
@@ -2377,21 +2466,28 @@ class StreamingSpec extends SparkSuite {
       TableConfig("s4", "dim", "dim_bad_pk", "id,v", Some("p k"), None),
       // half-written CDC rows: NULL fields must not NPE the stream
       TableConfig("s6", "dim", null, "id", None, None),
-      TableConfig("s7", "dim", "dim_null_cols", null, None, None))
+      TableConfig("s7", "dim", "dim_null_cols", null, None, None),
+      // a null/blank sinkType is MALFORMED (not merely non-dim): it
+      // must land on the DLQ, not vanish silently
+      TableConfig("s8", null, "dim_no_type", "id", None, None))
     val good = TableConfig("s5", "dim", "dim_ok", "id,v", None, None)
+    // a recognized non-dim routing (kafka) is legitimately not this
+    // DDL layer's concern — neither applied nor rejected
+    val kafkaRouted = TableConfig("s9", "kafka", "dwd_topic", "id", None, None)
     // rejects route to a consumable dead-letter topic, not stderr
     val broker = java.nio.file.Files.createTempDirectory("ddl-dlq-broker").toString
-    AutoDdl.applyConfigBatch(spark, db, (bad :+ good).toDF(),
+    AutoDdl.applyConfigBatch(spark, db, (bad ++ Seq(good, kafkaRouted)).toDF(),
       onReject = AutoDdl.deadLetterTo(spark, broker))
     assert(spark.catalog.tableExists(db, "dim_ok"),
       "valid row after malformed ones must still apply")
-    for (t <- Seq("dim_empty_cols", "dim_quote_ext", "dim_bad_pk"))
+    for (t <- Seq("dim_empty_cols", "dim_quote_ext", "dim_bad_pk", "dwd_topic"))
       assert(!spark.catalog.tableExists(db, t), s"$t should have been skipped")
     // every malformed row is on the DLQ, keyed by source table, with
-    // the full row JSON as the value a monitor would consume
+    // the full row JSON as the value a monitor would consume; the
+    // kafka-routed config is on neither side
     val dlq = graft.streaming.FileTopics.read(spark, broker, "dlq_table_config")
     val keys = dlq.select("key").as[String].collect().toSet
-    assert(keys === Set("s1", "s2", "s3", "s4", "s6", "s7"))
+    assert(keys === Set("s1", "s2", "s3", "s4", "s6", "s7", "s8"))
     val vals = dlq.select("value").as[String].collect()
     assert(vals.forall(_.contains("sourceTable")))
     spark.sql(s"DROP DATABASE $db CASCADE")
