@@ -44,6 +44,15 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a previous run's parquet in the same outDir would make
+          // check.py compare STALE (still-correct) results and pass a
+          // query that now throws — remove any leftover output so the
+          // regression fails the gate instead of hiding
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -121,12 +121,20 @@ object Cdc {
     // an in-plan guard fails the job on a real collision instead of
     // returning a run-dependent winner (Debezium ts_ms is millisecond
     // transaction time — an insert+update committed together share it).
-    val effectiveTieBreak =
-      if (tieBreak.nonEmpty) tieBreak
-      else if (env.columns.contains("offset")) Seq("offset")
+    val effectiveTieBreak: Seq[org.apache.spark.sql.Column] =
+      if (tieBreak.nonEmpty) tieBreak.map(col(_).desc)
+      else if (env.columns.contains("offset"))
+        // the auto-adopted offset must order NUMERICALLY: a
+        // string-typed offset (offsets replayed through JSON/file
+        // envelopes) would sort lexicographically ('9' > '10') and —
+        // because a tie-break disables the collision guard — hand the
+        // OLDER change the win with no error. The long cast makes the
+        // order numeric, and under ANSI a non-numeric offset fails
+        // loudly instead of mis-ordering silently.
+        Seq(col("offset").cast("long").desc)
       else Nil
     val w = Window.partitionBy("pk")
-      .orderBy((col(seqCol).desc +: effectiveTieBreak.map(col(_).desc)): _*)
+      .orderBy(col(seqCol).desc +: effectiveTieBreak: _*)
     val ranked = keyed.withColumn("rn", row_number().over(w))
     val guarded =
       if (effectiveTieBreak.nonEmpty) ranked

@@ -84,8 +84,18 @@ object Storage {
       cellCols: Seq[String], hashCol: String, path: String,
       maxCellRows: Long): Unit = {
     require(maxCellRows > 0, s"maxCellRows=$maxCellRows")
-    val (pinned, release) = graft.Materialize.releasable(rows)
+    val (rawPinned, release) = graft.Materialize.releasable(rows)
     try {
+      // a NULL cell value would be silently DROPPED by the equality
+      // join against the counts relation — index incompleteness with
+      // no error, in the one shared writer of both index families.
+      // The in-plan assert fails the job loudly instead (NULL cells
+      // are a producer bug: band/label assignment never emits them).
+      val pinned = cellCols.foldLeft(rawPinned) { (df, c) =>
+        df.where(assert_true(col(c).isNotNull,
+          lit(s"writeCellClustered: NULL value in cell column '$c' — " +
+            "refusing to drop the row silently")).isNull)
+      }
       val counts = pinned.groupBy(cellCols.map(col): _*)
         .agg(count(lit(1)).as("_cell_n"))
         .withColumn("_slots", greatest(lit(1L),

@@ -17,8 +17,12 @@ object Tables {
     * TIMESTAMP_NTZ). Branch on the type the scan actually resolves:
     *
     *   - `LongType`           → legacy nanos: truncate to micros
-    *                            (`ts div 1000`), identical to DuckDB's
-    *                            `CAST(ts AS TIMESTAMP)` floor.
+    *                            (`ts div 1000` — toward zero, which
+    *                            equals DuckDB's flooring cast on the
+    *                            POST-EPOCH domain the data contract
+    *                            guarantees; pre-epoch nanos would
+    *                            differ by 1 µs, see CLAUDE.md's
+    *                            2024-01-01 base note).
     *   - `TimestampType`      → pass through untouched. The CURRENT
     *                            testdata lands here: [[eventsRaw]]
     *                            disables `inferTimestampNTZ`, so the
@@ -133,6 +137,14 @@ object Tables {
     * surface as dozens of identical analysis errors downstream (which
     * is exactly how round 5 lost 34 queries).
     */
+  /** First line of an exception's message, null/empty-safe — the
+    * tripwire's one-line diagnosis must survive causes with no message
+    * (a bare EOFException from a truncated footer would otherwise NPE
+    * inside the catch and destroy the diagnosis it exists for). */
+  private def firstLine(e: Throwable): String =
+    Option(e.getMessage).flatMap(_.linesIterator.nextOption())
+      .getOrElse(e.toString)
+
   def sanityCheck(spark: SparkSession, sfDir: String): Unit = {
     // events first: its loader pins the session scan flags (NTZ
     // inference off) that the timestamp expectations below assume
@@ -143,7 +155,7 @@ object Tables {
         case e: Exception =>
           throw new IllegalStateException(
             s"SCHEMA TRIPWIRE: $sfDir/events.parquet failed to load: " +
-              e.getMessage.linesIterator.next(), e)
+              firstLine(e), e)
       }
     require(tsType == TimestampType,
       s"SCHEMA TRIPWIRE: $sfDir/events.parquet `ts` normalized to " +
@@ -157,7 +169,7 @@ object Tables {
           case e: Exception =>
             throw new IllegalStateException(
               s"SCHEMA TRIPWIRE: $sfDir/$name.parquet failed to load: " +
-                e.getMessage.linesIterator.next(), e)
+                firstLine(e), e)
         }
       val got = schema.fields.map(f => f.name -> f.dataType.catalogString).toSeq
       val want = expectedColumns(name)
