@@ -41,23 +41,39 @@ object Core {
     * parse (the dirty-data contract of `app/dwd/BaseLogApp.java:57-70`:
     * unparseable rows yield NULL and are routed, parseable rows carry
     * the extracted field). */
+  /** Single source of the engine-independent INTEGRAL gate every
+    * dirty-data JSON extraction applies (p1/f15/f16/f17, both
+    * engines): the engines' TRY_CASTs disagree on decimals (DuckDB
+    * rounds '1.5' to 2, Spark yields NULL), so dirtiness is decided by
+    * this regex instead. The SQL strings embed it literally (an
+    * s-interpolator would force $$-escaping of every '$.k' JSON path);
+    * the drift tripwire at the bottom of this object fails on first
+    * use if any oracle's embedded copy diverges from this constant. */
+  private[ops] val integralRe = "^-?[0-9]+$"
+
   val p1JsonProps = QueryDef(
     "p1_json_props",
     Some("""SELECT event_id,
-           |  CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-           |       THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
-           |  CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$') THEN 0 ELSE 1 END AS BIGINT) AS is_dirty
+           |  CASE WHEN json_valid(props) THEN
+           |    CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+           |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END
+           |  END AS k,
+           |  CAST(CASE WHEN json_valid(props) THEN
+           |         CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+           |              THEN 0 ELSE 1 END
+           |       ELSE 1 END AS BIGINT) AS is_dirty
            |FROM events
            |ORDER BY event_id""".stripMargin),
     (spark, dir) => {
       // Dirty-data contract under Spark 4 ANSI mode: a non-INTEGRAL k
-      // routes to the dirty branch instead of throwing mid-job. The
-      // integral check is an explicit regex on BOTH engines because
-      // their TRY_CASTs disagree on decimals (DuckDB rounds '1.5' to
-      // 2, Spark yields NULL) — the regex gate makes dirtiness
-      // engine-independent.
+      // routes to the dirty branch instead of throwing mid-job
+      // ([[integralRe]] decides dirtiness identically on both
+      // engines). The oracle's json_valid guard exists because
+      // DuckDB's json functions ERROR on malformed JSON where Spark's
+      // NULL-route — without it the first genuinely dirty row would
+      // crash the oracle instead of exercising the contract.
       val kStr = get_json_object(col("props"), "$.k")
-      val integral = kStr.rlike("^-?[0-9]+$")
+      val integral = kStr.rlike(integralRe)
       Tables.events(spark, dir)
         .select(
           col("event_id"),
@@ -172,12 +188,19 @@ object Core {
   val f15MapOps = QueryDef(
     "f15_map_ops",
     Some("""SELECT event_id,
-           |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-           |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
-           |  array_to_string(json_keys(props), ',') AS keys
+           |  CASE WHEN json_valid(props) THEN
+           |    CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+           |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END
+           |  END AS k_val,
+           |  CASE WHEN json_valid(props) THEN CAST(len(json_keys(props)) AS BIGINT) END AS n_keys,
+           |  CASE WHEN json_valid(props) THEN array_to_string(json_keys(props), ',') END AS keys
            |FROM events
            |ORDER BY event_id""".stripMargin),
     (spark, dir) => {
+      // same dirty-data contract as p1 ([[integralRe]] gate + try_cast
+      // — a plain ANSI cast would throw mid-job on the first
+      // non-integral k; the oracle NULL-guards its json functions,
+      // which ERROR on malformed JSON where from_json NULL-routes)
       val m = from_json(col("props"),
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
@@ -185,7 +208,9 @@ object Core {
       Tables.events(spark, dir)
         .select(
           col("event_id"),
-          element_at(m, "k").cast("long").as("k_val"),
+          when(element_at(m, "k").rlike(integralRe),
+            expr("try_cast(element_at(from_json(props, 'map<string,string>'), 'k') AS BIGINT)"))
+            .as("k_val"),
           size(map_keys(m)).cast("long").as("n_keys"),
           array_join(map_keys(m), ",").as("keys"))
         .orderBy("event_id")
@@ -309,8 +334,10 @@ object Core {
     Some("""SELECT event_id, k, k % 10 AS k_last, (k % 2 = 0) AS k_even
            |FROM (
            |  SELECT event_id,
-           |    CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-           |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+           |    CASE WHEN json_valid(props) THEN
+           |      CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+           |           THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END
+           |    END AS k
            |  FROM events)
            |WHERE k IS NOT NULL
            |ORDER BY event_id""".stripMargin),
@@ -354,12 +381,14 @@ object Core {
            |  k % 7 AS k_mod7, (k % 2 = 0) AS k_even
            |FROM (
            |  SELECT event_id,
-           |    CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
-           |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
-           |    json_extract_string(props, '$.k') AS k_str,
-           |    TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
-           |    CAST(length(json_extract_string(props, '$.k')) AS BIGINT) AS k_len,
-           |    json_extract_string(props, '$.missing') AS k_missing
+           |    CASE WHEN json_valid(props) THEN
+           |      CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+           |           THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END
+           |    END AS k,
+           |    CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS k_str,
+           |    CASE WHEN json_valid(props) THEN TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) END AS k_dbl,
+           |    CASE WHEN json_valid(props) THEN CAST(length(json_extract_string(props, '$.k')) AS BIGINT) END AS k_len,
+           |    CASE WHEN json_valid(props) THEN json_extract_string(props, '$.missing') END AS k_missing
            |  FROM events)
            |WHERE k IS NOT NULL AND k % 3 = 0
            |ORDER BY event_id""".stripMargin),
@@ -387,4 +416,12 @@ object Core {
     Seq(q1Agg, q3Shipping, q4OrderPriority, q5LocalSupplier, p1JsonProps,
       p5Whitelist, p7LogSplit, fScalarDatetime, f13Age, f15MapOps,
       f16VariantJson, f17VariantWide)
+
+  // drift tripwire for [[integralRe]]: the oracles embed the gate
+  // literally (no interpolation — see the constant's doc), so an edit
+  // to the dirtiness definition that misses a copy would silently
+  // desynchronize the engines; this fails on first use instead
+  for (d <- Seq(p1JsonProps, f15MapOps, f16VariantJson, f17VariantWide))
+    require(d.oracle.exists(_.contains(integralRe)),
+      s"${d.name}: oracle's integral gate drifted from Core.integralRe")
 }

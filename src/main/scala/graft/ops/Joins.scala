@@ -47,7 +47,8 @@ object Joins {
     })
 
   /** J2 — asymmetric interval join (`app/dwm/PaymentWideApp.java:75-83`,
-    * [0, +15 min] scaled to days): ship strictly after order, within 15
+    * [0, +15 min] scaled to days): ship AT-OR-AFTER order (the [0,+15]
+    * lower bound is inclusive — BETWEEN is closed at 0), within 15
     * days. */
   val j2IntervalJoinAsym = QueryDef(
     "j2_interval_join_asym",
