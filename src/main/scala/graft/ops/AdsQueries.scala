@@ -193,7 +193,10 @@ object AdsQueries {
     (spark, dir) => {
       val l = Tables.table(spark, dir, "lineitem")
       val p = Tables.table(spark, dir, "part")
-      val stats = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      // part scales with SF — UNHINTED: AQE broadcasts it only while
+      // it is genuinely small (a forced hint would collect SF*200k
+      // rows to the driver at scale, the q8/q9 convention)
+      val stats = l.join(p, l("l_partkey") === p("p_partkey"))
         .select(
           date_trunc("month", col("l_shipdate")).as("stt"),
           expr("TRY_CAST(regexp_extract(p_brand, '[0-9]+', 0) AS BIGINT)").as("tm_id"),
@@ -282,7 +285,9 @@ object AdsQueries {
     (spark, dir) => {
       val l = Tables.table(spark, dir, "lineitem")
       val p = Tables.table(spark, dir, "part")
-      val stats = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      // part scales with SF — unhinted, AQE decides (see
+      // ads_trademark_stats)
+      val stats = l.join(p, l("l_partkey") === p("p_partkey"))
         .select(
           date_trunc("month", col("l_shipdate")).as("stt"),
           (ascii(col("p_type")) * 100 + length(col("p_type"))).cast("long").as("category3_id"),

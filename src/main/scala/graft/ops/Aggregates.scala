@@ -224,7 +224,8 @@ object Aggregates {
     (spark, dir) => {
       val l = Tables.table(spark, dir, "lineitem")
       val p = Tables.table(spark, dir, "part")
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      // part scales with SF — unhinted, AQE decides (q8/q9 convention)
+      l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(p("p_brand"))
         .agg(
           expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"),

@@ -106,7 +106,9 @@ object Analytics {
       val l = Tables.table(spark, dir, "lineitem")
       val s = Tables.table(spark, dir, "supplier")
       val n = Tables.table(spark, dir, "nation")
-      val rev = l.join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      // supplier scales with SF (unhinted — AQE broadcasts only while
+      // genuinely small); nation is a fixed 25-row dim, hinted
+      val rev = l.join(s, l("l_suppkey") === s("s_suppkey"))
         .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
         .groupBy(s("s_suppkey"), n("n_name"))
         .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("revenue"))
@@ -431,10 +433,10 @@ object Analytics {
           |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
           |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
           |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
-          |  FROM wide_src GROUP BY source)
+          |  FROM v_docs_unp GROUP BY source)
           |SELECT source, lang, n
           |FROM wide UNPIVOT (n FOR lang IN (en, de, zh))
-          |ORDER BY source, lang""".stripMargin.replace("wide_src", "v_docs_unp"))
+          |ORDER BY source, lang""".stripMargin)
     })
 
   val defs: Seq[QueryDef] = Seq(

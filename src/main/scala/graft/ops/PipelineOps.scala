@@ -177,15 +177,10 @@ object PipelineOps {
            |GROUP BY t.doc_id, e.doc_id
            |ORDER BY train_doc, eval_doc""".stripMargin),
     (spark, dir) => {
-      val sh = Tables.table(spark, dir, "documents")
-        .select(col("doc_id"),
-          filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
-        .filter(size(col("ws")) >= 4)
-        // shingle dedup is WITHIN a doc, so array_distinct inside the
-        // row replaces a corpus-wide distinct() shuffle — the train
-        // side now reaches the broadcast probe with zero exchanges
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, size(ws) - 3), i -> md5(concat_ws(' ', slice(ws, i, 4))))"))).as("h"))
+      // ONE shingle definition ([[shingleHashes]]) shared with the
+      // bloom and streaming forms — shingle width or hash changes land
+      // in one place, and the three decontamination legs cannot drift
+      val sh = shingleHashes(Tables.table(spark, dir, "documents"))
       val train = sh.filter(col("doc_id") % 23 =!= 0).as("t")
       val eval_ = sh.filter(col("doc_id") % 23 === 0).as("e")
       train.join(broadcast(eval_), col("t.h") === col("e.h"))
