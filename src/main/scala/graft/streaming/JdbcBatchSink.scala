@@ -72,7 +72,10 @@ object JdbcBatchSink {
 
   /** Streaming form: `foreachBatch` wrapper around [[writeBatch]] —
     * the `JdbcSink.sink(...)` shape the reference attaches to its DWS
-    * streams. */
+    * streams. At-least-once, faithful to the reference
+    * (`utils/ClickHouseUtil.java:20-54` re-INSERTs a replayed batch
+    * and relies on ClickHouse's engine-side dedup); see
+    * [[sinkExactlyOnce]] for the upgraded contract. */
   def sink(
       df: DataFrame,
       table: String,
@@ -83,4 +86,111 @@ object JdbcBatchSink {
       (batch: DataFrame, _: Long) =>
         writeBatch(batch, table, connFactory, batchSize, transientCols)
     }
+
+  /** Exactly-once form of [[writeBatch]]: foreachBatch replays a
+    * failed micro-batch with the SAME batchId, so idempotence =
+    * batchId-keyed delete-then-insert, each leg transactional. Two
+    * layers of replay exist and each gets its own ledger key:
+    *
+    *   - **whole-batch replay** (crash after sink write, before the
+    *     streaming checkpoint commit): a driver-side transaction
+    *     `DELETE FROM t WHERE _batch_id = ?` clears EVERY row of the
+    *     prior attempt — keyed on batchId alone because the replay may
+    *     repartition differently than the first attempt;
+    *   - **task retry within one attempt**: each partition's
+    *     transaction opens with `DELETE ... WHERE _batch_id = ? AND
+    *     _part_id = ?` before its inserts, so a re-executed task lands
+    *     its rows once even when other partitions already committed.
+    *
+    * Rows carry two ledger columns (`_batch_id BIGINT`,
+    * `_part_id INT`) appended after the data columns; a torn attempt
+    * (crash mid-transaction) rolls back and leaves nothing. This is
+    * the `ExactlyOnceSink`/`statsMerge` commit discipline re-expressed
+    * for a JDBC target that supports transactions — the delete leg is
+    * a no-op on the happy path and exactly the prior attempt on
+    * replay. */
+  def writeBatchExactlyOnce(
+      df: DataFrame,
+      table: String,
+      connFactory: () => java.sql.Connection,
+      batchId: Long,
+      batchSize: Int = 5,
+      transientCols: Set[String] = Set.empty): Unit = {
+    val schema = df.schema
+    require(!schema.fieldNames.contains(BatchIdCol) && !schema.fieldNames.contains(PartIdCol),
+      s"input schema must not already carry the ledger columns $BatchIdCol/$PartIdCol")
+    val cols = schema.fields.map(_.name).filterNot(transientCols) :+ BatchIdCol :+ PartIdCol
+    val insSql = s"INSERT INTO $table (${cols.mkString(",")}) VALUES (${cols.map(_ => "?").mkString(",")})"
+    val boundIdx = schema.fields.zipWithIndex
+      .filterNot { case (f, _) => transientCols(f.name) }
+      .map(_._2)
+
+    // driver-side whole-batch clear: one txn, keyed on batchId only
+    inTxn(connFactory()) { conn =>
+      val del = conn.prepareStatement(s"DELETE FROM $table WHERE $BatchIdCol = ?")
+      try { del.setObject(1, java.lang.Long.valueOf(batchId)); del.executeUpdate() }
+      finally del.close()
+    }
+
+    df.rdd.foreachPartition { rows: Iterator[Row] =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      inTxn(connFactory()) { conn =>
+        // task-retry clear: this partition's rows from a failed prior task
+        val del = conn.prepareStatement(
+          s"DELETE FROM $table WHERE $BatchIdCol = ? AND $PartIdCol = ?")
+        try {
+          del.setObject(1, java.lang.Long.valueOf(batchId))
+          del.setObject(2, Integer.valueOf(pid))
+          del.executeUpdate()
+        } finally del.close()
+        val ps = conn.prepareStatement(insSql)
+        try {
+          var pending = 0
+          for (row <- rows) {
+            var pos = 1
+            for (i <- boundIdx) {
+              ps.setObject(pos, row.get(i).asInstanceOf[AnyRef])
+              pos += 1
+            }
+            ps.setObject(pos, java.lang.Long.valueOf(batchId))
+            ps.setObject(pos + 1, Integer.valueOf(pid))
+            ps.addBatch()
+            pending += 1
+            if (pending == batchSize) { ps.executeBatch(); pending = 0 }
+          }
+          if (pending > 0) ps.executeBatch()
+        } finally ps.close()
+      }
+    }
+  }
+
+  /** Streaming writer over [[writeBatchExactlyOnce]]: checkpointed
+    * source offsets + batchId-keyed transactional commit = end-to-end
+    * exactly-once into a transactional JDBC store. */
+  def sinkExactlyOnce(
+      df: DataFrame,
+      table: String,
+      connFactory: () => java.sql.Connection,
+      batchSize: Int = 5,
+      transientCols: Set[String] = Set.empty): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        writeBatchExactlyOnce(batch, table, connFactory, batchId, batchSize, transientCols)
+    }
+
+  val BatchIdCol = "_batch_id"
+  val PartIdCol = "_part_id"
+
+  /** begin(setAutoCommit(false)) → body → commit, rollback on any
+    * failure, connection always closed. */
+  private def inTxn(conn: java.sql.Connection)(body: java.sql.Connection => Unit): Unit =
+    try {
+      conn.setAutoCommit(false)
+      try { body(conn); conn.commit() }
+      catch {
+        case t: Throwable =>
+          try conn.rollback() catch { case r: Throwable => t.addSuppressed(r) }
+          throw t
+      }
+    } finally conn.close()
 }
