@@ -155,7 +155,16 @@ object IndexFs {
   */
 private[graft] object GenManifest {
 
-  final case class State(seq: Long, gen: Long, floor: Long)
+  /** `lgen` = the generation at which the live LABEL SPACE was
+    * created — the last re-clustering (Lloyd) generation, or the
+    * initial persist. A label-preserving compaction advances `gen` but
+    * carries `lgen`; a delta whose `_gen` tag is >= `lgen` carries
+    * labels that mean the same thing as the base's, one tagged below
+    * `lgen` (or untagged) was assigned against a superseded centroid
+    * set. Old manifests without the key read `lgen = gen`
+    * (conservative: any pre-upgrade delta routes to the full-read /
+    * relabel paths). */
+  final case class State(seq: Long, gen: Long, floor: Long, lgen: Long)
 
   def manifestIds(spark: SparkSession, dir: String): Seq[Long] =
     IndexFs.listNames(spark, dir, "m\\d+").map(_.drop(1).toLong).sorted
@@ -171,12 +180,17 @@ private[graft] object GenManifest {
       .filter(_.nonEmpty).map { l =>
         val Array(k, v) = l.split('\t'); k -> v.toLong
       }.toMap
-    State(seq, kv("gen"), kv("floor"))
+    State(seq, kv("gen"), kv("floor"), kv.getOrElse("lgen", kv("gen")))
   }
 
+  /** `lgen < 0` (the default) records `lgen = gen` — right for the
+    * initial persist, for any re-clustering commit, and for index
+    * families whose label space never changes (LSH bands). A
+    * label-preserving compaction passes the carried `st.lgen`. */
   def commit(spark: SparkSession, dir: String, seq: Long, gen: Long,
-      floor: Long): Unit =
-    IndexFs.writeUtf8Atomic(spark, s"$dir/m$seq", s"gen\t$gen\nfloor\t$floor\n")
+      floor: Long, lgen: Long = -1L): Unit =
+    IndexFs.writeUtf8Atomic(spark, s"$dir/m$seq",
+      s"gen\t$gen\nfloor\t$floor\nlgen\t${if (lgen < 0) gen else lgen}\n")
 
   /** Delta batchIds in (above, below) — exclusive on both ends: a
     * reader never consumes deltas at or below its manifest's floor,

@@ -328,10 +328,10 @@ object Dedup {
   /** The index rows of the probed cells across the base generation and
     * the committed deltas above the manifest floor — `belowBatch`
     * additionally bounds which deltas count (exclusive), so a REPLAYED
-    * ingest batch never probes against its own torn output. `sig_p`
-    * is cast back to string: partition-column inference can narrow an
-    * all-digit cell value to int, and the per-root frames must union.
-    */
+    * ingest batch never probes against its own torn output. Each root
+    * reads under the explicit `bandReadSchema` (via `readBandRoot`) —
+    * never inferred — so `sig_p` stays a string even for an all-digit
+    * cell value and the per-root frames union cleanly. */
   private def lshCells(spark: SparkSession, indexDir: String,
       cells: Seq[(Int, String)], belowBatch: Long): Seq[DataFrame] = {
     val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(

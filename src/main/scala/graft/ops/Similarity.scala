@@ -442,15 +442,50 @@ object Similarity {
     * [[appendToIvfIndex]] story. */
   def appendToPersistedIvfIndex(spark: SparkSession, indexDir: String,
       newVecs: DataFrame, batchId: Long,
-      maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
-    val st = resolveIvf(spark, indexDir)
+      maxCellRows: Long = Dedup.defaultMaxCellRows): Unit =
+    appendToPersistedIvfIndexAt(spark, indexDir, resolveIvf(spark, indexDir),
+      newVecs, batchId, maxCellRows)
+
+  /** [[appendToPersistedIvfIndex]] against an ALREADY-RESOLVED
+    * manifest state — the seam that makes the real in-flight-append
+    * race constructible in tests: an appender that resolved its
+    * manifest BEFORE a concurrent Lloyd compaction committed lands a
+    * delta whose labels (and `_gen` tag) belong to the superseded
+    * centroid set; serving and the next compaction recognize the tag
+    * and route that delta to the full-read / relabel paths. */
+  private[graft] def appendToPersistedIvfIndexAt(spark: SparkSession,
+      indexDir: String, st: graft.GenManifest.State, newVecs: DataFrame,
+      batchId: Long, maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
     val centroids = servingCentroidsAt(spark, indexDir, st)
     Storage.writeCellClustered(
       assignToCentroids(centroids, newVecs)
         .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
         .select(col("vec_id"), col("label"), col("embedding"), col("norm")),
       Seq("label"), "vec_id", s"$indexDir/delta/b$batchId", maxCellRows)
+    // tag AFTER the data commit (the overwrite above wipes any prior
+    // tag, so a replay re-tags): names the centroid generation that
+    // assigned this delta's labels. In the instant between _SUCCESS
+    // and the tag landing, readers treat the delta as untagged —
+    // the conservative full-read route, never a recall hole.
+    graft.IndexFs.writeUtf8Atomic(spark,
+      s"$indexDir/delta/b$batchId/_gen", st.gen.toString)
   }
+
+  /** The centroid generation that assigned a delta's labels, if the
+    * tag has landed. */
+  private def deltaGen(spark: SparkSession, indexDir: String,
+      id: Long): Option[Long] = {
+    val p = s"$indexDir/delta/b$id/_gen"
+    if (graft.IndexFs.exists(spark, p))
+      Some(graft.IndexFs.readUtf8(spark, p).trim.toLong)
+    else None
+  }
+
+  /** Does this delta's label assignment agree with the manifest's live
+    * label space? (Tag at or above the last re-clustering generation.) */
+  private def deltaLabelsCurrent(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State, id: Long): Boolean =
+    deltaGen(spark, indexDir, id).exists(_ >= st.lgen)
 
   /** The probed labels' vectors across the base generation and every
     * committed delta above the manifest floor: per root, only the
@@ -472,18 +507,30 @@ object Similarity {
     * races a Lloyd compaction (`compactIvfIndex(lloydIters>0)`
     * re-clusters, so gen-N label ids denote different regions in gen
     * N+1; labels picked against one generation's centroids must scan
-    * that same generation's cells). */
+    * that same generation's cells).
+    *
+    * A delta whose `_gen` tag predates the live label space (it was
+    * appended against since-re-clustered centroids, or the tag hasn't
+    * landed yet) is read IN FULL instead of label-pruned: its cell
+    * layout doesn't correspond to the probed labels, and pruning it
+    * would open exactly the recall hole the old "quiesce ingest around
+    * Lloyd runs" caveat documented. The extra I/O is one batch-sized
+    * delta until the next compaction relabels it — bounded, and only
+    * ever present in the append-raced-re-cluster window. */
   private[graft] def servingCorpusAt(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State, labels: Seq[Long]): DataFrame = {
-    val roots = gdir(indexDir, "corpus", st.gen) +:
-      graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
-        .map(id => s"$indexDir/delta/b$id")
-    val perRoot = roots.flatMap { root =>
+    def pruned(root: String): Option[DataFrame] = {
       val paths = labels.map(l => s"$root/label=$l")
         .filter(p => graft.IndexFs.isDir(spark, p))
       if (paths.isEmpty) None
       else Some(readCorpusRoot(spark, root, paths))
     }
+    val perRoot = pruned(gdir(indexDir, "corpus", st.gen)).toSeq ++
+      graft.GenManifest.deltaIds(spark, indexDir, above = st.floor).flatMap { id =>
+        val root = s"$indexDir/delta/b$id"
+        if (deltaLabelsCurrent(spark, indexDir, st, id)) pruned(root)
+        else Some(readCorpusRoot(spark, root, Seq(root)))
+      }
     if (perRoot.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         corpusReadSchema)
@@ -544,46 +591,93 @@ object Similarity {
     *
     * CONCURRENCY CONTRACT: serving may race any compaction (probes
     * resolve one manifest and use it end to end), and INGEST may race
-    * a label-preserving compaction (`lloydIters = 0` — labels mean
-    * the same thing in every generation). A Lloyd compaction is
-    * OFFLINE MAINTENANCE with respect to ingest: a delta committed
-    * while the re-clustering fold is in flight carries labels
-    * assigned against the pre-fold centroids, and until the NEXT
-    * compaction folds (and relabels) it, probes into re-clustered
-    * cells can miss those vectors — degraded recall, self-healing at
-    * the next fold, but quiesce ingest around `lloydIters > 0` runs
-    * to avoid the window entirely. */
+    * ANY compaction, including a Lloyd re-cluster. Three mechanisms
+    * close what used to be the documented "quiesce ingest around
+    * `lloydIters > 0` runs" recall window: (1) a delta committed
+    * during the fold is caught by a re-listing after the refine and
+    * folded in against the NEW centroids (bounded second pass over
+    * just those deltas); (2) a delta that lands after even that —
+    * or whose append resolved the pre-commit manifest — carries a
+    * `_gen` tag below the new label-space generation, and serving
+    * reads such deltas IN FULL instead of label-pruned
+    * ([[servingCorpusAt]]); (3) the next compaction RELABELS any
+    * stale-tagged delta against the then-current centroids before
+    * folding, so superseded labels are never baked into a base. No
+    * accepted vector is ever invisible to a post-commit probe. */
   def compactIvfIndex(spark: SparkSession, indexDir: String,
       lloydIters: Int = 0,
-      maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
+      maxCellRows: Long = Dedup.defaultMaxCellRows): Unit =
+    compactIvfIndexHooked(spark, indexDir, lloydIters, maxCellRows, () => ())
+
+  /** [[compactIvfIndex]] with a test seam fired after the (possibly
+    * re-clustering) fold but BEFORE the late-delta re-listing — the
+    * deterministic way to land an ingest commit exactly inside the
+    * catch-up window. */
+  private[graft] def compactIvfIndexHooked(spark: SparkSession,
+      indexDir: String, lloydIters: Int, maxCellRows: Long,
+      beforeCatchUp: () => Unit): Unit = {
     val st = resolveIvf(spark, indexDir)
     val deltas = graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
     if (deltas.nonEmpty || lloydIters > 0) {
-      val roots = gdir(indexDir, "corpus", st.gen) +:
-        deltas.map(id => s"$indexDir/delta/b$id")
-      val all = roots
-        .map(root => readCorpusRoot(spark, root, Seq(root)))
+      val curCentroids = servingCentroidsAt(spark, indexDir, st)
+      // a delta assigned against a superseded label space is RELABELED
+      // against the current centroids before folding — a
+      // label-preserving compaction must not bake stale labels into
+      // the new base
+      def readDelta(id: Long): DataFrame = {
+        val root = s"$indexDir/delta/b$id"
+        val raw = readCorpusRoot(spark, root, Seq(root))
+        if (deltaLabelsCurrent(spark, indexDir, st, id)) raw
+        else assignToCentroids(curCentroids,
+            raw.select(col("vec_id"), col("embedding")))
+          .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+          .select(col("vec_id"), col("embedding"), col("norm"), col("label"))
+      }
+      val base = gdir(indexDir, "corpus", st.gen)
+      val all = (readCorpusRoot(spark, base, Seq(base)) +: deltas.map(readDelta))
         .reduce(_ unionByName _)
       val gen = st.gen + 1
       val idx0 = IvfIndex(
-        servingCentroidsAt(spark, indexDir, st),
+        curCentroids,
         all,
         spark.read.parquet(gdir(indexDir, "stats", st.gen)))
       // lloydRefine's corpus already carries norms (buildIvfIndexFrom)
-      val (idx, releaseRefined) =
+      val (refined, releaseRefined) =
         if (lloydIters > 0) lloydRefineReleasable(idx0, lloydIters)
         else (idx0, () => ())
       try {
+        beforeCatchUp()
+        // late-delta catch-up: anything committed while the fold ran
+        // would otherwise stay stale-tagged (full-read serving) until
+        // the next compaction — assign it against the final centroids
+        // now and fold it too. Only meaningful when the label space
+        // moved; a label-preserving fold leaves late deltas serving
+        // normally above the floor.
+        val late =
+          if (lloydIters > 0)
+            graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
+              .filterNot(deltas.toSet)
+          else Seq.empty
+        val idx =
+          if (late.isEmpty) refined
+          else appendToIvfIndex(refined,
+            late.map { id =>
+              val root = s"$indexDir/delta/b$id"
+              readCorpusRoot(spark, root, Seq(root))
+            }.reduce(_ unionByName _).select(col("vec_id"), col("embedding")))
         idx.centroids.write.mode("overwrite").parquet(gdir(indexDir, "centroids", gen))
         idx.stats.write.mode("overwrite").parquet(gdir(indexDir, "stats", gen))
         Storage.writeCellClustered(
           idx.corpus.select(col("vec_id"), col("label"), col("embedding"), col("norm")),
           Seq("label"), "vec_id", gdir(indexDir, "corpus", gen), maxCellRows)
+        val folded = deltas ++ late
         graft.GenManifest.commit(spark, indexDir, st.seq + 1, gen,
-          floor = if (deltas.nonEmpty) deltas.max else st.floor)
+          floor = if (folded.nonEmpty) folded.max else st.floor,
+          lgen = if (lloydIters > 0) gen else st.lgen)
       } finally releaseRefined()
     } else {
-      graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen, st.floor)
+      graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen, st.floor,
+        lgen = st.lgen)
     }
     graft.GenManifest.gc(spark, indexDir, ivfPrefixes)
   }
