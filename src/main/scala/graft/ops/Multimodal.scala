@@ -1,71 +1,156 @@
 package graft.ops
 
 import graft.QueryDef
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators (north-star surface): media payloads are
   * opaque `binary` columns with typed metadata travelling alongside.
-  * The real-decode step (image/audio libs) is STUBBED with a
-  * deterministic fake — the Spark-side plumbing (schema, batch-shaped
-  * partition processing, metadata extraction) is real and tested.
+  * The decode leg is REAL for header metadata: payloads are
+  * spec-conformant PNG prefixes (signature + IHDR chunk, big-endian
+  * dims) synthesized deterministically from the documents table, and
+  * both decode forms — whole-stage-codegen binary expressions
+  * (`substring`/`hex`/`conv`, no UDF, no Python/JVM round-trip) and a
+  * typed per-partition byte parser (the `mapInPandas`-shaped seam a
+  * pixel-plane codec would plug into) — parse them back. Only the
+  * pixel-plane decode itself stays out of scope (needs an image codec
+  * library, absent in this environment); everything up to it is
+  * exercised end-to-end and oracle-checked.
   *
   * At cluster scale the payload column stays columnar in parquet, the
-  * decode runs per-partition (batch-at-a-time, the `mapInPandas` shape),
-  * and metadata-only queries never touch the payload bytes thanks to
-  * parquet column pruning.
+  * decode runs per-partition (batch-at-a-time), and metadata-only
+  * queries never touch the payload bytes thanks to parquet column
+  * pruning.
   */
 object Multimodal {
 
-  /** One media record: payload plus typed metadata. */
-  case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+  /** One media record: opaque binary payload keyed by document. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
 
-  /** Fake-decoded frame metadata (what a real decoder would emit). */
-  case class DecodedMeta(
+  /** Real-decoded PNG header metadata. */
+  case class PngMeta(
       doc_id: Long,
-      media_type: String,
       n_bytes: Long,
       width: Long,
       height: Long,
-      n_frames: Long)
+      bit_depth: Long,
+      channels: Long)
 
-  /** STUB decode: a real implementation would hand each partition's
-    * batch of payloads to an image/audio codec (the `mapInPandas`
-    * pattern); this one derives deterministic fake dimensions from the
-    * byte length so the pipeline shape — per-partition batch iteration
-    * over binary payloads — is exercised end-to-end without the codec
-    * dependency. */
-  def decodeStub(records: Iterator[MediaRecord]): Iterator[DecodedMeta] =
-    records.map { r =>
-      val n = r.payload.length.toLong
-      DecodedMeta(r.doc_id, r.media_type, n,
-        width = 16 + n % 624,
-        height = 16 + (n * 7) % 464,
-        n_frames = 1 + n % 16)
+  private val PngSigHex = "89504E470D0A1A0A"
+
+  /** Int column → 4-byte big-endian binary (the PNG chunk int
+    * encoding). */
+  private def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+
+  /** Big-endian unsigned int read from a binary column slice —
+    * builtin expressions only (binary substring → hex → base-16
+    * conv), fully codegen'd. */
+  private def beInt(payload: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(payload, pos, len)), 16, 10).cast("long")
+
+  /** Deterministic DECODABLE payloads over the documents table: PNG
+    * signature + a spec-conformant IHDR chunk (width/height big-endian
+    * at offsets 16/20, bit depth 8, color type gray/RGB/RGBA by
+    * doc_id % 3) followed by the text bytes as a stand-in body. The
+    * dims reuse the planning-family formulas below, so planning and
+    * decode queries agree on the same virtual corpus. */
+  def pngPayloads(spark: SparkSession, dir: String): DataFrame = {
+    val n = octet_length(encode(col("text"), "UTF-8")).cast("long")
+    val colorType = when(col("doc_id") % 3 === 0, 0)
+      .when(col("doc_id") % 3 === 1, 2).otherwise(6)
+    Tables.table(spark, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        unhex(lit(PngSigHex)),            // PNG signature
+        unhex(lit("0000000D49484452")),   // IHDR length=13 + "IHDR"
+        be4((lit(16) + n % 624).cast("int")),
+        be4((lit(16) + (n * 7) % 464).cast("int")),
+        unhex(lit("08")),                 // bit depth
+        unhex(lpad(hex(colorType), 2, "0")),
+        unhex(lit("000000")),             // compression/filter/interlace
+        encode(col("text"), "UTF-8")      // stand-in body
+      ).as("payload"))
+  }
+
+  /** Parse one PNG header (signature + IHDR) from raw bytes — the
+    * per-record core of the typed decode path. Returns None for
+    * anything that is not a well-formed PNG prefix (the dirty-data
+    * route of a crawled media corpus). */
+  def decodePngHeader(payload: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (payload.length < 29) return None
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    if (!payload.slice(0, 8).sameElements(sig)) return None
+    if (!payload.slice(12, 16).sameElements("IHDR".getBytes("US-ASCII"))) return None
+    val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val w = bb.getInt(16) & 0xFFFFFFFFL
+    val h = bb.getInt(20) & 0xFFFFFFFFL
+    val depth = (payload(24) & 0xFF).toLong
+    val channels = (payload(25) & 0xFF) match {
+      case 0 => 1L; case 2 => 3L; case 4 => 2L; case 6 => 4L
+      case _ => return None
     }
+    Some((w, h, depth, channels))
+  }
 
-  /** documents → Dataset[MediaRecord]: text bytes stand in for media
-    * payloads (binary column + metadata columns). */
+  /** documents → Dataset[MediaRecord] with real PNG payloads. */
   def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
-    Tables.table(spark, dir, "documents")
-      .select(
-        col("doc_id"),
-        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRecord]
+    pngPayloads(spark, dir).as[MediaRecord]
   }
 
-  /** Typed per-partition decode pipeline (the mapPartitions path —
-    * exercised by ScalaTest; the declared query below is the
-    * expression-only equivalent the oracle can check). */
-  def decodePipeline(spark: SparkSession, dir: String): Dataset[DecodedMeta] = {
+  /** Typed per-partition decode pipeline: batch-at-a-time iteration
+    * over binary payloads through [[decodePngHeader]] — the seam a
+    * pixel-plane codec would extend; malformed payloads drop to the
+    * dirty route (None) instead of failing the partition. OpsSpec
+    * proves it equal to the expression-form [[mmDecodeMeta]]. */
+  def decodePipeline(spark: SparkSession, dir: String): Dataset[PngMeta] = {
     import spark.implicits._
-    mediaRecords(spark, dir).mapPartitions(decodeStub)
+    mediaRecords(spark, dir).mapPartitions(_.flatMap { r =>
+      decodePngHeader(r.payload).map { case (w, h, d, c) =>
+        PngMeta(r.doc_id, r.payload.length.toLong, w, h, d, c)
+      }
+    })
   }
 
-  /** Declared query: binary payload metadata + fake-decode fields,
-    * expression form (bit-identical to the stub). */
+  /** REAL decode, expression form: construct the PNG payloads, then
+    * parse width/height/bit-depth/channels back OUT OF THE BYTES with
+    * builtin binary expressions — signature and chunk-type gates
+    * filter anything non-conformant (so a construction bug empties
+    * the result and fails the row-count gate). The oracle computes
+    * the planned metadata directly from the same formulas; the
+    * big-endian byte layout itself is pinned by OpsSpec's golden-bytes
+    * case against a hand-written IHDR. No UDF, no Python/JVM
+    * round-trip — the whole parse stays inside whole-stage codegen. */
+  val mmDecodeMeta = QueryDef(
+    "mm_decode_meta",
+    Some("""SELECT doc_id,
+           |  CAST(29 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           |  CAST(16 + octet_length(encode(text)) % 624 AS BIGINT) AS width,
+           |  CAST(16 + (octet_length(encode(text)) * 7) % 464 AS BIGINT) AS height,
+           |  CAST(8 AS BIGINT) AS bit_depth,
+           |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS channels
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin),
+    (spark, dir) => {
+      val p = col("payload")
+      pngPayloads(spark, dir)
+        .filter(hex(substring(p, 1, 8)) === PngSigHex)
+        .filter(hex(substring(p, 13, 4)) === "49484452") // "IHDR"
+        .select(
+          col("doc_id"),
+          octet_length(p).cast("long").as("n_bytes"),
+          beInt(p, 17, 4).as("width"),
+          beInt(p, 21, 4).as("height"),
+          beInt(p, 25, 1).as("bit_depth"),
+          when(beInt(p, 26, 1) === 0, 1L).when(beInt(p, 26, 1) === 2, 3L)
+            .when(beInt(p, 26, 1) === 4, 2L).when(beInt(p, 26, 1) === 6, 4L)
+            .as("channels"))
+        .orderBy("doc_id")
+    })
+
+  /** Declared query: planning-family metadata (byte-length-derived
+    * dims shared with the frame-sample / resize planners below),
+    * expression form. */
   val mmBinaryMeta = QueryDef(
     "mm_binary_meta",
     Some("""SELECT doc_id,
@@ -210,5 +295,5 @@ object Multimodal {
     })
 
   val defs: Seq[QueryDef] = Seq(mmBinaryMeta, mmMetaAgg, mmFrameSample,
-    mmResizePlan, mmDedupPayload)
+    mmResizePlan, mmDedupPayload, mmDecodeMeta)
 }

@@ -10,9 +10,35 @@ class OpsSpec extends SparkSuite {
   test("multimodal decode pipeline matches the expression-form query") {
     val viaMapPartitions = Multimodal.decodePipeline(spark, sf("sf0.001"))
       .toDF().orderBy("doc_id")
-      .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames")
-    val viaExpressions = Multimodal.mmBinaryMeta.fn(spark, sf("sf0.001"))
+      .select("doc_id", "n_bytes", "width", "height", "bit_depth", "channels")
+    val viaExpressions = Multimodal.mmDecodeMeta.fn(spark, sf("sf0.001"))
+      .select("doc_id", "n_bytes", "width", "height", "bit_depth", "channels")
+    assert(viaMapPartitions.count() > 0)
     assert(viaMapPartitions.collect().toSeq === viaExpressions.collect().toSeq)
+  }
+
+  test("PNG header decode is spec-conformant on golden bytes and drops malformed payloads") {
+    // hand-written PNG prefix: 2×3, bit depth 8, grayscale — pins the
+    // BIG-endian layout independently of the construct→parse round
+    // trip (a compensating endianness bug would pass the round trip
+    // but fail here)
+    val goldenHex = "89504E470D0A1A0A" + "0000000D49484452" +
+      "00000002" + "00000003" + "08" + "00" + "000000"
+    val golden = goldenHex.grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    assert(Multimodal.decodePngHeader(golden) === Some((2L, 3L, 8L, 1L)))
+    // expression parse over the same literal bytes agrees
+    val row = spark.range(1)
+      .select(unhex(lit(goldenHex)).as("payload"))
+      .select(
+        conv(hex(substring(col("payload"), 17, 4)), 16, 10).cast("long").as("w"),
+        conv(hex(substring(col("payload"), 21, 4)), 16, 10).cast("long").as("h"))
+      .head()
+    assert((row.getLong(0), row.getLong(1)) === ((2L, 3L)))
+    // dirty routes: truncated, wrong signature, unknown color type
+    assert(Multimodal.decodePngHeader(golden.take(10)) === None)
+    assert(Multimodal.decodePngHeader(golden.updated(0, 0x00.toByte)) === None)
+    assert(Multimodal.decodePngHeader(golden.updated(25, 9.toByte)) === None)
   }
 
   test("dot product is exact on known vectors") {
