@@ -100,6 +100,17 @@ object Bench {
     // failed queries (-1 markers) must not subtract from the total
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(results)},"queries_median":${j(medians)},"calib":${calib.min},"sf":"$sfDir"}""")
+    // streaming-layer throughput (rows/sec per stateful op family,
+    // RocksDB provider) — the regression surface batch plans can't
+    // show (state store cost, timers, per-micro-batch overhead).
+    // SPARK_GRAFT_STREAM_BENCH=0 skips it for batch-only iteration.
+    val streaming =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
+      else try StreamBench.rpsJson(StreamBench.run(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
+        """{"failed":-1}"""
+      }
     // COMPACT SUMMARY LAST (and nothing after it): the driver keeps only
     // the final ~2000 chars of output, and the full per-query map above
     // is ~3.5k chars — in rounds 4 and 5 the suite total and any failure
@@ -108,7 +119,7 @@ object Bench {
     // the failed-query names, and the slowest queries.
     val slowest = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(5)
     val failedNames = queries.collect { case (n, _) if failed(n) => "\"" + n + "\"" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"slowest5":${j(slowest.toMap)},"calib":${calib.min},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"slowest5":${j(slowest.toMap)},"streaming_rows_per_sec":$streaming,"calib":${calib.min},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

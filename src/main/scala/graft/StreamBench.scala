@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Streaming-layer benchmark: end-to-end micro-batch THROUGHPUT
+  * (rows/sec) of the stateful op families over MemoryStream sources on
+  * the RocksDB state store provider — the state path a 100 TB
+  * deployment runs. Batch Bench times the declared query plans; this
+  * covers what that cannot see: state store put/get/TTL cost, timer
+  * delivery, per-micro-batch planning overhead, and the foreachBatch
+  * index round-trips of the ingest/serving loops. A state-store or
+  * micro-batch-overhead regression moves these numbers round-over-round
+  * while leaving the batch suite untouched.
+  *
+  * Four families, one per state shape:
+  *   - `uv_dedup_tws`     — transformWithState keyed dedup (T2): value
+  *     state per key, the highest-volume stateful op.
+  *   - `cep_pattern`      — CepPattern match+timeout (T3): list state +
+  *     event-time timers, watermark-driven eviction.
+  *   - `dedup_ingest`     — self-building LSH near-dup ingest: per-batch
+  *     index probe + delta append (foreachBatch, persisted index).
+  *   - `ann_serve`        — streaming ANN serving: per-batch centroid
+  *     assignment + pruned corpus probe against the persisted IVF index.
+  *
+  * Counts are fixed per family (scaled by SPARK_GRAFT_STREAM_SCALE) so
+  * the rows/sec are comparable across rounds. Timing spans the whole
+  * drive loop — addData is negligible against micro-batch execution. */
+object StreamBench {
+
+  private val Rocks =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  // base test data at 2024-01-01: epoch-0 timestamps are dropped as
+  // late rows by streaming watermarks
+  private val baseSec =
+    java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+
+  private def ev(user: Long, id: Long, sec: Long, typ: String): graft.streaming.Ev =
+    graft.streaming.Ev(user, id, new Timestamp((baseSec + sec) * 1000L), typ, 1.0, 1)
+
+  /** (family, rows, seconds) per family. */
+  def run(spark: SparkSession, sfDir: String, scale: Int = 1): Seq[(String, Long, Double)] = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Rocks)
+    try Seq(
+      ("uv_dedup_tws", benchUvDedup(spark, nEvents = 20000 * scale, nBatches = 4)),
+      ("cep_pattern", benchCep(spark, keysPerBatch = 2000 * scale, nBatches = 4)),
+      ("dedup_ingest", benchDedupIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
+      ("ann_serve", benchAnnServe(spark, sfDir, nQueries = 120 * scale, nBatches = 3))
+    ).map { case (name, (rows, sec)) => (name, rows, sec) }
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def timed(body: => Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val rows = body
+    (rows, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** T2 dedup on transformWithState: nEvents over nEvents/10 keys and
+    * 5 distinct UTC days per key — every event is a state read, ~half
+    * are state writes. TTL off: the bench drains with
+    * processAllAvailable, and a pending processing-time TTL clock
+    * keeps no-data micro-batches spinning (the documented gotcha). */
+  private def benchUvDedup(spark: SparkSession, nEvents: Int, nBatches: Int): (Long, Double) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val nKeys = math.max(1, nEvents / 10)
+    val perBatch = nEvents / nBatches
+    val in = MemoryStream[graft.streaming.Ev]
+    val q = graft.streaming.StreamOps.uvDedupTws(in.toDS(), ttl = None)
+      .writeStream.outputMode("append").format("noop").start()
+    try timed {
+      for (b <- 0 until nBatches) {
+        in.addData((0 until perBatch).map { i =>
+          val g = b * perBatch + i
+          ev(g % nKeys, g, (g % 5) * 86400L, "view")
+        }: _*)
+        q.processAllAvailable()
+      }
+      (perBatch * nBatches).toLong
+    } finally q.stop()
+  }
+
+  /** T3 CEP: every key opens a view run and purchases within the
+    * window (match path); event time advances per batch so the
+    * watermark continually evicts completed runs — list state, timer
+    * registration and deletion all on the hot path. */
+  private def benchCep(spark: SparkSession, keysPerBatch: Int, nBatches: Int): (Long, Double) = {
+    import spark.implicits._
+    import graft.streaming.{Cep, CepPattern}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[graft.streaming.Ev]
+    val pat = CepPattern.begin("view", (e: graft.streaming.Ev) => e.event_type == "view")
+      .followedByAny("purchase", (e: graft.streaming.Ev) => e.event_type == "purchase")
+      .within(30000L)
+    val out = Cep.patternTws[(String, Long)](in.toDS(), pat,
+      m => ("match", m("purchase").head.event_id),
+      p => Some(("timeout", p.head.event_id)), "1 second")
+    val q = out.writeStream.outputMode("append").format("noop").start()
+    try timed {
+      for (b <- 0 until nBatches) {
+        val t = b * 100L
+        val keys = (0 until keysPerBatch).map(k => (b * keysPerBatch + k).toLong)
+        in.addData(
+          keys.map(k => ev(k, k * 10L, t + (k % 7), "view")) ++
+            keys.map(k => ev(k, k * 10L + 1, t + (k % 7) + 1, "purchase")): _*)
+        q.processAllAvailable()
+      }
+      (keysPerBatch * nBatches * 2).toLong
+    } finally q.stop()
+  }
+
+  /** Self-building near-dup ingest against a persisted LSH index:
+    * per batch one probe of the batch's own cells plus one delta
+    * append. ~20% of docs are near-copies of their predecessor, so
+    * both the flagged and the accepted routes run. */
+  private def benchDedupIngest(spark: SparkSession, nDocs: Int, nBatches: Int): (Long, Double) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def text(i: Int): String =
+      (0 until 12).map(j => s"w${(i * 7 + j * 13) % 5000}").mkString(" ")
+    val indexDir = TempDirs.create("sb-lsh-idx")
+    graft.ops.Dedup.persistLshIndex(
+      (0 until 50).map(i => (100000L + i, text(i * 37))).toDF("doc_id", "text"),
+      indexDir)
+    val outDir = TempDirs.create("sb-lsh-out")
+    val perBatch = nDocs / nBatches
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.dedupIngest(
+      in.toDS().toDF("doc_id", "text"), indexDir, outDir)
+      .option("checkpointLocation", TempDirs.create("sb-lsh-ckpt"))
+      .start()
+    try timed {
+      for (b <- 0 until nBatches) {
+        in.addData((0 until perBatch).map { i =>
+          val g = b * perBatch + i
+          // every 5th doc is a near-copy of its predecessor
+          val t = if (g % 5 == 4) text(g - 1).replaceFirst("\\bw", "x") else text(g)
+          (g.toLong, t)
+        }: _*)
+        q.processAllAvailable()
+      }
+      (perBatch * nBatches).toLong
+    } finally q.stop()
+  }
+
+  /** Streaming ANN serving against the persisted IVF index built from
+    * the SF dir's embeddings: per batch one broadcast centroid
+    * assignment + one pruned corpus probe + top-k window. */
+  private def benchAnnServe(spark: SparkSession, sfDir: String,
+      nQueries: Int, nBatches: Int): (Long, Double) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val indexDir = TempDirs.create("sb-ivf-idx")
+    graft.ops.Similarity.persistIvfIndex(
+      graft.ops.Similarity.buildIvfIndex(spark, sfDir), indexDir)
+    val outDir = TempDirs.create("sb-ivf-out")
+    def qvec(qid: Int): Seq[Float] =
+      Seq.tabulate(64)(d => ((qid * 31 + d * 17) % 100) / 50f - 1f)
+    val perBatch = nQueries / nBatches
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamOps.annServe(
+      in.toDS().toDF("query_id", "qe"), indexDir, outDir)
+      .option("checkpointLocation", TempDirs.create("sb-ivf-ckpt"))
+      .start()
+    try timed {
+      for (b <- 0 until nBatches) {
+        in.addData((0 until perBatch).map { i =>
+          val g = b * perBatch + i
+          (g.toLong, qvec(g))
+        }: _*)
+        q.processAllAvailable()
+      }
+      (perBatch * nBatches).toLong
+    } finally q.stop()
+  }
+
+  /** One JSON object string `{"family":rows_per_sec,...}` — embedded
+    * by Bench's tail line and printed standalone by [[main]]. */
+  def rpsJson(results: Seq[(String, Long, Double)]): String =
+    results.map { case (name, rows, sec) =>
+      val rps = if (sec > 0) math.round(rows / sec) else -1L
+      s"\"$name\":$rps"
+    }.mkString("{", ",", "}")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val scale = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALE", "1").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = run(spark, sfDir, scale)
+    val detail = results.map { case (name, rows, sec) =>
+      s"""\"$name\":{\"rows\":$rows,\"sec\":${math.round(sec * 1000) / 1000.0}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"streaming","unit":"rows_per_sec","rows_per_sec":${rpsJson(results)},"detail":$detail,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
