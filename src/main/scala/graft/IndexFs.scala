@@ -55,6 +55,13 @@ object IndexFs {
     ()
   }
 
+  /** Create the directory (and parents), idempotent. */
+  def mkdirs(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fp(spark, path)
+    fs.mkdirs(p)
+    ()
+  }
+
   /** Rename (same filesystem). Returns false on failure — the caller
     * must treat false as "commit did not happen" (on HDFS a rename
     * onto an existing destination fails rather than overwrites; the
@@ -100,6 +107,20 @@ object IndexFs {
       case other => other
     }
     val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    // this writer bypasses the checksum wrapper, but files written by
+    // OTHER writers (or by this code before the raw-fs change) carry
+    // .crc sidecars — a rename onto such a destination would leave a
+    // STALE sidecar behind, and the next readUtf8 (which goes through
+    // the checksum layer) would fail with ChecksumException on
+    // perfectly good content. Drop any existing sidecars for both tmp
+    // and destination before writing/renaming.
+    resolved match {
+      case cfs: org.apache.hadoop.fs.ChecksumFileSystem =>
+        fs.delete(cfs.getChecksumFile(tmp), false)
+        fs.delete(cfs.getChecksumFile(p), false)
+        ()
+      case _ => ()
+    }
     val out = fs.create(tmp, true)
     try {
       out.write(content.getBytes("UTF-8"))

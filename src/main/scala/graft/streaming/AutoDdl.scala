@@ -86,29 +86,33 @@ object AutoDdl {
     * JSON values keyed by source table — a CONSUMABLE side output a
     * monitor can subscribe to, same convention as the dirty-data
     * branches in the DWD layer. One produce per micro-batch, not one
-    * write job per bad row. */
+    * write job per bad row. The foreachBatch batchId threads through
+    * into the produce (the [[LogCollector.ingestToTopic]] discipline),
+    * so a replayed micro-batch restores its own DLQ records instead of
+    * appending duplicates. */
   def deadLetterTo(spark: SparkSession, brokerDir: String,
-      topic: String = "dlq_table_config"): Seq[TableConfig] => Unit = { cfgs =>
-    if (cfgs.nonEmpty) {
-      import spark.implicits._
-      import org.apache.spark.sql.functions.{col, lit, to_json, struct}
-      val rows = cfgs.map(c => (c.sourceTable, c.sinkType, c.sinkTable,
-          c.sinkColumns, c.sinkPk.orNull, c.sinkExtend.orNull))
-        .toDF("sourceTable", "sinkType", "sinkTable", "sinkColumns", "sinkPk", "sinkExtend")
-      FileTopics.produce(
-        rows.select(
-          lit(topic).as("topic"),
-          col("sourceTable").as("key"),
-          to_json(struct(rows.columns.map(col): _*)).as("value")),
-        brokerDir)
-    }
+      topic: String = "dlq_table_config"): (Seq[TableConfig], Option[Long]) => Unit = {
+    (cfgs, batchId) =>
+      if (cfgs.nonEmpty) {
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{col, lit, to_json, struct}
+        val rows = cfgs.map(c => (c.sourceTable, c.sinkType, c.sinkTable,
+            c.sinkColumns, c.sinkPk.orNull, c.sinkExtend.orNull))
+          .toDF("sourceTable", "sinkType", "sinkTable", "sinkColumns", "sinkPk", "sinkExtend")
+        FileTopics.produce(
+          rows.select(
+            lit(topic).as("topic"),
+            col("sourceTable").as("key"),
+            to_json(struct(rows.columns.map(col): _*)).as("value")),
+          brokerDir, batchId = batchId)
+      }
   }
 
   private lazy val log = org.apache.log4j.Logger.getLogger(getClass)
 
   /** Default reject channel: WARN per row (never a bare stderr
     * println). */
-  val logRejects: Seq[TableConfig] => Unit = _.foreach { cfg =>
+  val logRejects: (Seq[TableConfig], Option[Long]) => Unit = (cfgs, _) => cfgs.foreach { cfg =>
     log.warn(
       s"[autoddl] skipping malformed config row for source '${cfg.sourceTable}': " +
         s"sinkTable='${cfg.sinkTable}' sinkColumns='${cfg.sinkColumns}'")
@@ -122,7 +126,8 @@ object AutoDdl {
     * broadcast-state update is. Malformed rows route to `onReject` —
     * wire [[deadLetterTo]] for a consumable DLQ topic. */
   def applyConfigBatch(spark: SparkSession, db: String, batch: DataFrame,
-      onReject: Seq[TableConfig] => Unit = logRejects): Unit = {
+      onReject: (Seq[TableConfig], Option[Long]) => Unit = logRejects,
+      batchId: Option[Long] = None): Unit = {
     val rows = batch
       .select("sourceTable", "sinkType", "sinkTable", "sinkColumns", "sinkPk", "sinkExtend")
       .collect()
@@ -144,6 +149,6 @@ object AutoDdl {
         rejected += cfg
       }
     }
-    onReject(rejected.result())
+    onReject(rejected.result(), batchId)
   }
 }

@@ -54,10 +54,24 @@ object ExactlyOnceSink {
       // record the sink schema ONCE (atomic sidecar): an empty batch
       // writes only _SUCCESS, and a reader over an all-empty history
       // must still get a typed empty frame instead of a
-      // schema-inference failure
-      if (!graft.IndexFs.exists(spark, s"$outDir/_schema.ddl"))
-        graft.IndexFs.writeUtf8Atomic(spark, s"$outDir/_schema.ddl",
-          batch.schema.toDDL)
+      // schema-inference failure. On every later commit the batch
+      // schema must MATCH the sidecar — a silently evolved sink schema
+      // would otherwise have readCommitted read every batch under the
+      // stale first schema, dropping or nulling the new columns with
+      // no error. Evolution is a deliberate act: fail loudly and let
+      // the operator migrate the outDir.
+      val ddlPath = s"$outDir/_schema.ddl"
+      if (!graft.IndexFs.exists(spark, ddlPath))
+        graft.IndexFs.writeUtf8Atomic(spark, ddlPath, batch.schema.toDDL)
+      else {
+        val recorded = graft.IndexFs.readUtf8(spark, ddlPath)
+        if (recorded != batch.schema.toDDL)
+          throw new IllegalStateException(
+            s"sink schema changed for $outDir: recorded [$recorded] vs " +
+              s"batch $batchId [${batch.schema.toDDL}]; committed batches " +
+              "would read under the stale schema — migrate to a new outDir " +
+              "(or rewrite the sidecar deliberately) instead")
+      }
       val tmp = s"$outDir/.inflight-$batchId"
       batch.write.mode("overwrite").parquet(tmp)
       if (!graft.IndexFs.rename(spark, tmp, target))

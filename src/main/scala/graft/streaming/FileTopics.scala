@@ -45,8 +45,13 @@ object FileTopics {
 
   private def topicDir(brokerDir: String, topic: String) = s"$brokerDir/$topic"
 
-  private def topicExists(brokerDir: String, topic: String): Boolean =
-    new java.io.File(topicDir(brokerDir, topic)).isDirectory
+  // all control-plane I/O (topic listing, ledger read/swap, orphan
+  // deletion, auto-create) goes through the Hadoop FileSystem seam
+  // (graft.IndexFs) — a shared-NFS/HDFS spool deployment of the
+  // file-topic transport serves identically to the local file: scheme,
+  // the same migration the index layer got in round 7
+  private def topicExists(spark: SparkSession, brokerDir: String, topic: String): Boolean =
+    graft.IndexFs.isDir(spark, topicDir(brokerDir, topic))
 
   /** Next offset to be assigned per partition (= Kafka's log-end
     * offset). Missing partitions are implicitly at 0. Served from the
@@ -56,18 +61,18 @@ object FileTopics {
     * Falls back to a log scan for topics written before the ledger
     * existed. */
   def endOffsets(spark: SparkSession, brokerDir: String, topic: String): Map[Int, Long] =
-    readLedger(brokerDir, topic).map(_.cur)
+    readLedger(spark, brokerDir, topic).map(_.cur)
       .getOrElse(scanEndOffsets(spark, brokerDir, topic))
 
   private def scanEndOffsets(spark: SparkSession, brokerDir: String,
       topic: String): Map[Int, Long] =
-    if (!topicExists(brokerDir, topic)) Map.empty
+    if (!topicExists(spark, brokerDir, topic)) Map.empty
     else spark.read.schema(recordSchema).parquet(topicDir(brokerDir, topic))
       .groupBy("partition").agg(max("offset").as("m"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1)).toMap
 
-  private def ledgerFile(brokerDir: String, topic: String) =
-    new java.io.File(s"${topicDir(brokerDir, topic)}/_offsets.json")
+  private def ledgerPath(brokerDir: String, topic: String): String =
+    s"${topicDir(brokerDir, topic)}/_offsets.json"
 
   /** The producer's commit record: `cur` = committed log-end offsets;
     * `batch`/`pre` = the last streaming batchId absorbed and the
@@ -81,14 +86,16 @@ object FileTopics {
       .map { kv => val Array(p, o) = kv.split(":"); p.toInt -> o.toLong }
       .toMap
 
-  /** The sidecar is a tiny text record, swapped atomically (fsync'd
-    * tmp + ATOMIC_MOVE) by the single writer after each append. V1
-    * files (one `p:o,...` line) parse as cur-only. */
-  private[streaming] def readLedger(brokerDir: String, topic: String): Option[Ledger] = {
-    val f = ledgerFile(brokerDir, topic)
-    if (!f.exists()) None
+  /** The sidecar is a tiny text record, swapped atomically
+    * ([[graft.IndexFs.writeUtf8Atomic]] — fsync'd tmp + atomic rename)
+    * by the single writer after each append. V1 files (one `p:o,...`
+    * line) parse as cur-only. */
+  private[streaming] def readLedger(spark: SparkSession, brokerDir: String,
+      topic: String): Option[Ledger] = {
+    val path = ledgerPath(brokerDir, topic)
+    if (!graft.IndexFs.exists(spark, path)) None
     else {
-      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val lines = graft.IndexFs.readUtf8(spark, path)
         .linesIterator.filter(_.nonEmpty).toSeq
       if (!lines.exists(_.startsWith("cur=")))
         Some(Ledger(None, Map.empty, parseOffsets(lines.mkString(","))))
@@ -106,24 +113,16 @@ object FileTopics {
   private def fmtOffsets(m: Map[Int, Long]): String =
     m.toSeq.sorted.map { case (p, o) => s"$p:$o" }.mkString(",")
 
-  private def writeLedger(brokerDir: String, topic: String, ledger: Ledger): Unit = {
-    val f = ledgerFile(brokerDir, topic)
-    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+  // fsync-before-rename lives inside writeUtf8Atomic: an un-synced
+  // rename can survive a power loss with torn content, and a torn
+  // ledger either restarts offsets at 0 (duplicate (partition, offset)
+  // rows) or kills produce on parse
+  private def writeLedger(spark: SparkSession, brokerDir: String, topic: String,
+      ledger: Ledger): Unit = {
     val body = (ledger.batch.map(b => s"batch=$b").toSeq ++
       Seq(s"pre=${fmtOffsets(ledger.pre)}", s"cur=${fmtOffsets(ledger.cur)}"))
       .mkString("\n")
-    // fsync BEFORE the atomic move (the LogCollector.post discipline):
-    // an un-synced rename can survive a power loss with torn content,
-    // and a torn ledger either restarts offsets at 0 (duplicate
-    // (partition, offset) rows) or kills produce on parse
-    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
-      java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.SYNC)
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.IndexFs.writeUtf8Atomic(spark, ledgerPath(brokerDir, topic), body)
   }
 
   /** Producer — the dynamic-topic form (`MyKafkaUtils.java:31-40` +
@@ -150,7 +149,7 @@ object FileTopics {
     * a plain file source cannot.) */
   private def healTornProduce(spark: SparkSession, brokerDir: String,
       topic: String, cut: Map[Int, Long]): Unit = {
-    if (topicExists(brokerDir, topic)) {
+    if (topicExists(spark, brokerDir, topic)) {
       import spark.implicits._
       val cutDf = broadcast(cut.toSeq.toDF("partition", "cut"))
       val orphans = spark.read.schema(recordSchema)
@@ -159,10 +158,7 @@ object FileTopics {
         .filter(col("offset") >= coalesce(col("cut"), lit(0L)))
         .select(input_file_name()).distinct()
         .collect().map(_.getString(0))
-      orphans.foreach { uri =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(new java.net.URI(uri))): Unit
-      }
+      orphans.foreach(uri => graft.IndexFs.delete(spark, uri))
     }
   }
 
@@ -186,10 +182,10 @@ object FileTopics {
       // the current log state first, so a crash between any append and
       // its ledger swap is healable on replay (nothing else
       // distinguishes committed files from torn ones)
-      val ledger = readLedger(brokerDir, t).getOrElse {
-        new java.io.File(topicDir(brokerDir, t)).mkdirs()
+      val ledger = readLedger(spark, brokerDir, t).getOrElse {
+        graft.IndexFs.mkdirs(spark, topicDir(brokerDir, t))
         val l = Ledger(None, Map.empty, scanEndOffsets(spark, brokerDir, t))
-        writeLedger(brokerDir, t, l)
+        writeLedger(spark, brokerDir, t, l)
         l
       }
       val replayOfAbsorbed = batchId.isDefined && ledger.batch == batchId
@@ -200,6 +196,17 @@ object FileTopics {
         throw new IllegalStateException(
           s"produce(batchId=${batchId.get}) to topic $t behind the ledger's " +
             s"batch=${ledger.batch.get}: replay can only be of the last batch")
+      }
+      if (batchId.isEmpty && ledger.batch.isDefined) {
+        // one-producer-mode-per-topic: an ad-hoc (batchId-less) append
+        // would overwrite the ledger's batch marker with None and its
+        // pre-state — a later crash-replay of that last streaming batch
+        // would then no longer be recognized as a replay and would
+        // append its records twice
+        throw new IllegalStateException(
+          s"ad-hoc produce (no batchId) to topic $t, which is owned by an " +
+            s"exactly-once streaming producer (ledger batch=${ledger.batch.get}); " +
+            "route through the streaming producer or use a separate topic")
       }
       // the committed cut this append starts from: a replay of the
       // LAST absorbed batch restores the pre-batch cut (and heal below
@@ -229,7 +236,7 @@ object FileTopics {
         val advanced = (base.keySet ++ counts.keySet).map { p =>
           p -> (base.getOrElse(p, 0L) + counts.getOrElse(p, 0L))
         }.toMap
-        writeLedger(brokerDir, t, Ledger(batchId, pre = base, cur = advanced))
+        writeLedger(spark, brokerDir, t, Ledger(batchId, pre = base, cur = advanced))
       } finally batch.unpersist()
     }
   }
@@ -251,7 +258,7 @@ object FileTopics {
       starting: StartingOffsets = Earliest): DataFrame = {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), recordSchema)
-    if (!topicExists(brokerDir, topic)) empty
+    if (!topicExists(spark, brokerDir, topic)) empty
     else {
       val all = spark.read.schema(recordSchema)
         .parquet(topicDir(brokerDir, topic))
@@ -283,7 +290,7 @@ object FileTopics {
     // a Kafka consumer may subscribe before the topic's first record;
     // the file source throws on a missing path, so create the topic
     // directory (the broker's auto-create) rather than failing
-    new java.io.File(topicDir(brokerDir, topic)).mkdirs(): Unit
+    graft.IndexFs.mkdirs(spark, topicDir(brokerDir, topic))
     spark.readStream.schema(recordSchema)
       .parquet(topicDir(brokerDir, topic))
       .select("offset", "key", "value", "partition")

@@ -1668,6 +1668,91 @@ class StreamingSpec extends SparkSuite {
     assert(rows() === after1)
   }
 
+  test("file-topic broker lifecycle runs through the Hadoop FS seam over a file: URI root") {
+    // the IndexFsSpec trick applied to the broker emulation: every
+    // control-plane path (auto-create, ledger read/swap, torn-file
+    // heal) is exercised via an explicit file: URI — java.io.File
+    // would silently answer "nothing exists" for it, so any leakage
+    // shows up as a restarted-offsets/duplicate failure here
+    import graft.streaming.FileTopics
+    val broker = "file://" +
+      java.nio.file.Files.createTempDirectory("broker-uri").toString
+    val b0 = Seq(("tu", "k1", "v1"), ("tu", "k2", "v2")).toDF("topic", "key", "value")
+    FileTopics.produce(b0, broker, batchId = Some(0L))
+    assert(FileTopics.read(spark, broker, "tu").count() === 2L)
+    // ledger served (not a log rescan) and replay restores its append
+    assert(FileTopics.endOffsets(spark, broker, "tu").values.sum === 2L)
+    FileTopics.produce(b0, broker, batchId = Some(0L))
+    assert(FileTopics.read(spark, broker, "tu").count() === 2L,
+      "replay through the file: URI duplicated records")
+    val b1 = Seq(("tu", "k1", "v3")).toDF("topic", "key", "value")
+    FileTopics.produce(b1, broker, batchId = Some(1L))
+    assert(FileTopics.read(spark, broker, "tu").count() === 3L)
+    // subscribe-before-first-record auto-create through the seam
+    val q = FileTopics.readStream(spark, broker, "tu_empty")
+      .writeStream.format("noop").start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("an ad-hoc produce to a topic owned by a streaming producer fails loudly") {
+    // the ledger's batch marker is the replay-recognition record: an
+    // ad-hoc (batchId-less) append would overwrite it with None, and a
+    // later crash-replay of the last streaming batch would append its
+    // records twice — one-producer-mode-per-topic is enforced, not
+    // documented
+    import graft.streaming.FileTopics
+    val broker = java.nio.file.Files.createTempDirectory("producer-modes").toString
+    val b0 = Seq(("tm", "k1", "v1")).toDF("topic", "key", "value")
+    FileTopics.produce(b0, broker, batchId = Some(0L))
+    intercept[IllegalStateException] {
+      FileTopics.produce(Seq(("tm", "k9", "v9")).toDF("topic", "key", "value"), broker)
+    }
+    // nothing landed, and the streaming lineage still replays cleanly
+    assert(FileTopics.read(spark, broker, "tm").count() === 1L)
+    FileTopics.produce(b0, broker, batchId = Some(0L))
+    assert(FileTopics.read(spark, broker, "tm").count() === 1L)
+    // a topic never touched by a streaming producer accepts ad-hoc
+    // appends as before
+    FileTopics.produce(Seq(("tfree", "k", "v")).toDF("topic", "key", "value"), broker)
+    assert(FileTopics.read(spark, broker, "tfree").count() === 1L)
+  }
+
+  test("exactly-once sink fails loudly when the batch schema drifts from the recorded sidecar") {
+    import graft.streaming.ExactlyOnceSink
+    val out = java.nio.file.Files.createTempDirectory("eos-schema").toString + "/out"
+    ExactlyOnceSink.commit(Seq((1L, "a")).toDF("id", "v"), out, 0L)
+    // silent evolution would have readCommitted read every batch under
+    // the stale first schema, nulling the new column with no error
+    val e = intercept[IllegalStateException] {
+      ExactlyOnceSink.commit(
+        Seq((2L, "b", 3.5)).toDF("id", "v", "score"), out, 1L)
+    }
+    assert(e.getMessage.contains("schema changed"))
+    // the committed history is untouched and still serves
+    assert(ExactlyOnceSink.readCommitted(spark, out).count() === 1L)
+    // an identical-schema commit still lands
+    ExactlyOnceSink.commit(Seq((2L, "b")).toDF("id", "v"), out, 1L)
+    assert(ExactlyOnceSink.readCommitted(spark, out).count() === 2L)
+  }
+
+  test("auto-DDL dead-letter replay restores its own DLQ records instead of appending duplicates") {
+    import graft.streaming.AutoDdl
+    import graft.streaming.AutoDdl.TableConfig
+    val db = s"graft_dlq_replay_${System.nanoTime()}"
+    val broker = java.nio.file.Files.createTempDirectory("ddl-dlq-replay").toString
+    val bad = Seq(TableConfig("sx", "dim", "bad`name", "id", None, None))
+    val good = TableConfig("sy", "dim", "dim_replay_ok", "id", None, None)
+    def apply(bid: Long): Unit =
+      AutoDdl.applyConfigBatch(spark, db, (bad :+ good).toDF(),
+        onReject = AutoDdl.deadLetterTo(spark, broker), batchId = Some(bid))
+    apply(0L)
+    assert(graft.streaming.FileTopics.read(spark, broker, "dlq_table_config").count() === 1L)
+    apply(0L) // crash-replay of the same micro-batch
+    assert(graft.streaming.FileTopics.read(spark, broker, "dlq_table_config").count() === 1L,
+      "replayed config batch doubled its DLQ records")
+    spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
   test("a torn FIRST produce (crash before the ledger swap) is healed on replay") {
     import graft.streaming.FileTopics
     val broker = java.nio.file.Files.createTempDirectory("producer-torn").toString
