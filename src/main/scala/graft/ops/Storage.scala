@@ -103,11 +103,14 @@ object Storage {
       // the shuffle's partition count is pinned EXPLICITLY to the total
       // slot count (also the natural write parallelism): an adaptive
       // coalesce of small shuffle blocks would merge a hot cell's
-      // slots back into one task — and one unbounded file — exactly
-      // the skew stall the slot key exists to prevent. (Hash collisions
-      // can still co-locate two slots of one cell in a task; the
-      // per-file bound is therefore ~2× maxCellRows worst-case, not a
-      // hard ceiling.)
+      // slots back into one task — exactly the skew stall the slot key
+      // exists to prevent. Hash collisions can still co-locate a few
+      // slots of one cell in a task (a parallelism effect, bounding a
+      // task at a small multiple of maxCellRows rows); the PER-FILE
+      // bound is enforced independently and HARD by maxRecordsPerFile,
+      // which rolls a task's output to a new file at the limit — so no
+      // collision pattern can produce an unbounded file (StorageSpec's
+      // skew soak measures this on a 95%-one-cell corpus).
       val totalRow = counts.agg(sum(col("_slots"))).head()
       val totalSlots =
         (if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)).toInt max 1
@@ -115,7 +118,8 @@ object Storage {
         .withColumn("_slot", pmod(hash(col(hashCol)), col("_slots").cast("int")))
         .repartition(totalSlots, (cellCols :+ "_slot").map(col): _*)
         .drop("_cell_n", "_slots", "_slot")
-        .write.mode("overwrite").partitionBy(cellCols: _*).parquet(path)
+        .write.mode("overwrite").option("maxRecordsPerFile", maxCellRows)
+        .partitionBy(cellCols: _*).parquet(path)
     } finally release()
   }
 }

@@ -139,6 +139,46 @@ class StorageSpec extends SparkSuite {
     assert(zorderOnX < xsortedOnY / 2, s"z=$zorderOnX xsorted=$xsortedOnY")
   }
 
+  test("skew soak: one cell holding ~all rows writes bounded files and probe pruning survives") {
+    // the writeCellClustered worst case (single-shingle corpus / one
+    // hot IVF cluster): 95% of 300k rows land in ONE cell with a 10k
+    // per-cell bound. The per-file row bound is HARD (maxRecordsPerFile
+    // rolls files at the limit, so slot-hash collisions can never
+    // produce an unbounded file — a measured 3-slot collision used to
+    // breach the old ~2× soft bound exactly here); the write must also
+    // conserve every row, keep cold cells one file each, and leave
+    // path-level pruning untouched on both sides of the split.
+    val dir = java.nio.file.Files.createTempDirectory("skew-soak").toString + "/cells"
+    val n = 300000L
+    val hotRows = 285000L
+    val maxCell = 10000L
+    val df = spark.range(n).select(
+      when(col("id") < hotRows, lit("hot"))
+        .otherwise(concat(lit("c"), pmod(col("id"), lit(50L)))).as("cell"),
+      col("id").as("k"))
+    graft.ops.Storage.writeCellClustered(df, Seq("cell"), "k", dir, maxCell)
+    assert(spark.read.parquet(dir).count() === n, "rows lost or duplicated")
+    // measured per-file row counts inside the hot cell
+    val perFile = spark.read.parquet(s"$dir/cell=hot")
+      .groupBy(input_file_name().as("f")).count()
+      .collect().map(r => r.getLong(1))
+    assert(perFile.sum === hotRows)
+    assert(perFile.max <= maxCell,
+      s"hot-cell file of ${perFile.max} rows breaches the hard bound (files: ${perFile.sorted.reverse.take(5).toSeq})")
+    // genuinely split: at least half the ideal slot count of files
+    val idealSlots = math.ceil(hotRows.toDouble / maxCell).toLong
+    assert(perFile.length >= idealSlots / 2,
+      s"hot cell wrote only ${perFile.length} files for $idealSlots slots — AQE re-coalesced the split")
+    // cold cells keep the one-file-per-cell layout
+    val coldFiles = spark.read.parquet(s"$dir/cell=c7").inputFiles
+    assert(coldFiles.length === 1, s"cold cell fragmented: ${coldFiles.length} files")
+    // pruning: a probe of either side touches only its own directory
+    val probeCold = spark.read.option("basePath", dir).parquet(s"$dir/cell=c7")
+    assert(probeCold.count() > 0 && probeCold.inputFiles.forall(_.contains("/cell=c7/")))
+    val probeHot = spark.read.option("basePath", dir).parquet(s"$dir/cell=hot")
+    assert(probeHot.count() === hotRows && probeHot.inputFiles.forall(_.contains("/cell=hot/")))
+  }
+
   test("small-files compaction hits the size target and preserves rows and clustering") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
     val ev = graft.ops.Tables.events(spark, sf("sf0.01"))
