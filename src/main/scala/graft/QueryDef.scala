@@ -14,23 +14,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     tz-adjusted parquet timestamps, DuckDB writes naive ones);
   *   - both sides ORDER BY the full output key.
   *
-  * KNOWN RESIDUAL HAZARD — `ROUND(double, n)` on TIE-shaped values:
-  * Spark rounds the double's shortest decimal string HALF_UP
-  * (`round(0.07125, 4) = 0.0713`) while DuckDB rounds the binary
-  * value (`0.071249999... → 0.0712`), so a ratio whose exact decimal
-  * expansion lands on a rounding boundary (57/800 = 0.07125) would
-  * hash-mismatch even though both engines are "correct". The current
-  * fixtures contain no such quotient (the full board is green at
-  * sf0.001/0.01/0.1); if a regenerated dataset ever trips one query
-  * on a single near-boundary ratio cell, this — not a logic bug — is
-  * the first thing to check. The exact-everywhere fix is integer
-  * rounding (`(a*2*10^n + b) div (2*b)` over the count columns on
-  * both sides); it is deliberately NOT applied preemptively across
-  * the ~10 passing ratio queries because decimal-division scale rules
-  * differ between the engines and a mechanical sweep risks more than
-  * it protects.
+  * ROUND-TIE HAZARD, now engineered away for every ratio of exact
+  * (integer / fixed-point) quantities: `ROUND(double, n)` diverges
+  * cross-engine exactly ON tie-shaped values (Spark rounds the
+  * double's shortest decimal string HALF_UP — `round(0.07125, 4) =
+  * 0.0713` — while DuckDB rounds the binary value `0.071249999… →
+  * 0.0712`). Every query whose rounded output is a ratio of
+  * integer-valued quantities (counts, token counts, cent-scaled
+  * decimal sums) routes through [[QueryDef.roundedRatio]] /
+  * [[QueryDef.roundedRatioSql]]: exact HALF_UP of the true rational
+  * in integer arithmetic on BOTH sides, so no regenerated dataset can
+  * roll a divergent tie. Remaining `ROUND(double, n)` sites are over
+  * float/irrational-derived doubles (cosines of float dot products,
+  * sqrt-derived stddev, interpolated percentiles re-scaled so their
+  * exact values terminate before the rounding digit) whose shortest
+  * decimal representations cannot land on an (n+1)-digit tie —
+  * **none known** beyond that.
   */
 final case class QueryDef(
     name: String,
     oracle: Option[String],
     fn: (SparkSession, String) => DataFrame)
+
+object QueryDef {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Exact HALF_UP rounding of the ratio `num/den` to `n` decimals,
+    * computed entirely in integer arithmetic:
+    * `sign(num) · floor((|num|·2·10ⁿ + den) / (2·den)) / 10ⁿ`
+    * (HALF_UP = away from zero on ties, matching `ROUND`). Both inputs
+    * must be integer-VALUED (scale fixed-point inputs up first, e.g. a
+    * DECIMAL(18,2) sum × 100) and `den > 0`. The intermediate runs in
+    * DECIMAL(38,0) (no ANSI long overflow); the integral quotient is
+    * produced as `(a − a mod b) / b`, whose decimal division is exact
+    * because the numerator is an exact multiple. The final value is
+    * the nearest double to an exact n-decimal rational — bit-identical
+    * to the oracle's [[roundedRatioSql]] result, immune to the
+    * Spark-shortest-string vs DuckDB-binary ROUND divergence. */
+  def roundedRatio(num: Column, den: Column, n: Int): Column = {
+    val p = math.pow(10, n).toLong
+    val big = "decimal(38,0)"
+    val a = abs(num).cast(big) * lit(2L * p) + den.cast(big)
+    val b = den.cast(big) * lit(2L)
+    val q = (a - pmod(a, b)) / b
+    val sign = when(num < 0, lit(-1L)).otherwise(lit(1L))
+    (sign * q.cast(big) / lit(p)).cast("double")
+  }
+
+  /** DuckDB mirror of [[roundedRatio]] (HUGEINT `//`, same formula;
+    * the quotient is < 2^53 for every declared ratio, so the final
+    * double cast is exact). */
+  def roundedRatioSql(num: String, den: String, n: Int): String = {
+    val p = math.pow(10, n).toLong
+    s"((CASE WHEN ($num) < 0 THEN -1 ELSE 1 END) * " +
+      s"CAST((CAST(abs($num) AS HUGEINT) * ${2 * p} + CAST($den AS HUGEINT)) // " +
+      s"(2 * CAST($den AS HUGEINT)) AS DOUBLE) / $p)"
+  }
+}

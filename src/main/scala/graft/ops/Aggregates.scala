@@ -297,24 +297,29 @@ object Aggregates {
           count(lit(1)).as("n_orders")))
 
   /** A10 — derived ratio metrics (`gmall-publisher/.../VisitorStats.java:35-64`
-    * bounce rate / per-visit averages): division on exact decimal
-    * components, rounded in double. */
+    * bounce rate / per-visit averages): the average is an exact
+    * HALF_UP integer-ratio round (cent-scaled sum over the count, via
+    * [[graft.QueryDef.roundedRatio]]) — a cell count of 8/16/32 rows
+    * would otherwise land the quotient on a cross-engine ROUND tie. */
   val a10RatioMetrics = QueryDef(
     "a10_ratio_metrics",
-    Some("""SELECT event_type,
-           |  COUNT(*) AS n,
-           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-           |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_value
-           |FROM events
-           |GROUP BY event_type
-           |ORDER BY event_type""".stripMargin),
+    Some(s"""SELECT event_type,
+            |  COUNT(*) AS n,
+            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+            |  ${graft.QueryDef.roundedRatioSql(
+                 "SUM(CAST(value AS DECIMAL(18,2))) * 100", "COUNT(*)", 2)} AS avg_value
+            |FROM events
+            |GROUP BY event_type
+            |ORDER BY event_type""".stripMargin),
     (spark, dir) =>
       Tables.events(spark, dir)
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
-          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total_value"))
-        .withColumn("avg_value", round(col("total_value") / col("n"), 2))
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("total_value"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0))").as("_tv100"))
+        .withColumn("avg_value", graft.QueryDef.roundedRatio(col("_tv100"), col("n"), 2))
+        .drop("_tv100")
         .orderBy("event_type"))
 
   /** A5 typed form — the distinct-set accumulator as a custom

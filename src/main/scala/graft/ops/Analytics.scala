@@ -63,13 +63,19 @@ object Analytics {
     })
 
   /** Percentile profile: interpolated quantiles of order value per
-    * status (continuous-percentile semantics in both engines). */
+    * status (continuous-percentile semantics in both engines).
+    * Rounded at 6 decimals ON PURPOSE: the interpolated value over
+    * cent-priced data is v_i + f·(v_{i+1} − v_i) with f a multiple of
+    * 1/20 or 1/4, so its exact decimal expansion terminates at ≤ 4
+    * places — rounding at 6 can never meet a tie digit, where the old
+    * 2-place display landed ON the half-cent tie whenever p50 fell
+    * between two prices (the cross-engine ROUND divergence). */
   val a14Percentile = QueryDef(
     "a14_percentile",
     Some("""SELECT o_orderstatus,
-           |  ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
-           |  ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
-           |  ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95
+           |  ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+           |  ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+           |  ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
            |FROM orders
            |GROUP BY o_orderstatus
            |ORDER BY o_orderstatus""".stripMargin),
@@ -77,9 +83,9 @@ object Analytics {
       Tables.table(spark, dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-          round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-          round(expr("percentile(o_totalprice, 0.50)"), 2).as("p50"),
-          round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"))
+          round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(o_totalprice, 0.50)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 6).as("p95"))
         .orderBy("o_orderstatus"))
 
   /** Analytic window functions (rank / dense_rank / lag) — supplier
@@ -186,14 +192,18 @@ object Analytics {
     * arithmetic is written identically in both engines). */
   val a18Stats = QueryDef(
     "a18_stats",
-    Some("""WITH m AS (
+    Some(s"""WITH m AS (
            |  SELECT event_type, COUNT(*) AS n,
            |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-           |    CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+           |    CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+           |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS HUGEINT) AS sx100,
+           |    CAST(SUM(CAST(value * value AS DECIMAL(38,12))) * 1000000000000 AS HUGEINT) AS sxx12
            |  FROM events GROUP BY event_type)
            |SELECT event_type, n,
-           |  ROUND(sx / n, 6) AS mean,
-           |  ROUND(sxx / n - (sx / n) * (sx / n), 6) AS var_pop,
+           |  ${graft.QueryDef.roundedRatioSql("sx100", "n * 100", 6)} AS mean,
+           |  ${graft.QueryDef.roundedRatioSql(
+                "sxx12 * n - sx100 * sx100 * 100000000",
+                "CAST(n AS HUGEINT) * n * 1000000000000", 6)} AS var_pop,
            |  ROUND(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS stddev_pop
            |FROM m
            |ORDER BY event_type""".stripMargin),
@@ -203,14 +213,23 @@ object Analytics {
         .agg(
           count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sx"),
-          sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double").as("sxx"))
-      val mean = col("sx") / col("n")
-      val varPop = col("sxx") / col("n") - mean * mean
+          sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double").as("sxx"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS DECIMAL(38,0))").as("_sx100"),
+          expr("CAST(SUM(CAST(value * value AS DECIMAL(38,12))) * 1000000000000 AS DECIMAL(38,0))").as("_sxx12"))
+      // mean and var_pop via exact integer moments (HALF_UP on the true
+      // rational, cross-engine identical); stddev stays on the shared
+      // double expression — sqrt output is irrational off the zero case,
+      // so its shortest decimal form cannot land on a rounding tie
+      val meanD = col("sx") / col("n")
+      val varD = col("sxx") / col("n") - meanD * meanD
+      val varNum = col("_sxx12") * col("n") -
+        col("_sx100") * col("_sx100") * lit(100000000L)
+      val varDen = col("n").cast("decimal(38,0)") * col("n") * lit(1000000000000L)
       m.select(
           col("event_type"), col("n"),
-          round(mean, 6).as("mean"),
-          round(varPop, 6).as("var_pop"),
-          round(sqrt(varPop), 6).as("stddev_pop"))
+          graft.QueryDef.roundedRatio(col("_sx100"), col("n") * 100, 6).as("mean"),
+          graft.QueryDef.roundedRatio(varNum, varDen, 6).as("var_pop"),
+          round(sqrt(varD), 6).as("stddev_pop"))
         .orderBy("event_type")
     })
 

@@ -106,7 +106,9 @@ object Dedup {
       |         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
       |j AS (SELECT c.probe_id, c.index_id,
       |        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-      |          / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jac
+      |          / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jac,
+      |        len(list_intersect(sa.ss, sb.ss)) AS ni,
+      |        len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS nu
       |      FROM cand c JOIN sets sa ON sa.doc_id = c.probe_id JOIN sets sb ON sb.doc_id = c.index_id)""".stripMargin
 
   /** Exact dedup: hash-groupBy on content; survivor = min doc_id. */
@@ -162,7 +164,9 @@ object Dedup {
        |sets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY doc_id),
        |j AS (SELECT c.doc_a, c.doc_b,
        |        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
-       |          / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jac
+       |          / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jac,
+       |        len(list_intersect(sa.ss, sb.ss)) AS ni,
+       |        len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS nu
        |      FROM cand c
        |      JOIN sets sa ON sa.doc_id = c.doc_a
        |      JOIN sets sb ON sb.doc_id = c.doc_b)""".stripMargin
@@ -183,7 +187,9 @@ object Dedup {
     val scored = cand
       .join(sets.as("sa"), col("sa.doc_id") === col("doc_a"))
       .join(sets.as("sb"), col("sb.doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), jac.as("jac"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jac"),
+        inter.as("n_inter"),
+        (size(col("sa.ss")) + size(col("sb.ss")) - inter).as("n_union"))
       .materialized
     sh.unpersist()
     scored
@@ -408,7 +414,7 @@ object Dedup {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "probe_id BIGINT, index_id BIGINT, jac DOUBLE"))
+          "probe_id BIGINT, index_id BIGINT, jac DOUBLE, n_inter INT, n_union INT"))
       return (empty, probe, release)
     }
     val index = perRoot.reduce(_ unionByName _)
@@ -431,7 +437,9 @@ object Dedup {
       // (per-pair) verify; the sets ride along, identical per doc
       .groupBy("probe_id", "index_id")
       .agg(first(col("pss")).as("pss"), first(col("iss")).as("iss"))
-      .select(col("probe_id"), col("index_id"), jac.as("jac"))
+      .select(col("probe_id"), col("index_id"), jac.as("jac"),
+        inter.as("n_inter"),
+        (size(col("pss")) + size(col("iss")) - inter).as("n_union"))
       .filter(col("jac") >= threshold)
     (out, probe, release)
   }
@@ -533,7 +541,8 @@ object Dedup {
     nearDupCheck(spark, indexDir,
       Tables.table(spark, dir, "documents").filter(col("doc_id") % 2 === 1),
       prefixLen = 1, broadcastProbe = false)
-      .select(col("probe_id"), col("index_id"), round(col("jac"), 6).as("jac"))
+      .select(col("probe_id"), col("index_id"),
+        graft.QueryDef.roundedRatio(col("n_inter"), col("n_union"), 6).as("jac"))
       .orderBy("probe_id", "index_id")
 
   /** One persisted even-id LSH index per sfDir per session, built
@@ -565,7 +574,7 @@ object Dedup {
   val dedupAgainstIndex = QueryDef(
     "dedup_against_index",
     Some(s"""$lshSplitCtes
-            |SELECT probe_id, index_id, ROUND(jac, 6) AS jac
+            |SELECT probe_id, index_id, ${graft.QueryDef.roundedRatioSql("ni", "nu", 6)} AS jac
             |FROM j WHERE jac >= $jaccardThreshold
             |ORDER BY probe_id, index_id""".stripMargin),
     (spark, dir) => {
@@ -592,14 +601,15 @@ object Dedup {
   val dedupJaccardNgram = QueryDef(
     "dedup_jaccard_ngram",
     Some(s"""$jaccardCtes
-            |SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+            |SELECT doc_a, doc_b, ${graft.QueryDef.roundedRatioSql("ni", "nu", 6)} AS jaccard
             |FROM j
             |WHERE jac >= $jaccardThreshold
             |ORDER BY doc_a, doc_b""".stripMargin),
     (spark, dir) =>
       scoredPairs(spark, dir)
         .filter(col("jac") >= jaccardThreshold)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+        .select(col("doc_a"), col("doc_b"),
+          graft.QueryDef.roundedRatio(col("n_inter"), col("n_union"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b"))
 
   /** SimHash: 16-bit signature from per-token md5 nibbles; documents
@@ -869,14 +879,14 @@ object Dedup {
     * stays fully distributed. */
   val dedupLines = QueryDef(
     "dedup_lines",
-    Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x) > 0) AS ws FROM documents),
+    Some(s"""WITH w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> length(x) > 0) AS ws FROM documents),
            |c AS (SELECT doc_id, unnest(generate_series(0, CAST(ceil(len(ws)/3.0)-1 AS BIGINT))) AS cid, ws
            |      FROM w WHERE len(ws) > 0),
            |h AS (SELECT doc_id, cid, md5(array_to_string(ws[cid*3+1:cid*3+3],' ')) AS h FROM c),
            |cnt AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY h)
            |SELECT h.doc_id, COUNT(*) AS n_chunks,
            |  CAST(SUM(CASE WHEN cnt.nd >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS boiler_chunks,
-           |  ROUND(CAST(SUM(CASE WHEN cnt.nd >= 5 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS boiler_frac
+           |  ${graft.QueryDef.roundedRatioSql("SUM(CASE WHEN cnt.nd >= 5 THEN 1 ELSE 0 END)", "COUNT(*)", 4)} AS boiler_frac
            |FROM h JOIN cnt ON h.h = cnt.h
            |GROUP BY h.doc_id
            |ORDER BY h.doc_id""".stripMargin),
@@ -902,7 +912,8 @@ object Dedup {
         .agg(
           count(lit(1)).as("n_chunks"),
           sum(when(col("nd") >= 5, 1L).otherwise(0L)).as("boiler_chunks"),
-          round(sum(when(col("nd") >= 5, 1L).otherwise(0L)).cast("double") / count(lit(1)), 4).as("boiler_frac"))
+          graft.QueryDef.roundedRatio(
+            sum(when(col("nd") >= 5, 1L).otherwise(0L)), count(lit(1)), 4).as("boiler_frac"))
         .orderBy("doc_id")
     })
 

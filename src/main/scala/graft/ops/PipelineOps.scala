@@ -16,7 +16,7 @@ object PipelineOps {
 
   val pipelineDwsE2e = QueryDef(
     "pipeline_dws_e2e",
-    Some("""WITH dwd AS (
+    Some(s"""WITH dwd AS (
            |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
            |  FROM events WHERE event_type <> 'error'),
            |dwm_uv AS (
@@ -33,7 +33,7 @@ object PipelineOps {
            |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS stt, COUNT(*) AS uv_ct
            |  FROM dwm_uv GROUP BY 1)
            |SELECT d.stt, u.uv_ct, d.pv_ct, d.order_amount,
-           |  ROUND(CAST(d.pv_ct AS DOUBLE) / u.uv_ct, 2) AS pv_per_uv
+           |  ${graft.QueryDef.roundedRatioSql("d.pv_ct", "u.uv_ct", 2)} AS pv_per_uv
            |FROM dws d JOIN dws_uv u ON d.stt = u.stt
            |ORDER BY d.stt""".stripMargin),
     (spark, dir) => {
@@ -57,7 +57,7 @@ object PipelineOps {
       dws.join(dwsUv, "stt")
         .select(
           col("stt"), col("uv_ct"), col("pv_ct"), col("order_amount"),
-          round(col("pv_ct").cast("double") / col("uv_ct"), 2).as("pv_per_uv"))
+          graft.QueryDef.roundedRatio(col("pv_ct"), col("uv_ct"), 2).as("pv_per_uv"))
         .orderBy("stt")
     })
 

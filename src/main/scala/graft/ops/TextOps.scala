@@ -57,8 +57,8 @@ object TextOps {
             |-- empty docs are filtered, not scored (ANSI-safe: no /0)
             |SELECT doc_id, n_chars_actual,
             |  CAST(n_words AS BIGINT) AS n_words,
-            |  ROUND(CAST(n_chars_actual AS DOUBLE) / n_words, 4) AS chars_per_word,
-            |  ROUND(CAST(n_stop AS DOUBLE) / n_words, 4) AS stop_ratio,
+            |  ${graft.QueryDef.roundedRatioSql("n_chars_actual", "n_words", 4)} AS chars_per_word,
+            |  ${graft.QueryDef.roundedRatioSql("n_stop", "n_words", 4)} AS stop_ratio,
             |  CASE WHEN n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words BETWEEN 0.01 AND 0.6
             |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
             |FROM f
@@ -78,8 +78,8 @@ object TextOps {
           col("doc_id"),
           col("n_chars_actual"),
           col("n_words_i").cast("long").as("n_words"),
-          round(col("n_chars_actual").cast("double") / col("n_words_i"), 4).as("chars_per_word"),
-          round(col("n_stop_i").cast("double") / col("n_words_i"), 4).as("stop_ratio"),
+          graft.QueryDef.roundedRatio(col("n_chars_actual"), col("n_words_i"), 4).as("chars_per_word"),
+          graft.QueryDef.roundedRatio(col("n_stop_i"), col("n_words_i"), 4).as("stop_ratio"),
           when(col("n_words_i") >= 20 &&
             (col("n_stop_i").cast("double") / col("n_words_i")).between(0.01, 0.6), 1L)
             .otherwise(0L).as("keep"))
@@ -239,7 +239,7 @@ object TextOps {
     * shuffle row leaves the mapper. */
   val textRepetition = QueryDef(
     "text_repetition",
-    Some("""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents),
+    Some(s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents),
            |w2 AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) >= 2),
            |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, n - 1), i -> ws[i] || ' ' || ws[i + 1])) AS b FROM w2),
            |bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
@@ -247,9 +247,9 @@ object TextOps {
            |SELECT w2.doc_id,
            |  CAST(n AS BIGINT) AS n_tokens,
            |  CAST(len(list_distinct(ws)) AS BIGINT) AS vocab,
-           |  ROUND(1 - CAST(len(list_distinct(ws)) AS DOUBLE) / n, 4) AS dup_frac,
+           |  ${graft.QueryDef.roundedRatioSql("n - len(list_distinct(ws))", "n", 4)} AS dup_frac,
            |  CAST(top.top_ct AS BIGINT) AS top_bigram_ct,
-           |  ROUND(CAST(top.top_ct AS DOUBLE) / (n - 1), 4) AS top_bigram_frac,
+           |  ${graft.QueryDef.roundedRatioSql("top.top_ct", "n - 1", 4)} AS top_bigram_frac,
            |  CASE WHEN 1 - CAST(len(list_distinct(ws)) AS DOUBLE) / n <= 0.5
            |        AND CAST(top.top_ct AS DOUBLE) / (n - 1) <= 0.05
            |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
@@ -272,9 +272,11 @@ object TextOps {
       perDoc.join(top, "doc_id")
         .select(
           col("doc_id"), col("n_tokens"), col("vocab"),
-          round(lit(1) - col("vocab").cast("double") / col("n_tokens"), 4).as("dup_frac"),
+          graft.QueryDef.roundedRatio(
+            col("n_tokens") - col("vocab"), col("n_tokens"), 4).as("dup_frac"),
           col("top_ct").as("top_bigram_ct"),
-          round(col("top_ct").cast("double") / (col("n_tokens") - 1), 4).as("top_bigram_frac"),
+          graft.QueryDef.roundedRatio(
+            col("top_ct"), col("n_tokens") - 1, 4).as("top_bigram_frac"),
           when((lit(1) - col("vocab").cast("double") / col("n_tokens")) <= 0.5 &&
             col("top_ct").cast("double") / (col("n_tokens") - 1) <= 0.05, 1L)
             .otherwise(0L).as("keep"))
@@ -291,16 +293,16 @@ object TextOps {
     * doc_id. */
   val textRarityScore = QueryDef(
     "text_rarity_score",
-    Some("""WITH tok AS (
+    Some(s"""WITH tok AS (
            |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
            |tok2 AS (SELECT doc_id, w FROM tok WHERE length(w) > 0),
            |freq AS (SELECT w, COUNT(*) AS cf FROM tok2 GROUP BY w)
            |SELECT t.doc_id,
            |  COUNT(*) AS n_tokens,
            |  CAST(SUM(f.cf) AS BIGINT) AS sum_freq,
-           |  ROUND(CAST(SUM(f.cf) AS DOUBLE) / COUNT(*), 4) AS avg_tok_freq,
+           |  ${graft.QueryDef.roundedRatioSql("SUM(f.cf)", "COUNT(*)", 4)} AS avg_tok_freq,
            |  CAST(SUM(CASE WHEN f.cf < 500 THEN 1 ELSE 0 END) AS BIGINT) AS rare_ct,
-           |  ROUND(CAST(SUM(CASE WHEN f.cf < 500 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rare_frac
+           |  ${graft.QueryDef.roundedRatioSql("SUM(CASE WHEN f.cf < 500 THEN 1 ELSE 0 END)", "COUNT(*)", 4)} AS rare_frac
            |FROM tok2 t JOIN freq f ON t.w = f.w
            |GROUP BY t.doc_id
            |ORDER BY t.doc_id""".stripMargin),
@@ -314,9 +316,10 @@ object TextOps {
         .agg(
           count(lit(1)).as("n_tokens"),
           sum(col("cf")).cast("long").as("sum_freq"),
-          round(sum(col("cf")).cast("double") / count(lit(1)), 4).as("avg_tok_freq"),
+          graft.QueryDef.roundedRatio(sum(col("cf")), count(lit(1)), 4).as("avg_tok_freq"),
           sum(when(col("cf") < 500, 1).otherwise(0)).cast("long").as("rare_ct"),
-          round(sum(when(col("cf") < 500, 1).otherwise(0)).cast("double") / count(lit(1)), 4).as("rare_frac"))
+          graft.QueryDef.roundedRatio(
+            sum(when(col("cf") < 500, 1).otherwise(0)), count(lit(1)), 4).as("rare_frac"))
         .orderBy("doc_id")
     })
 
@@ -384,7 +387,7 @@ object TextOps {
            |  FROM tok2 t LEFT JOIN wt x ON t.w = x.w
            |  GROUP BY t.doc_id)
            |SELECT doc_id, n_tokens, matched_ct,
-           |  ROUND(CAST(raw AS DOUBLE) / n_tokens, 6) AS model_score,
+           |  ${graft.QueryDef.roundedRatioSql("CAST(raw * 1000 AS BIGINT)", "n_tokens * 1000", 6)} AS model_score,
            |  (raw * 200 > n_tokens) AS keep
            |FROM scored
            |ORDER BY doc_id""".stripMargin),
@@ -404,7 +407,8 @@ object TextOps {
           coalesce(sum(col("wgt")), lit(0).cast("decimal(6,3)")).as("raw"))
         .select(
           col("doc_id"), col("n_tokens"), col("matched_ct"),
-          round(col("raw").cast("double") / col("n_tokens"), 6).as("model_score"),
+          graft.QueryDef.roundedRatio(
+            (col("raw") * 1000).cast("long"), col("n_tokens") * 1000, 6).as("model_score"),
           (col("raw") * 200 > col("n_tokens")).as("keep"))
         .orderBy("doc_id")
     })

@@ -86,15 +86,19 @@ object Workload {
     * identically in both engines. */
   val q14PromoEffect = QueryDef(
     "q14_promo_effect",
-    Some("""WITH s AS (
-           |  SELECT
-           |    CAST(SUM(CASE WHEN p.p_type = 'PROMO'
-           |          THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-           |          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo,
-           |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total
-           |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-           |  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01')
-           |SELECT ROUND(100.0 * promo / total, 4) AS promo_pct, promo, total FROM s""".stripMargin),
+    Some(s"""WITH s AS (
+            |  SELECT
+            |    CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+            |          THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+            |          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo,
+            |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total,
+            |    CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+            |          THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+            |          ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS HUGEINT) AS p4,
+            |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS HUGEINT) AS t4
+            |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            |  WHERE l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01')
+            |SELECT ${graft.QueryDef.roundedRatioSql("p4 * 100", "t4", 4)} AS promo_pct, promo, total FROM s""".stripMargin),
     (spark, dir) => {
       val l = Tables.table(spark, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
@@ -105,9 +109,13 @@ object Workload {
           expr("""CAST(SUM(CASE WHEN p_type = 'PROMO'
                  |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
                  |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)""".stripMargin).as("promo"),
-          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("total"))
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("total"),
+          expr("""CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS DECIMAL(38,0))""".stripMargin).as("_p4"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS DECIMAL(38,0))").as("_t4"))
       s.select(
-        round(lit(100.0) * col("promo") / col("total"), 4).as("promo_pct"),
+        graft.QueryDef.roundedRatio(col("_p4") * 100, col("_t4"), 4).as("promo_pct"),
         col("promo"), col("total"))
     })
 

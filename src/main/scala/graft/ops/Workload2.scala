@@ -88,7 +88,7 @@ object Workload2 {
     * division happens once per year row. */
   val q8MarketShare = QueryDef(
     "q8_market_share",
-    Some("""WITH base AS (
+    Some(s"""WITH base AS (
            |  SELECT strftime(o.o_orderdate,'%Y') AS o_year,
            |    CAST(l.l_extendedprice AS DECIMAL(18,2))*(1-CAST(l.l_discount AS DECIMAL(18,2))) AS vol,
            |    sn.n_name AS supp_nation
@@ -101,8 +101,9 @@ object Workload2 {
            |  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'EUROPE'
            |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey)
            |SELECT o_year,
-           |  ROUND(100.0*CAST(SUM(CASE WHEN supp_nation='NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-           |    / CAST(SUM(vol) AS DOUBLE), 4) AS mkt_share_pct,
+           |  ${graft.QueryDef.roundedRatioSql(
+                "CAST(SUM(CASE WHEN supp_nation='NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS HUGEINT) * 100",
+                "CAST(SUM(vol) * 10000 AS HUGEINT)", 4)} AS mkt_share_pct,
            |  CAST(SUM(vol) AS DOUBLE) AS total_vol
            |FROM base GROUP BY 1 ORDER BY 1""".stripMargin),
     (spark, dir) => {
@@ -133,9 +134,12 @@ object Workload2 {
           col("supp_nation"))
       base.groupBy("o_year")
         .agg(
-          expr("""ROUND(100.0*CAST(SUM(CASE WHEN supp_nation='NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                 |  / CAST(SUM(vol) AS DOUBLE), 4)""".stripMargin).as("mkt_share_pct"),
+          expr("CAST(SUM(CASE WHEN supp_nation='NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS DECIMAL(38,0))").as("_n4"),
+          expr("CAST(SUM(vol) * 10000 AS DECIMAL(38,0))").as("_d4"),
           expr("CAST(SUM(vol) AS DOUBLE)").as("total_vol"))
+        .select(col("o_year"),
+          graft.QueryDef.roundedRatio(col("_n4") * 100, col("_d4"), 4).as("mkt_share_pct"),
+          col("total_vol"))
         .orderBy("o_year")
     })
 

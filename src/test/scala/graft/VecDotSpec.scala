@@ -34,3 +34,35 @@ class VecDotSpec extends SparkSuite {
     assert(d.head().isNullAt(0))
   }
 }
+
+/** Exactness of the integer-rounding helper against hand-computed
+  * HALF_UP values, including the tie shapes that diverge under plain
+  * double ROUND. */
+class RoundedRatioSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("roundedRatio is exact HALF_UP on ties and agrees with the oracle formula") {
+    val cases = Seq(
+      (57L, 800L, 4, 0.0713),  // 0.07125 tie -> up
+      (1L, 3L, 2, 0.33),
+      (2L, 3L, 2, 0.67),
+      (7L, 32L, 4, 0.2188),    // 0.21875 tie -> up
+      (1L, 128L, 6, 0.007813), // 0.0078125 tie -> up
+      (0L, 5L, 4, 0.0),
+      (1L, 16L, 4, 0.0625),    // terminates exactly at n: identity
+      (100L, 8L, 2, 12.5))
+    for ((num, den, n, want) <- cases) {
+      val got = Seq((num, den)).toDF("a", "b")
+        .select(graft.QueryDef.roundedRatio(col("a"), col("b"), n).as("r"))
+        .head().getDouble(0)
+      assert(got === want, s"$num/$den @$n: got $got want $want")
+    }
+    // overflow headroom: a var_pop-scale numerator through decimal(38,0)
+    val big = Seq((1L, 1L)).toDF("a", "b")
+      .select(graft.QueryDef.roundedRatio(
+        lit("99999999999999999999").cast("decimal(38,0)"), lit(10000000000L), 6).as("r"))
+      .head().getDouble(0)
+    assert(big === 1.0E10)
+  }
+}
