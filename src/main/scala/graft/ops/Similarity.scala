@@ -328,12 +328,91 @@ object Similarity {
     probeCore(index, q, exclude = None, k, nprobe)
   }
 
+  // ---- re-ranking leg: int8 sketch stage over WIDE cells, exact ----
+  // ---- cosine only inside the sketch-chosen cells                ----
+
+  /** Per-vector int8 quantization scale: max |component| (floored at
+    * 1e-30 so an all-zero vector quantizes to zeros instead of an ANSI
+    * overflow on the int cast). array_max on both engines — exact,
+    * order-free. */
+  private[ops] def amaxCol(e: Column): Column =
+    greatest(array_max(transform(e, x => abs(x.cast("double")))), lit(1e-30))
+
+  /** int8 code: floor(x·127/amax + 0.5) — floor-based symmetric
+    * rounding, NOT `round` (floor is bit-identical across engines;
+    * ROUND's tie handling is not). |code| ≤ 127 by construction. */
+  private[ops] def q8Col(e: Column, amax: Column): Column =
+    transform(e, x => floor(x.cast("double") * 127.0 / amax + 0.5).cast("int"))
+
+  /** Exact integer dot of two int8 code arrays (products ≤ 127², sums
+    * in long — no overflow, no float ordering concerns). */
+  private[ops] def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L),
+      (acc, v) => acc + v)
+
+  /** The (vec_id, label, norm, eamax, q8) sketch of a corpus — ~¼ the
+    * full-precision bytes; what [[persistIvfIndex]]/[[compactIvfIndex]]
+    * materialize per generation for the re-ranked probe's stage 1. */
+  private[ops] def sketchOf(corpus: DataFrame): DataFrame =
+    corpus.withColumn("eamax", amaxCol(col("embedding")))
+      .select(col("vec_id"), col("label"), col("norm"), col("eamax"),
+        q8Col(col("embedding"), col("eamax")).as("q8"))
+
+  /** Stage-1 approximate cosine from the int8 codes:
+    * ((eamax·qamax)/127² · Σ q8ᵉ·q8ᵠ) / (norm·qnorm). Parenthesized to
+    * match the oracle's evaluation order operation for operation. */
+  private def approxCos: Column =
+    ((col("eamax") * col("qamax") / lit(16129.0)) *
+      intDot(col("q8"), col("q8q")).cast("double")) /
+      (col("norm") * col("qnorm"))
+
+  /** Re-ranked IVF probe: the coarse quantizer picks `nprobeWide`
+    * cells (cheap — centroid fold), the int8 SKETCH of those cells
+    * scores every member approximately, and exact cosine then runs
+    * ONLY inside the `rerankCells` cells holding the best sketch
+    * candidates. Same full-precision I/O as a plain
+    * `nprobe = rerankCells` probe, but the cells are chosen by
+    * evidence from an 8× wider net — which repairs the classic
+    * L2-quantizer/cosine-metric mismatch: an angularly-aligned cluster
+    * at a different magnitude is far from the query by centroid L2
+    * (never probed at nprobe=2) yet scores top of the sketch pool.
+    * PropertySpec gates recall ≥ 0.95 on exactly that geometry, where
+    * the plain probe scores ≤ 0.5. */
+  def ivfProbeReranked(index: IvfIndex, queryVecId: Long, k: Int = 10,
+      nprobeWide: Int = 8, rerankCells: Int = 2, poolSize: Int = 50): DataFrame = {
+    val q = index.corpus.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), col("norm").as("qnorm"))
+      .withColumn("qamax", amaxCol(col("qe")))
+      .withColumn("q8q", q8Col(col("qe"), col("qamax")))
+    val d2 = aggregate(
+      zip_with(col("cent"), col("qe"),
+        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val wide = index.centroids.crossJoin(broadcast(q.select("qe")))
+      .select(col("label"), d2.as("d2"))
+      .orderBy(col("d2"), col("label")).limit(nprobeWide).select("label")
+    val pool = sketchOf(index.corpus.filter(col("vec_id") =!= queryVecId))
+      .join(broadcast(wide), "label")
+      .crossJoin(broadcast(q.select("qamax", "q8q", "qnorm")))
+      .select(col("vec_id"), col("label"), approxCos.as("ap"))
+      .orderBy(col("ap").desc, col("vec_id")).limit(poolSize)
+    val cells = pool.groupBy("label").agg(max(col("ap")).as("m"))
+      .orderBy(col("m").desc, col("label")).limit(rerankCells).select("label")
+    val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
+    index.corpus.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(cells), "label")
+      .crossJoin(broadcast(q.select("qe", "qnorm")))
+      .select(col("vec_id"), cos.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Generation-dir prefixes of the persisted layout: every generation
     * `g` owns `corpus_g<g>` + `centroids_g<g>` + `stats_g<g>`, and the
     * newest manifest (`m<seq>`, [[graft.GenManifest]]) names the live
     * generation plus the delta floor. All listing/commit I/O goes
     * through the Hadoop FileSystem seam ([[graft.IndexFs]]). */
-  private val ivfPrefixes = Seq("corpus", "centroids", "stats")
+  private val ivfPrefixes = Seq("corpus", "centroids", "stats", "sketch")
   private def gdir(indexDir: String, pre: String, gen: Long) =
     s"$indexDir/${pre}_g$gen"
 
@@ -373,6 +452,8 @@ object Similarity {
     index.stats.write.mode("overwrite").parquet(gdir(dir, "stats", 0))
     Storage.writeCellClustered(index.corpus, Seq("label"), "vec_id",
       gdir(dir, "corpus", 0), maxCellRows)
+    Storage.writeCellClustered(sketchOf(index.corpus), Seq("label"), "vec_id",
+      gdir(dir, "sketch", 0), maxCellRows)
     graft.GenManifest.commit(spark, dir, seq = 0, gen = 0, floor = -1)
   }
 
@@ -519,23 +600,35 @@ object Similarity {
     * ever present in the append-raced-re-cluster window. */
   private[graft] def servingCorpusAt(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State, labels: Seq[Long]): DataFrame = {
-    def pruned(root: String): Option[DataFrame] = {
-      val paths = labels.map(l => s"$root/label=$l")
-        .filter(p => graft.IndexFs.isDir(spark, p))
-      if (paths.isEmpty) None
-      else Some(readCorpusRoot(spark, root, paths))
-    }
-    val perRoot = pruned(gdir(indexDir, "corpus", st.gen)).toSeq ++
-      graft.GenManifest.deltaIds(spark, indexDir, above = st.floor).flatMap { id =>
-        val root = s"$indexDir/delta/b$id"
-        if (deltaLabelsCurrent(spark, indexDir, st, id)) pruned(root)
-        else Some(readCorpusRoot(spark, root, Seq(root)))
-      }
-    if (perRoot.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        corpusReadSchema)
-    else perRoot.reduce(_ unionByName _)
+    val perRoot = prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), labels).toSeq ++
+      servingDeltaFramesAt(spark, indexDir, st, labels)
+    if (perRoot.isEmpty) emptyCorpus(spark) else perRoot.reduce(_ unionByName _)
   }
+
+  private def emptyCorpus(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      corpusReadSchema)
+
+  private def prunedCorpusRead(spark: SparkSession, root: String,
+      labels: Seq[Long]): Option[DataFrame] = {
+    val paths = labels.map(l => s"$root/label=$l")
+      .filter(p => graft.IndexFs.isDir(spark, p))
+    if (paths.isEmpty) None
+    else Some(readCorpusRoot(spark, root, paths))
+  }
+
+  /** The delta slice of the serving view — shared by the plain probe
+    * (unioned with the base cells) and the re-ranked probe's sketch
+    * stage (deltas carry full vectors, no persisted sketch; they are
+    * batch-sized, so on-the-fly quantization is control-plane cheap). */
+  private def servingDeltaFramesAt(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State, labels: Seq[Long]): Seq[DataFrame] =
+    graft.GenManifest.deltaIds(spark, indexDir, above = st.floor).flatMap { id =>
+      val root = s"$indexDir/delta/b$id"
+      if (deltaLabelsCurrent(spark, indexDir, st, id))
+        prunedCorpusRead(spark, root, labels)
+      else Some(readCorpusRoot(spark, root, Seq(root)))
+    }
 
   /** Lloyd refinement over an in-memory index: `iters` rounds of
     * (reassign every vector to its nearest current centroid; recompute
@@ -670,6 +763,10 @@ object Similarity {
         Storage.writeCellClustered(
           idx.corpus.select(col("vec_id"), col("label"), col("embedding"), col("norm")),
           Seq("label"), "vec_id", gdir(indexDir, "corpus", gen), maxCellRows)
+        Storage.writeCellClustered(
+          sketchOf(idx.corpus.select(col("vec_id"), col("label"),
+            col("embedding"), col("norm"))),
+          Seq("label"), "vec_id", gdir(indexDir, "sketch", gen), maxCellRows)
         val folded = deltas ++ late
         graft.GenManifest.commit(spark, indexDir, st.seq + 1, gen,
           floor = if (folded.nonEmpty) folded.max else st.floor,
@@ -717,6 +814,66 @@ object Similarity {
       .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Explicit read schema of the persisted per-generation sketch. */
+  private val sketchReadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, norm DOUBLE, eamax DOUBLE, q8 ARRAY<INT>, label BIGINT")
+
+  /** [[ivfProbeReranked]] against a PERSISTED index: stage 1 reads the
+    * int8 `sketch_g<gen>` cells of the `nprobeWide` nearest labels
+    * (~¼ the bytes of the full cells) plus on-the-fly sketches of any
+    * committed delta rows; exact cosine then runs through the normal
+    * serving read ([[servingCorpusAt]] — base + deltas, stale-delta
+    * full reads included) over ONLY the `rerankCells` chosen cells.
+    * Full-precision I/O therefore equals a plain
+    * `nprobe = rerankCells` served probe (OpsSpec asserts the
+    * `inputFiles` containment) while the cells are chosen from an
+    * `nprobeWide`-cell sketch net. A pre-sketch index (no `sketch_g`
+    * directory for the live generation) falls back to quantizing the
+    * wide cells' full vectors in flight — correct, without the I/O
+    * saving. The pool/cell choice is a control-plane collect of
+    * ≤ rerankCells rows, the serving-router pattern of
+    * [[nearestLabels]]. */
+  def ivfProbeVectorRerankedServed(spark: SparkSession, indexDir: String,
+      query: Seq[Float], k: Int = 10, nprobeWide: Int = 8,
+      rerankCells: Int = 2, poolSize: Int = 50): DataFrame = {
+    val st = resolveIvf(spark, indexDir)
+    val wide = nearestLabelsAt(spark, indexDir, st, query, nprobeWide)
+    val q = spark.range(1).select(typedLit(query).as("qe"))
+      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+      .withColumn("qamax", amaxCol(col("qe")))
+      .withColumn("q8q", q8Col(col("qe"), col("qamax")))
+    val sketchRoot = gdir(indexDir, "sketch", st.gen)
+    val baseSketch =
+      if (graft.IndexFs.isDir(spark, sketchRoot)) {
+        val paths = wide.map(l => s"$sketchRoot/label=$l")
+          .filter(p => graft.IndexFs.isDir(spark, p))
+        if (paths.isEmpty) None
+        else Some(spark.read.schema(sketchReadSchema)
+          .option("basePath", sketchRoot).parquet(paths: _*))
+      } else // legacy layout: sketch the full base cells in flight
+        prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), wide)
+          .map(sketchOf)
+    val deltaSketch = servingDeltaFramesAt(spark, indexDir, st, wide)
+      .map(sketchOf)
+    val sketches = (baseSketch.toSeq ++ deltaSketch)
+    val cells: Seq[Long] =
+      if (sketches.isEmpty) wide.take(rerankCells)
+      else sketches.reduce(_ unionByName _)
+        .crossJoin(broadcast(q.select("qamax", "q8q", "qnorm")))
+        .select(col("vec_id"), col("label"), approxCos.as("ap"))
+        .orderBy(col("ap").desc, col("vec_id")).limit(poolSize)
+        .groupBy("label").agg(max(col("ap")).as("m"))
+        .orderBy(col("m").desc, col("label")).limit(rerankCells)
+        .collect().map(_.getAs[Number]("label").longValue).toSeq
+    val corpus = servingCorpusAt(spark, indexDir, st, cells)
+    val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
+    corpus.crossJoin(broadcast(q.select("qe", "qnorm")))
+      .select(col("vec_id"), cos.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Per-query-id IVF oracle block (the SQL mirror of one `ivfProbe`
     * against freshly computed centroids — SQL has no index lifetime,
     * which agrees because the means are identical). */
@@ -749,6 +906,59 @@ object Similarity {
       // outer sort on the ROUNDED value: the probe's internal top-k
       // order is by unrounded cosine, which could disagree with the
       // oracle's outer sort on rounded ties
+      .orderBy(col("cos_sim").desc, col("vec_id")))
+
+  /** The re-ranking leg as an oracle-checked query: sketch stage over
+    * the 5 nearest of the 10 cells, exact cosine inside the 2
+    * sketch-chosen cells. The oracle replays the whole chain —
+    * centroids, wide set, int8 quantization (floor-based, no ROUND),
+    * integer sketch dot, pool cut, cell choice, exact top-10 — in
+    * DuckDB SQL, so the two engines must agree on every intermediate
+    * ordering, not just the final cosines. */
+  val simTopkIvfRerank = QueryDef(
+    "sim_topk_ivf_rerank",
+    Some {
+      val q8e = "list_transform(es.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / es.eamax + 0.5) AS BIGINT))"
+      s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cent AS (SELECT label, dim, avg(CAST(embedding[dim] AS DOUBLE)) AS cv
+         |         FROM embeddings CROSS JOIN dims GROUP BY label, dim),
+         |qd AS (SELECT dim, CAST(qe[dim] AS DOUBLE) AS qv FROM q CROSS JOIN dims),
+         |dist AS (SELECT c.label, SUM((c.cv - qd.qv) * (c.cv - qd.qv)) AS d2
+         |         FROM cent c JOIN qd ON qd.dim = c.dim GROUP BY c.label),
+         |wide AS (SELECT label FROM dist ORDER BY d2, label LIMIT 5),
+         |qq AS (SELECT qe,
+         |         greatest(list_max(list_transform(qe, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS qamax,
+         |         sqrt(${dd("qe", "qe")}) AS qnorm FROM q),
+         |qq8 AS (SELECT qe, qamax, qnorm,
+         |          list_transform(qe, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / qamax + 0.5) AS BIGINT)) AS q8
+         |        FROM qq),
+         |es AS (SELECT e.vec_id, e.label, e.embedding,
+         |         greatest(list_max(list_transform(e.embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS eamax,
+         |         sqrt(${dd("e.embedding", "e.embedding")}) AS enorm
+         |       FROM embeddings e JOIN wide ON e.label = wide.label
+         |       WHERE e.vec_id <> 0),
+         |ap AS (SELECT es.vec_id, es.label,
+         |         (((es.eamax * qq8.qamax) / 16129.0) *
+         |          CAST(list_reduce(list_transform(generate_series(1, 64),
+         |            i -> $q8e[i] * qq8.q8[i]), (x, y) -> x + y) AS DOUBLE))
+         |         / (es.enorm * qq8.qnorm) AS ap
+         |       FROM es, qq8),
+         |pool AS (SELECT vec_id, label, ap FROM ap ORDER BY ap DESC, vec_id LIMIT 50),
+         |cells AS (SELECT label FROM (SELECT label, MAX(ap) AS m FROM pool GROUP BY label)
+         |          ORDER BY m DESC, label LIMIT 2)
+         |SELECT vec_id, cos_sim FROM (
+         |  SELECT e.vec_id, ROUND(${dd("e.embedding", "q.qe")}
+         |    / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})), 6) AS cos_sim
+         |  FROM embeddings e JOIN cells ON e.label = cells.label, q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY ${dd("e.embedding", "q.qe")}
+         |    / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, e.vec_id
+         |  LIMIT 10)
+         |ORDER BY cos_sim DESC, vec_id""".stripMargin
+    },
+    (spark, dir) => ivfProbeReranked(buildIvfIndex(spark, dir), queryVecId = 0,
+      k = 10, nprobeWide = 5, rerankCells = 2, poolSize = 50)
       .orderBy(col("cos_sim").desc, col("vec_id")))
 
   /** Build-once / probe-many, oracle-checked: one index serves a batch
@@ -947,6 +1157,7 @@ object Similarity {
     })
 
   val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf,
+    simTopkIvfRerank,
     simTopkIvfMulti, simTopkIvfIncremental, simTopkIvfExternal,
     simTopkIvfServed, simTopkIvfServeOnly, simKnnGraph)
 }

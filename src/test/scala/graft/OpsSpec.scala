@@ -282,6 +282,40 @@ class OpsSpec extends SparkSuite {
     assert(got === bf, s"external probe with full nprobe diverged from brute force")
   }
 
+  test("served re-ranked probe: full-precision reads stay within rerankCells cells; deltas and compaction serve") {
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-rerank-persist").toString
+    val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))
+    Similarity.persistIvfIndex(idx, indexDir)
+    val qvec = Array.tabulate(64)(i => (((i % 7) - 3) / 4.0).toFloat).toSeq
+    val served = Similarity.ivfProbeVectorRerankedServed(spark, indexDir, qvec,
+      k = 10, nprobeWide = 8, rerankCells = 2)
+    val rows = served.collect()
+    assert(rows.length === 10)
+    // the I/O contract of the leg: exact-cosine (full-precision) reads
+    // touch at most rerankCells corpus cells — the same bytes a plain
+    // nprobe=2 probe pays — while the sketch stage reads only
+    // sketch_g files (¼-size int8 codes)
+    val corpusFiles = served.inputFiles.filter(_.contains("/corpus_g"))
+    val corpusCells = corpusFiles.map(_.split("/").find(_.startsWith("label=")).get).toSet
+    assert(corpusFiles.nonEmpty && corpusCells.size <= 2,
+      s"exact stage read ${corpusCells.size} cells: $corpusCells")
+    // a committed delta (no persisted sketch) is visible via the
+    // on-the-fly sketch path and wins the probe
+    val spike = Seq.tabulate(64)(i => if (i < 4) 8f else 0f)
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      Seq((5000000L, spike)).toDF("vec_id", "embedding"), batchId = 1L)
+    def top1(q: Seq[Float]): Long =
+      Similarity.ivfProbeVectorRerankedServed(spark, indexDir, q,
+        k = 1, nprobeWide = 8, rerankCells = 2).head().getLong(0)
+    assert(top1(spike) === 5000000L, "delta vector invisible to the re-ranked probe")
+    // compaction regenerates the sketch for the new base generation
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(top1(spike) === 5000000L, "post-compaction sketch lost the folded vector")
+    val st = Similarity.resolveIvf(spark, indexDir)
+    assert(graft.IndexFs.isDir(spark, s"$indexDir/sketch_g${st.gen}"),
+      "compaction did not write the new generation's sketch")
+  }
+
   test("persisted-index served probe equals the in-memory probe and reads only its probed cells") {
     val indexDir = java.nio.file.Files.createTempDirectory("ivf-persist").toString
     val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))

@@ -301,6 +301,50 @@ class PropertySpec extends SparkSuite {
     assert(r10 === 1.0, s"full probe must be exact: $r10")
   }
 
+  test("re-ranked probe repairs the L2-quantizer/cosine mismatch at the same exact-read cell count") {
+    // The geometry the plain probe cannot fix: a cluster angularly
+    // aligned with the query but at a different magnitude is FAR from
+    // every query by centroid L2 (the coarse quantizer's metric), so
+    // nprobe=2 never reads its cell — yet its members dominate the
+    // true cosine top-10. The sketch stage scores all cells' members
+    // approximately and hands exact cosine the RIGHT 2 cells.
+    val rnd = new scala.util.Random(47)
+    def noisy(center: Seq[Double], s: Double): Seq[Float] =
+      center.map(c => (c + rnd.nextGaussian() * s).toFloat)
+    def axis(c: Int, mag: Double): Seq[Double] =
+      Seq.tabulate(16)(d => if (d == c) mag else 0.0)
+    // cells 0..8: magnitude-3 clusters on orthogonal axes (noise 0.5);
+    // cell 9: magnitude-8 on AXIS 0 (tight, noise 0.2) — cosine-close
+    // to cell 0's direction, L2-far from every centroid
+    val rows =
+      (0 until 360).map(i => (i.toLong, i % 9, noisy(axis(i % 9, 3.0), 0.5))) ++
+        (360 until 400).map(i => (i.toLong, 9, noisy(axis(0, 8.0), 0.2)))
+    val corpus = rows.toDF("vec_id", "label", "embedding").cache()
+    val idx = Similarity.buildIvfIndexFrom(corpus)
+    // queries: members of cluster 0 (axis-0 direction)
+    val qids = Seq(0L, 9L, 18L, 27L, 36L)
+    val vecs = corpus.filter(col("vec_id").isin(qids: _*))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    def avgRecall(probe: Long => Seq[Long]): Double = {
+      val rs = qids.map { qid =>
+        recallAt10(corpus, probe(qid), vecs(qid), exclude = Some(qid))
+      }
+      rs.sum / rs.size
+    }
+    val plain = avgRecall(qid =>
+      Similarity.ivfProbe(idx, qid, k = 10, nprobe = 2)
+        .collect().map(_.getLong(0)).toSeq)
+    val reranked = avgRecall(qid =>
+      Similarity.ivfProbeReranked(idx, qid, k = 10, nprobeWide = 10,
+        rerankCells = 2).collect().map(_.getLong(0)).toSeq)
+    assert(plain <= 0.5,
+      s"fixture broken: plain nprobe=2 recall $plain — no mismatch to repair")
+    assert(reranked >= 0.95,
+      s"re-ranked recall floor broken: $reranked (plain was $plain)")
+    corpus.unpersist()
+  }
+
   test("drifted index: off-cluster appends split across cells drop recall until compaction's Lloyd rebuild restores it") {
     // The drift→compact→recover arc on the PERSISTED serving path. An
     // appended semantic cluster that straddles two stored centroids'
