@@ -1445,6 +1445,74 @@ class StreamingSpec extends SparkSuite {
     assert(pairs() === expected)
   }
 
+  test("CEP soak survives a state-store restart MID-pattern: no lost run, timer, or duplicate") {
+    // The 2000-key followedByAny soak with a query STOP + RESTART
+    // between the pattern-opening batch and the deadline push: every
+    // open run (list state) and every registered event-time timer must
+    // come back from the RocksDB checkpoint — one evicted run shows as
+    // a missing timeout, one replayed output as a duplicate. Output is
+    // collected through a batchId-keyed foreachBatch map (a replayed
+    // micro-batch overwrites its own slot), because a memory-sink
+    // table would not survive the restart.
+    import graft.streaming.{Cep, CepPattern}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val nKeys = 2000
+      val in = MemoryStream[Ev]
+      val pat = CepPattern.begin("view", (e: Ev) => e.event_type == "view")
+        .followedByAny("purchase", (e: Ev) => e.event_type == "purchase")
+        .within(30000L)
+      val ckpt = java.nio.file.Files.createTempDirectory("cep-restart-ckpt").toString
+      val byBatch = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(String, Long)]]()
+      def start() = Cep.patternTws[(String, Long)](in.toDS(), pat,
+          m => ("match", m("purchase").head.event_id),
+          p => Some(("timeout", p.head.event_id)), "1 second")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[(String, Long)], id: Long) =>
+          byBatch.put(id, b.collect().toSeq); ()
+        }
+        .start()
+      var q = start()
+      // batch 1: every key opens a run; k%3==0 buys twice inside within()
+      val views = (0 until nKeys).map(k => ev(k.toLong, k * 10L, k % 7, "view"))
+      val buys = (0 until nKeys).filter(_ % 3 == 0).flatMap(k => Seq(
+        ev(k.toLong, k * 10L + 1, k % 7 + 5, "purchase"),
+        ev(k.toLong, k * 10L + 2, k % 7 + 10, "purchase")))
+      in.addData(views ++ buys: _*); q.processAllAvailable()
+      // RESTART with 2000 open runs and 2000 pending deadline timers
+      q.stop()
+      q = start()
+      // batch 2: watermark past every deadline — the restored timers fire
+      in.addData(ev(999999L, 8888888L, 50, "error")); q.processAllAvailable()
+      // batch 3: k%3==2 purchases arrive after their restored runs expired
+      in.addData((0 until nKeys).filter(_ % 3 == 2).map(k =>
+        ev(k.toLong, k * 10L + 3, 52 + k % 7, "purchase")): _*)
+      q.processAllAvailable()
+      in.addData(ev(999999L, 8888889L, 600, "error")); q.processAllAvailable()
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val rows = byBatch.values.asScala.toSeq.flatten
+      val matches = rows.filter(_._1 == "match").map(_._2)
+      val timeouts = rows.filter(_._1 == "timeout").map(_._2)
+      val expectMatches = (0 until nKeys).filter(_ % 3 == 0)
+        .flatMap(k => Seq(k * 10L + 1, k * 10L + 2)).toSet
+      val expectTimeouts = (0 until nKeys).map(_ * 10L).toSet
+      assert(matches.size === expectMatches.size && matches.toSet === expectMatches,
+        s"post-restart matches wrong: got ${matches.size}, want ${expectMatches.size}")
+      assert(timeouts.size === expectTimeouts.size && timeouts.toSet === expectTimeouts,
+        s"post-restart timeouts wrong: got ${timeouts.size}, want ${expectTimeouts.size}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("CEP followedByAny soak: 2000 keys on RocksDB — every alternative match and every deadline timeout lands") {
     // VERDICT r6 item 8: within()-evicted state at RocksDB scale. 2000
     // independent keys drive the three followedByAny lifecycles at
