@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * (the durability the reference gets from log4j's append + Kafka
   * acks). At scale the collector is a fleet of stateless writers into
   * object storage — exactly this layout, one file per flush interval.
+  *
+  * DELIBERATE SEAM BOUNDARY: `post` writes through `java.nio`, not
+  * the Hadoop seam (`graft.IndexFs`), because it is the EDGE-CLIENT
+  * half of the contract — the HTTP handler body runs in a collector
+  * process that has no SparkSession (a production fleet would write
+  * its local disk or an object-store SDK). Everything the ENGINE
+  * touches — the spool read (`stream`, Spark's file source) and the
+  * spool→topic leg (`ingestToTopic` → [[FileTopics]], fully on
+  * `IndexFs` since round 8) — resolves any `file:`/`hdfs:`/`s3a:`
+  * path identically.
   */
 object LogCollector {
 

@@ -74,6 +74,30 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("mm_decode_meta: one pruned documents scan, no Python/JVM round-trip, fully codegen'd") {
+    val plan = finalPlan("mm_decode_meta")
+    assert(occurrences(plan, "documents\\.parquet") == 1, plan)
+    // payload construction + binary parse stay inside whole-stage
+    // codegen: no UDF eval operators anywhere in the executed plan
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ArrowEvalPython"))
+    assert(!plan.contains("SerializeFromObject"), "decode fell out of codegen into objects")
+    // executedPlan.toString marks whole-stage-codegen stages as *(n)
+    assert(plan.contains("*(1)"), "no codegen stage in the decode plan")
+    // scan reads only the two source columns, never a payload blob
+    assert(plan.contains("struct<doc_id:bigint,text:string>"),
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("sim_topk_ivf_rerank: sketch and exact stages are top-k sorts, no cartesian blowup") {
+    val plan = finalPlan("sim_topk_ivf_rerank")
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(25).mkString("\n"))
+    // pool cut and final top-k are TakeOrderedAndProject (limit-pushed
+    // sorts), never a global Sort+Exchange of the scored corpus
+    assert(occurrences(plan, "TakeOrderedAndProject") >= 2, plan)
+    // cell lists ride broadcast into the corpus side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("j3: fixed dims ride broadcast joins") {
     val plan = finalPlan("j3_dim_enrich")
     assert(occurrences(plan, "BroadcastHashJoin") >= 2, plan)
