@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operational autopilot for the two persisted index families — the
+  * SCHEDULER the standing signals (`Similarity.ivfIndexStats` /
+  * `Dedup.lshIndexStats`: delta backlog, per-cell skew) exist to feed.
+  * An operator (or a cron'd driver job) calls `maintain*Index` per
+  * cadence tick; the policy decides between doing nothing, a
+  * label-preserving fold, and a Lloyd re-clustering rebuild, and the
+  * maintenance op itself is the existing crash-safe compaction.
+  *
+  * The drift signal for the PERSISTED layout is computed from the
+  * DELTAS ONLY — an O(|deltas|) pass, never a corpus re-read: the
+  * stored per-cell mean moves by
+  * `(Σ_delta v  −  n_delta·cent) / (n_base + n_delta)` per dimension
+  * (appending n_delta vectors to a cell of n_base rows), so the
+  * post-append mean shift per cell follows from the delta sums, the
+  * stored centroid, and the base cell counts (parquet footers). This
+  * is the persisted-layout analog of `ivfDriftIncremental`'s
+  * sufficient-statistics story: the decision input stays control-plane
+  * sized at any corpus scale.
+  *
+  * Reference anchor: the reference offloads ALL index/table
+  * maintenance to its stores' background merges (ClickHouse
+  * MergeTree, HBase compactions — `utils/ClickHouseUtil.java`,
+  * `common/GmallConfig.java`); on raw parquet the scheduler must be
+  * explicit, and this is it.
+  */
+object IndexMaintenance {
+
+  sealed trait Action
+  case object NoOp extends Action
+  /** Fold deltas into a new base generation, labels preserved. */
+  case object Compact extends Action
+  /** Fold + re-cluster ([[Similarity.compactIvfIndex]] with
+    * `lloydIters > 0`) — the drift repair. */
+  final case class LloydRebuild(iters: Int) extends Action
+
+  /** Decision inputs, all control-plane sized. `maxDrift` is None for
+    * index families without a drift concept (LSH) or when there are no
+    * deltas to drift on. */
+  final case class Signals(
+      baseRows: Long,
+      deltaRows: Long,
+      deltaBatches: Int,
+      maxDrift: Option[Double])
+
+  /** Thresholds. `backlogRatio`: delta mass as a share of the base
+    * that justifies paying a fold (each probe reads its cells in EVERY
+    * delta root, so backlog taxes serving I/O linearly).
+    * `backlogBatches`: fold on sheer delta-directory count even when
+    * the rows are few (per-root listing overhead). `driftBound`:
+    * squared-L2 centroid mean-shift above which label geometry is
+    * stale enough to re-cluster. */
+  final case class Policy(
+      backlogRatio: Double = 0.10,
+      backlogBatches: Int = 8,
+      driftBound: Double = 0.25,
+      lloydIters: Int = 2)
+
+  private def decide(s: Signals, p: Policy): Action =
+    if (s.maxDrift.exists(_ > p.driftBound)) LloydRebuild(p.lloydIters)
+    else if (s.deltaBatches > 0 &&
+      (s.deltaBatches >= p.backlogBatches ||
+        s.deltaRows.toDouble >= p.backlogRatio * math.max(1L, s.baseRows)))
+      Compact
+    else NoOp
+
+  private def backlogFromStats(stats: DataFrame): (Long, Long, Int) = {
+    val rows = stats.groupBy(col("root") === "base")
+      .agg(sum(col("n_rows")).as("n")).collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val batches = stats.filter(col("root") =!= "base")
+      .select("root").distinct().count().toInt
+    (rows.getOrElse(true, 0L), rows.getOrElse(false, 0L), batches)
+  }
+
+  /** Per-cell squared-L2 mean shift of the live generation's centroids
+    * under the un-folded deltas — `(label, drift)`, O(|deltas|). */
+  def ivfDriftPersisted(spark: SparkSession, indexDir: String): DataFrame = {
+    val st = Similarity.resolveIvf(spark, indexDir)
+    val deltas = graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
+    val centroids = Similarity.servingCentroidsAt(spark, indexDir, st)
+    if (deltas.isEmpty)
+      return centroids.select(col("label"), lit(0.0).as("drift")).limit(0)
+    val deltaRows = deltas
+      .map(id => Similarity.readDeltaRoot(spark, indexDir, id))
+      .reduce(_ unionByName _)
+    // per-(label, dim) delta sums + per-label counts → vsum arrays
+    val agg = deltaRows
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"), col("col").cast("double").as("v"))
+      .groupBy("label", "dim")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .groupBy("label")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(dim, sv))), x -> x.sv)").as("dsum"),
+        max(col("cnt")).as("n_delta"))
+    val baseCounts = Similarity.ivfIndexStats(spark, indexDir)
+      .filter(col("root") === "base")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(sum(col("n_rows")).as("n_base"))
+    agg.join(centroids, "label")
+      .join(baseCounts, Seq("label"), "left")
+      .select(col("label"),
+        aggregate(
+          zip_with(col("dsum"), col("cent"),
+            (s, c) => {
+              val shift = (s - col("n_delta") * c) /
+                (coalesce(col("n_base"), lit(0L)) + col("n_delta"))
+              shift * shift
+            }),
+          lit(0.0), (acc, v) => acc + v).as("drift"))
+  }
+
+  def ivfSignals(spark: SparkSession, indexDir: String): Signals = {
+    val (base, delta, batches) = backlogFromStats(
+      Similarity.ivfIndexStats(spark, indexDir))
+    val drift =
+      if (batches == 0) None
+      else {
+        val worst = ivfDriftPersisted(spark, indexDir)
+          .agg(max(col("drift"))).head()
+        if (worst.isNullAt(0)) None else Some(worst.getDouble(0))
+      }
+    Signals(base, delta, batches, drift)
+  }
+
+  def lshSignals(spark: SparkSession, indexDir: String): Signals = {
+    val (base, delta, batches) = backlogFromStats(
+      Dedup.lshIndexStats(spark, indexDir))
+    Signals(base, delta, batches, maxDrift = None)
+  }
+
+  def planIvf(spark: SparkSession, indexDir: String,
+      policy: Policy = Policy()): Action =
+    decide(ivfSignals(spark, indexDir), policy)
+
+  def planLsh(spark: SparkSession, indexDir: String,
+      policy: Policy = Policy()): Action =
+    decide(lshSignals(spark, indexDir), policy)
+
+  /** One cadence tick: decide and execute. Returns the action taken —
+    * the line an operator's log carries. */
+  def maintainIvfIndex(spark: SparkSession, indexDir: String,
+      policy: Policy = Policy()): Action = {
+    val action = planIvf(spark, indexDir, policy)
+    action match {
+      case NoOp => ()
+      case Compact => Similarity.compactIvfIndex(spark, indexDir)
+      case LloydRebuild(iters) =>
+        Similarity.compactIvfIndex(spark, indexDir, lloydIters = iters)
+    }
+    action
+  }
+
+  def maintainLshIndex(spark: SparkSession, indexDir: String,
+      policy: Policy = Policy()): Action = {
+    val action = planLsh(spark, indexDir, policy)
+    if (action != NoOp) Dedup.compactLshIndex(spark, indexDir)
+    action
+  }
+}

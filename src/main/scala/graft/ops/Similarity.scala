@@ -433,6 +433,14 @@ object Similarity {
     spark.read.schema(corpusReadSchema).option("basePath", root)
       .parquet(paths: _*)
 
+  /** One committed delta, read in full (batch-sized) — the
+    * maintenance scheduler's drift input. */
+  private[ops] def readDeltaRoot(spark: SparkSession, indexDir: String,
+      id: Long): DataFrame = {
+    val root = s"$indexDir/delta/b$id"
+    readCorpusRoot(spark, root, Seq(root))
+  }
+
   /** Persist the index as a SERVING layout: centroids and sufficient
     * stats as small parquet relations, the corpus PARTITIONED BY the
     * cluster `label` — one directory per coarse cell. A probe against

@@ -708,6 +708,97 @@ class OpsSpec extends SparkSuite {
     assert(matched() === Seq((9L, 1L)))
   }
 
+  test("maintenance autopilot: healthy index no-ops, backlog folds, next tick no-ops again") {
+    import graft.ops.IndexMaintenance
+    import graft.ops.IndexMaintenance._
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-autopilot").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    assert(IndexMaintenance.planIvf(spark, indexDir) === NoOp)
+    // three tiny appends of EXISTING corpus vectors: backlog without
+    // drift (copies sit on their cells' mass)
+    val emb = graft.ops.Tables.table(spark, sf("sf0.001"), "embeddings")
+    for (b <- 1 to 3)
+      Similarity.appendToPersistedIvfIndex(spark, indexDir,
+        emb.orderBy("vec_id").limit(2)
+          .select((col("vec_id") + 1000000L * b).as("vec_id"), col("embedding")),
+        batchId = b.toLong)
+    // batch-count trigger isolated: row-ratio and drift out of reach
+    val pol = Policy(backlogBatches = 3, backlogRatio = 10.0, driftBound = 1e9)
+    assert(IndexMaintenance.planIvf(spark, indexDir, pol) === Compact)
+    assert(IndexMaintenance.maintainIvfIndex(spark, indexDir, pol) === Compact)
+    assert(GenManifest.resolve(spark, indexDir).get.floor === 3L)
+    assert(IndexMaintenance.planIvf(spark, indexDir, pol) === NoOp)
+  }
+
+  test("maintenance autopilot: delta drift triggers the Lloyd rebuild and the signal then clears") {
+    import graft.ops.IndexMaintenance
+    import graft.ops.IndexMaintenance._
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-autopilot-drift").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    // one committed batch of far-off-mean spikes: large mean shift in
+    // whichever cell absorbs them
+    val spikes = (0 until 100).map(i => (2000000L + i,
+      Seq.tabulate(64)(d => if (d < 4) 9f else 0f)))
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      spikes.toDF("vec_id", "embedding"), batchId = 1L)
+    val drift = IndexMaintenance.ivfDriftPersisted(spark, indexDir)
+      .agg(max(col("drift"))).head().getDouble(0)
+    assert(drift > 0.25, s"fixture too tame: maxDrift=$drift")
+    // drift precedence over backlog: thresholds chosen so ONLY the
+    // drift clause can fire
+    val pol = Policy(backlogBatches = 100, backlogRatio = 10.0,
+      driftBound = 0.25, lloydIters = 2)
+    assert(IndexMaintenance.planIvf(spark, indexDir, pol) === LloydRebuild(2))
+    assert(IndexMaintenance.maintainIvfIndex(spark, indexDir, pol) === LloydRebuild(2))
+    // folded + re-clustered: no deltas left, signal gone, index serves
+    assert(IndexMaintenance.planIvf(spark, indexDir, pol) === NoOp)
+    val top = Similarity.ivfProbeVectorServed(spark, indexDir,
+      Seq.tabulate(64)(d => if (d < 4) 9f else 0f), k = 1).head()
+    assert(top.getLong(0) >= 2000000L, "rebuild lost the appended mass")
+  }
+
+  test("persisted delta drift equals the hand-computed mean shift on a tiny index") {
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-drift-exact").toString
+    // 2 cells × 2 base vectors, 4 dims — small enough to hand-compute
+    def v(a: Double, b: Double, c: Double, d: Double) =
+      Seq(a.toFloat, b.toFloat, c.toFloat, d.toFloat)
+    val base = Seq(
+      (0L, 0, v(1, 0, 0, 0)), (1L, 0, v(3, 0, 0, 0)),   // cell 0: cent (2,0,0,0)
+      (2L, 1, v(0, 10, 0, 0)), (3L, 1, v(0, 12, 0, 0))) // cell 1: cent (0,11,0,0)
+      .toDF("vec_id", "label", "embedding")
+    Similarity.persistIvfIndex(Similarity.buildIvfIndexFrom(base), indexDir)
+    // one delta vector lands in cell 0: (6,0,0,0) — new mean of cell 0
+    // = (2·2 + 6)/3 = 10/3, shift = 10/3 − 2 = 4/3, drift = 16/9
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      Seq((9L, v(6, 0, 0, 0))).toDF("vec_id", "embedding"), batchId = 1L)
+    val drifts = graft.ops.IndexMaintenance.ivfDriftPersisted(spark, indexDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(drifts.keySet === Set(0L))
+    assert(math.abs(drifts(0L) - 16.0 / 9.0) < 1e-9, s"drift=${drifts(0L)}")
+  }
+
+  test("maintenance autopilot: LSH backlog folds and then no-ops") {
+    import graft.ops.IndexMaintenance
+    import graft.ops.IndexMaintenance._
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-autopilot").toString
+    Dedup.persistLshIndex(
+      Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta").toDF("doc_id", "text"),
+      indexDir)
+    assert(IndexMaintenance.planLsh(spark, indexDir) === NoOp)
+    for (b <- 1 to 2)
+      Dedup.appendToLshIndex(spark, indexDir,
+        Seq((10L + b) -> s"batch $b words entirely distinct from anything before now")
+          .toDF("doc_id", "text"), batchId = b.toLong)
+    val pol = Policy(backlogBatches = 2, backlogRatio = 10.0)
+    assert(IndexMaintenance.maintainLshIndex(spark, indexDir, pol) === Compact)
+    assert(GenManifest.resolve(spark, indexDir).get.floor === 2L)
+    assert(IndexMaintenance.planLsh(spark, indexDir, pol) === NoOp)
+  }
+
   test("an empty committed delta neither wedges compaction nor corrupts stats") {
     // An all-duplicate micro-batch accepts nothing: its delta lands as
     // _SUCCESS with no cells. Listing treats it as committed — the
