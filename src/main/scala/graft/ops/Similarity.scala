@@ -843,7 +843,10 @@ object Similarity {
     * [[nearestLabels]]. */
   def ivfProbeVectorRerankedServed(spark: SparkSession, indexDir: String,
       query: Seq[Float], k: Int = 10, nprobeWide: Int = 8,
-      rerankCells: Int = 2, poolSize: Int = 50): DataFrame = {
+      rerankCells: Int = 2, poolSize: Int = 50,
+      exclude: Option[Long] = None): DataFrame = {
+    def dropExcluded(df: DataFrame): DataFrame =
+      exclude.fold(df)(id => df.filter(col("vec_id") =!= id))
     val st = resolveIvf(spark, indexDir)
     val wide = nearestLabelsAt(spark, indexDir, st, query, nprobeWide)
     val q = spark.range(1).select(typedLit(query).as("qe"))
@@ -866,14 +869,14 @@ object Similarity {
     val sketches = (baseSketch.toSeq ++ deltaSketch)
     val cells: Seq[Long] =
       if (sketches.isEmpty) wide.take(rerankCells)
-      else sketches.reduce(_ unionByName _)
+      else dropExcluded(sketches.reduce(_ unionByName _))
         .crossJoin(broadcast(q.select("qamax", "q8q", "qnorm")))
         .select(col("vec_id"), col("label"), approxCos.as("ap"))
         .orderBy(col("ap").desc, col("vec_id")).limit(poolSize)
         .groupBy("label").agg(max(col("ap")).as("m"))
         .orderBy(col("m").desc, col("label")).limit(rerankCells)
         .collect().map(_.getAs[Number]("label").longValue).toSeq
-    val corpus = servingCorpusAt(spark, indexDir, st, cells)
+    val corpus = dropExcluded(servingCorpusAt(spark, indexDir, st, cells))
     val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
     corpus.crossJoin(broadcast(q.select("qe", "qnorm")))
       .select(col("vec_id"), cos.as("cos"))
@@ -1127,6 +1130,25 @@ object Similarity {
       ivfProbeVectorServed(spark, cachedIvfIndexDir(spark, dir), externalQueryVec)
         .orderBy(col("cos_sim").desc, col("vec_id")))
 
+  /** The re-ranking leg's steady-state SERVING number: probe the
+    * session-cached persisted index (sketch stage over the on-disk
+    * int8 cells, exact cosine in the 2 chosen cells) with corpus
+    * vector 0's embedding, excluding the vector itself — the same
+    * answer contract as [[simTopkIvfRerank]], so the same full-chain
+    * oracle checks it. The query-vector fetch is a one-row
+    * control-plane lookup, the router pattern of [[nearestLabels]]. */
+  val simTopkIvfRerankServeOnly = QueryDef(
+    "sim_topk_ivf_rerank_serve_only",
+    simTopkIvfRerank.oracle,
+    (spark, dir) => {
+      val qv = Tables.table(spark, dir, "embeddings")
+        .filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      ivfProbeVectorRerankedServed(spark, cachedIvfIndexDir(spark, dir), qv,
+        k = 10, nprobeWide = 5, rerankCells = 2, exclude = Some(0L))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    })
+
   /** Corpus-wide kNN graph: every vector's top-3 cosine neighbors
     * WITHIN its sign-bit bucket — the similarity-graph builder behind
     * semantic dedup/clustering pipelines (one row per (vector,
@@ -1165,7 +1187,7 @@ object Similarity {
     })
 
   val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf,
-    simTopkIvfRerank,
+    simTopkIvfRerank, simTopkIvfRerankServeOnly,
     simTopkIvfMulti, simTopkIvfIncremental, simTopkIvfExternal,
     simTopkIvfServed, simTopkIvfServeOnly, simKnnGraph)
 }
