@@ -80,6 +80,14 @@ object ServeSoak {
             lshBuild, docs, vecs),
           Leg(tag, dir, "ivf_serve",
             () => { graft.ops.Similarity.ivfProbeVectorServed(spark, ivfDir, qvec).collect(); () },
+            ivfBuild, docs, vecs),
+          // the re-ranking leg at soak scale: sketch stage over 8
+          // cells' int8 codes, exact cosine in the 2 chosen cells —
+          // must stay interactive alongside the plain probe as the
+          // corpus grows (sketch bytes track probed cells too)
+          Leg(tag, dir, "ivf_rerank",
+            () => { graft.ops.Similarity.ivfProbeVectorRerankedServed(
+              spark, ivfDir, qvec).collect(); () },
             ivfBuild, docs, vecs))
     }
     val passes = (1 to 3).map(_ => legs.map(l => timed(l.serve())._2))
