@@ -40,12 +40,16 @@ object IndexMaintenance {
 
   /** Decision inputs, all control-plane sized. `maxDrift` is None for
     * index families without a drift concept (LSH) or when there are no
-    * deltas to drift on. */
+    * deltas to drift on. `staleDeltas` counts deltas whose labels were
+    * assigned against a superseded centroid set (`_gen` below the
+    * manifest's `lgen`): serving full-reads them on every probe, so
+    * their mere existence justifies a fold regardless of row counts. */
   final case class Signals(
       baseRows: Long,
       deltaRows: Long,
       deltaBatches: Int,
-      maxDrift: Option[Double])
+      maxDrift: Option[Double],
+      staleDeltas: Int = 0)
 
   /** Thresholds. `backlogRatio`: delta mass as a share of the base
     * that justifies paying a fold (each probe reads its cells in EVERY
@@ -62,6 +66,7 @@ object IndexMaintenance {
 
   private def decide(s: Signals, p: Policy): Action =
     if (s.maxDrift.exists(_ > p.driftBound)) LloydRebuild(p.lloydIters)
+    else if (s.staleDeltas > 0) Compact // full-read tax + relabel-on-fold
     else if (s.deltaBatches > 0 &&
       (s.deltaBatches >= p.backlogBatches ||
         s.deltaRows.toDouble >= p.backlogRatio * math.max(1L, s.baseRows)))
@@ -78,10 +83,13 @@ object IndexMaintenance {
   }
 
   /** Per-cell squared-L2 mean shift of the live generation's centroids
-    * under the un-folded deltas — `(label, drift)`, O(|deltas|). */
+    * under the un-folded CURRENT-LABEL deltas — `(label, drift)`,
+    * O(|deltas|). Stale-tagged deltas are excluded: their labels index
+    * a superseded centroid set, so folding them (which relabels) is
+    * the action, not measuring them. */
   def ivfDriftPersisted(spark: SparkSession, indexDir: String): DataFrame = {
     val st = Similarity.resolveIvf(spark, indexDir)
-    val deltas = graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
+    val (deltas, _) = Similarity.deltaIdsByLabelSpace(spark, indexDir, st)
     val centroids = Similarity.servingCentroidsAt(spark, indexDir, st)
     if (deltas.isEmpty)
       return centroids.select(col("label"), lit(0.0).as("drift")).limit(0)
@@ -118,6 +126,8 @@ object IndexMaintenance {
   def ivfSignals(spark: SparkSession, indexDir: String): Signals = {
     val (base, delta, batches) = backlogFromStats(
       Similarity.ivfIndexStats(spark, indexDir))
+    val stale = Similarity.deltaIdsByLabelSpace(spark, indexDir,
+      Similarity.resolveIvf(spark, indexDir))._2.size
     val drift =
       if (batches == 0) None
       else {
@@ -125,7 +135,7 @@ object IndexMaintenance {
           .agg(max(col("drift"))).head()
         if (worst.isNullAt(0)) None else Some(worst.getDouble(0))
       }
-    Signals(base, delta, batches, drift)
+    Signals(base, delta, batches, drift, staleDeltas = stale)
   }
 
   def lshSignals(spark: SparkSession, indexDir: String): Signals = {

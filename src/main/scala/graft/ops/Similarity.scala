@@ -576,6 +576,15 @@ object Similarity {
       st: graft.GenManifest.State, id: Long): Boolean =
     deltaGen(spark, indexDir, id).exists(_ >= st.lgen)
 
+  /** Committed deltas above the floor, split into (current-label,
+    * stale-label) ids — the maintenance scheduler's view: stale deltas
+    * are excluded from the incremental drift math (their labels index
+    * a superseded centroid set) and instead justify a fold outright. */
+  private[ops] def deltaIdsByLabelSpace(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State): (Seq[Long], Seq[Long]) =
+    graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
+      .partition(id => deltaLabelsCurrent(spark, indexDir, st, id))
+
   /** The probed labels' vectors across the base generation and every
     * committed delta above the manifest floor: per root, only the
     * existing `label=` partition directories are listed into a

@@ -759,6 +759,29 @@ class OpsSpec extends SparkSuite {
     assert(top.getLong(0) >= 2000000L, "rebuild lost the appended mass")
   }
 
+  test("maintenance autopilot: a stale-label delta alone justifies the fold") {
+    import graft.ops.IndexMaintenance
+    import graft.ops.IndexMaintenance._
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-autopilot-stale").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    val st0 = Similarity.resolveIvf(spark, indexDir)
+    Similarity.compactIvfIndex(spark, indexDir, lloydIters = 1) // re-cluster
+    // an in-flight append that resolved the pre-Lloyd manifest commits
+    // a stale-tagged delta: every probe now full-reads it
+    Similarity.appendToPersistedIvfIndexAt(spark, indexDir, st0,
+      Seq((4000000L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding"), batchId = 1L)
+    // backlog/drift thresholds out of reach — ONLY the stale clause fires
+    val pol = Policy(backlogBatches = 100, backlogRatio = 10.0, driftBound = 1e9)
+    assert(IndexMaintenance.planIvf(spark, indexDir, pol) === Compact)
+    assert(IndexMaintenance.maintainIvfIndex(spark, indexDir, pol) === Compact)
+    // folded WITH relabeling; the tax is gone
+    assert(IndexMaintenance.planIvf(spark, indexDir, pol) === NoOp)
+    val top = Similarity.ivfProbeVectorServed(spark, indexDir, Seq.fill(64)(0.5f), k = 1).head()
+    assert(top.getLong(0) === 4000000L, "relabeled fold lost the stale delta's vector")
+  }
+
   test("persisted delta drift equals the hand-computed mean shift on a tiny index") {
     import spark.implicits._
     val indexDir = java.nio.file.Files.createTempDirectory("ivf-drift-exact").toString
