@@ -104,6 +104,12 @@ object Bench {
     // RocksDB provider) — the regression surface batch plans can't
     // show (state store cost, timers, per-micro-batch overhead).
     // SPARK_GRAFT_STREAM_BENCH=0 skips it for batch-only iteration.
+    // The compact batch summary is printed BEFORE the streaming leg
+    // runs: the driver keeps only the output tail, and a streaming
+    // hang must cost the streaming numbers, not the batch board.
+    val slowest0 = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(5)
+    val failedNames0 = queries.collect { case (n, _) if failed(n) => "\"" + n + "\"" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames0.mkString("[", ",", "]")},"slowest5":${j(slowest0.toMap)},"streaming_rows_per_sec":"pending","calib":${calib.min},"sf":"$sfDir"}""")
     val streaming =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
       else try StreamBench.rpsJson(StreamBench.run(spark, sfDir))

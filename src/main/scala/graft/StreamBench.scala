@@ -40,17 +40,25 @@ object StreamBench {
   private def ev(user: Long, id: Long, sec: Long, typ: String): graft.streaming.Ev =
     graft.streaming.Ev(user, id, new Timestamp((baseSec + sec) * 1000L), typ, 1.0, 1)
 
-  /** (family, rows, seconds) per family. */
+  /** (family, rows, seconds) per family; a family that fails reports
+    * (-1, -1) instead of aborting the others (one broken state-store
+    * path must not erase the whole streaming row). */
   def run(spark: SparkSession, sfDir: String, scale: Int = 1): Seq[(String, Long, Double)] = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, Rocks)
+    def safely(name: String)(body: => (Long, Double)): (String, Long, Double) =
+      try { val (rows, sec) = body; (name, rows, sec) }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[streambench] $name failed: ${e.getMessage}")
+          (name, -1L, -1.0)
+      }
     try Seq(
-      ("uv_dedup_tws", benchUvDedup(spark, nEvents = 20000 * scale, nBatches = 4)),
-      ("cep_pattern", benchCep(spark, keysPerBatch = 2000 * scale, nBatches = 4)),
-      ("dedup_ingest", benchDedupIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
-      ("ann_serve", benchAnnServe(spark, sfDir, nQueries = 120 * scale, nBatches = 3))
-    ).map { case (name, (rows, sec)) => (name, rows, sec) }
+      safely("uv_dedup_tws")(benchUvDedup(spark, nEvents = 20000 * scale, nBatches = 4)),
+      safely("cep_pattern")(benchCep(spark, keysPerBatch = 2000 * scale, nBatches = 4)),
+      safely("dedup_ingest")(benchDedupIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
+      safely("ann_serve")(benchAnnServe(spark, sfDir, nQueries = 120 * scale, nBatches = 3)))
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
