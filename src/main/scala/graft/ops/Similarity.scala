@@ -894,6 +894,97 @@ object Similarity {
       .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Stage-1 sketch relations for a set of probed labels: the
+    * persisted `sketch_g` cells of the live generation (legacy
+    * layouts fall back to quantizing the full base cells in flight)
+    * plus on-the-fly sketches of committed delta rows. */
+  private def sketchFramesAt(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State, labels: Seq[Long]): Seq[DataFrame] = {
+    val sketchRoot = gdir(indexDir, "sketch", st.gen)
+    val base =
+      if (graft.IndexFs.isDir(spark, sketchRoot)) {
+        val paths = labels.map(l => s"$sketchRoot/label=$l")
+          .filter(p => graft.IndexFs.isDir(spark, p))
+        if (paths.isEmpty) None
+        else Some(spark.read.schema(sketchReadSchema)
+          .option("basePath", sketchRoot).parquet(paths: _*))
+      } else
+        prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), labels)
+          .map(sketchOf)
+    base.toSeq ++ servingDeltaFramesAt(spark, indexDir, st, labels).map(sketchOf)
+  }
+
+  /** Batched serving form of the re-ranked probe — ONE relational plan
+    * serves a whole micro-batch of `(query_id, qe)` queries (the
+    * [[graft.streaming.StreamOps.annServe]] discipline applied to the
+    * re-ranking leg): broadcast centroid assignment picks each query's
+    * `nprobeWide` cells, the union of touched cells' int8 sketches is
+    * scored per query (window top-`poolSize`), each query's best
+    * `rerankCells` cells are chosen, and exact cosine + top-k runs
+    * only inside the union of chosen cells, per-query-restricted by a
+    * broadcast (query_id, label) join. The two collects (touched and
+    * chosen label lists) are control-plane: bounded by
+    * |batch| × nprobeWide, never corpus-sized. Returns the result
+    * frame plus a release handle for the pinned probe/cell relations —
+    * the caller releases after its write/collect lands. */
+  private[graft] def ivfProbeBatchRerankedServedReleasable(spark: SparkSession,
+      indexDir: String, batch: DataFrame, k: Int = 10, nprobeWide: Int = 8,
+      rerankCells: Int = 2, poolSize: Int = 50): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val resultSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "query_id BIGINT, vec_id BIGINT, cos_sim DOUBLE")
+    def emptyResult = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], resultSchema)
+    val st = resolveIvf(spark, indexDir)
+    val centroids = servingCentroidsAt(spark, indexDir, st)
+    val d2 = aggregate(
+      zip_with(col("cent"), col("qe"),
+        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
+    val probes = batch.select(col("query_id"), col("qe"))
+      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+      .withColumn("qamax", amaxCol(col("qe")))
+      .withColumn("q8q", q8Col(col("qe"), col("qamax")))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nprobeWide)
+      .drop("cent", "d2", "rk")
+      .persist()
+    val releaseProbes = () => { probes.unpersist(); () }
+    val touched = probes.select("label").distinct()
+      .collect().map(_.getAs[Number](0).longValue).sorted.toIndexedSeq
+    if (touched.isEmpty) return (emptyResult, releaseProbes)
+    val sketches = sketchFramesAt(spark, indexDir, st, touched)
+    if (sketches.isEmpty) return (emptyResult, releaseProbes)
+    val wp = Window.partitionBy("query_id").orderBy(col("ap").desc, col("vec_id"))
+    val wc = Window.partitionBy("query_id").orderBy(col("m").desc, col("label"))
+    val cells = sketches.reduce(_ unionByName _)
+      .join(broadcast(probes.select("query_id", "label", "qamax", "q8q", "qnorm")),
+        Seq("label"))
+      .select(col("query_id"), col("vec_id"), col("label"), approxCos.as("ap"))
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") <= poolSize)
+      .groupBy("query_id", "label").agg(max(col("ap")).as("m"))
+      .withColumn("rk", row_number().over(wc)).filter(col("rk") <= rerankCells)
+      .select("query_id", "label")
+      .persist()
+    val release = () => { cells.unpersist(); probes.unpersist(); () }
+    val chosen = cells.select("label").distinct()
+      .collect().map(_.getAs[Number](0).longValue).sorted.toIndexedSeq
+    if (chosen.isEmpty) return (emptyResult, release)
+    val corpus = servingCorpusAt(spark, indexDir, st, chosen)
+    val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
+    val wk = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val out = corpus
+      .join(broadcast(cells), Seq("label")) // each query scores ITS cells only
+      .join(broadcast(probes.select("query_id", "qe", "qnorm").distinct()),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(wk)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+    (out, release)
+  }
+
   /** Per-query-id IVF oracle block (the SQL mirror of one `ivfProbe`
     * against freshly computed centroids — SQL has no index lifetime,
     * which agrees because the means are identical). */

@@ -929,6 +929,33 @@ object StreamOps {
     * deltas per probed cell. Compaction
     * (`Similarity.compactIvfIndex`) folds deltas into the base
     * offline. */
+  /** [[annServe]]'s RE-RANKED mode: each micro-batch of queries is
+    * served through the int8-sketch two-stage probe
+    * ([[graft.ops.Similarity.ivfProbeBatchRerankedServedReleasable]])
+    * — per-query cells chosen from an `nprobeWide` sketch net, exact
+    * cosine only in each query's `rerankCells` cells. Same output
+    * contract and batchId-idempotent `outDir/b<batchId>` layout as
+    * [[annServe]]; [[annResults]] reads the union. */
+  def annServeReranked(queries: DataFrame, indexDir: String, outDir: String,
+      k: Int = 10, nprobeWide: Int = 8, rerankCells: Int = 2,
+      poolSize: Int = 50): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        annServeRerankedBatch(batch.toDF(), indexDir, outDir, batchId,
+          k, nprobeWide, rerankCells, poolSize)
+    }
+
+  private[graft] def annServeRerankedBatch(batch: DataFrame, indexDir: String,
+      outDir: String, batchId: Long, k: Int, nprobeWide: Int,
+      rerankCells: Int, poolSize: Int): Unit = {
+    if (batch.isEmpty) return
+    val (out, release) = graft.ops.Similarity
+      .ivfProbeBatchRerankedServedReleasable(batch.sparkSession, indexDir,
+        batch, k, nprobeWide, rerankCells, poolSize)
+    try out.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    finally release()
+  }
+
   def annIngest(vectors: DataFrame, indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -1064,6 +1064,49 @@ class StreamingSpec extends SparkSuite {
     assert(decisions(2) === Map(409L -> Some(401L), 411L -> None))
   }
 
+  test("streaming re-ranked ANN serving matches the per-query served probe, replay-idempotent") {
+    import graft.ops.Similarity
+    val indexDir = java.nio.file.Files.createTempDirectory("ann-rr-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ann-rr-out").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    def ramp(phase: Int): Seq[Float] =
+      Array.tabulate(64)(i => ((((i + phase) % 7) - 3) / 4.0).toFloat).toSeq
+    val queries = (0L to 3L).map(q => q -> ramp(q.toInt * 2)).toMap
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.annServeReranked(
+      in.toDF().toDF("query_id", "qe"), indexDir, outDir,
+      nprobeWide = 5, rerankCells = 2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ann-rr-ckpt").toString)
+      .start()
+    in.addData(0L -> queries(0L), 1L -> queries(1L)); q.processAllAvailable()
+    in.addData(2L -> queries(2L), 3L -> queries(3L)); q.processAllAvailable()
+    q.stop()
+
+    def collected(): Map[Long, Seq[(Long, Double)]] =
+      StreamOps.annResults(spark, outDir).get
+        .select("query_id", "vec_id", "cos_sim")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+          .sortBy(t => (-t._2, t._1)).toSeq).toMap
+    val got = collected()
+    assert(got.keySet === queries.keySet)
+    for ((qid, qe) <- queries) {
+      val expect = Similarity.ivfProbeVectorRerankedServed(spark, indexDir, qe,
+        nprobeWide = 5, rerankCells = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(qid) === expect, s"query $qid diverged from the per-query re-ranked probe")
+    }
+    // crash-replay of the last micro-batch overwrites its own output
+    StreamOps.annServeRerankedBatch(
+      Seq(2L -> queries(2L), 3L -> queries(3L)).toDF("query_id", "qe"),
+      indexDir, outDir, batchId = 1L, k = 10, nprobeWide = 5,
+      rerankCells = 2, poolSize = 50)
+    assert(collected() === got, "replayed batch changed the served results")
+  }
+
   test("IVF serving racing compaction never returns a truncated or double-counted top-k") {
     // The round-7 manifest-commit gate, raced for real (the image of
     // the partitioned-stats race test applied to the index): a prober
