@@ -301,6 +301,37 @@ class PropertySpec extends SparkSuite {
     assert(r10 === 1.0, s"full probe must be exact: $r10")
   }
 
+  test("roundedRatio equals BigDecimal HALF_UP on randomized ratios, tie-dense denominators included") {
+    // The exactness claim behind the round-tie sweep, held against
+    // java.math's own HALF_UP over a generator biased toward the
+    // denominators that terminate at the rounding digit (powers of
+    // two/five times small factors — where Spark's string-round and
+    // DuckDB's binary-round used to diverge).
+    val tieDens = Seq(2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 640L, 800L,
+      1600L, 3200L, 2000L, 12500L)
+    val gen = for {
+      num <- Gen.choose(-2000000L, 2000000L)
+      den <- Gen.oneOf(Gen.oneOf(tieDens), Gen.choose(1L, 99999L))
+      n <- Gen.choose(0, 6)
+    } yield (num, den, n)
+    val cases = Gen.listOfN(300, gen)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val out = cases.zipWithIndex.map { case ((num, den, n), i) => (i, num, den, n) }
+      .toDF("i", "num", "den", "n")
+    // one pass per distinct scale (the scale is a plan-time constant)
+    val results = (0 to 6).flatMap { n =>
+      out.filter(col("n") === n)
+        .select(col("i"), QueryDef.roundedRatio(col("num"), col("den"), n).as("r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    }.toMap
+    for (((num, den, n), i) <- cases.zipWithIndex) {
+      val want = new java.math.BigDecimal(num)
+        .divide(new java.math.BigDecimal(den), n, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+      assert(results(i) === want, s"$num/$den @$n: got ${results(i)} want $want")
+    }
+  }
+
   test("re-ranked probe repairs the L2-quantizer/cosine mismatch at the same exact-read cell count") {
     // The geometry the plain probe cannot fix: a cluster angularly
     // aligned with the query but at a different magnitude is FAR from
