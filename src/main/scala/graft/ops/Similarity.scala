@@ -344,9 +344,17 @@ object Similarity {
   private[ops] def q8Col(e: Column, amax: Column): Column =
     transform(e, x => floor(x.cast("double") * 127.0 / amax + 0.5).cast("int"))
 
-  /** Exact integer dot of two int8 code arrays (products ≤ 127², sums
-    * in long — no overflow, no float ordering concerns). */
+  /** Exact integer dot of two int8 code arrays — the codegen'd kernel
+    * ([[graft.functions.VecMath.vec_dot_int]]; integer sums are exact
+    * and order-independent, so it is bit-identical to the HOF
+    * reference form [[intDotHof]] and to the oracle's `list_reduce`
+    * mirror by arithmetic alone, VecDotSpec-verified). */
   private[ops] def intDot(a: Column, b: Column): Column =
+    graft.functions.VecMath.vec_dot_int(a, b)
+
+  /** Declarative reference form of [[intDot]] — what the codegen
+    * expression is equivalence-tested against. */
+  private[graft] def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")), lit(0L),
       (acc, v) => acc + v)
 

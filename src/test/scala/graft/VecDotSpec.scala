@@ -33,6 +33,31 @@ class VecDotSpec extends SparkSuite {
       .select(Similarity.dot(col("a"), col("b")).as("d"))
     assert(d.head().isNullAt(0))
   }
+
+  test("vec_dot_int equals the HOF fold on quantized sketch codes, incl. negatives and nulls") {
+    // the re-ranked probe's scoring kernel: derive real int8 codes
+    // from the embeddings table the way the sketch writer does
+    val e = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / " +
+          "greatest(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, abs(CAST(v AS DOUBLE)))), 1e-30) + 0.5) AS INT))")
+          .as("q8"))
+    val q = e.filter(col("vec_id") === 0).select(col("q8").as("qq"))
+    val both = e.crossJoin(broadcast(q))
+      .select(
+        graft.functions.VecMath.vec_dot_int(col("q8"), col("qq")).as("codegen"),
+        Similarity.intDotHof(col("q8"), col("qq")).as("hof"))
+    assert(both.filter(col("codegen") =!= col("hof")).count() === 0)
+    // hand values with negative codes
+    val d = Seq((Array(-127, 3, 0), Array(2, -5, 9))).toDF("a", "b")
+      .select(graft.functions.VecMath.vec_dot_int(col("a"), col("b")).as("d"))
+      .head().getLong(0)
+    assert(d === -269L)
+    val n = Seq((Option.empty[Array[Int]], Array(1, 2)))
+      .toDF("a", "b")
+      .select(graft.functions.VecMath.vec_dot_int(col("a"), col("b")).as("d"))
+    assert(n.head().isNullAt(0))
+  }
 }
 
 /** Exactness of the integer-rounding helper against hand-computed
