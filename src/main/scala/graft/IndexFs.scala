@@ -22,17 +22,28 @@ import org.apache.spark.sql.SparkSession
   */
 object IndexFs {
 
+  /** Seam-call counter: every public IndexFs operation bumps it once.
+    * On an object store each of these calls is a LIST/GET/PUT round
+    * trip, so serving-path latency scales with THIS count, not local
+    * wall-clock — IndexFsSpec reads deltas of it to pin the
+    * O(1)-metadata-I/O bound of the persisted-index probes (a probe's
+    * seam calls must not grow with the delta backlog). */
+  private[graft] val seamCalls = new java.util.concurrent.atomic.AtomicLong()
+  private def tick(): Unit = { seamCalls.incrementAndGet(); () }
+
   private def fp(spark: SparkSession, path: String): (org.apache.hadoop.fs.FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
   def exists(spark: SparkSession, path: String): Boolean = {
+    tick()
     val (fs, p) = fp(spark, path)
     fs.exists(p)
   }
 
   def isDir(spark: SparkSession, path: String): Boolean = {
+    tick()
     val (fs, p) = fp(spark, path)
     fs.exists(p) && fs.getFileStatus(p).isDirectory
   }
@@ -42,6 +53,7 @@ object IndexFs {
     * callers rebuild child paths by concatenation so the path spelling
     * stays the caller's. */
   def listNames(spark: SparkSession, dir: String, pattern: String): Seq[String] = {
+    tick()
     val (fs, p) = fp(spark, dir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
@@ -50,6 +62,7 @@ object IndexFs {
 
   /** Recursive delete, idempotent (missing path is a no-op). */
   def delete(spark: SparkSession, path: String): Unit = {
+    tick()
     val (fs, p) = fp(spark, path)
     fs.delete(p, true)
     ()
@@ -57,6 +70,7 @@ object IndexFs {
 
   /** Create the directory (and parents), idempotent. */
   def mkdirs(spark: SparkSession, path: String): Unit = {
+    tick()
     val (fs, p) = fp(spark, path)
     fs.mkdirs(p)
     ()
@@ -69,11 +83,13 @@ object IndexFs {
     * tolerate either). Used by the batch-directory commit of
     * [[graft.streaming.ExactlyOnceSink]]. */
   def rename(spark: SparkSession, src: String, dst: String): Boolean = {
+    tick()
     val (fs, s) = fp(spark, src)
     fs.rename(s, new Path(dst))
   }
 
   def readUtf8(spark: SparkSession, path: String): String = {
+    tick()
     val (fs, p) = fp(spark, path)
     val in = fs.open(p)
     try {
@@ -100,6 +116,7 @@ object IndexFs {
     * take the plain path. (Skipping the `.crc` sidecar for a manifest
     * is fine — the atomic rename is the integrity mechanism here.) */
   def writeUtf8Atomic(spark: SparkSession, path: String, content: String): Unit = {
+    tick()
     val p = new Path(path)
     val resolved = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fs = resolved match {
@@ -212,6 +229,48 @@ private[graft] object GenManifest {
       floor: Long, lgen: Long = -1L): Unit =
     IndexFs.writeUtf8Atomic(spark, s"$dir/m$seq",
       s"gen\t$gen\nfloor\t$floor\nlgen\t${if (lgen < 0) gen else lgen}\n")
+
+  /** One committed delta's metadata as recorded in the delta LEDGER:
+    * `gen` is the centroid generation whose label space assigned the
+    * delta's cells (`-1` = unknown/untagged — readers take the
+    * conservative full-read route), `labels` the cell values the delta
+    * actually wrote (`None` = unknown — readers fall back to per-cell
+    * existence checks). */
+  final case class DeltaEntry(id: Long, gen: Long, labels: Option[Seq[Long]])
+
+  /** The delta ledger: ONE small file (`delta/ledger`) naming every
+    * committed delta with its label-space generation and cell list, so
+    * a serving probe resolves ALL delta metadata in a single read
+    * instead of O(deltas) LIST/GET round-trips (on `s3a:` that is the
+    * difference between ~10 ms and ~1 s of metadata latency per probe
+    * at backlog). Written atomically by the SOLE delta writer — the
+    * sequential streaming-ingest contract; compaction and GC never
+    * write it (entries at or below the manifest floor are dead:
+    * readers filter them out, the writer trims them on its next
+    * commit). For ledgered layouts the ledger entry IS the delta
+    * commit point: a delta whose data landed (`_SUCCESS`) but whose
+    * ledger write crashed stays invisible until the batch replays —
+    * the same half-committed-batch semantics as a torn `_SUCCESS`.
+    * `None` = no ledger file (pre-ledger layout; callers rebuild the
+    * entries from the directory listing + per-delta sidecars). */
+  def readLedger(spark: SparkSession, dir: String): Option[Seq[DeltaEntry]] = {
+    val p = s"$dir/delta/ledger"
+    if (!IndexFs.exists(spark, p)) None
+    else Some(IndexFs.readUtf8(spark, p).linesIterator.filter(_.nonEmpty).map { l =>
+      val f = l.split("\t", -1)
+      DeltaEntry(f(0).toLong, f(1).toLong,
+        if (f.length < 3 || f(2) == "?") None
+        else Some(f(2).split(',').filter(_.nonEmpty).map(_.toLong).toSeq))
+    }.toSeq)
+  }
+
+  def writeLedger(spark: SparkSession, dir: String,
+      entries: Seq[DeltaEntry]): Unit =
+    IndexFs.writeUtf8Atomic(spark, s"$dir/delta/ledger",
+      entries.sortBy(_.id).map { e =>
+        val ls = e.labels.fold("?")(_.mkString(","))
+        s"${e.id}\t${e.gen}\t$ls"
+      }.mkString("", "\n", "\n"))
 
   /** Delta batchIds in (above, below) — exclusive on both ends: a
     * reader never consumes deltas at or below its manifest's floor,

@@ -464,6 +464,9 @@ object Similarity {
       maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
     val spark = index.centroids.sparkSession
     graft.GenManifest.reset(spark, dir, ivfPrefixes)
+    // empty delta ledger from birth: "ledger absent" then always means
+    // a pre-ledger layout, never a fresh index
+    graft.GenManifest.writeLedger(spark, dir, Seq.empty)
     index.centroids.write.mode("overwrite").parquet(gdir(dir, "centroids", 0))
     index.stats.write.mode("overwrite").parquet(gdir(dir, "stats", 0))
     Storage.writeCellClustered(index.corpus, Seq("label"), "vec_id",
@@ -554,22 +557,38 @@ object Similarity {
       indexDir: String, st: graft.GenManifest.State, newVecs: DataFrame,
       batchId: Long, maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
     val centroids = servingCentroidsAt(spark, indexDir, st)
+    val root = s"$indexDir/delta/b$batchId"
+    val prior = allDeltaEntries(spark, indexDir)
+    // replay overwrite: RETRACT the ledger entry before touching the
+    // delta's data, so a concurrent probe never label-prunes into a
+    // half-overwritten directory — the window's cost is one invisible
+    // (replaying) batch, the same semantics as a torn `_SUCCESS`.
+    if (prior.exists(_.id == batchId))
+      graft.GenManifest.writeLedger(spark, indexDir,
+        prior.filterNot(_.id == batchId))
     Storage.writeCellClustered(
       assignToCentroids(centroids, newVecs)
         .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
         .select(col("vec_id"), col("label"), col("embedding"), col("norm")),
-      Seq("label"), "vec_id", s"$indexDir/delta/b$batchId", maxCellRows)
-    // tag AFTER the data commit (the overwrite above wipes any prior
-    // tag, so a replay re-tags): names the centroid generation that
-    // assigned this delta's labels. In the instant between _SUCCESS
-    // and the tag landing, readers treat the delta as untagged —
-    // the conservative full-read route, never a recall hole.
-    graft.IndexFs.writeUtf8Atomic(spark,
-      s"$indexDir/delta/b$batchId/_gen", st.gen.toString)
+      Seq("label"), "vec_id", root, maxCellRows)
+    // ledger commit AFTER the data commit = the delta's visibility
+    // point: one atomic write records the centroid generation that
+    // assigned the labels (the old per-delta `_gen` sidecar) AND the
+    // cell list, read from the WRITTEN layout — one listing at ingest
+    // time so probes never pay per-cell existence checks. Entries the
+    // appender's floor has absorbed are trimmed here (a racing
+    // compaction's floor can only be HIGHER, so trimming by st.floor
+    // is conservative; readers filter by their own resolved floor).
+    val labels = graft.IndexFs.listNames(spark, root, "label=-?\\d+")
+      .map(_.stripPrefix("label=").toLong).sorted
+    graft.GenManifest.writeLedger(spark, indexDir,
+      prior.filterNot(e => e.id == batchId || e.id <= st.floor) :+
+        graft.GenManifest.DeltaEntry(batchId, st.gen, Some(labels)))
   }
 
-  /** The centroid generation that assigned a delta's labels, if the
-    * tag has landed. */
+  /** The centroid generation that assigned a delta's labels, if its
+    * sidecar tag landed — PRE-LEDGER layouts only; ledgered layouts
+    * carry the generation in the ledger entry. */
   private def deltaGen(spark: SparkSession, indexDir: String,
       id: Long): Option[Long] = {
     val p = s"$indexDir/delta/b$id/_gen"
@@ -578,20 +597,36 @@ object Similarity {
     else None
   }
 
-  /** Does this delta's label assignment agree with the manifest's live
-    * label space? (Tag at or above the last re-clustering generation.) */
-  private def deltaLabelsCurrent(spark: SparkSession, indexDir: String,
-      st: graft.GenManifest.State, id: Long): Boolean =
-    deltaGen(spark, indexDir, id).exists(_ >= st.lgen)
+  /** Every committed delta's metadata, floor-unfiltered: ONE ledger
+    * read when the layout is ledgered (all current layouts —
+    * [[persistIvfIndex]] writes an empty ledger from birth); a
+    * pre-ledger layout rebuilds the entries from the directory listing
+    * plus per-delta `_gen` sidecars (labels unknown → readers fall
+    * back to per-cell existence checks). */
+  private def allDeltaEntries(spark: SparkSession,
+      indexDir: String): Seq[graft.GenManifest.DeltaEntry] =
+    graft.GenManifest.readLedger(spark, indexDir).getOrElse(
+      graft.GenManifest.deltaIds(spark, indexDir, above = Long.MinValue).map(id =>
+        graft.GenManifest.DeltaEntry(id,
+          deltaGen(spark, indexDir, id).getOrElse(-1L), None)))
+
+  /** The serving view of the committed deltas — entries above the
+    * resolved manifest's floor, in batch order. O(1) seam calls on a
+    * ledgered layout (IndexFsSpec pins this). */
+  private def deltaEntriesAbove(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State): Seq[graft.GenManifest.DeltaEntry] =
+    allDeltaEntries(spark, indexDir).filter(_.id > st.floor).sortBy(_.id)
 
   /** Committed deltas above the floor, split into (current-label,
     * stale-label) ids — the maintenance scheduler's view: stale deltas
     * are excluded from the incremental drift math (their labels index
     * a superseded centroid set) and instead justify a fold outright. */
   private[ops] def deltaIdsByLabelSpace(spark: SparkSession, indexDir: String,
-      st: graft.GenManifest.State): (Seq[Long], Seq[Long]) =
-    graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
-      .partition(id => deltaLabelsCurrent(spark, indexDir, st, id))
+      st: graft.GenManifest.State): (Seq[Long], Seq[Long]) = {
+    val (cur, stale) = deltaEntriesAbove(spark, indexDir, st)
+      .partition(_.gen >= st.lgen)
+    (cur.map(_.id), stale.map(_.id))
+  }
 
   /** The probed labels' vectors across the base generation and every
     * committed delta above the manifest floor: per root, only the
@@ -645,14 +680,24 @@ object Similarity {
   /** The delta slice of the serving view — shared by the plain probe
     * (unioned with the base cells) and the re-ranked probe's sketch
     * stage (deltas carry full vectors, no persisted sketch; they are
-    * batch-sized, so on-the-fly quantization is control-plane cheap). */
+    * batch-sized, so on-the-fly quantization is control-plane cheap).
+    * All delta metadata comes from the ledger entries: a current-label
+    * delta is pruned to the probed labels it actually WROTE (recorded
+    * at ingest — zero per-cell existence checks here), a stale-tagged
+    * or untagged one is read in full (its cell layout indexes a
+    * superseded centroid set — see [[servingCorpusAt]]'s race note). */
   private def servingDeltaFramesAt(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State, labels: Seq[Long]): Seq[DataFrame] =
-    graft.GenManifest.deltaIds(spark, indexDir, above = st.floor).flatMap { id =>
-      val root = s"$indexDir/delta/b$id"
-      if (deltaLabelsCurrent(spark, indexDir, st, id))
-        prunedCorpusRead(spark, root, labels)
-      else Some(readCorpusRoot(spark, root, Seq(root)))
+    deltaEntriesAbove(spark, indexDir, st).flatMap { e =>
+      val root = s"$indexDir/delta/b${e.id}"
+      if (e.gen < st.lgen) Some(readCorpusRoot(spark, root, Seq(root)))
+      else e.labels match {
+        case Some(ls) =>
+          val hit = labels.filter(ls.toSet)
+          if (hit.isEmpty) None
+          else Some(readCorpusRoot(spark, root, hit.map(l => s"$root/label=$l")))
+        case None => prunedCorpusRead(spark, root, labels)
+      }
     }
 
   /** Lloyd refinement over an in-memory index: `iters` rounds of
@@ -735,24 +780,25 @@ object Similarity {
       indexDir: String, lloydIters: Int, maxCellRows: Long,
       beforeCatchUp: () => Unit): Unit = {
     val st = resolveIvf(spark, indexDir)
-    val deltas = graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
+    val entries = deltaEntriesAbove(spark, indexDir, st)
+    val deltas = entries.map(_.id)
     if (deltas.nonEmpty || lloydIters > 0) {
       val curCentroids = servingCentroidsAt(spark, indexDir, st)
       // a delta assigned against a superseded label space is RELABELED
       // against the current centroids before folding — a
       // label-preserving compaction must not bake stale labels into
       // the new base
-      def readDelta(id: Long): DataFrame = {
-        val root = s"$indexDir/delta/b$id"
+      def readDelta(e: graft.GenManifest.DeltaEntry): DataFrame = {
+        val root = s"$indexDir/delta/b${e.id}"
         val raw = readCorpusRoot(spark, root, Seq(root))
-        if (deltaLabelsCurrent(spark, indexDir, st, id)) raw
+        if (e.gen >= st.lgen) raw
         else assignToCentroids(curCentroids,
             raw.select(col("vec_id"), col("embedding")))
           .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
           .select(col("vec_id"), col("embedding"), col("norm"), col("label"))
       }
       val base = gdir(indexDir, "corpus", st.gen)
-      val all = (readCorpusRoot(spark, base, Seq(base)) +: deltas.map(readDelta))
+      val all = (readCorpusRoot(spark, base, Seq(base)) +: entries.map(readDelta))
         .reduce(_ unionByName _)
       val gen = st.gen + 1
       val idx0 = IvfIndex(
@@ -773,7 +819,7 @@ object Similarity {
         // normally above the floor.
         val late =
           if (lloydIters > 0)
-            graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
+            deltaEntriesAbove(spark, indexDir, st).map(_.id)
               .filterNot(deltas.toSet)
           else Seq.empty
         val idx =

@@ -84,4 +84,31 @@ class IndexFsSpec extends SparkSuite {
     assert(IndexFs.listNames(spark, s"$indexDir/delta", "b\\d+").isEmpty)
     assert(hits() === afterAppend)
   }
+
+  test("IVF probe metadata I/O is O(1) in the delta backlog (one ledger read, no per-delta round-trips)") {
+    import graft.ops.Similarity
+    val indexDir = uriDir("ivf-o1")
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    val spike = Seq(8f, 8f, 8f, 8f) ++ Seq.fill(60)(0f)
+    def probeSeamCalls(): Long = {
+      val before = IndexFs.seamCalls.get()
+      Similarity.ivfProbeVectorServed(spark, indexDir, spike).collect()
+      IndexFs.seamCalls.get() - before
+    }
+    val atZeroDeltas = probeSeamCalls()
+    // grow an 8-delta backlog — the regime where per-delta sidecar
+    // round-trips used to make every probe pay O(deltas) LIST/GETs
+    (1 to 8).foreach { b =>
+      Similarity.appendToPersistedIvfIndex(spark, indexDir,
+        Seq((1000000L + b, spike)).toDF("vec_id", "embedding"), batchId = b.toLong)
+    }
+    val atEightDeltas = probeSeamCalls()
+    assert(atEightDeltas === atZeroDeltas,
+      s"probe seam calls grew with the delta backlog: $atZeroDeltas → $atEightDeltas")
+    // the ledger-pruned serving view still sees every appended vector
+    val served = Similarity.ivfProbeVectorServed(spark, indexDir, spike)
+      .collect().map(_.getLong(0)).toSet
+    (1 to 8).foreach(b => assert(served.contains(1000000L + b), s"delta b$b not served"))
+  }
 }

@@ -855,19 +855,24 @@ class OpsSpec extends SparkSuite {
 
   test("a torn delta (no _SUCCESS) is invisible to serving AND compaction until its replay commits") {
     // A delta mid-write — crashed, in flight, or being replay-
-    // overwritten — has no _SUCCESS marker. Serving must skip it (a
-    // transient half-batch would surface phantom vectors) and
-    // compaction MUST skip it: folding a torn delta makes the partial
-    // batch permanent, because the completing replay then lands below
-    // the raised floor and is never read again.
+    // overwritten — has no ledger entry (the entry is the commit
+    // point, written only after the data lands; a replay retracts it
+    // before overwriting). Serving must skip such a delta (a transient
+    // half-batch would surface phantom vectors) and compaction MUST
+    // skip it: folding a torn delta makes the partial batch permanent,
+    // because the completing replay then lands below the raised floor
+    // and is never read again.
     import spark.implicits._
     val indexDir = java.nio.file.Files.createTempDirectory("ivf-torn").toString
     Similarity.persistIvfIndex(Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
     val spike = Seq(8f, 8f, 8f, 8f) ++ Seq.fill(60)(0f)
     val newVec = Seq((1000000L, spike)).toDF("vec_id", "embedding")
     Similarity.appendToPersistedIvfIndex(spark, indexDir, newVec, batchId = 1L)
-    // simulate the crash: the delta's files are on disk, the commit
-    // marker is not
+    // simulate the crash mid-write: files partially on disk, neither
+    // commit artifact landed (the writer orders _SUCCESS before the
+    // ledger entry, so a crash leaves at most the data files)
+    GenManifest.writeLedger(spark, indexDir,
+      GenManifest.readLedger(spark, indexDir).get.filterNot(_.id == 1L))
     assert(new java.io.File(s"$indexDir/delta/b1/_SUCCESS").delete())
 
     def topHit(): (Long, Double) =
