@@ -164,6 +164,83 @@ object JdbcBatchSink {
     }
   }
 
+  /** Side-ledger variant of [[writeBatchExactlyOnce]]: the DATA table
+    * keeps the clean bean schema — no `_batch_id`/`_part_id` columns,
+    * matching the reference's wide-stats tables, which carry no
+    * bookkeeping (`utils/ClickHouseUtil.java:20-54`) — and the replay
+    * bookkeeping lives in two companions:
+    *
+    *   - `<table>_stage`: the micro-batch lands here first, through
+    *     the SAME two-layer transactional discipline as
+    *     [[writeBatchExactlyOnce]] (whole-batch clear + per-partition
+    *     keyed delete+insert txns) — this is where the ledger columns
+    *     live, and it is empty in steady state;
+    *   - `<table>_ledger`: one row per PROMOTED batch — the batch's
+    *     commit record.
+    *
+    * Promotion is one driver-side transaction of three server-side
+    * statements (`INSERT INTO t SELECT … FROM stage WHERE _batch_id=?`;
+    * ledger insert; stage clear) — no row ever moves through the
+    * driver, so promote cost is the store's own bulk-copy, not a
+    * second network write of the batch.
+    *
+    * Replay matrix: a crash before promote re-stages idempotently and
+    * promotes once; a torn promote rolls back (stage intact, no ledger
+    * row) and the retry re-runs it; a crash AFTER promote but before
+    * the streaming checkpoint commit replays into the ledger check,
+    * which skips the whole batch — the data table is never touched
+    * twice. The ledger check must come FIRST and gate staging too:
+    * promote already cleared the staging rows, and re-staging a
+    * promoted batch would leave orphans there. */
+  def writeBatchExactlyOnceLedgered(
+      df: DataFrame,
+      table: String,
+      connFactory: () => java.sql.Connection,
+      batchId: Long,
+      batchSize: Int = 5,
+      transientCols: Set[String] = Set.empty): Unit = {
+    val stage = s"${table}_stage"
+    val ledger = s"${table}_ledger"
+    val promoted = {
+      val conn = connFactory()
+      try {
+        val q = conn.prepareStatement(s"SELECT 1 FROM $ledger WHERE batch_id = ?")
+        try {
+          q.setObject(1, java.lang.Long.valueOf(batchId))
+          val rs = q.executeQuery()
+          try rs.next() finally rs.close()
+        } finally q.close()
+      } finally conn.close()
+    }
+    if (promoted) return
+    writeBatchExactlyOnce(df, stage, connFactory, batchId, batchSize, transientCols)
+    val cols = df.schema.fields.map(_.name).filterNot(transientCols)
+    inTxn(connFactory()) { conn =>
+      def run(sql: String): Unit = {
+        val ps = conn.prepareStatement(sql)
+        try { ps.setObject(1, java.lang.Long.valueOf(batchId)); ps.executeUpdate(); () }
+        finally ps.close()
+      }
+      run(s"INSERT INTO $table (${cols.mkString(",")}) " +
+        s"SELECT ${cols.mkString(",")} FROM $stage WHERE $BatchIdCol = ?")
+      run(s"INSERT INTO $ledger (batch_id) VALUES (?)")
+      run(s"DELETE FROM $stage WHERE $BatchIdCol = ?")
+    }
+  }
+
+  /** Streaming writer over [[writeBatchExactlyOnceLedgered]] — the
+    * exactly-once JDBC sink whose data table keeps the bean schema. */
+  def sinkExactlyOnceLedgered(
+      df: DataFrame,
+      table: String,
+      connFactory: () => java.sql.Connection,
+      batchSize: Int = 5,
+      transientCols: Set[String] = Set.empty): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    df.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        writeBatchExactlyOnceLedgered(batch, table, connFactory, batchId, batchSize, transientCols)
+    }
+
   /** Streaming writer over [[writeBatchExactlyOnce]]: checkpointed
     * source offsets + batchId-keyed transactional commit = end-to-end
     * exactly-once into a transactional JDBC store. */

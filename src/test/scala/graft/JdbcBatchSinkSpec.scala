@@ -66,26 +66,48 @@ object MockJdbcDb {
   import java.lang.reflect.{InvocationHandler, Method, Proxy}
   import scala.collection.mutable
 
-  private val committed = mutable.Buffer[Map[String, Any]]()
+  // multi-table store: the ledgered sink spans three tables (data,
+  // <t>_stage, <t>_ledger) whose contents must stay distinguishable
+  private val tables = mutable.Map[String, mutable.Buffer[Map[String, Any]]]()
   val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val commitSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile var failCommitAt: Int = -1 // 1-based commit index to fail once
 
   def clear(): Unit = synchronized {
-    committed.clear(); log.clear(); commitSeq.set(0); failCommitAt = -1
+    tables.clear(); log.clear(); commitSeq.set(0); failCommitAt = -1
   }
-  def rows: Seq[Map[String, Any]] = synchronized { committed.toVector }
+  def rows: Seq[Map[String, Any]] = synchronized { tables.values.flatten.toVector }
+  def rowsOf(table: String): Seq[Map[String, Any]] =
+    synchronized { tables.getOrElse(table, mutable.Buffer.empty).toVector }
   def entries: Seq[String] = { val it = log.iterator(); Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq }
 
-  private def applyOps(ops: Seq[Either[Map[String, Any], Map[String, Any]]]): Unit =
-    synchronized {
-      ops.foreach {
-        case Left(where) => // delete: drop committed rows matching every bound col
-          val survivors = committed.filterNot(r => where.forall { case (c, v) => r.get(c).map(String.valueOf).contains(String.valueOf(v)) })
-          committed.clear(); committed ++= survivors
-        case Right(row) => committed += row
-      }
+  private sealed trait Op
+  private final case class Delete(table: String, where: Map[String, Any]) extends Op
+  private final case class Insert(table: String, row: Map[String, Any]) extends Op
+  private final case class InsertSelect(dst: String, cols: Seq[String],
+      src: String, whereCol: String, bind: Any) extends Op
+
+  private def matches(r: Map[String, Any], where: Map[String, Any]): Boolean =
+    where.forall { case (c, v) => r.get(c).map(String.valueOf).contains(String.valueOf(v)) }
+  private def buf(t: String): mutable.Buffer[Map[String, Any]] =
+    tables.getOrElseUpdate(t, mutable.Buffer.empty)
+
+  // transaction apply: sequential within one synchronized block, so an
+  // INSERT..SELECT in the same txn as the staging DELETE that follows
+  // it sees the pre-delete source rows — statement order, like a real
+  // transactional store
+  private def applyOps(ops: Seq[Op]): Unit = synchronized {
+    ops.foreach {
+      case Delete(t, where) =>
+        val b = buf(t); val survivors = b.filterNot(matches(_, where))
+        b.clear(); b ++= survivors
+      case Insert(t, row) => buf(t) += row
+      case InsertSelect(dst, cols, src, whereCol, bind) =>
+        buf(dst) ++= buf(src).toVector
+          .filter(matches(_, Map(whereCol -> bind)))
+          .map(r => cols.map(c => c -> r.getOrElse(c, null)).toMap)
     }
+  }
 
   private def default(t: Class[_]): AnyRef = t match {
     case java.lang.Boolean.TYPE => java.lang.Boolean.FALSE
@@ -95,23 +117,64 @@ object MockJdbcDb {
     case _ => null
   }
 
-  private def stmt(sql: String, staged: mutable.Buffer[Either[Map[String, Any], Map[String, Any]]]): java.sql.PreparedStatement = {
-    val isDelete = sql.trim.toUpperCase.startsWith("DELETE")
-    val cols: Seq[String] =
-      if (isDelete) "(\\w+) = \\?".r.findAllMatchIn(sql).map(_.group(1)).toSeq
-      else sql.substring(sql.indexOf('(') + 1, sql.indexOf(')')).split(",").map(_.trim).toSeq
+  private val deleteRe = "(?i)DELETE FROM (\\S+)".r
+  private val insertRe = "(?i)INSERT INTO (\\S+)".r
+  private val selectFromRe = "(?i)SELECT .*? FROM (\\S+)".r
+  private val whereColRe = "(\\w+) = \\?".r
+  private def insertCols(sql: String): Seq[String] =
+    sql.substring(sql.indexOf('(') + 1, sql.indexOf(')')).split(",").map(_.trim).toSeq
+
+  private def resultSet(hasRow: Boolean): java.sql.ResultSet = {
+    var consumed = false
+    val h = new InvocationHandler {
+      override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+        case "next" =>
+          val r = hasRow && !consumed; consumed = true; java.lang.Boolean.valueOf(r)
+        case "close" => null
+        case _ => default(m.getReturnType)
+      }
+    }
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.ResultSet]), h).asInstanceOf[java.sql.ResultSet]
+  }
+
+  private def stmt(sql: String, staged: mutable.Buffer[Op]): java.sql.PreparedStatement = {
+    val trimmed = sql.trim
+    val upper = trimmed.toUpperCase
     val binds = mutable.TreeMap[Int, Any]()
     val pending = mutable.Buffer[Map[String, Any]]()
+    def whereMap(): Map[String, Any] =
+      whereColRe.findAllMatchIn(trimmed).map(_.group(1)).zipWithIndex
+        .map { case (c, i) => c -> binds(i + 1) }.toMap
     val h = new InvocationHandler {
       override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
         case "setObject" => binds(args(0).asInstanceOf[Integer].intValue()) = args(1); null
         case "addBatch" =>
+          val cols = insertCols(trimmed)
           pending += cols.zipWithIndex.map { case (c, i) => c -> binds.getOrElse(i + 1, null) }.toMap; null
         case "executeBatch" =>
-          val n = pending.size; staged ++= pending.map(Right(_)); pending.clear(); new Array[Int](n)
+          val t = insertRe.findFirstMatchIn(trimmed).get.group(1)
+          val n = pending.size; staged ++= pending.map(Insert(t, _)); pending.clear(); new Array[Int](n)
         case "executeUpdate" =>
-          staged += Left(cols.zipWithIndex.map { case (c, i) => c -> binds(i + 1) }.toMap)
+          if (upper.startsWith("DELETE"))
+            staged += Delete(deleteRe.findFirstMatchIn(trimmed).get.group(1), whereMap())
+          else if (upper.startsWith("INSERT") && upper.contains(" SELECT "))
+            staged += InsertSelect(
+              insertRe.findFirstMatchIn(trimmed).get.group(1), insertCols(trimmed),
+              selectFromRe.findFirstMatchIn(trimmed.substring(trimmed.indexOf(')'))).get.group(1),
+              whereColRe.findFirstMatchIn(trimmed).get.group(1), binds(1))
+          else { // INSERT .. VALUES via executeUpdate (the ledger row)
+            val cols = insertCols(trimmed)
+            staged += Insert(insertRe.findFirstMatchIn(trimmed).get.group(1),
+              cols.zipWithIndex.map { case (c, i) => c -> binds.getOrElse(i + 1, null) }.toMap)
+          }
           Integer.valueOf(0)
+        case "executeQuery" => // SELECT 1 FROM t WHERE c = ? (ledger check)
+          val t = selectFromRe.findFirstMatchIn(trimmed).get.group(1)
+          val hit = MockJdbcDb.synchronized {
+            tables.getOrElse(t, mutable.Buffer.empty).exists(matches(_, whereMap()))
+          }
+          resultSet(hit)
         case "close" => null
         case _ => default(m.getReturnType)
       }
@@ -122,7 +185,7 @@ object MockJdbcDb {
   }
 
   def connection(): java.sql.Connection = {
-    val staged = mutable.Buffer[Either[Map[String, Any], Map[String, Any]]]()
+    val staged = mutable.Buffer[Op]()
     val h = new InvocationHandler {
       override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
         case "setAutoCommit" => log.add("begin"); null
@@ -250,6 +313,75 @@ class JdbcBatchSinkSpec extends SparkSuite {
     JdbcBatchSink.writeBatchExactlyOnce(df, "t", mk, batchId = 3L)
     assert(MockJdbcDb.rows.size === 3)
     assert(dataRows(3L).size === 3)
+  }
+
+  // ---- side-ledger form: data table keeps the clean bean schema ----
+
+  test("ledgered: rows promote to a bookkeeping-free data table; stage drains; ledger records the batch") {
+    MockJdbcDb.clear()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v").repartition(2)
+    JdbcBatchSink.writeBatchExactlyOnceLedgered(df, "dws_t", () => MockJdbcDb.connection(),
+      batchId = 7L, batchSize = 2)
+    val data = MockJdbcDb.rowsOf("dws_t")
+    assert(data.size === 4)
+    // the whole point: the data table carries ONLY the bean columns
+    assert(data.forall(r => r.keySet === Set("id", "v")),
+      s"bookkeeping leaked into the data table: ${data.head.keySet}")
+    assert(MockJdbcDb.rowsOf("dws_t_stage").isEmpty, "stage must drain on promote")
+    assert(MockJdbcDb.rowsOf("dws_t_ledger").map(r => String.valueOf(r("batch_id"))) === Seq("7"))
+  }
+
+  test("ledgered: a replay after a full promote is skipped outright — data, stage and ledger untouched") {
+    MockJdbcDb.clear()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)
+    val mk = () => MockJdbcDb.connection()
+    JdbcBatchSink.writeBatchExactlyOnceLedgered(df, "t", mk, batchId = 0L)
+    val first = MockJdbcDb.rowsOf("t").sortBy(r => String.valueOf(r("id")))
+    val commitsAfterFirst = MockJdbcDb.entries.count(_ == "commit")
+    // crash-after-promote replay: same batchId, different partitioning
+    JdbcBatchSink.writeBatchExactlyOnceLedgered(df.repartition(2), "t", mk, batchId = 0L)
+    assert(MockJdbcDb.rowsOf("t").sortBy(r => String.valueOf(r("id"))) === first)
+    assert(MockJdbcDb.rowsOf("t_stage").isEmpty, "a skipped replay must not re-stage")
+    assert(MockJdbcDb.rowsOf("t_ledger").size === 1)
+    assert(MockJdbcDb.entries.count(_ == "commit") === commitsAfterFirst,
+      "a promoted batch's replay must not open any transaction")
+  }
+
+  test("ledgered: a torn promote rolls back (stage intact, no ledger row); the retry lands exactly once") {
+    MockJdbcDb.clear()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1)
+    val mk = () => MockJdbcDb.connection()
+    // commit #1 = staging whole-batch clear; #2 = the partition txn;
+    // #3 = the promote txn — fail that one
+    MockJdbcDb.failCommitAt = 3
+    intercept[Throwable] {
+      JdbcBatchSink.writeBatchExactlyOnceLedgered(df, "t", mk, batchId = 5L)
+    }
+    assert(MockJdbcDb.rowsOf("t").isEmpty, "torn promote must leave the data table untouched")
+    assert(MockJdbcDb.rowsOf("t_stage").size === 3, "staged rows survive a torn promote for the retry")
+    assert(MockJdbcDb.rowsOf("t_ledger").isEmpty)
+    assert(MockJdbcDb.entries.contains("rollback"))
+    JdbcBatchSink.writeBatchExactlyOnceLedgered(df, "t", mk, batchId = 5L)
+    assert(MockJdbcDb.rowsOf("t").size === 3)
+    assert(MockJdbcDb.rowsOf("t").forall(r => r.keySet === Set("id", "v")))
+    assert(MockJdbcDb.rowsOf("t_stage").isEmpty)
+    assert(MockJdbcDb.rowsOf("t_ledger").size === 1)
+  }
+
+  test("ledgered streaming form: distinct batches accumulate in the clean table, one ledger row each") {
+    MockJdbcDb.clear()
+    val in = MemoryStream[(Long, String)]
+    val q = JdbcBatchSink.sinkExactlyOnceLedgered(in.toDS().toDF("id", "v"), "dws_t",
+      () => MockJdbcDb.connection(), batchSize = 2).start()
+    in.addData((1L, "x"), (2L, "y"))
+    q.processAllAvailable()
+    in.addData((3L, "z"))
+    q.processAllAvailable()
+    q.stop()
+    assert(MockJdbcDb.rowsOf("dws_t").size === 3)
+    assert(MockJdbcDb.rowsOf("dws_t").forall(r => r.keySet === Set("id", "v")))
+    assert(MockJdbcDb.rowsOf("dws_t_stage").isEmpty)
+    assert(MockJdbcDb.rowsOf("dws_t_ledger").map(r => String.valueOf(r("batch_id"))).sorted === Seq("0", "1"))
   }
 
   test("exactly-once streaming form threads the foreachBatch batchId through") {
