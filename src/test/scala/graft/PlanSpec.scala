@@ -269,4 +269,50 @@ class PlanSpec extends SparkSuite {
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
     }
   }
+
+  test("transport flag swap changes ONLY the source: kafka and file topologies are node-identical above the seam (S1)") {
+    // The production-swap claim behind TopicTransport: flipping
+    // graft.topic.transport to `kafka` must change the SOURCE leg and
+    // nothing else — same projections, same watermark (delay
+    // included), same stateful aggregation. The kafka branch analyzes
+    // against the test-classpath connector stub (FakeKafkaSource —
+    // real connector schema, analysis-only), so this diff pins real
+    // logical trees, not hand-written expectations. Both branches end
+    // at the transport seam, the (offset, key, value, partition)
+    // projection; the comparison walks each analyzed tree root-down
+    // and collapses everything at/below that seam into one token.
+    import graft.streaming.TopicTransport
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, LogicalPlan}
+    val seam = Set("offset", "key", "value", "partition")
+    def shape(df: DataFrame): Seq[String] = {
+      def walk(p: LogicalPlan): Seq[String] =
+        if (p.output.map(_.name).toSet == seam) Seq("<transport>")
+        else (p match {
+          case e: EventTimeWatermark => s"EventTimeWatermark(${e.delay})"
+          case _ => p.nodeName
+        }) +: p.children.flatMap(walk)
+      walk(df.queryExecution.analyzed)
+    }
+    // a representative DWS topology: JSON parse → event time →
+    // watermark → windowed stateful aggregation
+    def topo(src: DataFrame): DataFrame =
+      src.select(col("key"),
+          get_json_object(col("value"), "$.amount").cast("double").as("amount"),
+          timestamp_seconds(get_json_object(col("value"), "$.ts").cast("long")).as("ts"))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(window(col("ts"), "1 minute"), col("key"))
+        .agg(sum(col("amount")).as("amount"))
+    val broker = java.nio.file.Files.createTempDirectory("plan-broker").toString
+    val fileShape = shape(topo(TopicTransport.readStream(spark, broker, "t_plan")))
+    val kafkaShape =
+      try {
+        spark.conf.set(TopicTransport.ConfKey, "kafka")
+        shape(topo(TopicTransport.readStream(spark, "broker:9092", "t_plan")))
+      } finally spark.conf.unset(TopicTransport.ConfKey)
+    assert(kafkaShape === fileShape,
+      s"transport swap altered the topology above the seam:\nkafka: $kafkaShape\nfile:  $fileShape")
+    assert(fileShape.count(_ == "<transport>") === 1, fileShape.toString)
+    assert(fileShape.exists(_.startsWith("EventTimeWatermark")), fileShape.toString)
+    assert(fileShape.contains("Aggregate"), fileShape.toString)
+  }
 }

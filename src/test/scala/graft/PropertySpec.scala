@@ -332,6 +332,52 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("a14 percentile re-rounding is tie-free at 6 decimals on cent grids (and scale 2 would NOT be)") {
+    // The conventions note argues a14's interpolated percentiles are
+    // safe to ROUND at 6 decimals: over cent-priced data the exact
+    // value v_lo + f·(v_hi − v_lo) with f ∈ {k/20, k/4} terminates at
+    // ≤ 4 decimal places, so the 7th digit can never be the tie digit
+    // where Spark's shortest-decimal-string HALF_UP and DuckDB's
+    // binary-value rounding diverge. This gate holds that argument
+    // against Spark's REAL `round` over a tie-dense grid of cent
+    // values, adjacent-cent gaps, and exactly the f denominators the
+    // three percentiles (0.25/0.50/0.95) can produce — compared to
+    // both binary models (full-expansion BigDecimal HALF_UP and the
+    // C-style round(v·10⁶)/10⁶). The scale-2 leg proves the gate is
+    // SHARP: the same grid shows real divergence at the old 2-place
+    // display rounding (half-cent ties), so a regression back to
+    // ROUND(x, 2) cannot pass silently.
+    val gen = for {
+      cents <- Gen.choose(1L, 100000000L) // lo price in cents (≤ $1M)
+      gap <- Gen.oneOf(Gen.oneOf(1L, 2L, 5L, 25L, 50L, 100L), Gen.choose(1L, 100000L))
+      fr <- Gen.oneOf((0 to 20).map(k => (k, 20)) ++ (0 to 4).map(k => (k, 4)))
+    } yield (cents, gap, fr._1, fr._2)
+    val cases = Gen.listOfN(400, gen).apply(Gen.Parameters.default, Seed(11L)).get
+    val ds = cases.zipWithIndex.map { case ((c, g, k, q), i) =>
+      val lo = c / 100.0
+      val hi = (c + g) / 100.0
+      (i, lo + (k.toDouble / q) * (hi - lo)) // Spark Percentile's interpolation arithmetic
+    }
+    val sparkRounded = ds.toDF("i", "d")
+      .select(col("i"), round(col("d"), 6).as("r6"), round(col("d"), 2).as("r2"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    var scale2Divergences = 0
+    for ((i, d) <- ds) {
+      val binary6 = new java.math.BigDecimal(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      val cstyle6 = math.round(d * 1e6).toDouble / 1e6
+      assert(sparkRounded(i)._1 === binary6,
+        s"round($d, 6): Spark ${sparkRounded(i)._1} vs binary $binary6 — 6-decimal tie found")
+      assert(sparkRounded(i)._1 === cstyle6,
+        s"round($d, 6): Spark ${sparkRounded(i)._1} vs C-style $cstyle6")
+      val binary2 = new java.math.BigDecimal(d)
+        .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (sparkRounded(i)._2 != binary2) scale2Divergences += 1
+    }
+    assert(scale2Divergences > 0,
+      "grid produced no scale-2 ties — the gate lost its sharpness (regenerate the grid)")
+  }
+
   test("re-ranked probe repairs the L2-quantizer/cosine mismatch at the same exact-read cell count") {
     // The geometry the plain probe cannot fix: a cluster angularly
     // aligned with the query but at a different magnitude is FAR from
