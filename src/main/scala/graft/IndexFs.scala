@@ -233,10 +233,12 @@ private[graft] object GenManifest {
   /** One committed delta's metadata as recorded in the delta LEDGER:
     * `gen` is the centroid generation whose label space assigned the
     * delta's cells (`-1` = unknown/untagged — readers take the
-    * conservative full-read route), `labels` the cell values the delta
-    * actually wrote (`None` = unknown — readers fall back to per-cell
-    * existence checks). */
-  final case class DeltaEntry(id: Long, gen: Long, labels: Option[Seq[Long]])
+    * conservative full-read route; constant for families whose label
+    * space never changes, e.g. LSH bands), `cells` the root-relative
+    * cell directory fragments the delta actually wrote — `label=5` for
+    * the IVF layout, `band_id=0/sig_p=ab` for LSH (`None` = unknown —
+    * readers fall back to per-cell existence checks). */
+  final case class DeltaEntry(id: Long, gen: Long, cells: Option[Seq[String]])
 
   /** The delta ledger: ONE small file (`delta/ledger`) naming every
     * committed delta with its label-space generation and cell list, so
@@ -260,7 +262,7 @@ private[graft] object GenManifest {
       val f = l.split("\t", -1)
       DeltaEntry(f(0).toLong, f(1).toLong,
         if (f.length < 3 || f(2) == "?") None
-        else Some(f(2).split(',').filter(_.nonEmpty).map(_.toLong).toSeq))
+        else Some(f(2).split(',').filter(_.nonEmpty).toSeq))
     }.toSeq)
   }
 
@@ -268,8 +270,8 @@ private[graft] object GenManifest {
       entries: Seq[DeltaEntry]): Unit =
     IndexFs.writeUtf8Atomic(spark, s"$dir/delta/ledger",
       entries.sortBy(_.id).map { e =>
-        val ls = e.labels.fold("?")(_.mkString(","))
-        s"${e.id}\t${e.gen}\t$ls"
+        val cs = e.cells.fold("?")(_.mkString(","))
+        s"${e.id}\t${e.gen}\t$cs"
       }.mkString("", "\n", "\n"))
 
   /** Delta batchIds in (above, below) — exclusive on both ends: a

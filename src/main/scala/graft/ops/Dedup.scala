@@ -312,10 +312,24 @@ object Dedup {
       maxCellRows: Long = defaultMaxCellRows): Unit = {
     val spark = docs.sparkSession
     graft.GenManifest.reset(spark, indexDir, Seq(lshPrefix))
+    // empty delta ledger from birth — "ledger absent" = pre-ledger
+    // layout, never a fresh index (the IVF persist discipline)
+    graft.GenManifest.writeLedger(spark, indexDir, Seq.empty)
     writeBandCells(bandRows(docs, prefixLen, exactFallback),
       lshBase(indexDir, 0), maxCellRows)
     graft.GenManifest.commit(spark, indexDir, seq = 0, gen = 0, floor = -1)
   }
+
+  /** Every committed LSH delta's ledger entry, floor-unfiltered — ONE
+    * read on ledgered layouts; pre-ledger layouts rebuild ids from the
+    * directory listing (cells unknown → per-cell existence checks at
+    * probe time). The LSH label space never changes, so `gen` carries
+    * no routing meaning here (always current). */
+  private def lshDeltaEntries(spark: SparkSession,
+      indexDir: String): Seq[graft.GenManifest.DeltaEntry] =
+    graft.GenManifest.readLedger(spark, indexDir).getOrElse(
+      graft.GenManifest.deltaIds(spark, indexDir, above = Long.MinValue)
+        .map(id => graft.GenManifest.DeltaEntry(id, 0L, None)))
 
   /** Grow the persisted index without rewriting it: the batch's band
     * rows land under `delta/b<batchId>` (same cell layout); a replayed
@@ -323,13 +337,32 @@ object Dedup {
     * discipline shared with `statsMergePartitioned` and the IVF
     * deltas. A replayed append of a batch the manifest floor has
     * already absorbed rewrites a delta nobody reads again — compaction
-    * cannot double-count. */
+    * cannot double-count. The ledger entry written after the data is
+    * the delta's visibility point (retracted first on a replay
+    * overwrite, so a concurrent probe never cell-prunes into a
+    * half-overwritten directory), and it records the delta's cell
+    * list so probes resolve ALL delta metadata in one read. */
   def appendToLshIndex(spark: SparkSession, indexDir: String,
       newDocs: DataFrame, batchId: Long, prefixLen: Int = 2,
       exactFallback: Boolean = false,
-      maxCellRows: Long = defaultMaxCellRows): Unit =
+      maxCellRows: Long = defaultMaxCellRows): Unit = {
+    val root = s"$indexDir/delta/b$batchId"
+    val floor = graft.GenManifest.resolve(spark, indexDir).map(_.floor).getOrElse(-1L)
+    val prior = lshDeltaEntries(spark, indexDir)
+    if (prior.exists(_.id == batchId))
+      graft.GenManifest.writeLedger(spark, indexDir,
+        prior.filterNot(_.id == batchId))
     writeBandCells(bandRows(newDocs, prefixLen, exactFallback),
-      s"$indexDir/delta/b$batchId", maxCellRows)
+      root, maxCellRows)
+    // two-level cell listing at INGEST time (1 + #bands listings) so
+    // probes never pay per-cell existence checks against this delta
+    val cells = graft.IndexFs.listNames(spark, root, "band_id=.*").flatMap { b =>
+      graft.IndexFs.listNames(spark, s"$root/$b", "sig_p=.*").map(p => s"$b/$p")
+    }.sorted
+    graft.GenManifest.writeLedger(spark, indexDir,
+      prior.filterNot(e => e.id == batchId || e.id <= floor) :+
+        graft.GenManifest.DeltaEntry(batchId, 0L, Some(cells)))
+  }
 
   /** The index rows of the probed cells across the base generation and
     * the committed deltas above the manifest floor — `belowBatch`
@@ -343,15 +376,33 @@ object Dedup {
     val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no LSH index manifest under $indexDir — persistLshIndex first"))
-    val roots = lshBase(indexDir, st.gen) +:
-      graft.GenManifest.deltaIds(spark, indexDir, above = st.floor,
-        below = belowBatch).map(id => s"$indexDir/delta/b$id")
-    roots.flatMap { root =>
-      val paths = cells.map { case (b, p) => s"$root/band_id=$b/sig_p=$p" }
+    val cellNames = cells.map { case (b, p) => s"band_id=$b/sig_p=$p" }
+    // base: probed cells are sparse in the 2×16^len space, so the
+    // existence filter stays — O(probe cells), constant in the backlog
+    val baseRoot = lshBase(indexDir, st.gen)
+    val base = {
+      val paths = cellNames.map(n => s"$baseRoot/$n")
         .filter(p => graft.IndexFs.isDir(spark, p))
-      if (paths.isEmpty) None
-      else Some(readBandRoot(spark, root, paths))
+      if (paths.isEmpty) None else Some(readBandRoot(spark, baseRoot, paths))
     }
+    // deltas: cell lists come from the ONE ledger read — zero
+    // per-delta round-trips at probe time (the IVF serving discipline)
+    val deltas = lshDeltaEntries(spark, indexDir)
+      .filter(e => e.id > st.floor && e.id < belowBatch).sortBy(_.id)
+      .flatMap { e =>
+        val root = s"$indexDir/delta/b${e.id}"
+        e.cells match {
+          case Some(cs) =>
+            val hit = cellNames.filter(cs.toSet)
+            if (hit.isEmpty) None
+            else Some(readBandRoot(spark, root, hit.map(n => s"$root/$n")))
+          case None =>
+            val paths = cellNames.map(n => s"$root/$n")
+              .filter(p => graft.IndexFs.isDir(spark, p))
+            if (paths.isEmpty) None else Some(readBandRoot(spark, root, paths))
+        }
+      }
+    base.toSeq ++ deltas
   }
 
   /** Near-dup check of a document batch AGAINST the persisted index —
@@ -506,7 +557,8 @@ object Dedup {
   def compactLshIndex(spark: SparkSession, indexDir: String,
       maxCellRows: Long = defaultMaxCellRows): Unit = {
     val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(return)
-    val deltas = graft.GenManifest.deltaIds(spark, indexDir, above = st.floor)
+    val deltas = lshDeltaEntries(spark, indexDir).map(_.id)
+      .filter(_ > st.floor).sorted
     if (deltas.nonEmpty) {
       val roots = lshBase(indexDir, st.gen) +:
         deltas.map(id => s"$indexDir/delta/b$id")

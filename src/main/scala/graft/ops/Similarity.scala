@@ -579,11 +579,10 @@ object Similarity {
     // appender's floor has absorbed are trimmed here (a racing
     // compaction's floor can only be HIGHER, so trimming by st.floor
     // is conservative; readers filter by their own resolved floor).
-    val labels = graft.IndexFs.listNames(spark, root, "label=-?\\d+")
-      .map(_.stripPrefix("label=").toLong).sorted
+    val cells = graft.IndexFs.listNames(spark, root, "label=-?\\d+").sorted
     graft.GenManifest.writeLedger(spark, indexDir,
       prior.filterNot(e => e.id == batchId || e.id <= st.floor) :+
-        graft.GenManifest.DeltaEntry(batchId, st.gen, Some(labels)))
+        graft.GenManifest.DeltaEntry(batchId, st.gen, Some(cells)))
   }
 
   /** The centroid generation that assigned a delta's labels, if its
@@ -691,11 +690,11 @@ object Similarity {
     deltaEntriesAbove(spark, indexDir, st).flatMap { e =>
       val root = s"$indexDir/delta/b${e.id}"
       if (e.gen < st.lgen) Some(readCorpusRoot(spark, root, Seq(root)))
-      else e.labels match {
-        case Some(ls) =>
-          val hit = labels.filter(ls.toSet)
+      else e.cells match {
+        case Some(cs) =>
+          val hit = labels.map(l => s"label=$l").filter(cs.toSet)
           if (hit.isEmpty) None
-          else Some(readCorpusRoot(spark, root, hit.map(l => s"$root/label=$l")))
+          else Some(readCorpusRoot(spark, root, hit.map(n => s"$root/$n")))
         case None => prunedCorpusRead(spark, root, labels)
       }
     }

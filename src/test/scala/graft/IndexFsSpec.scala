@@ -85,6 +85,36 @@ class IndexFsSpec extends SparkSuite {
     assert(hits() === afterAppend)
   }
 
+  test("LSH probe metadata I/O is O(1) in the delta backlog (one ledger read, no per-delta round-trips)") {
+    import graft.ops.Dedup
+    val indexDir = uriDir("lsh-o1")
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(Seq(1L -> seeded).toDF("doc_id", "text"), indexDir)
+    val probe = Seq(11L -> seeded.replace(" mu", " nu")).toDF("doc_id", "text")
+    def probeSeamCalls(): Long = {
+      val before = IndexFs.seamCalls.get()
+      Dedup.nearDupCheck(spark, indexDir, probe).collect()
+      IndexFs.seamCalls.get() - before
+    }
+    val atZeroDeltas = probeSeamCalls()
+    // exact copies of the seeded text: band collision with the probe
+    // is then CERTAIN (the x-suffix variants would leave collision to
+    // the banding s-curve, which is not what this test measures)
+    (1 to 8).foreach { b =>
+      Dedup.appendToLshIndex(spark, indexDir,
+        Seq((100L + b) -> seeded).toDF("doc_id", "text"),
+        batchId = b.toLong)
+    }
+    val atEightDeltas = probeSeamCalls()
+    assert(atEightDeltas === atZeroDeltas,
+      s"probe seam calls grew with the delta backlog: $atZeroDeltas → $atEightDeltas")
+    // the ledger-pruned candidate read still flags every near-copy
+    val hits = Dedup.nearDupCheck(spark, indexDir, probe)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.contains(1L))
+    (1 to 8).foreach(b => assert(hits.contains(100L + b), s"delta b$b not probed"))
+  }
+
   test("IVF probe metadata I/O is O(1) in the delta backlog (one ledger read, no per-delta round-trips)") {
     import graft.ops.Similarity
     val indexDir = uriDir("ivf-o1")
