@@ -112,7 +112,16 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames0.mkString("[", ",", "]")},"slowest5":${j(slowest0.toMap)},"streaming_rows_per_sec":"pending","calib":${calib.min},"sf":"$sfDir"}""")
     val streaming =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
-      else try StreamBench.rpsJson(StreamBench.run(spark, sfDir))
+      else try {
+        val base = StreamBench.run(spark, sfDir)
+        // batch-size amortization curve (1×/4×/8× rows per micro-batch)
+        // rides in the same tail map; SPARK_GRAFT_STREAM_SCALING=0
+        // drops it for quick streaming-only iteration
+        val scaling =
+          if (sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALING", "1") == "0") Seq.empty
+          else StreamBench.runScaling(spark, sfDir)
+        StreamBench.rpsJson(base ++ scaling)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
         """{"failed":-1}"""

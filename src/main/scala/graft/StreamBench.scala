@@ -43,27 +43,51 @@ object StreamBench {
   /** (family, rows, seconds) per family; a family that fails reports
     * (-1, -1) instead of aborting the others (one broken state-store
     * path must not erase the whole streaming row). */
-  def run(spark: SparkSession, sfDir: String, scale: Int = 1): Seq[(String, Long, Double)] = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, Rocks)
-    def safely(name: String)(body: => (Long, Double)): (String, Long, Double) =
-      try { val (rows, sec) = body; (name, rows, sec) }
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[streambench] $name failed: ${e.getMessage}")
-          (name, -1L, -1.0)
-      }
-    try Seq(
+  def run(spark: SparkSession, sfDir: String, scale: Int = 1): Seq[(String, Long, Double)] =
+    withRocks(spark)(Seq(
       safely("uv_dedup_tws")(benchUvDedup(spark, nEvents = 20000 * scale, nBatches = 4)),
       safely("cep_pattern")(benchCep(spark, keysPerBatch = 2000 * scale, nBatches = 4)),
       safely("dedup_ingest")(benchDedupIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
-      safely("ann_serve")(benchAnnServe(spark, sfDir, nQueries = 120 * scale, nBatches = 3)))
+      safely("ann_serve")(benchAnnServe(spark, sfDir, nQueries = 120 * scale, nBatches = 3))))
+
+  /** Batch-size AMORTIZATION leg: the two foreachBatch index-loop
+    * families at 1×/4×/8× rows per micro-batch with the batch COUNT
+    * fixed, so the rows/sec curve measures how much of each
+    * micro-batch is fixed overhead (planning + the ~20 index
+    * round-trip jobs) versus per-row work — near-linear rows/sec
+    * growth means overhead-bound (per-row cost amortizes as batches
+    * grow, the production regime); a flat curve would mean per-row
+    * state cost dominates and the headline rows/sec IS the ceiling.
+    * Bases are smaller than the headline families' (the signal is the
+    * RATIO across multipliers, not the absolute rows/sec) to bound the
+    * leg's wall-clock. */
+  def runScaling(spark: SparkSession, sfDir: String): Seq[(String, Long, Double)] =
+    withRocks(spark)(Seq(1, 4, 8).flatMap { m =>
+      Seq(
+        safely(s"dedup_ingest_x$m")(
+          benchDedupIngest(spark, nDocs = 400 * m, nBatches = 2)),
+        safely(s"ann_serve_x$m")(
+          benchAnnServe(spark, sfDir, nQueries = 80 * m, nBatches = 2)))
+    })
+
+  private def withRocks[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Rocks)
+    try body
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
   }
+
+  private def safely(name: String)(body: => (Long, Double)): (String, Long, Double) =
+    try { val (rows, sec) = body; (name, rows, sec) }
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[streambench] $name failed: ${e.getMessage}")
+        (name, -1L, -1.0)
+    }
 
   private def timed(body: => Long): (Long, Double) = {
     val t0 = System.nanoTime()
@@ -209,7 +233,9 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = run(spark, sfDir, scale)
+    val results = run(spark, sfDir, scale) ++
+      (if (sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALING", "1") == "0") Seq.empty
+       else runScaling(spark, sfDir))
     val detail = results.map { case (name, rows, sec) =>
       s"""\"$name\":{\"rows\":$rows,\"sec\":${math.round(sec * 1000) / 1000.0}}"""
     }.mkString("{", ",", "}")
