@@ -59,8 +59,48 @@ object ServeSoak {
     // four serve legs over INTERLEAVED passes — back-to-back repeats of
     // one measurement are the non-robust form (container-load drift
     // lands entirely on one leg; see CLAUDE.md / Bench).
+    // recall@10 vs brute force over sampled CORPUS queries — the
+    // quality claim at the same scale as the latency claim (the small
+    // adversarial-geometry recall gate lives in PropertySpec; this
+    // measures the real corpus at ×N). One corpus pass scores ALL
+    // sampled queries (broadcast query relation + window rank);
+    // ANN answers come from the same served probes the legs time.
+    def recallAt10(dir: String, ivfDir: String): (Double, Double) = {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val sample = emb.orderBy("vec_id").limit(2000)
+        .filter(col("vec_id") % 199 === 3).limit(10)
+        .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+      val q = sample.toDF("qid", "qe")
+        .withColumn("qnorm", sqrt(graft.ops.Similarity.dot(col("qe"), col("qe"))))
+      val cos = graft.ops.Similarity.dot(col("embedding"), col("qe")) /
+        (sqrt(graft.ops.Similarity.dot(col("embedding"), col("embedding"))) * col("qnorm"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      val truth = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), cos.as("cos"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      def recallOf(answer: (Long, Seq[Float]) => Set[Long]): Double =
+        sample.map { case (qid, qe) =>
+          answer(qid, qe).intersect(truth(qid)).size / 10.0
+        }.sum / sample.size
+      val plain = recallOf { (qid, qe) =>
+        graft.ops.Similarity.ivfProbeVectorServed(spark, ivfDir, qe, k = 11)
+          .collect().map(_.getLong(0)).filter(_ != qid).take(10).toSet
+      }
+      val rerank = recallOf { (qid, qe) =>
+        graft.ops.Similarity.ivfProbeVectorRerankedServed(spark, ivfDir, qe,
+          exclude = Some(qid)).collect().map(_.getLong(0)).toSet
+      }
+      (plain, rerank)
+    }
+
     final case class Leg(tag: String, dir: String, name: String,
-        serve: () => Unit, build: Double, docs: Long, vecs: Long)
+        serve: () => Unit, build: Double, docs: Long, vecs: Long,
+        recall: Double = -1.0)
     val legs = Seq(("base", baseDir), (s"x$factor", soakDir)).flatMap {
       case (tag, dir) =>
         val docs = spark.read.parquet(s"$dir/documents.parquet").count()
@@ -74,13 +114,14 @@ object ServeSoak {
         val (_, ivfBuild) = timed(graft.ops.Similarity.persistIvfIndex(
           graft.ops.Similarity.buildIvfIndexFrom(
             spark.read.parquet(s"$dir/embeddings.parquet")), ivfDir))
+        val (plainRecall, rerankRecall) = recallAt10(dir, ivfDir)
         Seq(
           Leg(tag, dir, "lsh_serve",
             () => { graft.ops.Dedup.nearDupCheck(spark, lshDir, probe).collect(); () },
             lshBuild, docs, vecs),
           Leg(tag, dir, "ivf_serve",
             () => { graft.ops.Similarity.ivfProbeVectorServed(spark, ivfDir, qvec).collect(); () },
-            ivfBuild, docs, vecs),
+            ivfBuild, docs, vecs, plainRecall),
           // the re-ranking leg at soak scale: sketch stage over 8
           // cells' int8 codes, exact cosine in the 2 chosen cells —
           // must stay interactive alongside the plain probe as the
@@ -88,13 +129,14 @@ object ServeSoak {
           Leg(tag, dir, "ivf_rerank",
             () => { graft.ops.Similarity.ivfProbeVectorRerankedServed(
               spark, ivfDir, qvec).collect(); () },
-            ivfBuild, docs, vecs))
+            ivfBuild, docs, vecs, rerankRecall))
     }
     val passes = (1 to 3).map(_ => legs.map(l => timed(l.serve())._2))
     for ((leg, i) <- legs.zipWithIndex) {
       val serve = Bench.median(passes.drop(1).map(_(i)))
+      val recall = if (leg.recall < 0) "    -" else f"${leg.recall}%5.2f"
       println(f"[servesoak] ${leg.tag}%-5s ${leg.name}%-9s docs=${leg.docs}%8d " +
-        f"vecs=${leg.vecs}%8d build=${leg.build}%7.2fs serve=$serve%6.2fs")
+        f"vecs=${leg.vecs}%8d build=${leg.build}%7.2fs serve=$serve%6.2fs recall@10=$recall")
     }
     spark.stop()
   }
