@@ -1437,6 +1437,81 @@ class StreamingSpec extends SparkSuite {
     assert(r.getLong(0) === 3000000L + last)
   }
 
+  test("autopilot in the loop: streaming ingest under periodic maintenance ticks rebuilds, drains, loses nothing") {
+    // The production topology COMPOSED: a live annIngest stream commits
+    // micro-batch deltas while a separate maintenance thread ticks
+    // maintainIvfIndex on a cadence with no coordination — each half is
+    // proven alone (the ingest/Lloyd race above, the OpsSpec decision
+    // arcs); this soak runs them together. Off-cluster one-hot spikes
+    // guarantee real centroid drift, so the autopilot must escalate to
+    // at least one LloydRebuild; afterwards every accepted vector is
+    // the exact top hit of a probe with itself and the final ticks
+    // drain the backlog below policy.
+    import graft.ops.{IndexMaintenance, Similarity}
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-autopilot-soak").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    val policy = IndexMaintenance.Policy(
+      backlogRatio = 0.05, backlogBatches = 3, driftBound = 0.02, lloydIters = 1)
+    def vec(k: Int): Seq[Float] =
+      Seq.tabulate(64)(d => if (d == 4 + k % 50) 9f else 0f)
+
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[IndexMaintenance.Action]()
+    @volatile var ticking = true
+    @volatile var tickError: Option[Throwable] = None
+    val autopilot = new Thread(() => {
+      try while (ticking) {
+        actions.add(IndexMaintenance.maintainIvfIndex(spark, indexDir, policy))
+        Thread.sleep(150)
+      } catch { case t: Throwable => tickError = Some(t) }
+    })
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.annIngest(in.toDF().toDF("vec_id", "embedding"), indexDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ivf-autopilot-ckpt").toString)
+      .start()
+    val ks = (1 to 12).toSeq
+    autopilot.start()
+    try {
+      for (k <- ks) {
+        in.addData((4000000L + k) -> vec(k), (4000100L + k) -> vec(k + 13))
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      ticking = false
+      autopilot.join()
+    }
+    tickError.foreach(t => throw t)
+
+    // drain: tick until the policy is satisfied (bounded — each tick
+    // with a non-NoOp action strictly reduces the backlog)
+    var draining = IndexMaintenance.maintainIvfIndex(spark, indexDir, policy)
+    var guard = 0
+    while (draining != IndexMaintenance.NoOp && guard < 10) {
+      actions.add(draining)
+      draining = IndexMaintenance.maintainIvfIndex(spark, indexDir, policy)
+      guard += 1
+    }
+    assert(draining === IndexMaintenance.NoOp, "backlog never drained below policy")
+    import scala.jdk.CollectionConverters._
+    val acted = actions.asScala.toSeq.filter(_ != IndexMaintenance.NoOp)
+    assert(acted.nonEmpty, "autopilot never acted during the soak")
+    assert(acted.exists(_.isInstanceOf[IndexMaintenance.LloydRebuild]),
+      s"drift from off-cluster spikes never escalated to a rebuild: $acted")
+    val sig = IndexMaintenance.ivfSignals(spark, indexDir)
+    assert(sig.deltaBatches < policy.backlogBatches,
+      s"final state still carries a backlog: $sig")
+    // no accepted vector lost anywhere in the ingest/compaction race
+    for (k <- ks; id <- Seq(4000000L + k, 4000100L + k)) {
+      val v = if (id < 4000100L) vec(k) else vec(k + 13)
+      val r = Similarity.ivfProbeVectorServed(spark, indexDir, v, k = 1).head()
+      assert(r.getLong(0) === id,
+        s"vector $id invisible after the autopilot soak (got ${r.getLong(0)})")
+    }
+  }
+
   test("LSH near-dup serving racing compaction never returns a torn candidate set") {
     // the LSH twin of the IVF race above: same GenManifest discipline,
     // different serving plan (cell listing + candidate join + in-cell
