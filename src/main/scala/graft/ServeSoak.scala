@@ -65,7 +65,7 @@ object ServeSoak {
     // measures the real corpus at ×N). One corpus pass scores ALL
     // sampled queries (broadcast query relation + window rank);
     // ANN answers come from the same served probes the legs time.
-    def recallAt10(dir: String, ivfDir: String): (Double, Double) = {
+    def recallAt10(dir: String, ivfDir: String): (Double, Double, Double) = {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -95,7 +95,11 @@ object ServeSoak {
         graft.ops.Similarity.ivfProbeVectorRerankedServed(spark, ivfDir, qe,
           exclude = Some(qid)).collect().map(_.getLong(0)).toSet
       }
-      (plain, rerank)
+      val rerankPq = recallOf { (qid, qe) =>
+        graft.ops.Similarity.ivfProbeVectorRerankedServedPq(spark, ivfDir, qe,
+          exclude = Some(qid)).collect().map(_.getLong(0)).toSet
+      }
+      (plain, rerank, rerankPq)
     }
 
     final case class Leg(tag: String, dir: String, name: String,
@@ -114,7 +118,7 @@ object ServeSoak {
         val (_, ivfBuild) = timed(graft.ops.Similarity.persistIvfIndex(
           graft.ops.Similarity.buildIvfIndexFrom(
             spark.read.parquet(s"$dir/embeddings.parquet")), ivfDir))
-        val (plainRecall, rerankRecall) = recallAt10(dir, ivfDir)
+        val (plainRecall, rerankRecall, rerankPqRecall) = recallAt10(dir, ivfDir)
         Seq(
           Leg(tag, dir, "lsh_serve",
             () => { graft.ops.Dedup.nearDupCheck(spark, lshDir, probe).collect(); () },
@@ -129,7 +133,15 @@ object ServeSoak {
           Leg(tag, dir, "ivf_rerank",
             () => { graft.ops.Similarity.ivfProbeVectorRerankedServed(
               spark, ivfDir, qvec).collect(); () },
-            ivfBuild, docs, vecs, rerankRecall))
+            ivfBuild, docs, vecs, rerankRecall),
+          // the PQ codec's leg: same chain, stage 1 reads 8 bit-packed
+          // codes per row (⅛ the int8 sketch's bytes) — the curve to
+          // watch is whether its recall tracks the int8 codec's while
+          // the code-stage read shrinks
+          Leg(tag, dir, "ivf_rr_pq",
+            () => { graft.ops.Similarity.ivfProbeVectorRerankedServedPq(
+              spark, ivfDir, qvec).collect(); () },
+            ivfBuild, docs, vecs, rerankPqRecall))
     }
     val passes = (1 to 3).map(_ => legs.map(l => timed(l.serve())._2))
     for ((leg, i) <- legs.zipWithIndex) {

@@ -415,12 +415,158 @@ object Similarity {
       .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  // ---- PQ codec: per-subspace codebooks from the coarse centroids ----
+  // ---- (second stage-1 codec next to the int8 sketch — 8 codes    ----
+  // ---- per vector instead of 64 int8 components)                  ----
+
+  /** Product-quantization geometry: M = 8 subvectors of dim/8
+    * components each (64-dim corpus → 8×8; dim must be divisible by
+    * M). Sub-codebook `m` is the coarse centroid relation PROJECTED
+    * onto subspace m's dims — k_coarse codewords per subspace, chosen
+    * independently per subspace, so the effective reconstruction
+    * vocabulary is k_coarse^8 combinations (the product-quantizer
+    * expressivity gain over the k_coarse whole-vector cells) at zero
+    * extra training or metadata: the codebook IS the per-generation
+    * centroid relation the index already persists. */
+  private[ops] val pqM = 8
+
+  /** Effective subspace count: min(M, dim) — a corpus below 8 dims
+    * (tiny test indexes) degrades to one dim per subspace instead of
+    * a zero-width subvector. Keeps every PQ operator
+    * dimension-agnostic like the rest of this file. */
+  private def pqMEff(vec: Column): Column =
+    greatest(least(lit(pqM), size(vec)), lit(1))
+
+  /** Subvector width: dim / M_eff (trailing dims beyond
+    * sub·M_eff are ignored by stage 1 — the exact stage is
+    * unaffected). */
+  private def pqSubW(vec: Column): Column =
+    (size(vec) / pqMEff(vec)).cast("int")
+
+  /** The codebook as ONE ordered row: centroid vectors sorted by
+    * label and NORMALIZED to unit length, so codes are 1-based
+    * POSITIONS in this list (stable across label renumberings and
+    * SF-independent — k_coarse varies with the corpus). The
+    * normalization is the cosine-metric form of PQ: codes quantize the
+    * vector's DIRECTION v/|v| against codewords on the same unit
+    * sphere, so a vector's magnitude never distorts its reconstruction
+    * (raw-vector PQ under-scores any vector whose magnitude sits off
+    * the codebook's scale — the same magnitude blindness the re-ranked
+    * leg exists to repair in the coarse quantizer). k_coarse rows in,
+    * one broadcast-sized row out. */
+  private def pqCodebook(centroids: DataFrame): DataFrame =
+    centroids.agg(expr(
+      """transform(array_sort(collect_list(struct(label, cent))),
+        |  s -> transform(s.cent, x ->
+        |    x / greatest(sqrt(aggregate(s.cent, 0.0D, (a, v) -> a + v * v)), 1e-30D)))"""
+        .stripMargin)
+      .as("cb"))
+
+  /** Squared L2 between codeword subvector m of `cvec` and subvector m
+    * of the row's NORMALIZED embedding — sequential j-fold in double,
+    * the exact fold the oracle's list_reduce mirrors. */
+  private def pqSubD2(cvec: Column, m: Column): Column = {
+    val sub = pqSubW(col("embedding"))
+    aggregate(sequence(lit(0), sub - 1), lit(0.0), (acc, j) => {
+      val idx = m * sub + j + 1
+      val d = element_at(cvec, idx) -
+        element_at(col("embedding"), idx).cast("double") /
+          greatest(col("norm"), lit(1e-30))
+      acc + d * d
+    })
+  }
+
+  /** codes[m] = 1-based position of the nearest codeword in subspace m
+    * (ties → lowest position, via lexicographic struct(d2, i) min —
+    * the deterministic tie-break every ranking in this file uses). */
+  private def pqCodesCol: Column =
+    when(size(col("embedding")) === 0, array().cast("array<int>"))
+      .otherwise(transform(sequence(lit(0), pqMEff(col("embedding")) - 1), m =>
+        array_min(transform(col("cb"), (cvec, i) =>
+          struct(pqSubD2(cvec, m).as("d2"), (i + lit(1)).as("i"))))
+          .getField("i")))
+
+  /** The (vec_id, label, pqc) PQ encoding of a corpus — 8 small ints
+    * per vector (vs 64 int8 components + 2 doubles for the `q8`
+    * sketch; the parquet column bit-packs codes ≤ k_coarse, and no
+    * norm is stored because direction-encoded scores never divide by
+    * it). Encoding is one codegen'd HOF pass over a broadcast one-row
+    * codebook: no explode, no shuffle — what [[persistIvfIndex]]/
+    * [[compactIvfIndex]] materialize per generation as `pq_g<gen>`. */
+  private[ops] def pqCodesOf(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(pqCodebook(centroids)))
+      .select(col("vec_id"), col("label"), pqCodesCol.as("pqc"))
+
+  /** Per-query lookup table over the SAME one-row codebook:
+    * lut[m][i] = ⟨query subvector m, codeword i of subspace m⟩ —
+    * computed once per query row (M × k_coarse folds), so scoring a
+    * corpus row is M array lookups + adds (classic asymmetric-distance
+    * computation, inner-product form). */
+  private def pqLutCol(qe: Column): Column = {
+    val sub = pqSubW(qe)
+    when(size(qe) === 0, array().cast("array<array<double>>"))
+      .otherwise(transform(sequence(lit(0), pqMEff(qe) - 1), m =>
+        transform(col("cb"), cvec =>
+          aggregate(sequence(lit(0), sub - 1), lit(0.0), (acc, j) => {
+            val idx = m * sub + j + 1
+            acc + element_at(cvec, idx) * element_at(qe, idx).cast("double")
+          }))))
+  }
+
+  /** Stage-1 approximate cosine from PQ codes: ⟨q, reconstruction of
+    * v/|v|⟩ / qnorm — the reconstruction dot collapses to
+    * Σₘ lut[m][code[m]] because subspaces are disjoint, and the row's
+    * own norm cancels because codes encode the unit direction.
+    * Sequential m-fold, oracle-mirrored. */
+  private def approxCosPq: Column =
+    when(size(col("pqc")) === 0, lit(0.0))
+      .otherwise(aggregate(sequence(lit(0), size(col("pqc")) - 1), lit(0.0), (acc, m) =>
+        acc + element_at(element_at(col("lut"), m + 1), element_at(col("pqc"), m + 1)))) /
+      greatest(col("qnorm"), lit(1e-30))
+
+  /** [[ivfProbeReranked]] with the PQ codec in stage 1: the coarse
+    * quantizer picks `nprobeWide` cells, the PQ codes of those cells
+    * score every member via the query LUT (8 lookups/row — ⅛ the
+    * sketch dot's work and ⅛ its bytes), exact cosine runs only inside
+    * the `rerankCells` chosen cells. Same full-precision I/O as the
+    * int8 form; what changes is stage-1's bytes/row and arithmetic. */
+  def ivfProbeRerankedPq(index: IvfIndex, queryVecId: Long, k: Int = 10,
+      nprobeWide: Int = 8, rerankCells: Int = 2, poolSize: Int = 50): DataFrame = {
+    val q = index.corpus.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), col("norm").as("qnorm"))
+    val d2 = aggregate(
+      zip_with(col("cent"), col("qe"),
+        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val wide = index.centroids.crossJoin(broadcast(q.select("qe")))
+      .select(col("label"), d2.as("d2"))
+      .orderBy(col("d2"), col("label")).limit(nprobeWide).select("label")
+    val qlut = q.crossJoin(broadcast(pqCodebook(index.centroids)))
+      .withColumn("lut", pqLutCol(col("qe")))
+      .select("qe", "qnorm", "lut")
+    val pool = pqCodesOf(index.corpus.filter(col("vec_id") =!= queryVecId),
+        index.centroids)
+      .join(broadcast(wide), "label")
+      .crossJoin(broadcast(qlut.select("lut", "qnorm")))
+      .select(col("vec_id"), col("label"), approxCosPq.as("ap"))
+      .orderBy(col("ap").desc, col("vec_id")).limit(poolSize)
+    val cells = pool.groupBy("label").agg(max(col("ap")).as("m"))
+      .orderBy(col("m").desc, col("label")).limit(rerankCells).select("label")
+    val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
+    index.corpus.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(cells), "label")
+      .crossJoin(broadcast(q.select("qe", "qnorm")))
+      .select(col("vec_id"), cos.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Generation-dir prefixes of the persisted layout: every generation
     * `g` owns `corpus_g<g>` + `centroids_g<g>` + `stats_g<g>`, and the
     * newest manifest (`m<seq>`, [[graft.GenManifest]]) names the live
     * generation plus the delta floor. All listing/commit I/O goes
     * through the Hadoop FileSystem seam ([[graft.IndexFs]]). */
-  private val ivfPrefixes = Seq("corpus", "centroids", "stats", "sketch")
+  private val ivfPrefixes = Seq("corpus", "centroids", "stats", "sketch", "pq")
   private def gdir(indexDir: String, pre: String, gen: Long) =
     s"$indexDir/${pre}_g$gen"
 
@@ -473,6 +619,8 @@ object Similarity {
       gdir(dir, "corpus", 0), maxCellRows)
     Storage.writeCellClustered(sketchOf(index.corpus), Seq("label"), "vec_id",
       gdir(dir, "sketch", 0), maxCellRows)
+    Storage.writeCellClustered(pqCodesOf(index.corpus, index.centroids),
+      Seq("label"), "vec_id", gdir(dir, "pq", 0), maxCellRows)
     graft.GenManifest.commit(spark, dir, seq = 0, gen = 0, floor = -1)
   }
 
@@ -837,6 +985,10 @@ object Similarity {
           sketchOf(idx.corpus.select(col("vec_id"), col("label"),
             col("embedding"), col("norm"))),
           Seq("label"), "vec_id", gdir(indexDir, "sketch", gen), maxCellRows)
+        Storage.writeCellClustered(
+          pqCodesOf(idx.corpus.select(col("vec_id"), col("label"),
+            col("embedding"), col("norm")), idx.centroids),
+          Seq("label"), "vec_id", gdir(indexDir, "pq", gen), maxCellRows)
         val folded = deltas ++ late
         graft.GenManifest.commit(spark, indexDir, st.seq + 1, gen,
           floor = if (folded.nonEmpty) folded.max else st.floor,
@@ -934,6 +1086,82 @@ object Similarity {
       else dropExcluded(sketches.reduce(_ unionByName _))
         .crossJoin(broadcast(q.select("qamax", "q8q", "qnorm")))
         .select(col("vec_id"), col("label"), approxCos.as("ap"))
+        .orderBy(col("ap").desc, col("vec_id")).limit(poolSize)
+        .groupBy("label").agg(max(col("ap")).as("m"))
+        .orderBy(col("m").desc, col("label")).limit(rerankCells)
+        .collect().map(_.getAs[Number]("label").longValue).toSeq
+    val corpus = dropExcluded(servingCorpusAt(spark, indexDir, st, cells))
+    val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
+    corpus.crossJoin(broadcast(q.select("qe", "qnorm")))
+      .select(col("vec_id"), cos.as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Explicit read schema of the persisted per-generation PQ codes. */
+  private val pqReadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, pqc ARRAY<INT>, label BIGINT")
+
+  /** [[ivfProbeVectorRerankedServed]] with the PQ codec in stage 1:
+    * reads the `pq_g<gen>` cells of the `nprobeWide` nearest labels
+    * (8 bit-packed codes + a norm per row — ⅛ the int8 sketch's
+    * bytes) and scores them against the query's LUT over the LIVE
+    * generation's centroid codebook; exact cosine then runs through
+    * the normal serving read over only the `rerankCells` chosen
+    * cells, so full-precision I/O again equals a plain
+    * `nprobe = rerankCells` probe. Delta rows are scored exactly in
+    * stage 1 (see the inline note — avoids the PQ out-of-vocabulary
+    * freshness hole); pre-PQ layouts encode the base cells in flight
+    * against the live codebook. Persisted codes were written against
+    * their OWN generation's centroids, which are the live ones by
+    * construction: a codebook change is a compaction, and compaction
+    * rewrites `pq_g` with the new generation. */
+  def ivfProbeVectorRerankedServedPq(spark: SparkSession, indexDir: String,
+      query: Seq[Float], k: Int = 10, nprobeWide: Int = 8,
+      rerankCells: Int = 2, poolSize: Int = 50,
+      exclude: Option[Long] = None): DataFrame = {
+    def dropExcluded(df: DataFrame): DataFrame =
+      exclude.fold(df)(id => df.filter(col("vec_id") =!= id))
+    val st = resolveIvf(spark, indexDir)
+    val wide = nearestLabelsAt(spark, indexDir, st, query, nprobeWide)
+    val centroids = servingCentroidsAt(spark, indexDir, st)
+    val q = spark.range(1).select(typedLit(query).as("qe"))
+      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+      .crossJoin(broadcast(pqCodebook(centroids)))
+      .withColumn("lut", pqLutCol(col("qe")))
+      .select("qe", "qnorm", "lut")
+    val pqRoot = gdir(indexDir, "pq", st.gen)
+    val basePq =
+      if (graft.IndexFs.isDir(spark, pqRoot)) {
+        val paths = wide.map(l => s"$pqRoot/label=$l")
+          .filter(p => graft.IndexFs.isDir(spark, p))
+        if (paths.isEmpty) None
+        else Some(spark.read.schema(pqReadSchema)
+          .option("basePath", pqRoot).parquet(paths: _*))
+      } else // pre-PQ layout: encode the full base cells in flight
+        prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), wide)
+          .map(pqCodesOf(_, centroids))
+    val baseAp = basePq.map(df => dropExcluded(df)
+      .crossJoin(broadcast(q.select("lut", "qnorm")))
+      .select(col("vec_id"), col("label"), approxCosPq.as("ap")))
+    // Delta rows are scored EXACTLY in stage 1: they are batch-sized
+    // and already read at full precision, so PQ-encoding them in
+    // flight would both waste the read and blind the probe to any
+    // out-of-vocabulary batch (a direction the codebook has never
+    // seen reconstructs onto the nearest codeword and under-scores)
+    // until the next codebook-retraining compaction — the freshness
+    // hole the int8 codec's per-vector scales don't have.
+    val deltaAp = servingDeltaFramesAt(spark, indexDir, st, wide)
+      .map(df => dropExcluded(df)
+        .crossJoin(broadcast(q.select("qe", "qnorm")))
+        .select(col("vec_id"), col("label"),
+          (dot(col("embedding"), col("qe")) /
+            (col("norm") * col("qnorm"))).as("ap")))
+    val apFrames = baseAp.toSeq ++ deltaAp
+    val cells: Seq[Long] =
+      if (apFrames.isEmpty) wide.take(rerankCells)
+      else apFrames.reduce(_ unionByName _)
         .orderBy(col("ap").desc, col("vec_id")).limit(poolSize)
         .groupBy("label").agg(max(col("ap")).as("m"))
         .orderBy(col("m").desc, col("label")).limit(rerankCells)
@@ -1302,6 +1530,87 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     })
 
+  /** The PQ re-ranking leg as an oracle-checked query: product-
+    * quantization codes (8 subspaces × 8 dims, sub-codebooks = the
+    * coarse centroids projected per subspace) score the 5 nearest of
+    * the 10 cells via the query's asymmetric-distance LUT; exact
+    * cosine runs inside the 2 chosen cells. The oracle replays the
+    * whole chain — centroids, codebook ordering, per-subspace argmin
+    * encode (first-position tie-break = Spark's struct(d2, i) min),
+    * LUT fold, pool cut, cell choice, exact top-10 — in DuckDB SQL,
+    * so both engines must agree on every intermediate ordering. */
+  val simTopkIvfRerankPq = QueryDef(
+    "sim_topk_ivf_rerank_pq",
+    Some {
+      // per-subspace squared L2 from the row's unit direction to every
+      // codeword — appears twice (argmin needs the list for both
+      // list_min and list_position)
+      val d2l = "list_transform(cb.cb, cvec -> list_reduce(list_transform(generate_series(1, 8), j -> (cvec[m*8+j] - CAST(es.embedding[m*8+j] AS DOUBLE) / greatest(es.enorm, 1e-30)) * (cvec[m*8+j] - CAST(es.embedding[m*8+j] AS DOUBLE) / greatest(es.enorm, 1e-30))), (x, y) -> x + y))"
+      s"""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cent AS (SELECT label, dim, avg(CAST(embedding[dim] AS DOUBLE)) AS cv
+         |         FROM embeddings CROSS JOIN dims GROUP BY label, dim),
+         |centl AS (SELECT label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY label),
+         |cb AS (SELECT list(list_transform(cvec, x ->
+         |         x / greatest(sqrt(list_reduce(list_transform(cvec, v -> v * v),
+         |           (a, b) -> a + b)), 1e-30)) ORDER BY label) AS cb FROM centl),
+         |qd AS (SELECT dim, CAST(qe[dim] AS DOUBLE) AS qv FROM q CROSS JOIN dims),
+         |dist AS (SELECT c.label, SUM((c.cv - qd.qv) * (c.cv - qd.qv)) AS d2
+         |         FROM cent c JOIN qd ON qd.dim = c.dim GROUP BY c.label),
+         |wide AS (SELECT label FROM dist ORDER BY d2, label LIMIT 5),
+         |qq AS (SELECT qe, sqrt(${dd("qe", "qe")}) AS qnorm FROM q),
+         |lut AS (SELECT list_transform(generate_series(0, 7), m ->
+         |          list_transform(cb.cb, cvec ->
+         |            list_reduce(list_transform(generate_series(1, 8), j ->
+         |              cvec[m*8+j] * CAST(qq.qe[m*8+j] AS DOUBLE)), (x, y) -> x + y))) AS lut,
+         |          qq.qnorm
+         |        FROM cb, qq),
+         |es AS (SELECT e.vec_id, e.label, e.embedding,
+         |         sqrt(${dd("e.embedding", "e.embedding")}) AS enorm
+         |       FROM embeddings e JOIN wide ON e.label = wide.label
+         |       WHERE e.vec_id <> 0),
+         |enc AS (SELECT es.vec_id, es.label,
+         |          list_transform(generate_series(0, 7), m ->
+         |            list_position($d2l, list_min($d2l))) AS pqc
+         |        FROM es, cb),
+         |ap AS (SELECT enc.vec_id, enc.label,
+         |         list_reduce(list_transform(generate_series(0, 7), m ->
+         |           lut.lut[m+1][enc.pqc[m+1]]), (x, y) -> x + y)
+         |         / greatest(lut.qnorm, 1e-30) AS ap
+         |       FROM enc, lut),
+         |pool AS (SELECT vec_id, label, ap FROM ap ORDER BY ap DESC, vec_id LIMIT 50),
+         |cells AS (SELECT label FROM (SELECT label, MAX(ap) AS m FROM pool GROUP BY label)
+         |          ORDER BY m DESC, label LIMIT 2)
+         |SELECT vec_id, cos_sim FROM (
+         |  SELECT e.vec_id, ROUND(${dd("e.embedding", "q.qe")}
+         |    / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})), 6) AS cos_sim
+         |  FROM embeddings e JOIN cells ON e.label = cells.label, q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY ${dd("e.embedding", "q.qe")}
+         |    / (sqrt(${dd("e.embedding", "e.embedding")}) * sqrt(${dd("q.qe", "q.qe")})) DESC, e.vec_id
+         |  LIMIT 10)
+         |ORDER BY cos_sim DESC, vec_id""".stripMargin
+    },
+    (spark, dir) => ivfProbeRerankedPq(buildIvfIndex(spark, dir), queryVecId = 0,
+      k = 10, nprobeWide = 5, rerankCells = 2, poolSize = 50)
+      .orderBy(col("cos_sim").desc, col("vec_id")))
+
+  /** The PQ re-ranking leg's steady-state SERVING number over the
+    * session-cached persisted index (stage 1 reads the on-disk
+    * `pq_g` cells — 8 bit-packed codes per row), same answer contract
+    * and full-chain oracle as [[simTopkIvfRerankPq]]. */
+  val simTopkIvfRerankPqServeOnly = QueryDef(
+    "sim_topk_ivf_rerank_pq_serve_only",
+    simTopkIvfRerankPq.oracle,
+    (spark, dir) => {
+      val qv = Tables.table(spark, dir, "embeddings")
+        .filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toSeq
+      ivfProbeVectorRerankedServedPq(spark, cachedIvfIndexDir(spark, dir), qv,
+        k = 10, nprobeWide = 5, rerankCells = 2, exclude = Some(0L))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    })
+
   /** Corpus-wide kNN graph: every vector's top-3 cosine neighbors
     * WITHIN its sign-bit bucket — the similarity-graph builder behind
     * semantic dedup/clustering pipelines (one row per (vector,
@@ -1341,6 +1650,7 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(simTopkBruteforce, simTopkLsh, simTopkIvf,
     simTopkIvfRerank, simTopkIvfRerankServeOnly,
+    simTopkIvfRerankPq, simTopkIvfRerankPqServeOnly,
     simTopkIvfMulti, simTopkIvfIncremental, simTopkIvfExternal,
     simTopkIvfServed, simTopkIvfServeOnly, simKnnGraph)
 }

@@ -316,6 +316,48 @@ class OpsSpec extends SparkSuite {
       "compaction did not write the new generation's sketch")
   }
 
+  test("served PQ re-ranked probe: same serving contract as the int8 codec (cell-bounded exact reads, delta + compaction visibility)") {
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-rerank-pq-persist").toString
+    val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))
+    Similarity.persistIvfIndex(idx, indexDir)
+    val qvec = Array.tabulate(64)(i => (((i % 7) - 3) / 4.0).toFloat).toSeq
+    val served = Similarity.ivfProbeVectorRerankedServedPq(spark, indexDir, qvec,
+      k = 10, nprobeWide = 8, rerankCells = 2)
+    assert(served.collect().length === 10)
+    // exact-cosine reads touch at most rerankCells corpus cells; the
+    // code stage reads only pq_g files (8 bit-packed codes per row)
+    val corpusFiles = served.inputFiles.filter(_.contains("/corpus_g"))
+    val corpusCells = corpusFiles.map(_.split("/").find(_.startsWith("label=")).get).toSet
+    assert(corpusFiles.nonEmpty && corpusCells.size <= 2,
+      s"exact stage read ${corpusCells.size} cells: $corpusCells")
+    // (stage 1's pq_g read is collected control-plane inside the
+    // probe, so it cannot appear in the returned frame's inputFiles —
+    // same reason the int8 test doesn't assert sketch_g files there)
+    assert(graft.IndexFs.isDir(spark, s"$indexDir/pq_g0"),
+      "persist did not write the generation-0 PQ codes")
+    // a committed delta is visible because stage 1 scores delta rows
+    // EXACTLY — an out-of-vocabulary batch (a direction the codebook
+    // has never seen) would reconstruct onto the nearest codeword and
+    // under-score if it were PQ-encoded in flight
+    val spike = Seq.tabulate(64)(i => if (i < 4) 8f else 0f)
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      Seq((5000000L, spike)).toDF("vec_id", "embedding"), batchId = 1L)
+    def top1(q: Seq[Float]): Long =
+      Similarity.ivfProbeVectorRerankedServedPq(spark, indexDir, q,
+        k = 1, nprobeWide = 8, rerankCells = 2).head().getLong(0)
+    assert(top1(spike) === 5000000L, "delta vector invisible to the PQ re-ranked probe")
+    // folding the OOV spike into the base must RETRAIN the codebook
+    // (Lloyd) — the escalation IndexMaintenance triggers on drift:
+    // the spike's cell centroid re-aligns with it, so its persisted
+    // codes reconstruct near its own direction and keep winning
+    Similarity.compactIvfIndex(spark, indexDir, lloydIters = 1)
+    assert(top1(spike) === 5000000L,
+      "post-Lloyd-compaction PQ codes lost the folded vector")
+    val st = Similarity.resolveIvf(spark, indexDir)
+    assert(graft.IndexFs.isDir(spark, s"$indexDir/pq_g${st.gen}"),
+      "compaction did not write the new generation's PQ codes")
+  }
+
   test("persisted-index served probe equals the in-memory probe and reads only its probed cells") {
     val indexDir = java.nio.file.Files.createTempDirectory("ivf-persist").toString
     val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))

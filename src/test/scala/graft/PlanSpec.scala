@@ -98,6 +98,13 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sim_topk_ivf_rerank_pq: code and exact stages are top-k sorts, no cartesian blowup") {
+    val plan = finalPlan("sim_topk_ivf_rerank_pq")
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(25).mkString("\n"))
+    assert(occurrences(plan, "TakeOrderedAndProject") >= 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("j3: fixed dims ride broadcast joins") {
     val plan = finalPlan("j3_dim_enrich")
     assert(occurrences(plan, "BroadcastHashJoin") >= 2, plan)

@@ -419,6 +419,15 @@ class PropertySpec extends SparkSuite {
       s"fixture broken: plain nprobe=2 recall $plain — no mismatch to repair")
     assert(reranked >= 0.95,
       s"re-ranked recall floor broken: $reranked (plain was $plain)")
+    // the PQ codec must repair the same geometry: the misplaced
+    // cluster's members reconstruct near themselves (its own centroid
+    // is a codeword in every subspace), so their LUT scores top the
+    // pool exactly as the int8 sketch's do
+    val rerankedPq = avgRecall(qid =>
+      Similarity.ivfProbeRerankedPq(idx, qid, k = 10, nprobeWide = 10,
+        rerankCells = 2).collect().map(_.getLong(0)).toSeq)
+    assert(rerankedPq >= 0.95,
+      s"PQ re-ranked recall floor broken: $rerankedPq (plain was $plain)")
     corpus.unpersist()
   }
 
