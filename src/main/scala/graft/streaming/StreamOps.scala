@@ -565,15 +565,27 @@ object StreamOps {
     * end, including the pruning and that a batch touching only day D
     * leaves other days' files byte-identical. */
   def statsMergePartitioned(stats: DataFrame, stateDir: String,
-      keyCols: Seq[String], sumCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      keyCols: Seq[String], sumCols: Seq[String],
+      consolidateAbove: Int = 0): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stats.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        mergeStatsPartitionedBatch(batch.toDF(), stateDir, batchId, keyCols, sumCols)
+        mergeStatsPartitionedBatch(batch.toDF(), stateDir, batchId, keyCols,
+          sumCols, consolidateAbove)
     }
+
+  /** Distinct version directories owning the live days per the newest
+    * committed manifest — the fragmentation signal the consolidation
+    * autopilot bounds (each distinct owner is one extra read under
+    * [[latestPartitionedStatsState]] and one extra directory a
+    * full-table serve touches). */
+  def statsTableFragmentation(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Int =
+    readManifest(spark, stateDir)._2.values.toSet.size
 
   private[graft] def mergeStatsPartitionedBatch(batch: DataFrame,
       stateDir: String, batchId: Long,
-      keyCols: Seq[String], sumCols: Seq[String]): Unit = {
+      keyCols: Seq[String], sumCols: Seq[String],
+      consolidateAbove: Int = 0): Unit = {
     val spark = batch.sparkSession
     // (dt, stt, dims) grain — dt is the partition column the serving
     // day-filter prunes on; stt keeps the reference's window grain
@@ -586,10 +598,31 @@ object StreamOps {
     // both consume it — without the pin the batch aggregates twice
     val partial = rollup(batch.withColumn("dt", to_date(col("stt")))).persist()
     try {
-      val touched = partial.select(col("dt").cast("string")).distinct()
+      val batchDays = partial.select(col("dt").cast("string")).distinct()
         .collect().map(_.getString(0)).toSet
-      if (touched.nonEmpty) {
+      if (batchDays.nonEmpty) {
         val base = readManifest(spark, stateDir, below = batchId)
+        // CONSOLIDATION AUTOPILOT, decided at the batch boundary —
+        // the only safe point: the version space IS the streaming
+        // batchId space (merge base = newest manifest strictly below
+        // the batchId, replay overwrites v<batchId>+m<batchId>), so an
+        // out-of-band maintenance writer has no id it could commit
+        // between batch B and B+1 without either shadowing a replay's
+        // merge base or colliding with the next batch. Riding the
+        // batch keeps every replay/GC invariant: a replayed
+        // consolidating batch re-reads the SAME base manifest and
+        // re-decides identically. The trigger is day-ownership
+        // fragmentation (each distinct owning version is one extra
+        // read per serve); the cost is one O(live rows) rewrite every
+        // ~consolidateAbove batches — the background-merge bargain of
+        // the reference's ClickHouse sink engine, and stats tables are
+        // aggregate-sized (days × dims), never raw-mass-sized.
+        val owningAfter = (base._2 ++ batchDays.iterator.map(_ -> batchId))
+          .values.toSet.size
+        val touched =
+          if (consolidateAbove > 0 && owningAfter > consolidateAbove)
+            base._2.keySet ++ batchDays
+          else batchDays
         // merge base = current rows of the TOUCHED days only, read from
         // the versions that own them; untouched days never enter the job
         val baseRows = readOwnedDays(spark, stateDir,

@@ -808,6 +808,61 @@ class StreamingSpec extends SparkSuite {
     assert(fresh === Seq("cherry"))
   }
 
+  test("stats-table consolidation autopilot: fragmentation stays bounded, values exact, replay-safe") {
+    // The maintenance tick for the day-partitioned stats table. Unlike
+    // the index autopilot it CANNOT be an out-of-band thread: the
+    // version space is the streaming batchId space, so there is no id
+    // a separate writer could commit between batch B and B+1 without
+    // shadowing a replay's merge base or colliding with the next
+    // batch. The decision therefore rides the batch boundary
+    // (consolidateAbove): when day→version ownership fragments past
+    // the bound, that batch's merge folds ALL live days into its own
+    // version — one O(live rows) rewrite every ~bound batches, the
+    // background-merge bargain of the reference's ClickHouse engine.
+    val stateDir = java.nio.file.Files.createTempDirectory("stats-consol").toString
+    val day = 86400L
+    def stt(sec: Long) = new Timestamp((base + sec) * 1000L)
+    def merge(batchId: Long, rows: DwsProd*): Unit =
+      StreamOps.mergeStatsPartitionedBatch(rows.toDF(), stateDir, batchId,
+        keyCols = Seq("tm_id", "tm_name"), sumCols = Seq("order_amount", "order_ct"),
+        consolidateAbove = 3)
+    def amounts(): Map[(String, String), Double] =
+      StreamOps.latestPartitionedStatsState(spark, stateDir).get
+        .select(col("dt").cast("string"), col("tm_name"), col("order_amount"))
+        .as[(String, String, Double)].collect()
+        .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toMap
+    def frag(): Int = StreamOps.statsTableFragmentation(spark, stateDir)
+
+    // batches 0..2 each open a NEW day: ownership fragments 1 → 2 → 3
+    (0 to 2).foreach { b =>
+      merge(b.toLong, DwsProd(stt(b * day + 10), 1L, "apple", 10.0 + b, 1L))
+    }
+    assert(frag() === 3, s"fixture: expected 3 owning versions, got ${frag()}")
+
+    // batch 3 opens a fourth day → owners-after would be 4 > bound:
+    // the batch consolidates — every live day owned by v3, exactly one
+    // read to serve the full table
+    merge(3L, DwsProd(stt(3 * day + 10), 2L, "banana", 7.0, 1L))
+    assert(frag() === 1, s"consolidating batch left ${frag()} owners")
+    assert(new java.io.File(s"$stateDir/v3/dt=2024-01-01").exists(),
+      "consolidated version must own the oldest day too")
+    val expected = Map(
+      ("2024-01-01", "apple") -> 10.0, ("2024-01-02", "apple") -> 11.0,
+      ("2024-01-03", "apple") -> 12.0, ("2024-01-04", "banana") -> 7.0)
+    assert(amounts() === expected)
+
+    // crash replay of the CONSOLIDATING batch: same base manifest below
+    // it, same deterministic decision, same values — no double-add
+    merge(3L, DwsProd(stt(3 * day + 10), 2L, "banana", 7.0, 1L))
+    assert(frag() === 1)
+    assert(amounts() === expected)
+
+    // post-consolidation batches fragment again from 1, not from 4
+    merge(4L, DwsProd(stt(4 * day + 10), 1L, "apple", 1.0, 1L))
+    assert(frag() === 2)
+    assert(amounts() === (expected + (("2024-01-05", "apple") -> 1.0)))
+  }
+
   test("partitioned stats serving read racing a mid-commit batch never sees a torn day set") {
     // The concurrent-reader contract the scaladoc asserts: a serving
     // read is consistent at SOME committed manifest — an in-flight merge
