@@ -1103,6 +1103,25 @@ object Similarity {
   private val pqReadSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "vec_id BIGINT, pqc ARRAY<INT>, label BIGINT")
 
+  /** The live generation's persisted PQ-code cells for a set of probed
+    * labels; a pre-PQ layout (no `pq_g` for the live generation) falls
+    * back to encoding the full base cells in flight against the live
+    * codebook — correct, without the bytes saving. */
+  private def pqBaseFrame(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State, labels: Seq[Long],
+      centroids: DataFrame): Option[DataFrame] = {
+    val pqRoot = gdir(indexDir, "pq", st.gen)
+    if (graft.IndexFs.isDir(spark, pqRoot)) {
+      val paths = labels.map(l => s"$pqRoot/label=$l")
+        .filter(p => graft.IndexFs.isDir(spark, p))
+      if (paths.isEmpty) None
+      else Some(spark.read.schema(pqReadSchema)
+        .option("basePath", pqRoot).parquet(paths: _*))
+    } else
+      prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), labels)
+        .map(pqCodesOf(_, centroids))
+  }
+
   /** [[ivfProbeVectorRerankedServed]] with the PQ codec in stage 1:
     * reads the `pq_g<gen>` cells of the `nprobeWide` nearest labels
     * (8 bit-packed codes + a norm per row — ⅛ the int8 sketch's
@@ -1131,18 +1150,8 @@ object Similarity {
       .crossJoin(broadcast(pqCodebook(centroids)))
       .withColumn("lut", pqLutCol(col("qe")))
       .select("qe", "qnorm", "lut")
-    val pqRoot = gdir(indexDir, "pq", st.gen)
-    val basePq =
-      if (graft.IndexFs.isDir(spark, pqRoot)) {
-        val paths = wide.map(l => s"$pqRoot/label=$l")
-          .filter(p => graft.IndexFs.isDir(spark, p))
-        if (paths.isEmpty) None
-        else Some(spark.read.schema(pqReadSchema)
-          .option("basePath", pqRoot).parquet(paths: _*))
-      } else // pre-PQ layout: encode the full base cells in flight
-        prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), wide)
-          .map(pqCodesOf(_, centroids))
-    val baseAp = basePq.map(df => dropExcluded(df)
+    val baseAp = pqBaseFrame(spark, indexDir, st, wide, centroids).map(df =>
+      dropExcluded(df)
       .crossJoin(broadcast(q.select("lut", "qnorm")))
       .select(col("vec_id"), col("label"), approxCosPq.as("ap")))
     // Delta rows are scored EXACTLY in stage 1: they are batch-sized
@@ -1244,6 +1253,80 @@ object Similarity {
       .join(broadcast(probes.select("query_id", "label", "qamax", "q8q", "qnorm")),
         Seq("label"))
       .select(col("query_id"), col("vec_id"), col("label"), approxCos.as("ap"))
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") <= poolSize)
+      .groupBy("query_id", "label").agg(max(col("ap")).as("m"))
+      .withColumn("rk", row_number().over(wc)).filter(col("rk") <= rerankCells)
+      .select("query_id", "label")
+      .persist()
+    val release = () => { cells.unpersist(); probes.unpersist(); () }
+    val chosen = cells.select("label").distinct()
+      .collect().map(_.getAs[Number](0).longValue).sorted.toIndexedSeq
+    if (chosen.isEmpty) return (emptyResult, release)
+    val corpus = servingCorpusAt(spark, indexDir, st, chosen)
+    val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
+    val wk = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    val out = corpus
+      .join(broadcast(cells), Seq("label")) // each query scores ITS cells only
+      .join(broadcast(probes.select("query_id", "qe", "qnorm").distinct()),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), cos.as("cos"))
+      .withColumn("rk", row_number().over(wk)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+    (out, release)
+  }
+
+  /** [[ivfProbeBatchRerankedServedReleasable]] with the PQ codec in
+    * stage 1 — ONE relational plan serves the micro-batch, with the
+    * per-query asymmetric-distance LUTs computed as a |batch|-row
+    * broadcast relation over the one-row codebook. Base cells are
+    * scored from the persisted `pq_g` codes (8 bit-packed codes per
+    * row); delta rows are scored exactly (the single-probe
+    * out-of-vocabulary argument, unchanged by batching). Same
+    * control-plane collects and release discipline as the int8 form. */
+  private[graft] def ivfProbeBatchRerankedServedPqReleasable(spark: SparkSession,
+      indexDir: String, batch: DataFrame, k: Int = 10, nprobeWide: Int = 8,
+      rerankCells: Int = 2, poolSize: Int = 50): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val resultSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "query_id BIGINT, vec_id BIGINT, cos_sim DOUBLE")
+    def emptyResult = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], resultSchema)
+    val st = resolveIvf(spark, indexDir)
+    val centroids = servingCentroidsAt(spark, indexDir, st)
+    val d2 = aggregate(
+      zip_with(col("cent"), col("qe"),
+        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
+    val probes = batch.select(col("query_id"), col("qe"))
+      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nprobeWide)
+      .drop("cent", "d2", "rk")
+      .persist()
+    val releaseProbes = () => { probes.unpersist(); () }
+    val touched = probes.select("label").distinct()
+      .collect().map(_.getAs[Number](0).longValue).sorted.toIndexedSeq
+    if (touched.isEmpty) return (emptyResult, releaseProbes)
+    val qlut = probes.select("query_id", "qe", "qnorm").distinct()
+      .crossJoin(broadcast(pqCodebook(centroids)))
+      .select(col("query_id"), pqLutCol(col("qe")).as("lut"), col("qnorm"))
+    val baseAp = pqBaseFrame(spark, indexDir, st, touched, centroids).map(df =>
+      df.join(broadcast(probes.select("query_id", "label")), Seq("label"))
+        .join(broadcast(qlut), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), col("label"), approxCosPq.as("ap")))
+    val deltaAp = servingDeltaFramesAt(spark, indexDir, st, touched).map(df =>
+      df.join(broadcast(probes.select("query_id", "label", "qe", "qnorm")),
+          Seq("label"))
+        .select(col("query_id"), col("vec_id"), col("label"),
+          (dot(col("embedding"), col("qe")) /
+            (col("norm") * col("qnorm"))).as("ap")))
+    val apFrames = baseAp.toSeq ++ deltaAp
+    if (apFrames.isEmpty) return (emptyResult, releaseProbes)
+    val wp = Window.partitionBy("query_id").orderBy(col("ap").desc, col("vec_id"))
+    val wc = Window.partitionBy("query_id").orderBy(col("m").desc, col("label"))
+    val cells = apFrames.reduce(_ unionByName _)
       .withColumn("rk", row_number().over(wp)).filter(col("rk") <= poolSize)
       .groupBy("query_id", "label").agg(max(col("ap")).as("m"))
       .withColumn("rk", row_number().over(wc)).filter(col("rk") <= rerankCells)

@@ -963,28 +963,38 @@ object StreamOps {
     * (`Similarity.compactIvfIndex`) folds deltas into the base
     * offline. */
   /** [[annServe]]'s RE-RANKED mode: each micro-batch of queries is
-    * served through the int8-sketch two-stage probe
-    * ([[graft.ops.Similarity.ivfProbeBatchRerankedServedReleasable]])
-    * — per-query cells chosen from an `nprobeWide` sketch net, exact
-    * cosine only in each query's `rerankCells` cells. Same output
-    * contract and batchId-idempotent `outDir/b<batchId>` layout as
-    * [[annServe]]; [[annResults]] reads the union. */
+    * served through the two-stage probe — per-query cells chosen from
+    * an `nprobeWide` stage-1 net, exact cosine only in each query's
+    * `rerankCells` cells. `codec` picks the stage-1 representation:
+    * `"int8"` reads the per-vector-scaled sketch cells
+    * ([[graft.ops.Similarity.ivfProbeBatchRerankedServedReleasable]]),
+    * `"pq"` the product-quantization codes (⅛ the bytes,
+    * [[graft.ops.Similarity.ivfProbeBatchRerankedServedPqReleasable]]).
+    * Same output contract and batchId-idempotent `outDir/b<batchId>`
+    * layout as [[annServe]]; [[annResults]] reads the union. */
   def annServeReranked(queries: DataFrame, indexDir: String, outDir: String,
       k: Int = 10, nprobeWide: Int = 8, rerankCells: Int = 2,
-      poolSize: Int = 50): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      poolSize: Int = 50, codec: String = "int8"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         annServeRerankedBatch(batch.toDF(), indexDir, outDir, batchId,
-          k, nprobeWide, rerankCells, poolSize)
+          k, nprobeWide, rerankCells, poolSize, codec)
     }
 
   private[graft] def annServeRerankedBatch(batch: DataFrame, indexDir: String,
       outDir: String, batchId: Long, k: Int, nprobeWide: Int,
-      rerankCells: Int, poolSize: Int): Unit = {
+      rerankCells: Int, poolSize: Int, codec: String = "int8"): Unit = {
     if (batch.isEmpty) return
-    val (out, release) = graft.ops.Similarity
-      .ivfProbeBatchRerankedServedReleasable(batch.sparkSession, indexDir,
-        batch, k, nprobeWide, rerankCells, poolSize)
+    val (out, release) = codec match {
+      case "pq" => graft.ops.Similarity
+        .ivfProbeBatchRerankedServedPqReleasable(batch.sparkSession, indexDir,
+          batch, k, nprobeWide, rerankCells, poolSize)
+      case "int8" => graft.ops.Similarity
+        .ivfProbeBatchRerankedServedReleasable(batch.sparkSession, indexDir,
+          batch, k, nprobeWide, rerankCells, poolSize)
+      case other => throw new IllegalArgumentException(
+        s"unknown rerank codec '$other' (int8|pq)")
+    }
     try out.write.mode("overwrite").parquet(s"$outDir/b$batchId")
     finally release()
   }

@@ -1162,6 +1162,53 @@ class StreamingSpec extends SparkSuite {
     assert(collected() === got, "replayed batch changed the served results")
   }
 
+  test("streaming re-ranked ANN serving with the PQ codec matches the per-query PQ probe") {
+    // the codec flag swaps ONLY stage 1 (pq_g codes + per-query LUTs
+    // instead of int8 sketch cells); output contract, batchId
+    // idempotence and the exact stage are shared with the int8 mode —
+    // parity against the single-vector PQ probe pins the batched LUT
+    // plan to the same answers
+    import graft.ops.Similarity
+    val indexDir = java.nio.file.Files.createTempDirectory("ann-rrpq-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ann-rrpq-out").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    // one committed delta so the exact-scored delta leg serves too
+    val spike = Seq.tabulate(64)(i => if (i < 4) 8f else 0f)
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      Seq((7000000L, spike)).toDF("vec_id", "embedding"), batchId = 1L)
+    def ramp(phase: Int): Seq[Float] =
+      Array.tabulate(64)(i => ((((i + phase) % 7) - 3) / 4.0).toFloat).toSeq
+    val queries = Map(0L -> ramp(0), 1L -> ramp(2), 2L -> spike)
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.annServeReranked(
+      in.toDF().toDF("query_id", "qe"), indexDir, outDir,
+      nprobeWide = 5, rerankCells = 2, codec = "pq")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ann-rrpq-ckpt").toString)
+      .start()
+    in.addData(0L -> queries(0L), 1L -> queries(1L)); q.processAllAvailable()
+    in.addData(2L -> queries(2L)); q.processAllAvailable()
+    q.stop()
+
+    val got = StreamOps.annResults(spark, outDir).get
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy(t => (-t._2, t._1)).toSeq).toMap
+    assert(got.keySet === queries.keySet)
+    for ((qid, qe) <- queries) {
+      val expect = Similarity.ivfProbeVectorRerankedServedPq(spark, indexDir, qe,
+        nprobeWide = 5, rerankCells = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(qid) === expect, s"query $qid diverged from the per-query PQ probe")
+    }
+    // the exactly-scored delta wins its own query through the batch plan
+    assert(got(2L).head._1 === 7000000L,
+      "delta vector invisible to the batched PQ serving plan")
+  }
+
   test("IVF serving racing compaction never returns a truncated or double-counted top-k") {
     // The round-7 manifest-commit gate, raced for real (the image of
     // the partitioned-stats race test applied to the index): a prober
