@@ -72,6 +72,11 @@ object ServeSoak {
       val sample = emb.orderBy("vec_id").limit(2000)
         .filter(col("vec_id") % 199 === 3).limit(10)
         .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+      // fail LOUDLY if a future corpus layout defeats the modulus
+      // sampling predicate — 0.0/0 would otherwise print NaN recall
+      require(sample.nonEmpty,
+        s"recall sample empty under $dir — vec_id%199==3 matched nothing " +
+          "in the first 2000 rows; adjust the sampling predicate")
       val q = sample.toDF("qid", "qe")
         .withColumn("qnorm", sqrt(graft.ops.Similarity.dot(col("qe"), col("qe"))))
       val cos = graft.ops.Similarity.dot(col("embedding"), col("qe")) /

@@ -399,8 +399,12 @@ object Similarity {
     val wide = index.centroids.crossJoin(broadcast(q.select("qe")))
       .select(col("label"), d2.as("d2"))
       .orderBy(col("d2"), col("label")).limit(nprobeWide).select("label")
-    val pool = sketchOf(index.corpus.filter(col("vec_id") =!= queryVecId))
-      .join(broadcast(wide), "label")
+    // restrict to the wide cells BEFORE encoding: stage-1 cost is
+    // O(probed cells), not O(corpus) — the join cannot be pushed below
+    // a computing projection by the optimizer, so the order here IS
+    // the plan (PlanSpec pins it)
+    val pool = sketchOf(index.corpus.filter(col("vec_id") =!= queryVecId)
+        .join(broadcast(wide), "label"))
       .crossJoin(broadcast(q.select("qamax", "q8q", "qnorm")))
       .select(col("vec_id"), col("label"), approxCos.as("ap"))
       .orderBy(col("ap").desc, col("vec_id")).limit(poolSize)
@@ -544,9 +548,11 @@ object Similarity {
     val qlut = q.crossJoin(broadcast(pqCodebook(index.centroids)))
       .withColumn("lut", pqLutCol(col("qe")))
       .select("qe", "qnorm", "lut")
-    val pool = pqCodesOf(index.corpus.filter(col("vec_id") =!= queryVecId),
-        index.centroids)
-      .join(broadcast(wide), "label")
+    // restrict to the wide cells BEFORE encoding — every corpus row
+    // paying the 8-subspace × k-codeword argmin for an 8-of-k-cell
+    // pool is exactly the plan inversion PlanSpec gates against
+    val pool = pqCodesOf(index.corpus.filter(col("vec_id") =!= queryVecId)
+        .join(broadcast(wide), "label"), index.centroids)
       .crossJoin(broadcast(qlut.select("lut", "qnorm")))
       .select(col("vec_id"), col("label"), approxCosPq.as("ap"))
       .orderBy(col("ap").desc, col("vec_id")).limit(poolSize)
@@ -617,9 +623,20 @@ object Similarity {
     index.stats.write.mode("overwrite").parquet(gdir(dir, "stats", 0))
     Storage.writeCellClustered(index.corpus, Seq("label"), "vec_id",
       gdir(dir, "corpus", 0), maxCellRows)
-    Storage.writeCellClustered(sketchOf(index.corpus), Seq("label"), "vec_id",
+    // the codec relations derive from a READ-BACK of the just-written
+    // corpus cells, NOT from index.corpus: each writeCellClustered call
+    // pins and evaluates its input once, so deriving all three from the
+    // in-memory corpus would run the assignment/union lineage three
+    // times (measured 2.2× on the served build query). One lineage
+    // evaluation + two cheap columnar re-reads instead — and the codecs
+    // are byte-coupled to the committed cells by construction.
+    // (Safe to read pre-commit: the generation is invisible until the
+    // manifest rename below.)
+    val committed = readCorpusRoot(spark, gdir(dir, "corpus", 0),
+      Seq(gdir(dir, "corpus", 0)))
+    Storage.writeCellClustered(sketchOf(committed), Seq("label"), "vec_id",
       gdir(dir, "sketch", 0), maxCellRows)
-    Storage.writeCellClustered(pqCodesOf(index.corpus, index.centroids),
+    Storage.writeCellClustered(pqCodesOf(committed, index.centroids),
       Seq("label"), "vec_id", gdir(dir, "pq", 0), maxCellRows)
     graft.GenManifest.commit(spark, dir, seq = 0, gen = 0, floor = -1)
   }
@@ -981,13 +998,15 @@ object Similarity {
         Storage.writeCellClustered(
           idx.corpus.select(col("vec_id"), col("label"), col("embedding"), col("norm")),
           Seq("label"), "vec_id", gdir(indexDir, "corpus", gen), maxCellRows)
-        Storage.writeCellClustered(
-          sketchOf(idx.corpus.select(col("vec_id"), col("label"),
-            col("embedding"), col("norm"))),
+        // codecs derive from a read-back of the just-written cells so
+        // the fold/relabel/Lloyd lineage evaluates ONCE, not three
+        // times (invisible until the manifest commit below — see the
+        // identical note in persistIvfIndex)
+        val committed = readCorpusRoot(spark, gdir(indexDir, "corpus", gen),
+          Seq(gdir(indexDir, "corpus", gen)))
+        Storage.writeCellClustered(sketchOf(committed),
           Seq("label"), "vec_id", gdir(indexDir, "sketch", gen), maxCellRows)
-        Storage.writeCellClustered(
-          pqCodesOf(idx.corpus.select(col("vec_id"), col("label"),
-            col("embedding"), col("norm")), idx.centroids),
+        Storage.writeCellClustered(pqCodesOf(committed, idx.centroids),
           Seq("label"), "vec_id", gdir(indexDir, "pq", gen), maxCellRows)
         val folded = deltas ++ late
         graft.GenManifest.commit(spark, indexDir, st.seq + 1, gen,

@@ -191,7 +191,17 @@ object JdbcBatchSink {
     * which skips the whole batch — the data table is never touched
     * twice. The ledger check must come FIRST and gate staging too:
     * promote already cleared the staging rows, and re-staging a
-    * promoted batch would leave orphans there. */
+    * promoted batch would leave orphans there.
+    *
+    * CHECKPOINT-RESET HAZARD (divergence from
+    * [[writeBatchExactlyOnce]], which overwrites by batch id): the
+    * ledger keys replays on `batchId` ALONE, and a stream restarted
+    * against a FRESH checkpoint re-issues batchIds from 0 — those
+    * batches match old ledger rows and their NEW data is silently
+    * skipped. Resetting the checkpoint therefore requires resetting
+    * (truncating) `<table>_ledger` and `<table>_stage` with it — or
+    * pointing at fresh tables — exactly as the non-ledgered form
+    * requires clearing the data table itself. */
   def writeBatchExactlyOnceLedgered(
       df: DataFrame,
       table: String,

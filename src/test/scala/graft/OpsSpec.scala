@@ -1014,4 +1014,31 @@ class OpsSpec extends SparkSuite {
     assert(files.nonEmpty && files.forall(_.contains("label=1")),
       s"probe leaked outside its cell: ${files.filterNot(_.contains("label=1")).take(3).toSeq}")
   }
+
+  test("persistIvfIndex evaluates the corpus lineage ONCE — codecs derive from the committed cells") {
+    // The r9 build-form regression: corpus, sketch_g and pq_g were each
+    // written from index.corpus, so each writeCellClustered pin re-ran
+    // the whole assignment lineage (3× measured as 2.2× wall on the
+    // served build query). A nondeterministic counting UDF planted in
+    // the lineage counts per-row evaluations: the persist job must pay
+    // for exactly ONE pass — the corpus write — with both codec
+    // relations derived from a read-back of the committed cells.
+    val acc = spark.sparkContext.longAccumulator("corpus-lineage-rows")
+    val counting = udf { (e: Seq[Float]) => acc.add(1); e }.asNondeterministic()
+    val raw = graft.ops.Tables.table(spark, sf("sf0.001"), "embeddings")
+    val n = raw.count()
+    val idx = Similarity.buildIvfIndexFrom(
+      raw.withColumn("embedding", counting(col("embedding"))))
+    val before = acc.value // centroid build already evaluated once here
+    val dir = java.nio.file.Files.createTempDirectory("ivf-onepass").toString
+    Similarity.persistIvfIndex(idx, dir)
+    val evals = acc.value - before
+    assert(evals === n,
+      s"persist evaluated the corpus lineage ${evals.toDouble / n}x (expected exactly 1x)")
+    // and the derived relations still cover the corpus row for row
+    val read = (p: String) => spark.read.parquet(s"$dir/$p").count()
+    assert(read("corpus_g0") === n)
+    assert(read("sketch_g0") === n)
+    assert(read("pq_g0") === n)
+  }
 }

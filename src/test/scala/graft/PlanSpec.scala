@@ -105,6 +105,37 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("rerank stage 1 encodes AFTER the wide-cell restriction (both codecs)") {
+    // The r9 inversion: the projection computing the stage-1 codes sat
+    // BELOW the broadcast join on the wide-cell list, so every corpus
+    // row paid the encode for an 8-of-k-cell pool. The optimizer never
+    // moves a join below a computing projection (or vice versa), so
+    // the logical shape here IS the executed cost order: the encode
+    // Project must have the label-restricting join in its subtree.
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+    for ((name, alias) <- Seq("sim_topk_ivf_rerank" -> "q8",
+                              "sim_topk_ivf_rerank_pq" -> "pqc")) {
+      val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+      val encoders = df.queryExecution.optimizedPlan.collect {
+        case p: Project if p.projectList.exists {
+          case a: Alias => a.name == alias
+          case _ => false
+        } => p
+      }
+      assert(encoders.nonEmpty,
+        s"$name: no Project aliasing '$alias' — encode-stage shape changed, update this gate")
+      for (p <- encoders) {
+        val restricted = p.collect {
+          case j: Join if j.condition.exists(_.references.exists(_.name == "label")) => j
+        }
+        assert(restricted.nonEmpty,
+          s"$name: the '$alias' encode projection has NO label join beneath it — " +
+            "stage 1 is encoding the whole corpus, not the probed cells")
+      }
+    }
+  }
+
   test("j3: fixed dims ride broadcast joins") {
     val plan = finalPlan("j3_dim_enrich")
     assert(occurrences(plan, "BroadcastHashJoin") >= 2, plan)

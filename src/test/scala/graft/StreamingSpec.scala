@@ -944,8 +944,12 @@ class StreamingSpec extends SparkSuite {
         .sortBy(t => (-t._2, t._1)).toSeq).toMap
     assert(got.keySet === queries.keySet)
     for ((qid, qe) <- queries) {
+      // sort BOTH sides on the rounded cos_sim (the probe's collect
+      // order is by UNROUNDED cosine — two hits that round equal at 6
+      // decimals could order differently and flake the equality)
       val expect = Similarity.ivfProbeVectorServed(spark, indexDir, qe)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy(t => (-t._2, t._1))
       assert(got(qid) === expect, s"query $qid diverged from the batch served probe")
     }
   }
@@ -1149,9 +1153,12 @@ class StreamingSpec extends SparkSuite {
     val got = collected()
     assert(got.keySet === queries.keySet)
     for ((qid, qe) <- queries) {
+      // rounded-tie-safe: sort both sides identically (see the served
+      // parity test above)
       val expect = Similarity.ivfProbeVectorRerankedServed(spark, indexDir, qe,
         nprobeWide = 5, rerankCells = 2)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy(t => (-t._2, t._1))
       assert(got(qid) === expect, s"query $qid diverged from the per-query re-ranked probe")
     }
     // crash-replay of the last micro-batch overwrites its own output
@@ -1199,9 +1206,12 @@ class StreamingSpec extends SparkSuite {
         .sortBy(t => (-t._2, t._1)).toSeq).toMap
     assert(got.keySet === queries.keySet)
     for ((qid, qe) <- queries) {
+      // rounded-tie-safe: sort both sides identically (see the served
+      // parity test above)
       val expect = Similarity.ivfProbeVectorRerankedServedPq(spark, indexDir, qe,
         nprobeWide = 5, rerankCells = 2)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy(t => (-t._2, t._1))
       assert(got(qid) === expect, s"query $qid diverged from the per-query PQ probe")
     }
     // the exactly-scored delta wins its own query through the batch plan
