@@ -1238,73 +1238,83 @@ object Similarity {
     * the caller releases after its write/collect lands. */
   private[graft] def ivfProbeBatchRerankedServedReleasable(spark: SparkSession,
       indexDir: String, batch: DataFrame, k: Int = 10, nprobeWide: Int = 8,
-      rerankCells: Int = 2, poolSize: Int = 50): (DataFrame, () => Unit) = {
-    import org.apache.spark.sql.expressions.Window
-    val resultSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "query_id BIGINT, vec_id BIGINT, cos_sim DOUBLE")
-    def emptyResult = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], resultSchema)
-    val st = resolveIvf(spark, indexDir)
-    val centroids = servingCentroidsAt(spark, indexDir, st)
-    val d2 = aggregate(
-      zip_with(col("cent"), col("qe"),
-        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
-    val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
-    val probes = batch.select(col("query_id"), col("qe"))
-      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
-      .withColumn("qamax", amaxCol(col("qe")))
-      .withColumn("q8q", q8Col(col("qe"), col("qamax")))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", d2)
-      .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nprobeWide)
-      .drop("cent", "d2", "rk")
-      .persist()
-    val releaseProbes = () => { probes.unpersist(); () }
-    val touched = probes.select("label").distinct()
-      .collect().map(_.getAs[Number](0).longValue).sorted.toIndexedSeq
-    if (touched.isEmpty) return (emptyResult, releaseProbes)
-    val sketches = sketchFramesAt(spark, indexDir, st, touched)
-    if (sketches.isEmpty) return (emptyResult, releaseProbes)
-    val wp = Window.partitionBy("query_id").orderBy(col("ap").desc, col("vec_id"))
-    val wc = Window.partitionBy("query_id").orderBy(col("m").desc, col("label"))
-    val cells = sketches.reduce(_ unionByName _)
-      .join(broadcast(probes.select("query_id", "label", "qamax", "q8q", "qnorm")),
-        Seq("label"))
-      .select(col("query_id"), col("vec_id"), col("label"), approxCos.as("ap"))
-      .withColumn("rk", row_number().over(wp)).filter(col("rk") <= poolSize)
-      .groupBy("query_id", "label").agg(max(col("ap")).as("m"))
-      .withColumn("rk", row_number().over(wc)).filter(col("rk") <= rerankCells)
-      .select("query_id", "label")
-      .persist()
-    val release = () => { cells.unpersist(); probes.unpersist(); () }
-    val chosen = cells.select("label").distinct()
-      .collect().map(_.getAs[Number](0).longValue).sorted.toIndexedSeq
-    if (chosen.isEmpty) return (emptyResult, release)
-    val corpus = servingCorpusAt(spark, indexDir, st, chosen)
-    val cos = dot(col("embedding"), col("qe")) / (col("norm") * col("qnorm"))
-    val wk = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
-    val out = corpus
-      .join(broadcast(cells), Seq("label")) // each query scores ITS cells only
-      .join(broadcast(probes.select("query_id", "qe", "qnorm").distinct()),
-        Seq("query_id"))
-      .select(col("query_id"), col("vec_id"), cos.as("cos"))
-      .withColumn("rk", row_number().over(wk)).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"))
-    (out, release)
-  }
+      rerankCells: Int = 2, poolSize: Int = 50): (DataFrame, () => Unit) =
+    batchRerankScaffold(spark, indexDir, batch, k, nprobeWide, rerankCells,
+      poolSize,
+      // the int8 codec's per-query columns: quantization scale + codes
+      queryCols = df => df
+        .withColumn("qamax", amaxCol(col("qe")))
+        .withColumn("q8q", q8Col(col("qe"), col("qamax"))),
+      // stage 1: persisted sketch cells (deltas sketched in flight),
+      // each scored against its queries' int8 codes
+      stage1 = (st, probes, touched, _) =>
+        sketchFramesAt(spark, indexDir, st, touched).map(df =>
+          df.join(broadcast(
+              probes.select("query_id", "label", "qamax", "q8q", "qnorm")),
+              Seq("label"))
+            .select(col("query_id"), col("vec_id"), col("label"),
+              approxCos.as("ap"))))
 
   /** [[ivfProbeBatchRerankedServedReleasable]] with the PQ codec in
-    * stage 1 — ONE relational plan serves the micro-batch, with the
-    * per-query asymmetric-distance LUTs computed as a |batch|-row
-    * broadcast relation over the one-row codebook. Base cells are
-    * scored from the persisted `pq_g` codes (8 bit-packed codes per
-    * row); delta rows are scored exactly (the single-probe
-    * out-of-vocabulary argument, unchanged by batching). Same
-    * control-plane collects and release discipline as the int8 form. */
+    * stage 1 — same scaffold, with the per-query asymmetric-distance
+    * LUTs computed as a |batch|-row broadcast relation over the
+    * one-row codebook. Base cells are scored from the persisted `pq_g`
+    * codes (8 bit-packed codes per row); delta rows are scored exactly
+    * (the single-probe out-of-vocabulary argument, unchanged by
+    * batching). */
   private[graft] def ivfProbeBatchRerankedServedPqReleasable(spark: SparkSession,
       indexDir: String, batch: DataFrame, k: Int = 10, nprobeWide: Int = 8,
-      rerankCells: Int = 2, poolSize: Int = 50): (DataFrame, () => Unit) = {
+      rerankCells: Int = 2, poolSize: Int = 50): (DataFrame, () => Unit) =
+    batchRerankScaffold(spark, indexDir, batch, k, nprobeWide, rerankCells,
+      poolSize,
+      queryCols = identity,
+      stage1 = (st, probes, touched, centroids) => {
+        val qlut = probes.select("query_id", "qe", "qnorm").distinct()
+          .crossJoin(broadcast(pqCodebook(centroids)))
+          .select(col("query_id"), pqLutCol(col("qe")).as("lut"), col("qnorm"))
+        val baseAp = pqBaseFrame(spark, indexDir, st, touched, centroids).map(df =>
+          df.join(broadcast(probes.select("query_id", "label")), Seq("label"))
+            .join(broadcast(qlut), Seq("query_id"))
+            .select(col("query_id"), col("vec_id"), col("label"),
+              approxCosPq.as("ap")))
+        // deltas are batch-sized and read at full precision anyway:
+        // score them EXACTLY so an out-of-vocabulary batch is never
+        // blinded by the codebook (see ivfProbeVectorRerankedServedPq)
+        val deltaAp = servingDeltaFramesAt(spark, indexDir, st, touched).map(df =>
+          df.join(broadcast(probes.select("query_id", "label", "qe", "qnorm")),
+              Seq("label"))
+            .select(col("query_id"), col("vec_id"), col("label"),
+              (dot(col("embedding"), col("qe")) /
+                (col("norm") * col("qnorm"))).as("ap")))
+        baseAp.toSeq ++ deltaAp
+      })
+
+  /** The ONE batched re-ranked serving scaffold both codecs share
+    * (they differ ONLY in stage 1): broadcast centroid assignment
+    * picks each query's `nprobeWide` cells, `stage1` scores the
+    * touched cells' members per query — returning `(query_id, vec_id,
+    * label, ap)` frames — then each query's best `rerankCells` cells
+    * are chosen (window top-`poolSize` → per-cell max → window
+    * top-`rerankCells`) and exact cosine + top-k runs only inside the
+    * union of chosen cells, per-query-restricted by a broadcast
+    * (query_id, label) join. The two collects (touched and chosen
+    * label lists) are control-plane: bounded by |batch| × nprobeWide,
+    * never corpus-sized. Returns the result frame plus a release
+    * handle for the pinned probe/cell relations — the caller releases
+    * after its write/collect lands.
+    *
+    * `queryCols` adds the codec's per-query columns to the probe
+    * relation before the centroid assignment (int8: scale + codes;
+    * PQ: none — its LUT relation derives inside stage1). `stage1`
+    * receives the resolved manifest state, the pinned probe relation,
+    * the touched-label list and the serving centroids; an empty frame
+    * list means "nothing to score" and yields the empty result. */
+  private def batchRerankScaffold(spark: SparkSession, indexDir: String,
+      batch: DataFrame, k: Int, nprobeWide: Int, rerankCells: Int,
+      poolSize: Int,
+      queryCols: DataFrame => DataFrame,
+      stage1: (graft.GenManifest.State, DataFrame, IndexedSeq[Long], DataFrame)
+        => Seq[DataFrame]): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val resultSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "query_id BIGINT, vec_id BIGINT, cos_sim DOUBLE")
@@ -1317,8 +1327,8 @@ object Similarity {
         (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
     val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
-    val probes = batch.select(col("query_id"), col("qe"))
-      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
+    val probes = queryCols(batch.select(col("query_id"), col("qe"))
+        .withColumn("qnorm", sqrt(dot(col("qe"), col("qe")))))
       .crossJoin(broadcast(centroids))
       .withColumn("d2", d2)
       .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nprobeWide)
@@ -1328,20 +1338,7 @@ object Similarity {
     val touched = probes.select("label").distinct()
       .collect().map(_.getAs[Number](0).longValue).sorted.toIndexedSeq
     if (touched.isEmpty) return (emptyResult, releaseProbes)
-    val qlut = probes.select("query_id", "qe", "qnorm").distinct()
-      .crossJoin(broadcast(pqCodebook(centroids)))
-      .select(col("query_id"), pqLutCol(col("qe")).as("lut"), col("qnorm"))
-    val baseAp = pqBaseFrame(spark, indexDir, st, touched, centroids).map(df =>
-      df.join(broadcast(probes.select("query_id", "label")), Seq("label"))
-        .join(broadcast(qlut), Seq("query_id"))
-        .select(col("query_id"), col("vec_id"), col("label"), approxCosPq.as("ap")))
-    val deltaAp = servingDeltaFramesAt(spark, indexDir, st, touched).map(df =>
-      df.join(broadcast(probes.select("query_id", "label", "qe", "qnorm")),
-          Seq("label"))
-        .select(col("query_id"), col("vec_id"), col("label"),
-          (dot(col("embedding"), col("qe")) /
-            (col("norm") * col("qnorm"))).as("ap")))
-    val apFrames = baseAp.toSeq ++ deltaAp
+    val apFrames = stage1(st, probes, touched, centroids)
     if (apFrames.isEmpty) return (emptyResult, releaseProbes)
     val wp = Window.partitionBy("query_id").orderBy(col("ap").desc, col("vec_id"))
     val wc = Window.partitionBy("query_id").orderBy(col("m").desc, col("label"))
