@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_cosine"),
       (exprs: Seq[Expression]) => VecMath.buildCosine(exprs)))
     e.injectFunction((
+      FunctionIdentifier("vec_pq_encode"),
+      new ExpressionInfo(classOf[VecPqEncode].getName, "vec_pq_encode"),
+      (exprs: Seq[Expression]) => VecPq.buildEncode(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("vec_pq_fold"),
+      new ExpressionInfo(classOf[VecPqFold].getName, "vec_pq_fold"),
+      (exprs: Seq[Expression]) => VecPq.buildFold(exprs)))
+    e.injectFunction((
       FunctionIdentifier("graft_barrier"),
       new ExpressionInfo(classOf[PlanBarrier].getName, "graft_barrier"),
       (exprs: Seq[Expression]) => PlanBarrier.build(exprs)))

@@ -458,7 +458,7 @@ object Similarity {
     * the codebook's scale — the same magnitude blindness the re-ranked
     * leg exists to repair in the coarse quantizer). k_coarse rows in,
     * one broadcast-sized row out. */
-  private def pqCodebook(centroids: DataFrame): DataFrame =
+  private[graft] def pqCodebook(centroids: DataFrame): DataFrame =
     centroids.agg(expr(
       """transform(array_sort(collect_list(struct(label, cent))),
         |  s -> transform(s.cent, x ->
@@ -482,8 +482,16 @@ object Similarity {
 
   /** codes[m] = 1-based position of the nearest codeword in subspace m
     * (ties → lowest position, via lexicographic struct(d2, i) min —
-    * the deterministic tie-break every ranking in this file uses). */
+    * the deterministic tie-break every ranking in this file uses).
+    * Codegen'd kernel ([[graft.functions.VecPqEncode]]) — bit-identical
+    * to [[pqCodesColHof]], the declarative reference form it is
+    * equivalence-tested against (VecPqSpec). */
   private def pqCodesCol: Column =
+    graft.functions.VecPq.vec_pq_encode(col("embedding"), col("norm"), col("cb"))
+
+  /** Declarative (HOF) reference form of [[pqCodesCol]] — kept as the
+    * implementation the codegen expression is tested against. */
+  private[graft] def pqCodesColHof: Column =
     when(size(col("embedding")) === 0, array().cast("array<int>"))
       .otherwise(transform(sequence(lit(0), pqMEff(col("embedding")) - 1), m =>
         array_min(transform(col("cb"), (cvec, i) =>
@@ -506,7 +514,7 @@ object Similarity {
     * computed once per query row (M × k_coarse folds), so scoring a
     * corpus row is M array lookups + adds (classic asymmetric-distance
     * computation, inner-product form). */
-  private def pqLutCol(qe: Column): Column = {
+  private[graft] def pqLutCol(qe: Column): Column = {
     val sub = pqSubW(qe)
     when(size(qe) === 0, array().cast("array<array<double>>"))
       .otherwise(transform(sequence(lit(0), pqMEff(qe) - 1), m =>
@@ -521,8 +529,18 @@ object Similarity {
     * v/|v|⟩ / qnorm — the reconstruction dot collapses to
     * Σₘ lut[m][code[m]] because subspaces are disjoint, and the row's
     * own norm cancels because codes encode the unit direction.
-    * Sequential m-fold, oracle-mirrored. */
+    * Sequential m-fold as a codegen'd kernel
+    * ([[graft.functions.VecPqFold]]; division stays declarative, the
+    * `vec_cosine`-around-`vec_dot` composition pattern) — bit-identical
+    * to [[approxCosPqHof]], oracle-mirrored. */
   private def approxCosPq: Column =
+    when(size(col("pqc")) === 0, lit(0.0))
+      .otherwise(graft.functions.VecPq.vec_pq_fold(col("pqc"), col("lut"))) /
+      greatest(col("qnorm"), lit(1e-30))
+
+  /** Declarative (HOF) reference form of [[approxCosPq]] — kept as the
+    * implementation the codegen expression is tested against. */
+  private[graft] def approxCosPqHof: Column =
     when(size(col("pqc")) === 0, lit(0.0))
       .otherwise(aggregate(sequence(lit(0), size(col("pqc")) - 1), lit(0.0), (acc, m) =>
         acc + element_at(element_at(col("lut"), m + 1), element_at(col("pqc"), m + 1)))) /
