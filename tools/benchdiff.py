@@ -22,16 +22,26 @@ import sys
 
 def load(path):
     text = open(path).read()
+    streaming = {}
     try:
         doc = json.loads(text)
         if isinstance(doc, dict) and "tail" in doc:
             text = doc["tail"]
             if doc.get("parsed"):
-                q = doc["parsed"].get("queries")
-                if q:
-                    return {k: float(v) for k, v in q.items()}, doc["parsed"].get("calib")
+                p = doc["parsed"]
+                if p.get("queries"):
+                    return ({k: float(v) for k, v in p["queries"].items()},
+                            p.get("calib"),
+                            p.get("streaming_rows_per_sec") or {})
     except json.JSONDecodeError:
         pass
+    # streaming families live in their own object; split them out FIRST
+    # so rows/s values never pollute the per-query seconds map
+    m = re.search(r'"streaming_rows_per_sec":\{([^}]*)\}', text)
+    if m:
+        streaming = {k: float(v) for k, v in
+                     re.findall(r'"([a-z0-9_]+)":(-?[0-9.]+)', m.group(1))}
+        text = text[:m.start()] + text[m.end():]
     pairs = re.findall(r'"([a-z0-9_]+)":(-?[0-9.]+)', text)
     out = {}
     for k, v in pairs:
@@ -39,14 +49,53 @@ def load(path):
     calib = out.pop("calib", None)
     for meta in ("value", "n"):
         out.pop(meta, None)
-    return out, calib
+    return out, calib, streaming
+
+
+def streaming_section(s_old, s_new, calib_old, calib_new, thr):
+    """Calib-normalized streaming triage: rows/s scales inversely with
+    container speed, so adjusted throughput = rows_per_sec x calib
+    (calib = seconds for the fixed calibration job — bigger means a
+    slower container). An adjusted ratio near 1 is drift; beyond the
+    threshold it is machine-adjudicated as a regression/improvement,
+    the same contract the per-query movers list applies to seconds."""
+    both = sorted(k for k in s_old.keys() & s_new.keys()
+                  if s_old[k] > 0 and s_new[k] > 0)
+    if not both:
+        return
+    print("streaming families (rows/s):")
+    have_calib = bool(calib_old and calib_new)
+    if not have_calib:
+        print("  (no calib on one side — raw ratios only)")
+    verdicts = []
+    for k in both:
+        a, b = s_old[k], s_new[k]
+        raw = b / a
+        line = f"  {k:20s} old={a:8.0f} new={b:8.0f} raw_ratio={raw:.2f}"
+        if have_calib:
+            adj = (b * calib_new) / (a * calib_old)
+            verdict = ("REGRESSION" if adj < 1 / thr
+                       else "IMPROVEMENT" if adj > thr else "drift-ok")
+            line += f" calib_adj={adj:.2f} -> {verdict}"
+            verdicts.append((k, adj, verdict))
+        print(line)
+    only_old = sorted(s_old.keys() - s_new.keys())
+    only_new = sorted(s_new.keys() - s_old.keys())
+    if only_old:
+        print(f"  old-only: {only_old}")
+    if only_new:
+        print(f"  new-only: {only_new}")
+    flagged = [k for k, _, v in verdicts if v != "drift-ok"]
+    if have_calib:
+        print(f"  streaming verdict: "
+              + (f"flagged {flagged}" if flagged else "all within drift band"))
 
 
 def main():
     if len(sys.argv) < 3:
         sys.exit(__doc__)
-    old, calib_old = load(sys.argv[1])
-    new, calib_new = load(sys.argv[2])
+    old, calib_old, s_old = load(sys.argv[1])
+    new, calib_new, s_new = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     failed_old = sorted(k for k, v in old.items() if v < 0)
     failed_new = sorted(k for k, v in new.items() if v < 0)
@@ -73,6 +122,7 @@ def main():
             print(f"  {k:30s} old={a:7.3f} new={b:7.3f} ratio={r:.2f}")
     else:
         print(f"no movers >= {thr}x in either direction")
+    streaming_section(s_old, s_new, calib_old, calib_new, thr)
 
 
 if __name__ == "__main__":
