@@ -58,11 +58,17 @@ object IndexMaintenance {
     * the rows are few (per-root listing overhead). `driftBound`:
     * squared-L2 centroid mean-shift above which label geometry is
     * stale enough to re-cluster. */
+  /** `trainPqIters`: when a drift repair re-clusters anyway (the one
+    * moment the PQ codebook's label space moves), also Lloyd-refine
+    * the per-subspace sub-codebooks on the folded corpus
+    * ([[Similarity.trainPqCodebookRows]]); 0 (default) keeps the
+    * training-free projection codebook. */
   final case class Policy(
       backlogRatio: Double = 0.10,
       backlogBatches: Int = 8,
       driftBound: Double = 0.25,
-      lloydIters: Int = 2)
+      lloydIters: Int = 2,
+      trainPqIters: Int = 0)
 
   private def decide(s: Signals, p: Policy): Action =
     if (s.maxDrift.exists(_ > p.driftBound)) LloydRebuild(p.lloydIters)
@@ -161,7 +167,8 @@ object IndexMaintenance {
       case NoOp => ()
       case Compact => Similarity.compactIvfIndex(spark, indexDir)
       case LloydRebuild(iters) =>
-        Similarity.compactIvfIndex(spark, indexDir, lloydIters = iters)
+        Similarity.compactIvfIndex(spark, indexDir, lloydIters = iters,
+          trainPqIters = policy.trainPqIters)
     }
     action
   }

@@ -466,6 +466,123 @@ object Similarity {
         .stripMargin)
       .as("cb"))
 
+  /** Per-subspace Lloyd-refined sub-codebooks — the optional trained
+    * depth over the training-free projection codebook. Each subspace's
+    * k codewords start as the projection codebook's slices (normalized
+    * centroids, so zero iterations returns exactly the projection
+    * form) and are refined by `iters` Lloyd passes over a bounded
+    * DETERMINISTIC sample of unit-direction subvectors: the sample is
+    * the top-`sampleN` corpus rows by (murmur3(vec_id), vec_id) — a
+    * TakeOrdered, never a full sort — so retraining the same committed
+    * corpus always yields byte-identical codebooks (replay/compaction
+    * determinism; `Random`-style seeds are banned repo-wide). The
+    * refined subspaces are CONCATENATED back into k full-dim codewords
+    * (codeword i's slice m is subspace m's trained codeword i), which
+    * keeps the persisted relation, the encode/LUT kernels, and the
+    * one-row broadcast shape identical to the projection codebook —
+    * only the numbers move. Lloyd runs driver-side over ≤ sampleN×dim
+    * doubles (control-plane scale: the sample collect is the only
+    * cluster job). Empty clusters keep their previous codeword; ties
+    * assign to the lowest codeword, the file-wide tie-break. */
+  private[graft] def trainPqCodebookRows(corpus: DataFrame,
+      centroids: DataFrame, iters: Int,
+      sampleN: Int = 4096): Seq[(Int, Seq[Double])] = {
+    val sample = corpus
+      .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
+      .limit(sampleN)
+      .select("embedding", "norm").collect()
+      .map { r =>
+        val n = math.max(r.getDouble(1), 1e-30)
+        r.getSeq[Float](0).map(_.toDouble / n).toArray
+      }
+    val init = centroids.orderBy("label").select("cent").collect()
+      .map { r =>
+        val c = r.getSeq[Double](0).toArray
+        val n = math.max(math.sqrt(c.map(x => x * x).sum), 1e-30)
+        c.map(_ / n)
+      }
+    require(init.nonEmpty, "trainPqCodebookRows: empty centroid relation")
+    val dim = init.head.length
+    val mEff = math.max(math.min(pqM, dim), 1)
+    val subW = dim / mEff
+    val out = init.map(_.clone())
+    if (sample.nonEmpty && subW > 0) {
+      var m = 0
+      while (m < mEff) {
+        val off = m * subW
+        var cw: Array[Array[Double]] =
+          out.map(c => java.util.Arrays.copyOfRange(c, off, off + subW))
+        var it = 0
+        while (it < iters) {
+          val sums = Array.fill(cw.length)(new Array[Double](subW))
+          val counts = new Array[Long](cw.length)
+          for (p <- sample if p.length >= off + subW) {
+            var best = 0
+            var bestD = Double.MaxValue
+            var i = 0
+            while (i < cw.length) {
+              var d2 = 0.0
+              var j = 0
+              while (j < subW) { val d = cw(i)(j) - p(off + j); d2 += d * d; j += 1 }
+              if (d2 < bestD) { bestD = d2; best = i }
+              i += 1
+            }
+            var j = 0
+            while (j < subW) { sums(best)(j) += p(off + j); j += 1 }
+            counts(best) += 1
+          }
+          cw = Array.tabulate(cw.length)(i =>
+            if (counts(i) == 0) cw(i)
+            else sums(i).map(_ / counts(i)))
+          it += 1
+        }
+        var i = 0
+        while (i < out.length) {
+          System.arraycopy(cw(i), 0, out(i), off, subW)
+          i += 1
+        }
+        m += 1
+      }
+    }
+    out.toIndexedSeq.zipWithIndex.map { case (w, i) => (i + 1, w.toSeq) }
+  }
+
+  private val pqcbReadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "pos INT, w ARRAY<DOUBLE>")
+
+  /** Persist a trained codebook as generation metadata (`pqcb_g<gen>`:
+    * one row per codeword position) — written BEFORE the `pq_g` codes
+    * that reference it, invisible until the manifest commit, GC'd with
+    * its generation. */
+  private def writePqCodebook(spark: SparkSession, dir: String, gen: Long,
+      rows: Seq[(Int, Seq[Double])]): Unit = {
+    import spark.implicits._
+    rows.toDF("pos", "w").repartition(1)
+      .write.mode("overwrite").parquet(gdir(dir, "pqcb", gen))
+  }
+
+  /** The committed trained codebook of a generation as the one-row
+    * broadcast `cb` relation (read-back, so codes and serving score
+    * against the same committed bytes). */
+  private def readPqCodebookDf(spark: SparkSession, dir: String,
+      gen: Long): DataFrame =
+    spark.read.schema(pqcbReadSchema).parquet(gdir(dir, "pqcb", gen))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, w))), s -> s.w)")
+        .as("cb"))
+
+  /** The serving PQ codebook of a resolved generation: the trained
+    * relation when the layout carries one, else the projection
+    * codebook over the live centroids. A codebook change is a
+    * compaction by construction either way — `pq_g` and `pqcb_g` are
+    * written together, so persisted codes always score against their
+    * own codebook. */
+  private[graft] def servingPqCodebookAt(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State, centroids: DataFrame): DataFrame =
+    if (graft.IndexFs.isDir(spark, gdir(indexDir, "pqcb", st.gen)))
+      readPqCodebookDf(spark, indexDir, st.gen)
+    else pqCodebook(centroids)
+
   /** Squared L2 between codeword subvector m of `cvec` and subvector m
     * of the row's NORMALIZED embedding — sequential j-fold in double,
     * the exact fold the oracle's list_reduce mirrors. */
@@ -506,7 +623,15 @@ object Similarity {
     * codebook: no explode, no shuffle — what [[persistIvfIndex]]/
     * [[compactIvfIndex]] materialize per generation as `pq_g<gen>`. */
   private[ops] def pqCodesOf(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(pqCodebook(centroids)))
+    pqCodesOfCb(corpus, pqCodebook(centroids))
+
+  /** [[pqCodesOf]] against an EXPLICIT one-row codebook relation — the
+    * seam shared by the projection codebook ([[pqCodebook]]) and a
+    * trained per-generation codebook ([[trainPqCodebookRows]]): both
+    * produce the same `cb` shape, so encode/LUT/fold never know which
+    * kind scored them. */
+  private[ops] def pqCodesOfCb(corpus: DataFrame, cb: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cb))
       .select(col("vec_id"), col("label"), pqCodesCol.as("pqc"))
 
   /** Per-query lookup table over the SAME one-row codebook:
@@ -590,7 +715,7 @@ object Similarity {
     * newest manifest (`m<seq>`, [[graft.GenManifest]]) names the live
     * generation plus the delta floor. All listing/commit I/O goes
     * through the Hadoop FileSystem seam ([[graft.IndexFs]]). */
-  private val ivfPrefixes = Seq("corpus", "centroids", "stats", "sketch", "pq")
+  private val ivfPrefixes = Seq("corpus", "centroids", "stats", "sketch", "pq", "pqcb")
   private def gdir(indexDir: String, pre: String, gen: Long) =
     s"$indexDir/${pre}_g$gen"
 
@@ -631,7 +756,8 @@ object Similarity {
     * `maxCellRows` rows splits into several bounded files
     * ([[Storage.writeCellClustered]]). */
   def persistIvfIndex(index: IvfIndex, dir: String,
-      maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
+      maxCellRows: Long = Dedup.defaultMaxCellRows,
+      trainPqIters: Int = 0): Unit = {
     val spark = index.centroids.sparkSession
     graft.GenManifest.reset(spark, dir, ivfPrefixes)
     // empty delta ledger from birth: "ledger absent" then always means
@@ -654,7 +780,16 @@ object Similarity {
       Seq(gdir(dir, "corpus", 0)))
     Storage.writeCellClustered(sketchOf(committed), Seq("label"), "vec_id",
       gdir(dir, "sketch", 0), maxCellRows)
-    Storage.writeCellClustered(pqCodesOf(committed, index.centroids),
+    // trainPqIters > 0 refines the per-subspace codebook on the
+    // committed corpus (projection codebook otherwise); codes and
+    // codebook land together, before the commit that makes them live
+    val cb =
+      if (trainPqIters > 0) {
+        writePqCodebook(spark, dir, 0,
+          trainPqCodebookRows(committed, index.centroids, trainPqIters))
+        readPqCodebookDf(spark, dir, 0)
+      } else pqCodebook(index.centroids)
+    Storage.writeCellClustered(pqCodesOfCb(committed, cb),
       Seq("label"), "vec_id", gdir(dir, "pq", 0), maxCellRows)
     graft.GenManifest.commit(spark, dir, seq = 0, gen = 0, floor = -1)
   }
@@ -951,8 +1086,10 @@ object Similarity {
     * accepted vector is ever invisible to a post-commit probe. */
   def compactIvfIndex(spark: SparkSession, indexDir: String,
       lloydIters: Int = 0,
-      maxCellRows: Long = Dedup.defaultMaxCellRows): Unit =
-    compactIvfIndexHooked(spark, indexDir, lloydIters, maxCellRows, () => ())
+      maxCellRows: Long = Dedup.defaultMaxCellRows,
+      trainPqIters: Int = 0): Unit =
+    compactIvfIndexHooked(spark, indexDir, lloydIters, maxCellRows, () => (),
+      trainPqIters)
 
   /** [[compactIvfIndex]] with a test seam fired after the (possibly
     * re-clustering) fold but BEFORE the late-delta re-listing — the
@@ -960,7 +1097,7 @@ object Similarity {
     * catch-up window. */
   private[graft] def compactIvfIndexHooked(spark: SparkSession,
       indexDir: String, lloydIters: Int, maxCellRows: Long,
-      beforeCatchUp: () => Unit): Unit = {
+      beforeCatchUp: () => Unit, trainPqIters: Int = 0): Unit = {
     val st = resolveIvf(spark, indexDir)
     val entries = deltaEntriesAbove(spark, indexDir, st)
     val deltas = entries.map(_.id)
@@ -1024,7 +1161,18 @@ object Similarity {
           Seq(gdir(indexDir, "corpus", gen)))
         Storage.writeCellClustered(sketchOf(committed),
           Seq("label"), "vec_id", gdir(indexDir, "sketch", gen), maxCellRows)
-        Storage.writeCellClustered(pqCodesOf(committed, idx.centroids),
+        // trained codebooks don't stick across compactions: each
+        // compaction re-decides (trainPqIters, like lloydIters, is the
+        // CALLER's escalation knob) and an untrained compaction falls
+        // back to the projection codebook — codes are rewritten either
+        // way, so codes/codebook stay generation-coupled
+        val cb =
+          if (trainPqIters > 0) {
+            writePqCodebook(spark, indexDir, gen,
+              trainPqCodebookRows(committed, idx.centroids, trainPqIters))
+            readPqCodebookDf(spark, indexDir, gen)
+          } else pqCodebook(idx.centroids)
+        Storage.writeCellClustered(pqCodesOfCb(committed, cb),
           Seq("label"), "vec_id", gdir(indexDir, "pq", gen), maxCellRows)
         val folded = deltas ++ late
         graft.GenManifest.commit(spark, indexDir, st.seq + 1, gen,
@@ -1146,7 +1294,7 @@ object Similarity {
     * codebook — correct, without the bytes saving. */
   private def pqBaseFrame(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State, labels: Seq[Long],
-      centroids: DataFrame): Option[DataFrame] = {
+      cb: DataFrame): Option[DataFrame] = {
     val pqRoot = gdir(indexDir, "pq", st.gen)
     if (graft.IndexFs.isDir(spark, pqRoot)) {
       val paths = labels.map(l => s"$pqRoot/label=$l")
@@ -1156,7 +1304,7 @@ object Similarity {
         .option("basePath", pqRoot).parquet(paths: _*))
     } else
       prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), labels)
-        .map(pqCodesOf(_, centroids))
+        .map(pqCodesOfCb(_, cb))
   }
 
   /** [[ivfProbeVectorRerankedServed]] with the PQ codec in stage 1:
@@ -1182,12 +1330,13 @@ object Similarity {
     val st = resolveIvf(spark, indexDir)
     val wide = nearestLabelsAt(spark, indexDir, st, query, nprobeWide)
     val centroids = servingCentroidsAt(spark, indexDir, st)
+    val cb = servingPqCodebookAt(spark, indexDir, st, centroids)
     val q = spark.range(1).select(typedLit(query).as("qe"))
       .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
-      .crossJoin(broadcast(pqCodebook(centroids)))
+      .crossJoin(broadcast(cb))
       .withColumn("lut", pqLutCol(col("qe")))
       .select("qe", "qnorm", "lut")
-    val baseAp = pqBaseFrame(spark, indexDir, st, wide, centroids).map(df =>
+    val baseAp = pqBaseFrame(spark, indexDir, st, wide, cb).map(df =>
       dropExcluded(df)
       .crossJoin(broadcast(q.select("lut", "qnorm")))
       .select(col("vec_id"), col("label"), approxCosPq.as("ap")))
@@ -1287,10 +1436,11 @@ object Similarity {
       poolSize,
       queryCols = identity,
       stage1 = (st, probes, touched, centroids) => {
+        val cb = servingPqCodebookAt(spark, indexDir, st, centroids)
         val qlut = probes.select("query_id", "qe", "qnorm").distinct()
-          .crossJoin(broadcast(pqCodebook(centroids)))
+          .crossJoin(broadcast(cb))
           .select(col("query_id"), pqLutCol(col("qe")).as("lut"), col("qnorm"))
-        val baseAp = pqBaseFrame(spark, indexDir, st, touched, centroids).map(df =>
+        val baseAp = pqBaseFrame(spark, indexDir, st, touched, cb).map(df =>
           df.join(broadcast(probes.select("query_id", "label")), Seq("label"))
             .join(broadcast(qlut), Seq("query_id"))
             .select(col("query_id"), col("vec_id"), col("label"),

@@ -358,6 +358,58 @@ class OpsSpec extends SparkSuite {
       "compaction did not write the new generation's PQ codes")
   }
 
+  test("trained PQ codebook: per-generation metadata, deterministic, re-decided at every compaction") {
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-pqcb").toString
+    val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))
+
+    // zero iterations IS the projection codebook (init = normalized
+    // centroids, no refinement) — and training is deterministic: the
+    // sample is a TakeOrdered by (hash, vec_id), no RNG anywhere
+    val proj = Similarity.trainPqCodebookRows(idx.corpus, idx.centroids, iters = 0)
+    val t1 = Similarity.trainPqCodebookRows(idx.corpus, idx.centroids, iters = 3)
+    val t2 = Similarity.trainPqCodebookRows(idx.corpus, idx.centroids, iters = 3)
+    assert(t1 === t2, "retraining the same corpus diverged")
+    assert(t1 !== proj, "3 Lloyd iterations left every codeword unmoved")
+    assert(t1.map(_._1) === proj.map(_._1), "codeword positions changed")
+
+    Similarity.persistIvfIndex(idx, indexDir, trainPqIters = 3)
+    assert(graft.IndexFs.isDir(spark, s"$indexDir/pqcb_g0"),
+      "trained persist did not write the generation-0 codebook")
+    val qvec = Array.tabulate(64)(i => (((i % 7) - 3) / 4.0).toFloat).toSeq
+    def probe(k: Int) = Similarity.ivfProbeVectorRerankedServedPq(
+      spark, indexDir, qvec, k = k, nprobeWide = 8, rerankCells = 2)
+    assert(probe(10).collect().length === 10)
+
+    // a committed delta stays exactly-scored (the OOV argument is
+    // codebook-agnostic: delta rows never go through ANY codebook)
+    val spike = Seq.tabulate(64)(i => if (i < 4) 8f else 0f)
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      Seq((5000000L, spike)).toDF("vec_id", "embedding"), batchId = 1L)
+    def top1(q: Seq[Float]): Long =
+      Similarity.ivfProbeVectorRerankedServedPq(spark, indexDir, q,
+        k = 1, nprobeWide = 8, rerankCells = 2).head().getLong(0)
+    assert(top1(spike) === 5000000L, "delta invisible under a trained codebook")
+
+    // a trained compaction writes the NEXT generation's codebook
+    Similarity.compactIvfIndex(spark, indexDir, lloydIters = 1, trainPqIters = 3)
+    val st1 = Similarity.resolveIvf(spark, indexDir)
+    assert(graft.IndexFs.isDir(spark, s"$indexDir/pqcb_g${st1.gen}"),
+      "trained compaction did not write the new generation's codebook")
+    assert(top1(spike) === 5000000L, "folded spike lost after trained compaction")
+
+    // an UNTRAINED compaction re-decides: no codebook for its
+    // generation, serving falls back to the projection form — codes
+    // and codebook stay generation-coupled either way
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      Seq((5000001L, spike)).toDF("vec_id", "embedding"), batchId = 2L)
+    Similarity.compactIvfIndex(spark, indexDir)
+    val st2 = Similarity.resolveIvf(spark, indexDir)
+    assert(!graft.IndexFs.isDir(spark, s"$indexDir/pqcb_g${st2.gen}"),
+      "untrained compaction must not carry the stale trained codebook forward")
+    assert(probe(10).collect().length === 10)
+    assert(top1(spike) === 5000000L)
+  }
+
   test("persisted-index served probe equals the in-memory probe and reads only its probed cells") {
     val indexDir = java.nio.file.Files.createTempDirectory("ivf-persist").toString
     val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))

@@ -428,6 +428,28 @@ class PropertySpec extends SparkSuite {
         rerankCells = 2).collect().map(_.getLong(0)).toSeq)
     assert(rerankedPq >= 0.95,
       s"PQ re-ranked recall floor broken: $rerankedPq (plain was $plain)")
+
+    // trained sub-codebooks must hold the same floor THROUGH THE
+    // SERVED PATH on this adversarial geometry, and at least tie the
+    // int8 sketch at equal rerankCells (the r9 VERDICT's gate for the
+    // optional trained depth): Lloyd starts from the projection
+    // codebook and refines on the data, so fidelity can only move
+    // toward the sample's true subspace structure
+    val dir = java.nio.file.Files.createTempDirectory("pqcb-geom").toString
+    Similarity.persistIvfIndex(idx, dir, trainPqIters = 3)
+    assert(graft.IndexFs.isDir(spark, s"$dir/pqcb_g0"))
+    val servedInt8 = avgRecall(qid =>
+      Similarity.ivfProbeVectorRerankedServed(spark, dir, vecs(qid),
+        k = 10, nprobeWide = 10, rerankCells = 2, exclude = Some(qid))
+        .collect().map(_.getLong(0)).toSeq)
+    val servedTrainedPq = avgRecall(qid =>
+      Similarity.ivfProbeVectorRerankedServedPq(spark, dir, vecs(qid),
+        k = 10, nprobeWide = 10, rerankCells = 2, exclude = Some(qid))
+        .collect().map(_.getLong(0)).toSeq)
+    assert(servedTrainedPq >= 0.95,
+      s"trained-PQ served recall floor broken: $servedTrainedPq")
+    assert(servedTrainedPq >= servedInt8,
+      s"trained PQ ($servedTrainedPq) below the int8 sketch ($servedInt8) at equal rerankCells")
     corpus.unpersist()
   }
 

@@ -1219,6 +1219,40 @@ class StreamingSpec extends SparkSuite {
       "delta vector invisible to the batched PQ serving plan")
   }
 
+  test("batched PQ serving over a TRAINED codebook matches the per-query probe") {
+    // the trained codebook swaps only the cb relation inside the
+    // shared scaffold (servingPqCodebookAt reads pqcb_g instead of
+    // deriving from centroids); per-query parity over a trained
+    // layout pins that the batched LUT plan and the single-vector
+    // probe resolve the SAME committed codebook bytes
+    import graft.ops.Similarity
+    val indexDir = java.nio.file.Files.createTempDirectory("ann-rrpqt-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ann-rrpqt-out").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir, trainPqIters = 3)
+    assert(graft.IndexFs.isDir(spark, s"$indexDir/pqcb_g0"))
+    def ramp(phase: Int): Seq[Float] =
+      Array.tabulate(64)(i => ((((i + phase) % 7) - 3) / 4.0).toFloat).toSeq
+    val queries = Map(0L -> ramp(0), 1L -> ramp(2), 2L -> ramp(5))
+    StreamOps.annServeRerankedBatch(
+      queries.toSeq.toDF("query_id", "qe"), indexDir, outDir, batchId = 0L,
+      k = 10, nprobeWide = 5, rerankCells = 2, poolSize = 50, codec = "pq")
+    val got = StreamOps.annResults(spark, outDir).get
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy(t => (-t._2, t._1)).toSeq).toMap
+    assert(got.keySet === queries.keySet)
+    for ((qid, qe) <- queries) {
+      val expect = Similarity.ivfProbeVectorRerankedServedPq(spark, indexDir, qe,
+        nprobeWide = 5, rerankCells = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy(t => (-t._2, t._1))
+      assert(got(qid) === expect,
+        s"query $qid diverged from the per-query probe on the trained layout")
+    }
+  }
+
   test("IVF serving racing compaction never returns a truncated or double-counted top-k") {
     // The round-7 manifest-commit gate, raced for real (the image of
     // the partitioned-stats race test applied to the index): a prober
