@@ -65,7 +65,8 @@ object ServeSoak {
     // measures the real corpus at ×N). One corpus pass scores ALL
     // sampled queries (broadcast query relation + window rank);
     // ANN answers come from the same served probes the legs time.
-    def recallAt10(dir: String, ivfDir: String): (Double, Double, Double) = {
+    def recallAt10(dir: String, ivfDir: String,
+        ivfTrainedDir: String): (Double, Double, Double, Double) = {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -104,7 +105,12 @@ object ServeSoak {
         graft.ops.Similarity.ivfProbeVectorRerankedServedPq(spark, ivfDir, qe,
           exclude = Some(qid)).collect().map(_.getLong(0)).toSet
       }
-      (plain, rerank, rerankPq)
+      val rerankPqTrained = recallOf { (qid, qe) =>
+        graft.ops.Similarity.ivfProbeVectorRerankedServedPq(spark,
+          ivfTrainedDir, qe, exclude = Some(qid))
+          .collect().map(_.getLong(0)).toSet
+      }
+      (plain, rerank, rerankPq, rerankPqTrained)
     }
 
     final case class Leg(tag: String, dir: String, name: String,
@@ -120,10 +126,18 @@ object ServeSoak {
         val probe = probeDocs(dir)
         probe.collect() // materialize the probe outside the timed region
         val ivfDir = java.nio.file.Files.createTempDirectory(s"soak-ivf-$tag").toString
-        val (_, ivfBuild) = timed(graft.ops.Similarity.persistIvfIndex(
-          graft.ops.Similarity.buildIvfIndexFrom(
-            spark.read.parquet(s"$dir/embeddings.parquet")), ivfDir))
-        val (plainRecall, rerankRecall, rerankPqRecall) = recallAt10(dir, ivfDir)
+        val idx = graft.ops.Similarity.buildIvfIndexFrom(
+          spark.read.parquet(s"$dir/embeddings.parquet"))
+        val (_, ivfBuild) = timed(graft.ops.Similarity.persistIvfIndex(idx, ivfDir))
+        // the trained-codebook twin: same index, persisted with a
+        // 3-iteration per-subspace Lloyd refinement — the build delta
+        // is the training price, the recall delta the fidelity gain
+        val ivfTrainedDir =
+          java.nio.file.Files.createTempDirectory(s"soak-ivft-$tag").toString
+        val (_, ivfTrainedBuild) = timed(graft.ops.Similarity.persistIvfIndex(
+          idx, ivfTrainedDir, trainPqIters = 3))
+        val (plainRecall, rerankRecall, rerankPqRecall, rerankPqTrainedRecall) =
+          recallAt10(dir, ivfDir, ivfTrainedDir)
         Seq(
           Leg(tag, dir, "lsh_serve",
             () => { graft.ops.Dedup.nearDupCheck(spark, lshDir, probe).collect(); () },
@@ -146,7 +160,11 @@ object ServeSoak {
           Leg(tag, dir, "ivf_rr_pq",
             () => { graft.ops.Similarity.ivfProbeVectorRerankedServedPq(
               spark, ivfDir, qvec).collect(); () },
-            ivfBuild, docs, vecs, rerankPqRecall))
+            ivfBuild, docs, vecs, rerankPqRecall),
+          Leg(tag, dir, "ivf_rr_pqt",
+            () => { graft.ops.Similarity.ivfProbeVectorRerankedServedPq(
+              spark, ivfTrainedDir, qvec).collect(); () },
+            ivfTrainedBuild, docs, vecs, rerankPqTrainedRecall))
     }
     val passes = (1 to 3).map(_ => legs.map(l => timed(l.serve())._2))
     for ((leg, i) <- legs.zipWithIndex) {
