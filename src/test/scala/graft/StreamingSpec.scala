@@ -1597,8 +1597,12 @@ class StreamingSpec extends SparkSuite {
     val indexDir = java.nio.file.Files.createTempDirectory("ivf-autopilot-soak").toString
     Similarity.persistIvfIndex(
       Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    // trainPqIters: every drift-escalated rebuild during the race also
+    // retrains the PQ sub-codebooks — the trained path must survive
+    // the same composition the projection path does
     val policy = IndexMaintenance.Policy(
-      backlogRatio = 0.05, backlogBatches = 3, driftBound = 0.02, lloydIters = 1)
+      backlogRatio = 0.05, backlogBatches = 3, driftBound = 0.02, lloydIters = 1,
+      trainPqIters = 2)
     def vec(k: Int): Seq[Float] =
       Seq.tabulate(64)(d => if (d == 4 + k % 50) 9f else 0f)
 
@@ -1649,12 +1653,45 @@ class StreamingSpec extends SparkSuite {
     val sig = IndexMaintenance.ivfSignals(spark, indexDir)
     assert(sig.deltaBatches < policy.backlogBatches,
       s"final state still carries a backlog: $sig")
+    // a rebuild happened with trainPqIters set, so at least one
+    // generation carried a trained codebook; force one more trained
+    // re-cluster over the DRAINED state so the LIVE generation is
+    // deterministically trained for the serving checks below
+    Similarity.compactIvfIndex(spark, indexDir, lloydIters = 1, trainPqIters = 2)
+    val stFinal = Similarity.resolveIvf(spark, indexDir)
+    assert(graft.IndexFs.isDir(spark, s"$indexDir/pqcb_g${stFinal.gen}"),
+      "trained rebuild did not leave a live codebook")
     // no accepted vector lost anywhere in the ingest/compaction race
     for (k <- ks; id <- Seq(4000000L + k, 4000100L + k)) {
       val v = if (id < 4000100L) vec(k) else vec(k + 13)
       val r = Similarity.ivfProbeVectorServed(spark, indexDir, v, k = 1).head()
       assert(r.getLong(0) === id,
         s"vector $id invisible after the autopilot soak (got ${r.getLong(0)})")
+    }
+    // trained-codebook serving PARITY over the raced state: the
+    // batched plan and the per-query probe must resolve the SAME
+    // committed codebook bytes no matter how the race shaped the
+    // cells (self-hit RECALL through PQ stage 1 is deliberately not
+    // asserted here — cell choice under adversarial one-hot soup is
+    // the fidelity dimension PropertySpec gates on controlled
+    // geometry; parity is invariant)
+    val pqOut = java.nio.file.Files.createTempDirectory("ivf-autopilot-pq").toString
+    val pqQueries = Map(0L -> vec(1), 1L -> vec(7), 2L -> vec(20))
+    StreamOps.annServeRerankedBatch(
+      pqQueries.toSeq.toDF("query_id", "qe"), indexDir, pqOut, batchId = 0L,
+      k = 10, nprobeWide = 5, rerankCells = 2, poolSize = 50, codec = "pq")
+    val pqGot = StreamOps.annResults(spark, pqOut).get
+      .select("query_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))
+        .sortBy(t => (-t._2, t._1)).toSeq).toMap
+    for ((qid, qe) <- pqQueries) {
+      val expect = Similarity.ivfProbeVectorRerankedServedPq(spark, indexDir,
+        qe, k = 10, nprobeWide = 5, rerankCells = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy(t => (-t._2, t._1))
+      assert(pqGot(qid) === expect,
+        s"query $qid: batched trained-PQ serving diverged over the raced index")
     }
   }
 
