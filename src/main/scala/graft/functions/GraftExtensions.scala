@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecPqFold].getName, "vec_pq_fold"),
       (exprs: Seq[Expression]) => VecPq.buildFold(exprs)))
     e.injectFunction((
+      FunctionIdentifier("vec_nearest_idx"),
+      new ExpressionInfo(classOf[VecNearestIdx].getName, "vec_nearest_idx"),
+      (exprs: Seq[Expression]) => VecNearest.build(exprs)))
+    e.injectFunction((
       FunctionIdentifier("graft_barrier"),
       new ExpressionInfo(classOf[PlanBarrier].getName, "graft_barrier"),
       (exprs: Seq[Expression]) => PlanBarrier.build(exprs)))

@@ -173,13 +173,44 @@ object Similarity {
       collected.select("label", "vsum", "n"))
   }
 
+  /** The centroid relation as ONE label-sorted broadcast row —
+    * `(clabels, ccents)` parallel arrays, the [[pqCodebook]] shape
+    * applied to the coarse quantizer. Labels keep their source type
+    * (int32 test fixtures / int64 loaders) so assignment output is
+    * type-transparent. */
+  private def centroidList(centroids: DataFrame): DataFrame =
+    centroids.agg(expr("array_sort(collect_list(struct(label, cent)))").as("cl"))
+      .select(expr("transform(cl, s -> s.label)").as("clabels"),
+        expr("transform(cl, s -> s.cent)").as("ccents"))
+
   /** Incremental maintenance leg 1 — ASSIGN: each new vector goes to
-    * its nearest existing centroid (squared-L2 over the broadcast
-    * centroid relation, min_by with a (d2, label) struct key so ties
-    * are deterministic). One aggregation with map-side partials — no
-    * window sort, no corpus involvement: cost is |batch| × k_coarse
-    * distance folds, the textbook IVF append. */
-  private def assignToCentroids(centroids: DataFrame, newVecs: DataFrame): DataFrame = {
+    * its nearest existing centroid. ONE map-side projection over the
+    * broadcast one-row centroid list: the codegen'd
+    * [[graft.functions.VecNearestIdx]] argmin (sequential-double d2
+    * fold, lowest-label ties) replaces the old crossJoin →
+    * interpreted-HOF → groupBy/min_by plan — same assignment
+    * bit-for-bit (equivalence-tested against
+    * [[assignToCentroidsRelational]]), with no n×k expansion, no HOF
+    * interpretation and NO shuffle: cost is |batch| × k_coarse fused
+    * distance folds, the textbook IVF append, now at codegen speed. */
+  private[graft] def assignToCentroids(centroids: DataFrame, newVecs: DataFrame): DataFrame =
+    newVecs.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroidList(centroids)))
+      // empty centroid relation → no assignable rows (the relational
+      // form's degenerate), not an ANSI element_at error
+      .filter(size(col("ccents")) > 0)
+      .select(col("vec_id"),
+        element_at(col("clabels"),
+          graft.functions.VecNearest.vec_nearest_idx(
+            col("embedding"), col("ccents"))).as("label"),
+        col("embedding"))
+
+  /** The relational reference form of [[assignToCentroids]] (crossJoin
+    * + interpreted d2 fold + min_by argmin) — kept as the
+    * implementation the codegen kernel is equivalence-tested against.
+    */
+  private[graft] def assignToCentroidsRelational(centroids: DataFrame,
+      newVecs: DataFrame): DataFrame = {
     val d2 = aggregate(
       zip_with(col("cent"), col("embedding"),
         (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),

@@ -265,6 +265,32 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("ExistingRDD"))
   }
 
+  test("centroid assignment is one map-side projection: no shuffle, no expansion surviving the stage") {
+    // the old plan crossJoined each vector with the k-row centroid
+    // relation and regrouped via min_by — an Exchange on every
+    // append/Lloyd/compaction. The kernel form must keep the whole
+    // assignment inside the scan stage: broadcast one-row centroid
+    // list, vec_nearest_idx projection, zero Exchanges.
+    import graft.ops.Similarity
+    val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))
+    val assigned = Similarity.assignToCentroids(
+      idx.centroids, idx.corpus.select("vec_id", "embedding"))
+    assigned.collect()
+    val full = assigned.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    // the centroid-list aggregation may collapse its k rows to one
+    // partition and broadcast it; the VECTOR side must never hash-
+    // shuffle — a hashpartitioning Exchange means the per-vec_id
+    // regroup (the min_by plan) came back
+    assert(!plan.contains("hashpartitioning"),
+      s"assignment plan shuffles the vector side:\n$plan")
+    assert(!plan.contains("min_by"),
+      "assignment still argmins relationally — the kernel is not in the plan")
+  }
+
   test("events.ts is sargable: a time-range filter reaches the parquet scan as a pushed filter") {
     // The schema-adaptive loader reads the MICROS layout natively as
     // TimestampType (no cast above the scan), so event-time range

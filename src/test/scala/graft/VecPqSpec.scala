@@ -80,6 +80,40 @@ class VecPqSpec extends SparkSuite {
     assert(f.head().getDouble(0) === 0.0)
   }
 
+  test("vec_nearest_idx assignment equals the relational min_by form on a real index") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val idx = Similarity.buildIvfIndex(spark, sf("sf0.001"))
+      val vecs = idx.corpus.select("vec_id", "embedding")
+      val viaKernel = Similarity.assignToCentroids(idx.centroids, vecs)
+        .select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+      val viaRelational = Similarity.assignToCentroidsRelational(idx.centroids, vecs)
+        .select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+      assert(viaKernel.size === viaRelational.size)
+      val diffs = viaKernel.collect {
+        case (id, l) if viaRelational(id) != l => (id, l, viaRelational(id))
+      }
+      assert(diffs.isEmpty, s"assignment diverged on ${diffs.take(5)}")
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("vec_nearest_idx ties break to the lowest position and it registers as SQL") {
+    graft.functions.VecNearest.register(spark)
+    // two identical centroids then a farther one: tie -> position 1
+    val got = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("e")
+      .selectExpr("vec_nearest_idx(e, array(" +
+        "array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))," +
+        "array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))," +
+        "array(CAST(9.0 AS DOUBLE), CAST(9.0 AS DOUBLE)))) AS i")
+      .head().getInt(0)
+    assert(got === 1)
+    val n = Seq(Tuple1(Option.empty[Array[Float]])).toDF("e")
+      .selectExpr("vec_nearest_idx(e, array(array(CAST(1.0 AS DOUBLE)))) AS i")
+    assert(n.head().isNullAt(0))
+  }
+
   test("vec_pq_encode / vec_pq_fold register as SQL functions") {
     VecPq.register(spark)
     val got = Seq((Array(3.0f, 4.0f), 5.0))
