@@ -123,6 +123,16 @@ object ServeSoak {
         val lshDir = java.nio.file.Files.createTempDirectory(s"soak-lsh-$tag").toString
         val (_, lshBuild) = timed(graft.ops.Dedup.persistLshIndex(
           spark.read.parquet(s"$dir/documents.parquet"), lshDir))
+        // the HOT-CELL twin: prefixLen=0 puts every band row in ONE
+        // cell — the model of the 100 TB regime where a probed cell
+        // holds many parquet pages of inlined shingle sets. This is
+        // where the two-stage probe's column-pruned screen has bytes
+        // to save; at page-sized cells (the default layout above) it
+        // is overhead-bound instead.
+        val lshHotDir = java.nio.file.Files.createTempDirectory(s"soak-lshh-$tag").toString
+        val (_, lshHotBuild) = timed(graft.ops.Dedup.persistLshIndex(
+          spark.read.parquet(s"$dir/documents.parquet"), lshHotDir,
+          prefixLen = 0))
         val probe = probeDocs(dir)
         probe.collect() // materialize the probe outside the timed region
         val ivfDir = java.nio.file.Files.createTempDirectory(s"soak-ivf-$tag").toString
@@ -142,6 +152,25 @@ object ServeSoak {
           Leg(tag, dir, "lsh_serve",
             () => { graft.ops.Dedup.nearDupCheck(spark, lshDir, probe).collect(); () },
             lshBuild, docs, vecs),
+          // the two-stage twin: column-pruned candidate screen, then
+          // the exact verify over survivor sigs only — the number that
+          // shows whether skipping the fat shingle column in hot cells
+          // pays for the second (narrow) scan at ×N
+          Leg(tag, dir, "lsh_2stage",
+            () => { graft.ops.Dedup.nearDupCheck(spark, lshDir, probe,
+              twoStage = true).collect(); () },
+            lshBuild, docs, vecs),
+          // hot-cell pair: same probe, one fat cell per band — the
+          // one-pass form must read every row's shingle set, the
+          // two-stage form screens on (doc_id, sig) first
+          Leg(tag, dir, "lsh_hot",
+            () => { graft.ops.Dedup.nearDupCheck(spark, lshHotDir, probe,
+              prefixLen = 0).collect(); () },
+            lshHotBuild, docs, vecs),
+          Leg(tag, dir, "lsh_hot_2s",
+            () => { graft.ops.Dedup.nearDupCheck(spark, lshHotDir, probe,
+              prefixLen = 0, twoStage = true).collect(); () },
+            lshHotBuild, docs, vecs),
           Leg(tag, dir, "ivf_serve",
             () => { graft.ops.Similarity.ivfProbeVectorServed(spark, ivfDir, qvec).collect(); () },
             ivfBuild, docs, vecs, plainRecall),

@@ -267,8 +267,12 @@ object Dedup {
     * rows instead of recomputing the band pipeline twice. */
   private def writeBandCells(rows: DataFrame, path: String,
       maxCellRows: Long = defaultMaxCellRows): Unit =
+    // sig-sorted within each cell file: the two-stage probe's stage-2
+    // read pushes `sig IN (survivors)` to the scan, and tight per-page
+    // sig stats let it skip the pages of the FAT inlined shingle-set
+    // column for every non-candidate row (see nearDupCheckWithProbe)
     Storage.writeCellClustered(rows, Seq("band_id", "sig_p"), "doc_id",
-      path, maxCellRows)
+      path, maxCellRows, sortCols = Seq("sig"))
 
   private val lshPrefix = "bands"
   private def lshBase(indexDir: String, gen: Long) =
@@ -364,15 +368,16 @@ object Dedup {
         graft.GenManifest.DeltaEntry(batchId, 0L, Some(cells)))
   }
 
-  /** The index rows of the probed cells across the base generation and
-    * the committed deltas above the manifest floor — `belowBatch`
-    * additionally bounds which deltas count (exclusive), so a REPLAYED
-    * ingest batch never probes against its own torn output. Each root
-    * reads under the explicit `bandReadSchema` (via `readBandRoot`) —
-    * never inferred — so `sig_p` stays a string even for an all-digit
-    * cell value and the per-root frames union cleanly. */
-  private def lshCells(spark: SparkSession, indexDir: String,
-      cells: Seq[(Int, String)], belowBatch: Long): Seq[DataFrame] = {
+  /** The RESOLVED `(root, cellPaths)` list of a probe across the base
+    * generation and the committed deltas above the manifest floor —
+    * ONE metadata pass (manifest resolve, base-cell existence filter,
+    * one ledger read) whose result every read the probe issues shares,
+    * so the two-stage probe pays the SAME seam calls as the
+    * single-plan form. `belowBatch` bounds which deltas count
+    * (exclusive), so a REPLAYED ingest batch never probes against its
+    * own torn output. */
+  private def lshCellPaths(spark: SparkSession, indexDir: String,
+      cells: Seq[(Int, String)], belowBatch: Long): Seq[(String, Seq[String])] = {
     val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no LSH index manifest under $indexDir — persistLshIndex first"))
@@ -383,7 +388,7 @@ object Dedup {
     val base = {
       val paths = cellNames.map(n => s"$baseRoot/$n")
         .filter(p => graft.IndexFs.isDir(spark, p))
-      if (paths.isEmpty) None else Some(readBandRoot(spark, baseRoot, paths))
+      if (paths.isEmpty) None else Some(baseRoot -> paths)
     }
     // deltas: cell lists come from the ONE ledger read — zero
     // per-delta round-trips at probe time (the IVF serving discipline)
@@ -394,16 +399,25 @@ object Dedup {
         e.cells match {
           case Some(cs) =>
             val hit = cellNames.filter(cs.toSet)
-            if (hit.isEmpty) None
-            else Some(readBandRoot(spark, root, hit.map(n => s"$root/$n")))
+            if (hit.isEmpty) None else Some(root -> hit.map(n => s"$root/$n"))
           case None =>
             val paths = cellNames.map(n => s"$root/$n")
               .filter(p => graft.IndexFs.isDir(spark, p))
-            if (paths.isEmpty) None else Some(readBandRoot(spark, root, paths))
+            if (paths.isEmpty) None else Some(root -> paths)
         }
       }
     base.toSeq ++ deltas
   }
+
+  /** The index rows of the probed cells — one frame per resolved root,
+    * each read under the explicit `bandReadSchema` (via
+    * `readBandRoot`) — never inferred — so `sig_p` stays a string even
+    * for an all-digit cell value and the per-root frames union
+    * cleanly. */
+  private def lshCells(spark: SparkSession, indexDir: String,
+      cells: Seq[(Int, String)], belowBatch: Long): Seq[DataFrame] =
+    lshCellPaths(spark, indexDir, cells, belowBatch)
+      .map { case (root, paths) => readBandRoot(spark, root, paths) }
 
   /** Near-dup check of a document batch AGAINST the persisted index —
     * the ingest-time gate of a growing corpus ("is this new document a
@@ -417,9 +431,10 @@ object Dedup {
   def nearDupCheck(spark: SparkSession, indexDir: String,
       probeDocs: DataFrame, threshold: Double = jaccardThreshold,
       belowBatch: Long = Long.MaxValue, prefixLen: Int = 2,
-      broadcastProbe: Boolean = true, exactFallback: Boolean = false): DataFrame =
+      broadcastProbe: Boolean = true, exactFallback: Boolean = false,
+      twoStage: Boolean = false): DataFrame =
     nearDupCheckReleasable(spark, indexDir, probeDocs, threshold,
-      belowBatch, prefixLen, broadcastProbe, exactFallback)._1
+      belowBatch, prefixLen, broadcastProbe, exactFallback, twoStage)._1
 
   /** [[nearDupCheck]] plus the release handle for the pinned probe
     * relation. A once-per-query caller can ignore it (the
@@ -437,9 +452,9 @@ object Dedup {
   private[graft] def nearDupCheckReleasable(spark: SparkSession,
       indexDir: String, probeDocs: DataFrame, threshold: Double,
       belowBatch: Long, prefixLen: Int, broadcastProbe: Boolean,
-      exactFallback: Boolean): (DataFrame, () => Unit) = {
+      exactFallback: Boolean, twoStage: Boolean = false): (DataFrame, () => Unit) = {
     val (out, _, release) = nearDupCheckWithProbe(spark, indexDir, probeDocs,
-      threshold, belowBatch, prefixLen, broadcastProbe, exactFallback)
+      threshold, belowBatch, prefixLen, broadcastProbe, exactFallback, twoStage)
     (out, release)
   }
 
@@ -449,25 +464,66 @@ object Dedup {
     * collection). `dedupIngest` reuses it for the within-batch
     * self-check instead of re-banding the batch's text from scratch,
     * halving steady-state ingest CPU. The single release handle frees
-    * the probe pin; call it only after every derived read is done. */
+    * the probe pin; call it only after every derived read is done.
+    *
+    * `twoStage` (the serving-path option, mirroring the IVF rerank
+    * discipline of a cheap screen before the exact stage) splits the
+    * cell read in two: stage 1 scans the probed cells COLUMN-PRUNED to
+    * `(doc_id, band_id, sig)` — parquet never materializes the fat
+    * inlined shingle-set column — and collects the band signatures
+    * with at least one cross-id candidate (control plane, bounded by
+    * the probe's own band rows ≤ 3×|batch|); stage 2 re-reads the
+    * SAME resolved cell paths with `sig IN (survivors)` pushed to the
+    * scan (cells are sig-sorted at write, so page stats skip the
+    * shingle pages of every non-candidate row) and runs the exact
+    * verify. Result-identical to the single-plan form by construction:
+    * the screen keeps every `(band, sig)` that joins a cross-id pair —
+    * exactly the pairs the one-pass join would emit — and the exact
+    * stage recomputes the identical candidate join + Jaccard. A LOSSY
+    * screen (e.g. a simhash hamming prefilter) is deliberately NOT
+    * used: it would trade recall silently inside an operator whose
+    * contract is every pair at exact Jaccard ≥ threshold. Use on
+    * micro-batch-sized probes (the ingest/serving path, same bounded
+    * collect discipline as IVF serving); a corpus-scale probe would
+    * make the survivor collect data-plane-sized — keep the default
+    * one-pass plan there. */
   private[graft] def nearDupCheckWithProbe(spark: SparkSession,
       indexDir: String, probeDocs: DataFrame, threshold: Double,
       belowBatch: Long, prefixLen: Int, broadcastProbe: Boolean,
-      exactFallback: Boolean): (DataFrame, DataFrame, () => Unit) = {
+      exactFallback: Boolean, twoStage: Boolean = false): (DataFrame, DataFrame, () => Unit) = {
     val (probe, release) = Materialize.releasable(
       bandRows(probeDocs, prefixLen, exactFallback)
         .select(col("doc_id").as("probe_id"), col("band_id"), col("sig"),
           col("sig_p"), col("ss").as("pss")))
+    def emptyResult = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "probe_id BIGINT, index_id BIGINT, jac DOUBLE, n_inter INT, n_union INT"))
     val cells = probe.select("band_id", "sig_p").distinct()
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
-    val perRoot = lshCells(spark, indexDir, cells, belowBatch)
-    if (perRoot.isEmpty) {
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "probe_id BIGINT, index_id BIGINT, jac DOUBLE, n_inter INT, n_union INT"))
-      return (empty, probe, release)
-    }
+    // ONE metadata resolve shared by both stages — the two-stage form
+    // must not double the probe's seam calls (IndexFsSpec pins this)
+    val roots = lshCellPaths(spark, indexDir, cells, belowBatch)
+    if (roots.isEmpty) return (emptyResult, probe, release)
+    def cellFrames: Seq[DataFrame] =
+      roots.map { case (root, paths) => readBandRoot(spark, root, paths) }
+    val perRoot =
+      if (!twoStage) cellFrames
+      else {
+        val survivors = cellFrames
+          .map(_.select(col("doc_id"), col("band_id"), col("sig")))
+          .reduce(_ unionByName _)
+          .join(broadcast(probe.select(col("probe_id"), col("band_id"),
+            col("sig")).distinct()), Seq("band_id", "sig"))
+          .filter(col("probe_id") =!= col("doc_id"))
+          .select("sig").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        if (survivors.isEmpty) return (emptyResult, probe, release)
+        // sig alone (not (band, sig)) keeps the filter sargable; a
+        // cross-band sig collision only widens the scan — the exact
+        // stage still joins on BOTH keys
+        cellFrames.map(_.where(col("sig").isin(survivors: _*)))
+      }
     val index = perRoot.reduce(_ unionByName _)
       .select(col("doc_id").as("index_id"), col("band_id"), col("sig"),
         col("ss").as("iss"))

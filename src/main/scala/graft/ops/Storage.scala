@@ -79,10 +79,22 @@ object Storage {
     * instead of running the (often expensive) producing pipeline
     * twice; the pin is released once the write completes. The count
     * relation is cell-cardinality (thousands of rows) and broadcasts.
+    *
+    * `sortCols` (optional) orders rows by `cellCols ++ sortCols`
+    * within each write task, making parquet row-group/page statistics
+    * on those columns tight — a reader pushing an equality/IN filter
+    * on a sort column then skips whole pages (including pages of FAT
+    * sibling columns, via the parquet column index) instead of
+    * decoding every row of the cell. Near-free at write time: the
+    * explicit sort's prefix is exactly the partition columns, so it
+    * SATISFIES the ordering `partitionBy` would otherwise insert its
+    * own sort for — one sort either way, ours just carries the extra
+    * keys. Empty (the default) preserves the historical unordered
+    * layout byte-for-byte.
     */
   private[graft] def writeCellClustered(rows: DataFrame,
       cellCols: Seq[String], hashCol: String, path: String,
-      maxCellRows: Long): Unit = {
+      maxCellRows: Long, sortCols: Seq[String] = Nil): Unit = {
     require(maxCellRows > 0, s"maxCellRows=$maxCellRows")
     val (rawPinned, release) = graft.Materialize.releasable(rows)
     try {
@@ -114,10 +126,14 @@ object Storage {
       val totalRow = counts.agg(sum(col("_slots"))).head()
       val totalSlots =
         (if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)).toInt max 1
-      pinned.join(broadcast(counts), cellCols)
+      val clustered = pinned.join(broadcast(counts), cellCols)
         .withColumn("_slot", pmod(hash(col(hashCol)), col("_slots").cast("int")))
         .repartition(totalSlots, (cellCols :+ "_slot").map(col): _*)
         .drop("_cell_n", "_slots", "_slot")
+      val ordered =
+        if (sortCols.isEmpty) clustered
+        else clustered.sortWithinPartitions((cellCols ++ sortCols).map(col): _*)
+      ordered
         .write.mode("overwrite").option("maxRecordsPerFile", maxCellRows)
         .partitionBy(cellCols: _*).parquet(path)
     } finally release()

@@ -1036,14 +1036,17 @@ object StreamOps {
     * index doc (highest Jaccard, ties to the lowest id) or the
     * in-batch family survivor. */
   def dedupIngest(docs: DataFrame, indexDir: String, outDir: String,
-      threshold: Double = 0.4): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      threshold: Double = 0.4,
+      twoStageProbe: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        dedupIngestBatch(batch.toDF(), indexDir, outDir, batchId, threshold)
+        dedupIngestBatch(batch.toDF(), indexDir, outDir, batchId, threshold,
+          twoStageProbe)
     }
 
   private[graft] def dedupIngestBatch(batch: DataFrame, indexDir: String,
-      outDir: String, batchId: Long, threshold: Double): Unit = {
+      outDir: String, batchId: Long, threshold: Double,
+      twoStageProbe: Boolean = false): Unit = {
     import org.apache.spark.sql.expressions.Window
     if (batch.isEmpty) return
     val spark = batch.sparkSession
@@ -1058,9 +1061,19 @@ object StreamOps {
       // stream's lifetime — the pinned probe relation is freed once
       // this batch's writes land, not when the ContextCleaner gets
       // around to it
+      // twoStageProbe (a deployment knob, not a default): the probe is
+      // micro-batch-sized, so the survivor collect is control-plane
+      // bounded and the index cells are read column-pruned +
+      // sig-filtered (the LSH analog of the IVF rerank's
+      // cheap-stage-then-exact discipline). Turn it ON when index
+      // cells are fat (many parquet pages each — the 100 TB regime);
+      // at page-sized cells the second scan costs more than the
+      // shingle-column pruning saves (measured: ServeSoak lsh_hot vs
+      // lsh_serve legs and PERF.md's crossover note).
       val (dupsRaw, probeRows, releaseProbe) = graft.ops.Dedup.nearDupCheckWithProbe(
         spark, indexDir, uniq, threshold, belowBatch = batchId,
-        prefixLen = 2, broadcastProbe = true, exactFallback = true)
+        prefixLen = 2, broadcastProbe = true, exactFallback = true,
+        twoStage = twoStageProbe)
       val dups = dupsRaw.persist()
       try {
         val fresh = uniq.join(

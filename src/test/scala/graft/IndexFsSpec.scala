@@ -115,6 +115,35 @@ class IndexFsSpec extends SparkSuite {
     (1 to 8).foreach(b => assert(hits.contains(100L + b), s"delta b$b not probed"))
   }
 
+  test("two-stage LSH probe: same seam calls as the one-pass form, identical pairs") {
+    import graft.ops.Dedup
+    val indexDir = uriDir("lsh-2s")
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(Seq(1L -> seeded).toDF("doc_id", "text"), indexDir)
+    // a small delta backlog so the shared-resolve claim covers the
+    // ledger path too, not just the base-cell existence checks
+    (1 to 4).foreach { b =>
+      Dedup.appendToLshIndex(spark, indexDir,
+        Seq((100L + b) -> seeded).toDF("doc_id", "text"), batchId = b.toLong)
+    }
+    val probe = Seq(11L -> seeded.replace(" mu", " nu")).toDF("doc_id", "text")
+    def run(twoStage: Boolean): (Long, Seq[(Long, Long)]) = {
+      val before = IndexFs.seamCalls.get()
+      val pairs = Dedup.nearDupCheck(spark, indexDir, probe, twoStage = twoStage)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      (IndexFs.seamCalls.get() - before, pairs)
+    }
+    val (onePassCalls, onePassPairs) = run(twoStage = false)
+    val (twoStageCalls, twoStagePairs) = run(twoStage = true)
+    // the screen stage MUST reuse the one metadata resolve — a second
+    // lshCellPaths pass would double the probe's s3a round-trips
+    assert(twoStageCalls === onePassCalls,
+      s"two-stage probe pays extra seam calls: $onePassCalls → $twoStageCalls")
+    assert(twoStagePairs === onePassPairs,
+      "two-stage probe diverged from the one-pass pairs")
+    assert(onePassPairs.map(_._2).toSet === (Set(1L) ++ (1 to 4).map(100L + _)))
+  }
+
   test("IVF probe metadata I/O is O(1) in the delta backlog (one ledger read, no per-delta round-trips)") {
     import graft.ops.Similarity
     val indexDir = uriDir("ivf-o1")

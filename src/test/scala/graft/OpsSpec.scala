@@ -531,6 +531,51 @@ class OpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === before)
   }
 
+  test("two-stage probe equals the one-pass plan on a real corpus; band cells are sig-sorted per file") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Tables}
+    val dir = sf("sf0.001")
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-2s-real").toString
+    Dedup.persistLshIndex(
+      Tables.table(spark, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text"),
+      indexDir, prefixLen = 1, exactFallback = true)
+    // a delta with a short doc: the fallback band (band_id=2) and the
+    // delta read path both participate in the equality claim
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(900001L -> "tiny doc").toDF("doc_id", "text"),
+      batchId = 1L, prefixLen = 1, exactFallback = true)
+    val probe = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+      .unionByName(Seq(900011L -> "tiny doc").toDF("doc_id", "text"))
+    def run(twoStage: Boolean): Seq[(Long, Long, Double)] =
+      Dedup.nearDupCheck(spark, indexDir, probe, prefixLen = 1,
+        exactFallback = true, twoStage = twoStage)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val onePass = run(twoStage = false)
+    val two = run(twoStage = true)
+    assert(two === onePass, "two-stage probe diverged from the one-pass plan")
+    assert(onePass.exists(t => t._1 == 900011L && t._2 == 900001L && t._3 == 1.0),
+      "short-doc fallback pair missing — the screen must keep band_id=2 sigs too")
+
+    // every band-cell part file is sig-sorted: the write-side layout
+    // contract stage 2's pushed IN(sig) filter relies on for page-stat
+    // skipping of the fat shingle column
+    def parquetFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val files = parquetFiles(new java.io.File(s"$indexDir/bands_g0"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val sigs = spark.read.parquet(f.toString)
+        .select("sig").collect().map(_.getString(0)).toSeq
+      assert(sigs === sigs.sorted, s"unsorted sigs in ${f.getName}")
+    }
+  }
+
   test("quadratic cosine baseline refuses a corpus above the row cap") {
     sys.props("GRAFT_COSINE_MAX_ROWS") = "10"
     try {

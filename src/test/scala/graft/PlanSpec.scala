@@ -291,6 +291,62 @@ class PlanSpec extends SparkSuite {
       "assignment still argmins relationally — the kernel is not in the plan")
   }
 
+  test("two-stage LSH probe: screen scan never reads the shingle column; exact scan pushes the survivor IN(sig) filter") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-2s-plan").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    Dedup.persistLshIndex(
+      Seq(1L -> seeded, 2L -> other).toDF("doc_id", "text"), indexDir,
+      exactFallback = false)
+    val probe = Seq(11L -> seeded.replace(" mu", " nu")).toDF("doc_id", "text")
+    // the screen's plan only exists inside the probe call (its
+    // survivors collect) — capture every executed plan via listener
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Dedup.nearDupCheck(spark, indexDir, probe, twoStage = true)
+      val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs === Seq((11L, 1L)))
+      // exact stage (the returned plan): the survivor filter reached
+      // the band-cell scan as a pushed IN(sig) — with sig-sorted cell
+      // files that is what page-skips the fat shingle column
+      val full = out.queryExecution.executedPlan.toString
+      val exact = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i  => full.substring(0, i)
+      }
+      // a single-survivor IN collapses to EqualTo — both are the
+      // pushed sargable form
+      assert(exact.contains("PushedFilters") &&
+        (exact.contains("In(sig") || exact.contains("EqualTo(sig")),
+        s"exact-stage scan lost the pushed survivor filter:\n$exact")
+      // screen stage: poll the async listener bus for the plan whose
+      // band-cell scan is column-pruned to (doc_id, sig) — a ReadSchema
+      // carrying ss means stage 1 paid the shingle I/O anyway
+      def screenPlan: Option[String] = {
+        import scala.jdk.CollectionConverters._
+        captured.asScala.find(p =>
+          p.contains("bands_g") &&
+            p.contains("ReadSchema: struct<doc_id:bigint,sig:string>"))
+      }
+      val deadline = System.currentTimeMillis() + 20000
+      while (screenPlan.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(screenPlan.nonEmpty,
+        "no column-pruned screen scan observed — stage 1 read the shingle column")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("events.ts is sargable: a time-range filter reaches the parquet scan as a pushed filter") {
     // The schema-adaptive loader reads the MICROS layout natively as
     // TimestampType (no cast above the scan), so event-time range

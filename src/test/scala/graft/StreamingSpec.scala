@@ -1039,6 +1039,44 @@ class StreamingSpec extends SparkSuite {
     assert(copies === Seq((999L, 109L)), s"replay double-grew the index: $copies")
   }
 
+  test("dedup ingest with the two-stage probe: decision logs identical to the one-pass mode, replay-safe") {
+    import graft.ops.Dedup
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textA = "one two three four five six seven eight nine ten eleven twelve"
+    val textC = "red orange yellow green blue indigo violet septaria umbra ochre sienna teal"
+    val b0 = Seq(101L -> seeded.replace(" mu", " nu"), 103L -> textA,
+      105L -> "tiny doc")
+    val b1 = Seq(107L -> textA.replace(" twelve", " fifteen"), 109L -> textC,
+      111L -> "doc tiny")
+    // same seeded base, same two batches, one run per probe mode — the
+    // two-stage screen must be decision-invisible (incl. the short-doc
+    // fallback band and the delta probe of batch 1 against batch 0)
+    def runMode(twoStageProbe: Boolean): Seq[Map[Long, Option[Long]]] = {
+      val indexDir = java.nio.file.Files.createTempDirectory("dedup-2s-idx").toString
+      val outDir = java.nio.file.Files.createTempDirectory("dedup-2s-out").toString
+      Dedup.persistLshIndex(Seq(2L -> seeded).toDF("doc_id", "text"), indexDir)
+      StreamOps.dedupIngestBatch(b0.toDF("doc_id", "text"), indexDir, outDir,
+        batchId = 0L, threshold = 0.4, twoStageProbe = twoStageProbe)
+      StreamOps.dedupIngestBatch(b1.toDF("doc_id", "text"), indexDir, outDir,
+        batchId = 1L, threshold = 0.4, twoStageProbe = twoStageProbe)
+      // crash replay of batch 1 in the same mode: identical decisions
+      StreamOps.dedupIngestBatch(b1.toDF("doc_id", "text"), indexDir, outDir,
+        batchId = 1L, threshold = 0.4, twoStageProbe = twoStageProbe)
+      (0 to 1).map(b => spark.read.parquet(s"$outDir/b$b")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap)
+    }
+    val onePass = runMode(twoStageProbe = false)
+    val twoStage = runMode(twoStageProbe = true)
+    assert(twoStage === onePass, "two-stage ingest probe changed decisions")
+    // the fixture is not vacuous: a cross-batch near-dup, an accepted
+    // doc and a token-reordered short-doc fallback dup all decided
+    assert(onePass(0)(101L) === Some(2L))
+    assert(onePass(0)(103L) === None)
+    assert(onePass(1)(107L) === Some(103L))
+    assert(onePass(1)(111L) === Some(105L), "fallback-band dup missed")
+  }
+
   test("dedup ingest: two near-dup docs arriving in ONE batch — one accepted, one flagged against it") {
     import graft.ops.Dedup
     val indexDir = java.nio.file.Files.createTempDirectory("dedup-inbatch-idx").toString
