@@ -231,6 +231,80 @@ object PipelineOps {
         .orderBy("train_doc")
     })
 
+  /** SEMANTIC eval-set decontamination: training vectors whose
+    * embedding is cosine-close to any benchmark/eval vector — the
+    * paraphrase-contamination check the n-gram forms cannot see
+    * (reworded eval questions share no 4-token shingle but sit next to
+    * the original in embedding space). Eval set = the deterministic
+    * `vec_id % 23` slice, mirroring `decontaminate_ngram`'s split.
+    *
+    * Candidates come from an OR-AMPLIFIED 4-band sign-LSH: band b is
+    * the 8 sign bits of dimensions 8b+1..8b+8, and a (train, eval)
+    * pair colliding in ANY band is a candidate — the recall direction
+    * of the band trick (the dedup family's single bucket is the
+    * precision direction; decontamination must not miss a
+    * contaminated doc because one of 8 leading signs flipped). The
+    * exact-cosine verify then keeps pairs at ≥ 0.30, so band recall
+    * only ever ADDS candidates, never changes a confirmed score.
+    *
+    * Scale shape: ONE train scan exploded to 4 slim band rows per
+    * vector, broadcast-joined against the benchmark-sized eval band
+    * relation (the train corpus never shuffles); the distinct
+    * candidate set — bounded by |eval| × per-eval collision mass, the
+    * decontamination working set — broadcasts back onto the train
+    * scan for the exact verify, and the eval embeddings ride a second
+    * broadcast. Zero corpus-side exchanges end to end. */
+  val decontaminateEmbedding = QueryDef(
+    "decontaminate_embedding",
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+            |    ${Similarity.bandExpr("embedding", 0)} AS band0,
+            |    ${Similarity.bandExpr("embedding", 1)} AS band1,
+            |    ${Similarity.bandExpr("embedding", 2)} AS band2,
+            |    ${Similarity.bandExpr("embedding", 3)} AS band3
+            |  FROM embeddings),
+            |tr AS (SELECT * FROM e WHERE vec_id % 23 <> 0),
+            |ev AS (SELECT * FROM e WHERE vec_id % 23 = 0),
+            |cand AS (SELECT DISTINCT t.vec_id AS tv, ev.vec_id AS evv
+            |  FROM tr t JOIN ev ON t.band0 = ev.band0 OR t.band1 = ev.band1
+            |    OR t.band2 = ev.band2 OR t.band3 = ev.band3),
+            |j AS (SELECT c.tv, c.evv,
+            |  ${Similarity.dd("a.embedding", "b.embedding")}
+            |    / (sqrt(${Similarity.dd("a.embedding", "a.embedding")})
+            |     * sqrt(${Similarity.dd("b.embedding", "b.embedding")})) AS cos
+            |  FROM cand c JOIN tr a ON a.vec_id = c.tv JOIN ev b ON b.vec_id = c.evv)
+            |SELECT tv AS train_vec, evv AS eval_vec, ROUND(cos, 6) AS cos_sim
+            |FROM j WHERE cos >= 0.30
+            |ORDER BY train_vec, eval_vec""".stripMargin),
+    (spark, dir) => {
+      import org.apache.spark.sql.{Column, DataFrame}
+      val e = Tables.table(spark, dir, "embeddings")
+      def bandRows(df: DataFrame, idCol: String): DataFrame =
+        df.select(col("vec_id").as(idCol), posexplode(array(
+            (0 until 4).map(b => Similarity.sparkBand(col("embedding"), b)): _*)))
+          .select(col(idCol), col("pos").as("band_id"), col("col").as("sig"))
+      // eval side is benchmark-sized and read three times (band rows,
+      // verify embeddings) — pin it once
+      val evSide = e.filter(col("vec_id") % 23 === 0)
+        .select(col("vec_id"), col("embedding"),
+          sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("enorm"))
+        .materialized
+      val cands = bandRows(e.filter(col("vec_id") % 23 =!= 0), "tv")
+        .join(broadcast(bandRows(evSide, "evv")), Seq("band_id", "sig"))
+        .select("tv", "evv").distinct()
+      val cos: Column = Similarity.dot(col("embedding"), col("ee")) /
+        (col("tnorm") * col("enorm"))
+      e.filter(col("vec_id") % 23 =!= 0)
+        .select(col("vec_id").as("tv"), col("embedding"),
+          sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("tnorm"))
+        .join(broadcast(cands), Seq("tv"))
+        .join(broadcast(evSide.select(col("vec_id").as("evv"),
+          col("embedding").as("ee"), col("enorm"))), Seq("evv"))
+        .filter(cos >= 0.30)
+        .select(col("tv").as("train_vec"), col("evv").as("eval_vec"),
+          round(cos, 6).as("cos_sim"))
+        .orderBy("train_vec", "eval_vec")
+    })
+
   /** Incremental aggregation maintenance (the foreachBatch pattern as
     * a provable batch query): a "materialized" aggregate over the
     * history (days before the cut) is merged with a fresh delta
@@ -281,5 +355,5 @@ object PipelineOps {
 
   val defs: Seq[QueryDef] =
     Seq(pipelineDwsE2e, pipelineCleanDedupSample, decontaminateNgram,
-      decontaminateBloom, pipelineIncrAgg)
+      decontaminateBloom, decontaminateEmbedding, pipelineIncrAgg)
 }

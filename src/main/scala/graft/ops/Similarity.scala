@@ -70,6 +70,22 @@ object Similarity {
   private[ops] def sparkBucket(c: Column): Column =
     concat((1 to 8).map(i => when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
 
+  /** Sign-bit band `b` (0-based): 8 bits from the signs of dimensions
+    * 8b+1..8b+8 — band 0 IS [[bucketExpr]]; bands 1..3 extend the same
+    * axis-aligned hyperplane family to the OR-amplified multi-band
+    * candidate generator of `decontaminate_embedding` (a pair
+    * colliding in ANY band is a candidate — the recall-oriented
+    * amplification direction, where the single-bucket dedup forms use
+    * the precision direction). */
+  private[ops] def bandExpr(prefix: String, b: Int): String =
+    (8 * b + 1 to 8 * b + 8)
+      .map(i => s"CASE WHEN $prefix[$i] >= 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+
+  private[ops] def sparkBand(c: Column, b: Int): Column =
+    concat((8 * b + 1 to 8 * b + 8)
+      .map(i => when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
+
   /** Shared candidate-pair builder for the bucketed-cosine family
     * (`dedup_embedding_lsh`, `dedup_semantic_clusters`,
     * `sim_knn_graph`): cache the bucketed+normed relation, self-join

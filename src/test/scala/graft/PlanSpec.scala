@@ -291,6 +291,16 @@ class PlanSpec extends SparkSuite {
       "assignment still argmins relationally — the kernel is not in the plan")
   }
 
+  test("decontaminate_embedding: train corpus rides broadcast joins only, no corpus-side shuffle") {
+    val plan = finalPlan("decontaminate_embedding")
+    // band-candidate join, candidate join-back and eval-embedding join
+    // must ALL build on the broadcast (benchmark-sized) side — a
+    // SortMergeJoin means the train corpus shuffled
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"))
+    assert(occurrences(plan, "BroadcastHashJoin") >= 3, plan)
+  }
+
   test("two-stage LSH probe: screen scan never reads the shingle column; exact scan pushes the survivor IN(sig) filter") {
     import graft.ops.Dedup
     import spark.implicits._
