@@ -123,16 +123,18 @@ object ServeSoak {
         val lshDir = java.nio.file.Files.createTempDirectory(s"soak-lsh-$tag").toString
         val (_, lshBuild) = timed(graft.ops.Dedup.persistLshIndex(
           spark.read.parquet(s"$dir/documents.parquet"), lshDir))
-        // the HOT-CELL twin: prefixLen=0 puts every band row in ONE
-        // cell — the model of the 100 TB regime where a probed cell
-        // holds many parquet pages of inlined shingle sets. This is
-        // where the two-stage probe's column-pruned screen has bytes
-        // to save; at page-sized cells (the default layout above) it
-        // is overhead-bound instead.
+        // the HOT-CELL twin: prefixLen=1 is 16 cells per band — at ×N
+        // each probed cell holds many parquet pages of inlined shingle
+        // sets, the model of the 100 TB regime. This is where the
+        // two-stage probe's column-pruned screen has bytes to save; at
+        // page-sized cells (the default 256-cell layout above) it is
+        // overhead-bound instead. (prefixLen=0 is REJECTED by the
+        // layout: an empty cell prefix writes HIVE-default-partition
+        // paths no probe matches.)
         val lshHotDir = java.nio.file.Files.createTempDirectory(s"soak-lshh-$tag").toString
         val (_, lshHotBuild) = timed(graft.ops.Dedup.persistLshIndex(
           spark.read.parquet(s"$dir/documents.parquet"), lshHotDir,
-          prefixLen = 0))
+          prefixLen = 1))
         val probe = probeDocs(dir)
         probe.collect() // materialize the probe outside the timed region
         val ivfDir = java.nio.file.Files.createTempDirectory(s"soak-ivf-$tag").toString
@@ -165,11 +167,11 @@ object ServeSoak {
           // two-stage form screens on (doc_id, sig) first
           Leg(tag, dir, "lsh_hot",
             () => { graft.ops.Dedup.nearDupCheck(spark, lshHotDir, probe,
-              prefixLen = 0).collect(); () },
+              prefixLen = 1).collect(); () },
             lshHotBuild, docs, vecs),
           Leg(tag, dir, "lsh_hot_2s",
             () => { graft.ops.Dedup.nearDupCheck(spark, lshHotDir, probe,
-              prefixLen = 0, twoStage = true).collect(); () },
+              prefixLen = 1, twoStage = true).collect(); () },
             lshHotBuild, docs, vecs),
           Leg(tag, dir, "ivf_serve",
             () => { graft.ops.Similarity.ivfProbeVectorServed(spark, ivfDir, qvec).collect(); () },
@@ -196,11 +198,29 @@ object ServeSoak {
             ivfTrainedBuild, docs, vecs, rerankPqTrainedRecall))
     }
     val passes = (1 to 3).map(_ => legs.map(l => timed(l.serve())._2))
+    // input-BYTES pass: local NVMe bandwidth hides byte savings that
+    // dominate on object storage (the s3a-relevant serving number) —
+    // one extra pass per leg summing executor task inputMetrics. The
+    // listener bus is async; the short drain sleep before unregister
+    // loses at most a trailing task's bytes, fine for a soak report.
+    val legBytes = legs.map { l =>
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val lst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) acc.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(lst)
+      try { l.serve(); Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(lst)
+      acc.get()
+    }
     for ((leg, i) <- legs.zipWithIndex) {
       val serve = Bench.median(passes.drop(1).map(_(i)))
       val recall = if (leg.recall < 0) "    -" else f"${leg.recall}%5.2f"
+      val mb = legBytes(i) / 1e6
       println(f"[servesoak] ${leg.tag}%-5s ${leg.name}%-9s docs=${leg.docs}%8d " +
-        f"vecs=${leg.vecs}%8d build=${leg.build}%7.2fs serve=$serve%6.2fs recall@10=$recall")
+        f"vecs=${leg.vecs}%8d build=${leg.build}%7.2fs serve=$serve%6.2fs " +
+        f"read=$mb%8.1fMB recall@10=$recall")
     }
     spark.stop()
   }

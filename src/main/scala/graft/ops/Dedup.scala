@@ -218,6 +218,15 @@ object Dedup {
     * (its oracle mirrors the shingle pipeline only). */
   private def bandRows(docs: DataFrame, prefixLen: Int,
       exactFallback: Boolean = false): DataFrame = {
+    // prefixLen=0 would make sig_p the EMPTY STRING, which the
+    // partitioned write renders as __HIVE_DEFAULT_PARTITION__ — a path
+    // no probe (which builds "sig_p=<prefix>") ever matches, so every
+    // probe would silently return zero candidates. A corrupt config,
+    // not a definable layout: fail loudly at the one seam every
+    // writer and every probe shares.
+    require(prefixLen >= 1,
+      s"prefixLen=$prefixLen: must be >= 1 — an empty cell prefix writes " +
+        "__HIVE_DEFAULT_PARTITION__ cells that no probe path ever matches")
     val sh = shinglesOf(docs)
     val sig = minhashSig(sh)
     val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))

@@ -531,6 +531,23 @@ class OpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === before)
   }
 
+  test("prefixLen=0 is rejected loudly (empty cell prefix = HIVE-default-partition paths no probe matches)") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-p0").toString
+    val docs = Seq(1L -> "alpha beta gamma delta").toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.persistLshIndex(docs, indexDir, prefixLen = 0)
+    }
+    assert(e.getMessage.contains("prefixLen"))
+    // the probe seam rejects it too — a mis-probed valid index would
+    // silently return zero candidates otherwise
+    Dedup.persistLshIndex(docs, indexDir, prefixLen = 1)
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupCheck(spark, indexDir, docs, prefixLen = 0)
+    }
+  }
+
   test("two-stage probe equals the one-pass plan on a real corpus; band cells are sig-sorted per file") {
     import spark.implicits._
     import graft.ops.{Dedup, Tables}
