@@ -231,6 +231,23 @@ object PipelineOps {
         .orderBy("train_doc")
     })
 
+  /** One slim `(id, band_id, sig)` row per (vector, sign-band) — the
+    * candidate key of `decontaminate_embedding`, shared with the
+    * streaming leg ([[graft.streaming.StreamOps
+    * .decontaminateEmbeddingIngest]]) so the band family cannot drift
+    * between the batch oracle and the stream. */
+  private[graft] def signBandRows(vecs: org.apache.spark.sql.DataFrame,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    vecs.select(col("vec_id").as(idCol), posexplode(array(
+        (0 until 4).map(b => Similarity.sparkBand(col("embedding"), b)): _*)))
+      .select(col(idCol), col("pos").as("band_id"), col("col").as("sig"))
+
+  /** `(vec_id, embedding, norm)` with the deterministic fold-order
+    * norm — the verify side of both decontamination legs. */
+  private[graft] def normedVecs(vecs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+      sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("norm"))
+
   /** SEMANTIC eval-set decontamination: training vectors whose
     * embedding is cosine-close to any benchmark/eval vector — the
     * paraphrase-contamination check the n-gram forms cannot see
@@ -276,34 +293,38 @@ object PipelineOps {
             |FROM j WHERE cos >= 0.30
             |ORDER BY train_vec, eval_vec""".stripMargin),
     (spark, dir) => {
-      import org.apache.spark.sql.{Column, DataFrame}
       val e = Tables.table(spark, dir, "embeddings")
-      def bandRows(df: DataFrame, idCol: String): DataFrame =
-        df.select(col("vec_id").as(idCol), posexplode(array(
-            (0 until 4).map(b => Similarity.sparkBand(col("embedding"), b)): _*)))
-          .select(col(idCol), col("pos").as("band_id"), col("col").as("sig"))
       // eval side is benchmark-sized and read three times (band rows,
       // verify embeddings) — pin it once
-      val evSide = e.filter(col("vec_id") % 23 === 0)
-        .select(col("vec_id"), col("embedding"),
-          sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("enorm"))
-        .materialized
-      val cands = bandRows(e.filter(col("vec_id") % 23 =!= 0), "tv")
-        .join(broadcast(bandRows(evSide, "evv")), Seq("band_id", "sig"))
-        .select("tv", "evv").distinct()
-      val cos: Column = Similarity.dot(col("embedding"), col("ee")) /
-        (col("tnorm") * col("enorm"))
-      e.filter(col("vec_id") % 23 =!= 0)
-        .select(col("vec_id").as("tv"), col("embedding"),
-          sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("tnorm"))
-        .join(broadcast(cands), Seq("tv"))
-        .join(broadcast(evSide.select(col("vec_id").as("evv"),
-          col("embedding").as("ee"), col("enorm"))), Seq("evv"))
-        .filter(cos >= 0.30)
-        .select(col("tv").as("train_vec"), col("evv").as("eval_vec"),
-          round(cos, 6).as("cos_sim"))
+      val evSide = normedVecs(e.filter(col("vec_id") % 23 === 0)).materialized
+      semContamPairs(e.filter(col("vec_id") % 23 =!= 0), evSide, 0.30)
         .orderBy("train_vec", "eval_vec")
     })
+
+  /** The shared candidate+verify chain of both `decontaminate_embedding`
+    * legs: OR-amplified band candidates (train scan broadcast-joined
+    * against the pinned eval band rows), distinct pair set broadcast
+    * back onto the train side, exact-cosine verify ≥ `minCos`. `evSide`
+    * must be the PINNED [[normedVecs]] relation (it is read twice).
+    * Output: `(train_vec, eval_vec, cos_sim)` unordered. */
+  private[graft] def semContamPairs(train: org.apache.spark.sql.DataFrame,
+      evSide: org.apache.spark.sql.DataFrame,
+      minCos: Double): org.apache.spark.sql.DataFrame = {
+    val cands = signBandRows(train, "tv")
+      .join(broadcast(signBandRows(evSide, "evv")), Seq("band_id", "sig"))
+      .select("tv", "evv").distinct()
+    val cos = Similarity.dot(col("embedding"), col("ee")) /
+      (col("tnorm") * col("enorm"))
+    normedVecs(train)
+      .select(col("vec_id").as("tv"), col("embedding"),
+        col("norm").as("tnorm"))
+      .join(broadcast(cands), Seq("tv"))
+      .join(broadcast(evSide.select(col("vec_id").as("evv"),
+        col("embedding").as("ee"), col("norm").as("enorm"))), Seq("evv"))
+      .filter(cos >= minCos)
+      .select(col("tv").as("train_vec"), col("evv").as("eval_vec"),
+        round(cos, 6).as("cos_sim"))
+  }
 
   /** Incremental aggregation maintenance (the foreachBatch pattern as
     * a provable batch query): a "materialized" aggregate over the

@@ -1227,4 +1227,53 @@ object StreamOps {
     batchResults(spark, outDir,
       org.apache.spark.sql.types.StructType.fromDDL(
         "train_doc BIGINT, n_shingles BIGINT, n_eval_docs BIGINT"))
+
+  /** Pinned eval side of the SEMANTIC decontamination stream: the
+    * normed benchmark embeddings, materialized once at stream
+    * construction and read twice per micro-batch (band rows + exact
+    * verify) — the same amortize-the-eval-side contract as
+    * [[EvalContamIndex]]. */
+  private[graft] final case class EvalSemIndex(evalVecs: DataFrame)
+
+  private[graft] def buildEvalSemIndex(evalVecs: DataFrame): EvalSemIndex =
+    EvalSemIndex(graft.Materialize(
+      graft.ops.PipelineOps.normedVecs(evalVecs)))
+
+  /** One micro-batch of the streaming semantic decontamination — the
+    * shared [[graft.ops.PipelineOps.semContamPairs]] chain (OR-amplified
+    * 4-band sign-LSH candidates, exact-cosine verify), landing one
+    * `(train_vec, eval_vec, cos_sim)` row per contaminated pair in
+    * `outDir/b<batchId>` (overwrite — a replayed batch rewrites its own
+    * output, the [[ExactlyOnceSink]] idempotence contract). A clean
+    * batch writes an empty schema-stable result. */
+  private[graft] def decontaminateEmbeddingBatch(idx: EvalSemIndex,
+      batch: DataFrame, outDir: String, batchId: Long, minCos: Double): Unit =
+    graft.ops.PipelineOps.semContamPairs(batch, idx.evalVecs, minCos)
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+
+  /** Streaming SEMANTIC eval-set decontamination — the streaming leg of
+    * `decontaminate_embedding` (paraphrase contamination the shingle
+    * stream cannot see): the eval embeddings are normed and pinned once
+    * at stream construction, then every micro-batch of training vectors
+    * `(vec_id, embedding)` runs the shared band-candidate + exact-cosine
+    * chain. Read the union of decisions with
+    * [[semDecontaminationResults]]. */
+  def decontaminateEmbeddingIngest(vecs: DataFrame, evalVecs: DataFrame,
+      outDir: String,
+      minCos: Double = 0.30): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val idx = buildEvalSemIndex(evalVecs)
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          decontaminateEmbeddingBatch(idx, batch.toDF(), outDir, batchId, minCos)
+    }
+  }
+
+  /** Union of every semantic-decontamination batch's confirmed pairs
+    * (None if no batch has landed yet). */
+  def semDecontaminationResults(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Option[DataFrame] =
+    batchResults(spark, outDir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "train_vec BIGINT, eval_vec BIGINT, cos_sim DOUBLE"))
 }

@@ -1392,6 +1392,46 @@ class StreamingSpec extends SparkSuite {
     assert(StreamOps.decontaminationResults(spark, outDir).get.count() === 2)
   }
 
+  test("streaming semantic decontamination equals the batch query, replay-idempotent") {
+    import graft.ops.{PipelineOps, Tables}
+    val dir = sf("sf0.001")
+    val outDir = java.nio.file.Files.createTempDirectory("semdecon-out").toString
+    val emb = Tables.table(spark, dir, "embeddings")
+    val evalVecs = emb.filter(col("vec_id") % 23 === 0)
+      .select("vec_id", "embedding")
+    // pairs are train×eval only (no train-side interaction), so the
+    // union over any batch split of the train side must equal the
+    // batch query — split mid-corpus to prove it
+    val train = emb.filter(col("vec_id") % 23 =!= 0)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val (b0, b1) = train.partition(_._1 < 250)
+    assert(b0.nonEmpty && b1.nonEmpty)
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.decontaminateEmbeddingIngest(
+      in.toDF().toDF("vec_id", "embedding"), evalVecs, outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("semdecon-ckpt").toString)
+      .start()
+    in.addData(b0.toSeq: _*); q.processAllAvailable()
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    def got(): Seq[(Long, Long, Double)] =
+      StreamOps.semDecontaminationResults(spark, outDir).get
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val expect = PipelineOps.decontaminateEmbedding.fn(spark, dir)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(expect.nonEmpty, "fixture vacuous: batch query found no pairs")
+    assert(got() === expect, "stream union diverged from the batch query")
+
+    // crash replay of batch 1 overwrites its own output — unchanged
+    val idx = StreamOps.buildEvalSemIndex(evalVecs)
+    StreamOps.decontaminateEmbeddingBatch(idx,
+      b1.toSeq.toDF("vec_id", "embedding"), outDir, batchId = 1L, minCos = 0.30)
+    assert(got() === expect)
+  }
+
   test("a crash-replayed batch whose delta was already compacted does not flag its own docs") {
     // Crash order: batch 1 appends its delta (committed), then dies
     // BEFORE the streaming checkpoint commits. Offline compaction runs
