@@ -287,6 +287,22 @@ object Dedup {
   private def lshBase(indexDir: String, gen: Long) =
     s"$indexDir/${lshPrefix}_g$gen"
 
+  private def lshMetaPath(indexDir: String) = s"$indexDir/lsh_meta"
+
+  /** The PERSISTED cell-prefix length of an LSH index (None on a
+    * pre-meta layout). prefixLen is a LAYOUT property — the cell paths
+    * are `sig_p=substring(sig, 1, len)` — so a probe or append banding
+    * at a different length than the index was written with builds
+    * paths that exist for NO cell and silently returns/contributes
+    * nothing (the same silent-empty class as the prefixLen=0
+    * foot-gun). Writers persist it once; probes and appends resolve it
+    * from the index and treat their parameter as a fallback for
+    * pre-meta layouts only. */
+  private def readLshPrefixLen(spark: SparkSession, indexDir: String): Option[Int] =
+    if (graft.IndexFs.exists(spark, lshMetaPath(indexDir)))
+      Some(graft.IndexFs.readUtf8(spark, lshMetaPath(indexDir)).trim.toInt)
+    else None
+
   /** Explicit read schema for a band-cell layout — NEVER inferred.
     * Partition-value inference would narrow an all-digit `sig_p` cell
     * ('07') to int and lose the leading zero; a compaction rewriting
@@ -328,6 +344,11 @@ object Dedup {
     // empty delta ledger from birth — "ledger absent" = pre-ledger
     // layout, never a fresh index (the IVF persist discipline)
     graft.GenManifest.writeLedger(spark, indexDir, Seq.empty)
+    // prefixLen is persisted WITH the layout (before the manifest
+    // commit, so a committed index always carries it): probes/appends
+    // resolve it from here instead of trusting their caller to match
+    graft.IndexFs.writeUtf8Atomic(spark, lshMetaPath(indexDir),
+      prefixLen.toString)
     writeBandCells(bandRows(docs, prefixLen, exactFallback),
       lshBase(indexDir, 0), maxCellRows)
     graft.GenManifest.commit(spark, indexDir, seq = 0, gen = 0, floor = -1)
@@ -360,12 +381,16 @@ object Dedup {
       exactFallback: Boolean = false,
       maxCellRows: Long = defaultMaxCellRows): Unit = {
     val root = s"$indexDir/delta/b$batchId"
+    // the index's persisted prefixLen wins — a caller-supplied
+    // mismatch would write delta cells no probe of this index ever
+    // lists (prefixLen param = pre-meta-layout fallback only)
+    val effPrefix = readLshPrefixLen(spark, indexDir).getOrElse(prefixLen)
     val floor = graft.GenManifest.resolve(spark, indexDir).map(_.floor).getOrElse(-1L)
     val prior = lshDeltaEntries(spark, indexDir)
     if (prior.exists(_.id == batchId))
       graft.GenManifest.writeLedger(spark, indexDir,
         prior.filterNot(_.id == batchId))
-    writeBandCells(bandRows(newDocs, prefixLen, exactFallback),
+    writeBandCells(bandRows(newDocs, effPrefix, exactFallback),
       root, maxCellRows)
     // two-level cell listing at INGEST time (1 + #bands listings) so
     // probes never pay per-cell existence checks against this delta
@@ -436,7 +461,10 @@ object Dedup {
     * those cells from base+deltas, candidate-join on the full band
     * signature, exact-Jaccard verify on the inlined shingle sets.
     * Returns `(probe_id, index_id, jac)` for every confirmed pair at
-    * `threshold` or above. */
+    * `threshold` or above. `prefixLen` is resolved from the index's
+    * persisted metadata when present — the parameter is a fallback for
+    * pre-meta layouts only (a mismatched probe would silently return
+    * zero candidates). */
   def nearDupCheck(spark: SparkSession, indexDir: String,
       probeDocs: DataFrame, threshold: Double = jaccardThreshold,
       belowBatch: Long = Long.MaxValue, prefixLen: Int = 2,
@@ -500,8 +528,13 @@ object Dedup {
       indexDir: String, probeDocs: DataFrame, threshold: Double,
       belowBatch: Long, prefixLen: Int, broadcastProbe: Boolean,
       exactFallback: Boolean, twoStage: Boolean = false): (DataFrame, DataFrame, () => Unit) = {
+    // band the probe at the INDEX's persisted prefixLen — probing at a
+    // caller-supplied mismatch builds sig_p paths that exist for no
+    // cell and silently returns zero candidates (the prefixLen param
+    // is the pre-meta-layout fallback only)
+    val effPrefix = readLshPrefixLen(spark, indexDir).getOrElse(prefixLen)
     val (probe, release) = Materialize.releasable(
-      bandRows(probeDocs, prefixLen, exactFallback)
+      bandRows(probeDocs, effPrefix, exactFallback)
         .select(col("doc_id").as("probe_id"), col("band_id"), col("sig"),
           col("sig_p"), col("ss").as("pss")))
     def emptyResult = spark.createDataFrame(

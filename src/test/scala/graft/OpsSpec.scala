@@ -540,12 +540,43 @@ class OpsSpec extends SparkSuite {
       Dedup.persistLshIndex(docs, indexDir, prefixLen = 0)
     }
     assert(e.getMessage.contains("prefixLen"))
-    // the probe seam rejects it too — a mis-probed valid index would
-    // silently return zero candidates otherwise
-    Dedup.persistLshIndex(docs, indexDir, prefixLen = 1)
-    intercept[IllegalArgumentException] {
-      Dedup.nearDupCheck(spark, indexDir, docs, prefixLen = 0)
-    }
+    // on a meta-carrying index the probe RESOLVES the persisted
+    // prefixLen, so even a nonsense caller value is harmless (the
+    // require still guards writers and pre-meta probes). seeded/"nu"
+    // is the band-0-preserving pair used across the LSH specs.
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(Seq(1L -> seeded).toDF("doc_id", "text"),
+      indexDir, prefixLen = 1)
+    val probe = Seq(11L -> seeded.replace(" mu", " nu")).toDF("doc_id", "text")
+    val hits = Dedup.nearDupCheck(spark, indexDir, probe, prefixLen = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits === Seq((11L, 1L)))
+  }
+
+  test("prefixLen is a persisted index property: probes and appends resolve it from the index") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-meta").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // persist at prefixLen=1; probe and append at the DEFAULT (2) —
+    // without the persisted meta both would band against sig_p paths
+    // that exist for no cell and silently see/contribute nothing
+    Dedup.persistLshIndex(Seq(1L -> seeded).toDF("doc_id", "text"),
+      indexDir, prefixLen = 1)
+    val probe = Seq(11L -> seeded.replace(" mu", " nu")).toDF("doc_id", "text")
+    def pairs(): Seq[(Long, Long)] =
+      Dedup.nearDupCheck(spark, indexDir, probe) // default prefixLen=2
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs() === Seq((11L, 1L)),
+      "probe did not resolve the index's persisted prefixLen")
+    Dedup.appendToLshIndex(spark, indexDir, // default prefixLen=2
+      Seq(4L -> seeded.replace(" mu", " xi")).toDF("doc_id", "text"),
+      batchId = 1L)
+    assert(pairs() === Seq((11L, 1L), (11L, 4L)),
+      "append did not resolve the index's persisted prefixLen")
+    // the layout survives compaction (sig_p is carried by the rows)
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(pairs() === Seq((11L, 1L), (11L, 4L)))
   }
 
   test("two-stage probe equals the one-pass plan on a real corpus; band cells are sig-sorted per file") {
