@@ -351,6 +351,10 @@ object Dedup {
       prefixLen.toString)
     writeBandCells(bandRows(docs, prefixLen, exactFallback),
       lshBase(indexDir, 0), maxCellRows)
+    // the generation's own length, written with its data (probes
+    // derive this generation's cell paths from it)
+    graft.IndexFs.writeUtf8Atomic(spark,
+      genMetaPath(lshBase(indexDir, 0)), prefixLen.toString)
     graft.GenManifest.commit(spark, indexDir, seq = 0, gen = 0, floor = -1)
   }
 
@@ -410,17 +414,46 @@ object Dedup {
     * single-plan form. `belowBatch` bounds which deltas count
     * (exclusive), so a REPLAYED ingest batch never probes against its
     * own torn output. */
+  /** A generation's OWN prefix length, stored as `_prefix_len` INSIDE
+    * the generation directory (written after the cell data, before the
+    * manifest commit; GC retires it with the directory; Spark's file
+    * index ignores underscore-prefixed files). Per-generation — not
+    * global — so a re-bucketing compaction is atomic under the
+    * manifest swap: a reader pinned to either manifest derives that
+    * generation's cell paths from that generation's OWN length. */
+  private def genMetaPath(root: String) = s"$root/_prefix_len"
+  private def readGenPrefixLen(spark: SparkSession, root: String): Option[Int] =
+    if (graft.IndexFs.exists(spark, genMetaPath(root)))
+      Some(graft.IndexFs.readUtf8(spark, genMetaPath(root)).trim.toInt)
+    else None
+
+  /** The prefix length a ledger cell name was written at —
+    * `band_id=b/sig_p=<prefix>` carries it directly, so every delta's
+    * length rides the ONE ledger read (zero extra round-trips) and a
+    * delta appended at a stale length (the append-racing-rebucket
+    * window) stays visible instead of silently unprobed. */
+  private def cellNameLen(name: String): Int =
+    name.length - name.indexOf("sig_p=") - "sig_p=".length
+
   private def lshCellPaths(spark: SparkSession, indexDir: String,
-      cells: Seq[(Int, String)], belowBatch: Long): Seq[(String, Seq[String])] = {
+      sigs: Seq[(Int, String)], belowBatch: Long,
+      fallbackLen: Int): Seq[(String, Seq[String])] = {
     val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no LSH index manifest under $indexDir — persistLshIndex first"))
-    val cellNames = cells.map { case (b, p) => s"band_id=$b/sig_p=$p" }
+    // cell names are derived PER ROOT from full band signatures at
+    // that root's own prefix length — mixed-length serving (the
+    // rebucket transition) needs no global length agreement
+    def namesAt(len: Int): Seq[String] =
+      sigs.map { case (b, s) => s"band_id=$b/sig_p=${s.take(len)}" }
+        .distinct.sorted
     // base: probed cells are sparse in the 2×16^len space, so the
     // existence filter stays — O(probe cells), constant in the backlog
     val baseRoot = lshBase(indexDir, st.gen)
     val base = {
-      val paths = cellNames.map(n => s"$baseRoot/$n")
+      val baseLen = readGenPrefixLen(spark, baseRoot)
+        .orElse(readLshPrefixLen(spark, indexDir)).getOrElse(fallbackLen)
+      val paths = namesAt(baseLen).map(n => s"$baseRoot/$n")
         .filter(p => graft.IndexFs.isDir(spark, p))
       if (paths.isEmpty) None else Some(baseRoot -> paths)
     }
@@ -431,27 +464,18 @@ object Dedup {
       .flatMap { e =>
         val root = s"$indexDir/delta/b${e.id}"
         e.cells match {
+          case Some(cs) if cs.isEmpty => None
           case Some(cs) =>
-            val hit = cellNames.filter(cs.toSet)
+            val hit = namesAt(cellNameLen(cs.head)).filter(cs.toSet)
             if (hit.isEmpty) None else Some(root -> hit.map(n => s"$root/$n"))
           case None =>
-            val paths = cellNames.map(n => s"$root/$n")
+            val paths = namesAt(fallbackLen).map(n => s"$root/$n")
               .filter(p => graft.IndexFs.isDir(spark, p))
             if (paths.isEmpty) None else Some(root -> paths)
         }
       }
     base.toSeq ++ deltas
   }
-
-  /** The index rows of the probed cells — one frame per resolved root,
-    * each read under the explicit `bandReadSchema` (via
-    * `readBandRoot`) — never inferred — so `sig_p` stays a string even
-    * for an all-digit cell value and the per-root frames union
-    * cleanly. */
-  private def lshCells(spark: SparkSession, indexDir: String,
-      cells: Seq[(Int, String)], belowBatch: Long): Seq[DataFrame] =
-    lshCellPaths(spark, indexDir, cells, belowBatch)
-      .map { case (root, paths) => readBandRoot(spark, root, paths) }
 
   /** Near-dup check of a document batch AGAINST the persisted index —
     * the ingest-time gate of a growing corpus ("is this new document a
@@ -541,11 +565,15 @@ object Dedup {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
         "probe_id BIGINT, index_id BIGINT, jac DOUBLE, n_inter INT, n_union INT"))
-    val cells = probe.select("band_id", "sig_p").distinct()
+    // full band SIGNATURES (not prefixes): each root's cell names are
+    // derived at that root's own persisted prefix length, so a probe
+    // serves base + deltas written at DIFFERENT lengths (the rebucket
+    // transition) correctly. Same control-plane bound (≤ 3×|batch|).
+    val sigs = probe.select("band_id", "sig").distinct()
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
     // ONE metadata resolve shared by both stages — the two-stage form
     // must not double the probe's seam calls (IndexFsSpec pins this)
-    val roots = lshCellPaths(spark, indexDir, cells, belowBatch)
+    val roots = lshCellPaths(spark, indexDir, sigs, belowBatch, effPrefix)
     if (roots.isEmpty) return (emptyResult, probe, release)
     def cellFrames: Seq[DataFrame] =
       roots.map { case (root, paths) => readBandRoot(spark, root, paths) }
@@ -653,24 +681,62 @@ object Dedup {
     * retire on the SECOND call after their absorption, never while a
     * reader pinned to the previous manifest might still list them. */
   def compactLshIndex(spark: SparkSession, indexDir: String,
-      maxCellRows: Long = defaultMaxCellRows): Unit = {
+      maxCellRows: Long = defaultMaxCellRows,
+      newPrefixLen: Option[Int] = None): Unit = {
+    newPrefixLen.foreach(l => require(l >= 1 && l <= 16,
+      s"newPrefixLen=$l: must be in [1, 16]"))
     val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(return)
     val deltas = lshDeltaEntries(spark, indexDir).map(_.id)
       .filter(_ > st.floor).sorted
-    if (deltas.nonEmpty) {
+    val curLen = readGenPrefixLen(spark, lshBase(indexDir, st.gen))
+      .orElse(readLshPrefixLen(spark, indexDir)).getOrElse(2)
+    val targetLen = newPrefixLen.getOrElse(curLen)
+    if (deltas.nonEmpty || targetLen != curLen) {
       val roots = lshBase(indexDir, st.gen) +:
         deltas.map(id => s"$indexDir/delta/b$id")
       val all = roots
         .map(root => readBandRoot(spark, root, Seq(root)))
         .reduce(_ unionByName _)
-      writeBandCells(all, lshBase(indexDir, st.gen + 1), maxCellRows)
+      // ALWAYS re-derive the cell key at the target length (one
+      // projection on the fold the compaction pays anyway): folded
+      // rows may carry sig_p at a DIFFERENT length — a delta appended
+      // by a writer that read the pre-rebucket pointer — and keeping
+      // their stored prefix would land them in cells the new
+      // generation's probes never list
+      val relabeled = all.withColumn("sig_p",
+        substring(col("sig"), 1, targetLen))
+      val newBase = lshBase(indexDir, st.gen + 1)
+      writeBandCells(relabeled, newBase, maxCellRows)
+      graft.IndexFs.writeUtf8Atomic(spark, genMetaPath(newBase),
+        targetLen.toString)
       graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen + 1,
-        floor = deltas.max)
+        floor = if (deltas.nonEmpty) deltas.max else st.floor)
+      // subsequent APPENDS band at the new length; a writer that read
+      // the old pointer mid-rebucket still stays servable — its
+      // delta's ledger cell names carry their own length and probes
+      // derive per-delta paths from them
+      graft.IndexFs.writeUtf8Atomic(spark, lshMetaPath(indexDir),
+        targetLen.toString)
     } else {
       graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen, st.floor)
     }
     graft.GenManifest.gc(spark, indexDir, Seq(lshPrefix))
   }
+
+  /** HOT-CELL RE-BUCKETING — the maintenance op `lshIndexStats` exists
+    * to trigger: when a corpus outgrows its cell count (per-cell row
+    * mass beyond what a probe should pay), fold everything into a new
+    * generation whose cells use a LONGER sig prefix (16× more cells
+    * per added hex char; a shorter prefix coarsens a fragmented
+    * layout). Atomic under the manifest swap like any compaction — a
+    * reader pinned to either manifest derives cell paths from that
+    * generation's own `_prefix_len` — and append-safe: a delta
+    * committed by a writer that read the pre-rebucket length stays
+    * probed at ITS length via the ledger cell names until the next
+    * compaction folds it. */
+  def rebucketLshIndex(spark: SparkSession, indexDir: String,
+      newPrefixLen: Int, maxCellRows: Long = defaultMaxCellRows): Unit =
+    compactLshIndex(spark, indexDir, maxCellRows, Some(newPrefixLen))
 
   /** Operational stats of a persisted LSH index: `(root, band_id,
     * sig_p, n_rows)` per band cell across the live base generation and

@@ -553,6 +553,57 @@ class OpsSpec extends SparkSuite {
     assert(hits === Seq((11L, 1L)))
   }
 
+  test("hot-cell re-bucketing: longer prefix, identical pairs, stale-length deltas stay probed") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Tables}
+    val dir = sf("sf0.001")
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-rebucket").toString
+    Dedup.persistLshIndex(
+      Tables.table(spark, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text"),
+      indexDir, prefixLen = 1, exactFallback = false)
+    val probe = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    def pairs(p: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      Dedup.nearDupCheck(spark, indexDir, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val before = pairs(probe)
+    assert(before.nonEmpty)
+
+    // rebucket 1 → 2 over the real corpus: 16× the cells per band,
+    // serving identical (cell assignment is a pure function of sig)
+    Dedup.rebucketLshIndex(spark, indexDir, newPrefixLen = 2)
+    assert(pairs(probe) === before, "re-bucketing changed probe results")
+    val g1cells = Option(new java.io.File(s"$indexDir/bands_g1/band_id=0")
+      .listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(_.getName.stripPrefix("sig_p="))
+    assert(g1cells.nonEmpty && g1cells.forall(_.length == 2),
+      s"new generation not re-bucketed: ${g1cells.take(3).toSeq}")
+
+    // the append-racing-rebucket window: a writer that read the
+    // PRE-rebucket length commits a stale-length delta. Simulate the
+    // exact stale read by flipping the append pointer back.
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    graft.IndexFs.writeUtf8Atomic(spark, s"$indexDir/lsh_meta", "1")
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(900001L -> seeded).toDF("doc_id", "text"), batchId = 50L)
+    graft.IndexFs.writeUtf8Atomic(spark, s"$indexDir/lsh_meta", "2")
+    val probe2 = Seq(900011L -> seeded.replace(" mu", " nu")).toDF("doc_id", "text")
+    def hits2(): Set[Long] = Dedup.nearDupCheck(spark, indexDir, probe2)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits2().contains(900001L),
+      "stale-length delta invisible — per-delta length derivation broken")
+
+    // the next compaction folds the stale delta into the len-2 base —
+    // the fold must RE-DERIVE sig_p at the base length or the folded
+    // rows land in cells the new generation's probes never list
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(hits2().contains(900001L),
+      "stale-length delta rows lost their cell in the compaction fold")
+    assert(pairs(probe) === before)
+  }
+
   test("prefixLen is a persisted index property: probes and appends resolve it from the index") {
     import spark.implicits._
     import graft.ops.Dedup
