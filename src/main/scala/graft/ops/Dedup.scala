@@ -303,6 +303,17 @@ object Dedup {
       Some(graft.IndexFs.readUtf8(spark, lshMetaPath(indexDir)).trim.toInt)
     else None
 
+  /** The LIVE generation's prefix length — what the next append/probe
+    * resolves and what a re-bucketing decision steps from (the
+    * maintenance autopilot's input). Resolution order: the current
+    * generation's own `_prefix_len`, the top-level pointer, then the
+    * historical default 2 for pre-meta layouts. */
+  def lshPrefixLenOf(spark: SparkSession, indexDir: String): Int = {
+    val genLen = graft.GenManifest.resolve(spark, indexDir)
+      .flatMap(st => readGenPrefixLen(spark, lshBase(indexDir, st.gen)))
+    genLen.orElse(readLshPrefixLen(spark, indexDir)).getOrElse(2)
+  }
+
   /** Explicit read schema for a band-cell layout — NEVER inferred.
     * Partition-value inference would narrow an all-digit `sig_p` cell
     * ('07') to int and lose the leading zero; a compaction rewriting

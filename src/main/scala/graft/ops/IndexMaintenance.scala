@@ -37,6 +37,11 @@ object IndexMaintenance {
   /** Fold + re-cluster ([[Similarity.compactIvfIndex]] with
     * `lloydIters > 0`) — the drift repair. */
   final case class LloydRebuild(iters: Int) extends Action
+  /** LSH only: fold into a new generation whose cells use a LONGER
+    * sig prefix ([[Dedup.rebucketLshIndex]]) — the hot-cell repair
+    * (probe I/O is proportional to probed-cell mass, so a cell that
+    * outgrew the layout taxes every probe that lands in it). */
+  final case class Rebucket(newPrefixLen: Int) extends Action
 
   /** Decision inputs, all control-plane sized. `maxDrift` is None for
     * index families without a drift concept (LSH) or when there are no
@@ -49,7 +54,8 @@ object IndexMaintenance {
       deltaRows: Long,
       deltaBatches: Int,
       maxDrift: Option[Double],
-      staleDeltas: Int = 0)
+      staleDeltas: Int = 0,
+      hottestCellRows: Long = 0L)
 
   /** Thresholds. `backlogRatio`: delta mass as a share of the base
     * that justifies paying a fold (each probe reads its cells in EVERY
@@ -63,12 +69,18 @@ object IndexMaintenance {
     * the per-subspace sub-codebooks on the folded corpus
     * ([[Similarity.trainPqCodebookRows]]); 0 (default) keeps the
     * training-free projection codebook. */
+  /** `hotCellRows`: base-cell row mass above which the LSH layout is
+    * re-bucketed one prefix char finer (0 = disabled — the right
+    * default for bounded corpora; size it to the per-probe read budget
+    * on growing ones). A rebucket IS a fold, so it subsumes any
+    * pending Compact. */
   final case class Policy(
       backlogRatio: Double = 0.10,
       backlogBatches: Int = 8,
       driftBound: Double = 0.25,
       lloydIters: Int = 2,
-      trainPqIters: Int = 0)
+      trainPqIters: Int = 0,
+      hotCellRows: Long = 0L)
 
   private def decide(s: Signals, p: Policy): Action =
     if (s.maxDrift.exists(_ > p.driftBound)) LloydRebuild(p.lloydIters)
@@ -145,9 +157,16 @@ object IndexMaintenance {
   }
 
   def lshSignals(spark: SparkSession, indexDir: String): Signals = {
-    val (base, delta, batches) = backlogFromStats(
-      Dedup.lshIndexStats(spark, indexDir))
-    Signals(base, delta, batches, maxDrift = None)
+    val stats = Dedup.lshIndexStats(spark, indexDir)
+    val (base, delta, batches) = backlogFromStats(stats)
+    // the hot-cell signal: heaviest BASE cell (deltas retire at the
+    // next fold anyway; the base cell is the standing per-probe tax)
+    val hotRow = stats.filter(col("root") === "base")
+      .groupBy("band_id", "sig_p").agg(sum(col("n_rows")).as("n"))
+      .agg(max(col("n"))).head()
+    val hottest = if (hotRow.isNullAt(0)) 0L else hotRow.getLong(0)
+    Signals(base, delta, batches, maxDrift = None,
+      hottestCellRows = hottest)
   }
 
   def planIvf(spark: SparkSession, indexDir: String,
@@ -155,8 +174,16 @@ object IndexMaintenance {
     decide(ivfSignals(spark, indexDir), policy)
 
   def planLsh(spark: SparkSession, indexDir: String,
-      policy: Policy = Policy()): Action =
-    decide(lshSignals(spark, indexDir), policy)
+      policy: Policy = Policy()): Action = {
+    val s = lshSignals(spark, indexDir)
+    val curLen = Dedup.lshPrefixLenOf(spark, indexDir)
+    // hot-cell check FIRST: a rebucket is itself a fold, so it
+    // subsumes any backlog-justified Compact this tick
+    if (policy.hotCellRows > 0 && s.hottestCellRows > policy.hotCellRows
+        && curLen < 16)
+      Rebucket(curLen + 1)
+    else decide(s, policy)
+  }
 
   /** One cadence tick: decide and execute. Returns the action taken —
     * the line an operator's log carries. */
@@ -176,7 +203,11 @@ object IndexMaintenance {
   def maintainLshIndex(spark: SparkSession, indexDir: String,
       policy: Policy = Policy()): Action = {
     val action = planLsh(spark, indexDir, policy)
-    if (action != NoOp) Dedup.compactLshIndex(spark, indexDir)
+    action match {
+      case NoOp => ()
+      case Rebucket(len) => Dedup.rebucketLshIndex(spark, indexDir, len)
+      case _ => Dedup.compactLshIndex(spark, indexDir)
+    }
     action
   }
 }

@@ -1060,6 +1060,43 @@ class OpsSpec extends SparkSuite {
     assert(IndexMaintenance.planLsh(spark, indexDir, pol) === NoOp)
   }
 
+  test("maintenance autopilot: a hot cell triggers re-bucketing, serving unchanged, next tick clears") {
+    import graft.ops.{IndexMaintenance, Tables}
+    import graft.ops.IndexMaintenance._
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-hotcell").toString
+    // a coarse layout (len 1 = 16 cells/band) over the real corpus:
+    // cells are deliberately heavy so the hot-cell signal has mass
+    Dedup.persistLshIndex(
+      Tables.table(spark, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text"),
+      indexDir, prefixLen = 1, exactFallback = false)
+    val probe = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    def pairs(): Seq[(Long, Long)] = Dedup.nearDupCheck(spark, indexDir, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+    val before = pairs()
+    assert(before.nonEmpty)
+    val h1 = IndexMaintenance.lshSignals(spark, indexDir).hottestCellRows
+    assert(h1 > 0)
+    // threshold just below the observed hottest cell: this tick must
+    // re-bucket one char finer; disabled (default 0) must not
+    assert(IndexMaintenance.planLsh(spark, indexDir) === NoOp)
+    val pol = Policy(hotCellRows = h1 - 1)
+    assert(IndexMaintenance.maintainLshIndex(spark, indexDir, pol)
+      === Rebucket(2))
+    assert(Dedup.lshPrefixLenOf(spark, indexDir) === 2)
+    assert(pairs() === before, "re-bucketing tick changed probe results")
+    // 16× the cells: the hottest cell shrank below the threshold and
+    // the same policy now no-ops (the signal cleared)
+    val h2 = IndexMaintenance.lshSignals(spark, indexDir).hottestCellRows
+    assert(h2 < h1, s"hottest cell did not shrink: $h1 → $h2")
+    assert(IndexMaintenance.planLsh(spark, indexDir, pol) === NoOp,
+      s"hot-cell signal did not clear (hottest $h2, bound ${pol.hotCellRows})")
+  }
+
   test("an empty committed delta neither wedges compaction nor corrupts stats") {
     // An all-duplicate micro-batch accepts nothing: its delta lands as
     // _SUCCESS with no cells. Listing treats it as committed — the
