@@ -110,21 +110,32 @@ object Bench {
     val slowest0 = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(5)
     val failedNames0 = queries.collect { case (n, _) if failed(n) => "\"" + n + "\"" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames0.mkString("[", ",", "]")},"slowest5":${j(slowest0.toMap)},"streaming_rows_per_sec":"pending","calib":${calib.min},"sf":"$sfDir"}""")
-    val streaming =
-      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
+    // INTERLEAVED min-of-N for the streaming families too (round 11):
+    // the per-query protocol exists because single-pass numbers on a
+    // shared container lie, and the streaming legs were the last
+    // single-pass surface in the official record — BENCH_r10's
+    // uv_dedup_tws/cep_pattern 8-9× "collapse" rode exactly that
+    // exposure (unreproducible in idle interleaved passes). The
+    // headline map keeps the SAME family keys (now min-of-passes) for
+    // round-over-round comparability; the median map rides alongside.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_STREAM_PASSES", "2").toInt
+    val (streaming, streamingMed) =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") ("{}", "{}")
       else try {
-        val base = StreamBench.run(spark, sfDir)
+        val (base, baseMed) = StreamBench.runInterleaved(spark, sfDir, 1, passes)
         // batch-size amortization curve (1×/4×/8× rows per micro-batch)
-        // rides in the same tail map; SPARK_GRAFT_STREAM_SCALING=0
+        // rides in the same tail maps; SPARK_GRAFT_STREAM_SCALING=0
         // drops it for quick streaming-only iteration
-        val scaling =
-          if (sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALING", "1") == "0") Seq.empty
-          else StreamBench.runScaling(spark, sfDir)
-        StreamBench.rpsJson(base ++ scaling)
+        val (scaling, scalingMed) =
+          if (sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALING", "1") == "0")
+            (Seq.empty[(String, Long, Double)], Seq.empty[(String, Long, Double)])
+          else StreamBench.runScalingInterleaved(spark, sfDir, passes)
+        (StreamBench.rpsJson(base ++ scaling),
+          StreamBench.rpsJson(baseMed ++ scalingMed))
       }
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
-        """{"failed":-1}"""
+        ("""{"failed":-1}""", "{}")
       }
     // COMPACT SUMMARY LAST (and nothing after it): the driver keeps only
     // the final ~2000 chars of output, and the full per-query map above
@@ -134,7 +145,7 @@ object Bench {
     // the failed-query names, and the slowest queries.
     val slowest = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(5)
     val failedNames = queries.collect { case (n, _) if failed(n) => "\"" + n + "\"" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"slowest5":${j(slowest.toMap)},"streaming_rows_per_sec":$streaming,"calib":${calib.min},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"slowest5":${j(slowest.toMap)},"stream_passes":$passes,"streaming_rows_per_sec":$streaming,"streaming_rows_per_sec_median":$streamingMed,"calib":${calib.min},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,13 +42,47 @@ object StreamBench {
 
   /** (family, rows, seconds) per family; a family that fails reports
     * (-1, -1) instead of aborting the others (one broken state-store
-    * path must not erase the whole streaming row). */
+    * path must not erase the whole streaming row). ONE pass — the
+    * official record runs [[runInterleaved]] over this. */
   def run(spark: SparkSession, sfDir: String, scale: Int = 1): Seq[(String, Long, Double)] =
     withRocks(spark)(Seq(
       safely("uv_dedup_tws")(benchUvDedup(spark, nEvents = 20000 * scale, nBatches = 4)),
       safely("cep_pattern")(benchCep(spark, keysPerBatch = 2000 * scale, nBatches = 4)),
       safely("dedup_ingest")(benchDedupIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
       safely("ann_serve")(benchAnnServe(spark, sfDir, nQueries = 120 * scale, nBatches = 3))))
+
+  /** INTERLEAVED multi-pass run — the streaming analog of Bench's
+    * per-query protocol (CLAUDE.md's bench-noise gotcha): the full
+    * family suite executes `passes` times end to end, so a single
+    * contended container window taxes ONE pass instead of the official
+    * record (exactly what happened to the r10 driver run's
+    * uv_dedup_tws/cep_pattern tail — single-pass legs, 8-9× collapse,
+    * unreproducible idle). Per family the headline is the FASTEST pass
+    * (rows are fixed per family, so min seconds = max rows/s — load
+    * only ever inflates a sample, the same argument as the batch min
+    * estimator); the median rides alongside for spread. Returns
+    * (best, median) rows, both in [[run]]'s (family, rows, sec) shape;
+    * a family is -1 only if EVERY pass failed. */
+  def runInterleaved(spark: SparkSession, sfDir: String, scale: Int = 1,
+      passes: Int = 2): (Seq[(String, Long, Double)], Seq[(String, Long, Double)]) =
+    summarizePasses((0 until math.max(1, passes)).map(_ => run(spark, sfDir, scale)))
+
+  private[graft] def summarizePasses(all: Seq[Seq[(String, Long, Double)]])
+      : (Seq[(String, Long, Double)], Seq[(String, Long, Double)]) = {
+    val names = all.head.map(_._1)
+    def pick(choose: Seq[(Long, Double)] => (Long, Double)) = names.map { n =>
+      val ok = all.flatMap(_.collectFirst {
+        case (`n`, rows, sec) if sec > 0 => (rows, sec)
+      })
+      if (ok.isEmpty) (n, -1L, -1.0)
+      else { val (rows, sec) = choose(ok); (n, rows, sec) }
+    }
+    (pick(_.minBy(_._2)),
+      pick { ok =>
+        val s = ok.sortBy(_._2)
+        (s.head._1, Bench.median(s.map(_._2)))
+      })
+  }
 
   /** Batch-size AMORTIZATION leg: the two foreachBatch index-loop
     * families at 1×/4×/8× rows per micro-batch with the batch COUNT
@@ -69,6 +103,13 @@ object StreamBench {
         safely(s"ann_serve_x$m")(
           benchAnnServe(spark, sfDir, nQueries = 80 * m, nBatches = 2)))
     })
+
+  /** [[runScaling]] under the same interleaved min-of-N protocol —
+    * the amortization-curve legs ride in the official tail map too, so
+    * they get the same one-contended-window protection. */
+  def runScalingInterleaved(spark: SparkSession, sfDir: String,
+      passes: Int = 2): (Seq[(String, Long, Double)], Seq[(String, Long, Double)]) =
+    summarizePasses((0 until math.max(1, passes)).map(_ => runScaling(spark, sfDir)))
 
   private def withRocks[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -226,6 +267,7 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val scale = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALE", "1").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_STREAM_PASSES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -233,13 +275,16 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = run(spark, sfDir, scale) ++
-      (if (sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALING", "1") == "0") Seq.empty
-       else runScaling(spark, sfDir))
+    val (best, med) = runInterleaved(spark, sfDir, scale, passes)
+    val (sBest, sMed) =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALING", "1") == "0")
+        (Seq.empty, Seq.empty)
+      else runScalingInterleaved(spark, sfDir, passes)
+    val results = best ++ sBest
     val detail = results.map { case (name, rows, sec) =>
       s"""\"$name\":{\"rows\":$rows,\"sec\":${math.round(sec * 1000) / 1000.0}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"streaming","unit":"rows_per_sec","rows_per_sec":${rpsJson(results)},"detail":$detail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"streaming","unit":"rows_per_sec","passes":$passes,"rows_per_sec":${rpsJson(results)},"rows_per_sec_median":${rpsJson(med ++ sMed)},"detail":$detail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

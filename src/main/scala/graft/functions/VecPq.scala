@@ -73,7 +73,7 @@ object VecPqEncode {
   def encode(emb: ArrayData, norm: Double, cb: ArrayData): GenericArrayData = {
     val n = emb.numElements()
     if (n == 0) return new GenericArrayData(new Array[Any](0))
-    val mEff = math.max(math.min(8, n), 1)
+    val mEff = math.max(math.min(VecPq.M, n), 1)
     val subW = n / mEff
     val k = cb.numElements()
     val norm2 = math.max(norm, 1e-30)
@@ -180,6 +180,14 @@ object VecPqFold {
 }
 
 object VecPq {
+
+  /** THE product-quantization subspace count — the single constant
+    * every PQ site derives its geometry from: the codegen encoder
+    * above, and (via `Similarity.pqM`) the HOF reference form, the LUT
+    * widths, the trained sub-codebooks, and the DuckDB oracle mirrors.
+    * One definition so a future change cannot desynchronize the
+    * codegen kernel from the relational/oracle forms. */
+  val M: Int = 8
 
   /** Typed Column builder for the codegen'd PQ encoder. */
   def vec_pq_encode(embedding: Column, norm: Column, cb: Column): Column =

@@ -447,16 +447,18 @@ object Dedup {
     name.length - name.indexOf("sig_p=") - "sig_p=".length
 
   private def lshCellPaths(spark: SparkSession, indexDir: String,
-      sigs: Seq[(Int, String)], belowBatch: Long,
+      prefixesAt: Int => Seq[(Int, String)], belowBatch: Long,
       fallbackLen: Int): Seq[(String, Seq[String])] = {
     val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no LSH index manifest under $indexDir — persistLshIndex first"))
-    // cell names are derived PER ROOT from full band signatures at
-    // that root's own prefix length — mixed-length serving (the
-    // rebucket transition) needs no global length agreement
+    // cell names are derived PER ROOT from the probe's distinct sig
+    // PREFIXES at that root's own prefix length — mixed-length serving
+    // (the rebucket transition) needs no global length agreement, and
+    // the caller's per-length resolver keeps the control-plane collect
+    // bounded by the CELL SPACE, never the probe size
     def namesAt(len: Int): Seq[String] =
-      sigs.map { case (b, s) => s"band_id=$b/sig_p=${s.take(len)}" }
+      prefixesAt(len).map { case (b, p) => s"band_id=$b/sig_p=$p" }
         .distinct.sorted
     // base: probed cells are sparse in the 2×16^len space, so the
     // existence filter stays — O(probe cells), constant in the backlog
@@ -576,15 +578,24 @@ object Dedup {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
         "probe_id BIGINT, index_id BIGINT, jac DOUBLE, n_inter INT, n_union INT"))
-    // full band SIGNATURES (not prefixes): each root's cell names are
-    // derived at that root's own persisted prefix length, so a probe
-    // serves base + deltas written at DIFFERENT lengths (the rebucket
-    // transition) correctly. Same control-plane bound (≤ 3×|batch|).
-    val sigs = probe.select("band_id", "sig").distinct()
-      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted
+    // distinct (band, sig-PREFIX) pairs, collected lazily once per
+    // distinct prefix length in play (base + any mixed-length deltas —
+    // the rebucket transition; almost always ONE length). Each collect
+    // is bounded by the cell space (≤ 2·16^len cells), NOT the probe
+    // size: collecting full band signatures here (~3 rows per probe
+    // doc) would turn the control-plane resolve into a data-plane
+    // collect on a corpus-scale probe (`dedup_against_index` feeds
+    // half the corpus through this path). The probe relation is
+    // pinned, so each per-length pass is a cheap scan of cached rows.
+    val prefixCache = scala.collection.mutable.Map.empty[Int, Seq[(Int, String)]]
+    def prefixesAt(len: Int): Seq[(Int, String)] =
+      prefixCache.getOrElseUpdate(len,
+        probe.select(col("band_id"), substring(col("sig"), 1, len).as("p"))
+          .distinct()
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted)
     // ONE metadata resolve shared by both stages — the two-stage form
     // must not double the probe's seam calls (IndexFsSpec pins this)
-    val roots = lshCellPaths(spark, indexDir, sigs, belowBatch, effPrefix)
+    val roots = lshCellPaths(spark, indexDir, prefixesAt, belowBatch, effPrefix)
     if (roots.isEmpty) return (emptyResult, probe, release)
     def cellFrames: Seq[DataFrame] =
       roots.map { case (root, paths) => readBandRoot(spark, root, paths) }

@@ -67,8 +67,7 @@ object Similarity {
   private[ops] def bucketExpr(prefix: String): String =
     (1 to 8).map(i => s"CASE WHEN $prefix[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
-  private[ops] def sparkBucket(c: Column): Column =
-    concat((1 to 8).map(i => when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
+  private[ops] def sparkBucket(c: Column): Column = sparkBand(c, 0)
 
   /** Sign-bit band `b` (0-based): 8 bits from the signs of dimensions
     * 8b+1..8b+8 — band 0 IS [[bucketExpr]]; bands 1..3 extend the same
@@ -84,7 +83,16 @@ object Similarity {
 
   private[ops] def sparkBand(c: Column, b: Int): Column =
     concat((8 * b + 1 to 8 * b + 8)
-      .map(i => when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
+      // dims beyond the vector's length NULL-route to '0', mirroring
+      // the oracle (DuckDB's out-of-range list index yields NULL and
+      // `CASE WHEN NULL >= 0` falls through) — without the guard,
+      // ANSI-mode element_at THROWS on any input below 8·(b+1) dims
+      // (bands 1..3 read dims 9..32; the fixed 64-dim test tables
+      // never exercise it, but the decontamination entry points accept
+      // arbitrary vectors). CaseWhen branches evaluate lazily, so the
+      // length test genuinely guards the element_at.
+      .map(i => when(size(c) < i, "0")
+        .when(element_at(c, i) >= 0, "1").otherwise("0")): _*)
 
   /** Shared candidate-pair builder for the bucketed-cosine family
     * (`dedup_embedding_lsh`, `dedup_semantic_clusters`,
@@ -479,7 +487,10 @@ object Similarity {
     * expressivity gain over the k_coarse whole-vector cells) at zero
     * extra training or metadata: the codebook IS the per-generation
     * centroid relation the index already persists. */
-  private[ops] val pqM = 8
+  // the ONE shared subspace-count constant — the codegen encode kernel
+  // reads the same value, so the kernel, the HOF reference, the LUT
+  // widths, the trained codebooks and the oracle mirrors cannot drift
+  private[ops] val pqM = graft.functions.VecPq.M
 
   /** Effective subspace count: min(M, dim) — a corpus below 8 dims
     * (tiny test indexes) degrades to one dim per subspace instead of
@@ -623,10 +634,16 @@ object Similarity {
     * codebook over the live centroids. A codebook change is a
     * compaction by construction either way — `pq_g` and `pqcb_g` are
     * written together, so persisted codes always score against their
-    * own codebook. */
+    * own codebook. Gated on the `_SUCCESS` marker, not directory
+    * existence: a crashed trained write leaves a TORN `pqcb_g<gen>`
+    * directory behind, and a marker-less directory must read as "no
+    * trained codebook" (the replaying compaction either rewrites it or
+    * deletes it — see the untrained branch of
+    * [[compactIvfIndexHooked]]). */
   private[graft] def servingPqCodebookAt(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State, centroids: DataFrame): DataFrame =
-    if (graft.IndexFs.isDir(spark, gdir(indexDir, "pqcb", st.gen)))
+    if (graft.IndexFs.exists(spark,
+        s"${gdir(indexDir, "pqcb", st.gen)}/_SUCCESS"))
       readPqCodebookDf(spark, indexDir, st.gen)
     else pqCodebook(centroids)
 
@@ -1218,7 +1235,17 @@ object Similarity {
             writePqCodebook(spark, indexDir, gen,
               trainPqCodebookRows(committed, idx.centroids, trainPqIters))
             readPqCodebookDf(spark, indexDir, gen)
-          } else pqCodebook(idx.centroids)
+          } else {
+            // a crash-replayed compaction whose PREVIOUS attempt ran
+            // with trainPqIters > 0 left a pqcb_g<gen> behind (gen is
+            // reused on replay); the untrained re-run must delete it,
+            // or after the commit the leftover codebook would score
+            // the projection-encoded codes written below — breaking
+            // the codes-always-score-against-their-own-codebook
+            // invariant
+            graft.IndexFs.delete(spark, gdir(indexDir, "pqcb", gen))
+            pqCodebook(idx.centroids)
+          }
         Storage.writeCellClustered(pqCodesOfCb(committed, cb),
           Seq("label"), "vec_id", gdir(indexDir, "pq", gen), maxCellRows)
         val folded = deltas ++ late

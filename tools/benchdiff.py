@@ -35,12 +35,19 @@ def load(path):
                             p.get("streaming_rows_per_sec") or {})
     except json.JSONDecodeError:
         pass
-    # streaming families live in their own object; split them out FIRST
-    # so rows/s values never pollute the per-query seconds map
+    # streaming families live in their own objects; split them out
+    # FIRST so rows/s values never pollute the per-query seconds map.
+    # The round-over-round comparable is the min-of-interleaved map
+    # ("streaming_rows_per_sec"); the _median sibling (round 11+) is
+    # stripped here and ignored — read it in the raw tail when
+    # adjudicating a flagged family.
     m = re.search(r'"streaming_rows_per_sec":\{([^}]*)\}', text)
     if m:
         streaming = {k: float(v) for k, v in
                      re.findall(r'"([a-z0-9_]+)":(-?[0-9.]+)', m.group(1))}
+        text = text[:m.start()] + text[m.end():]
+    m = re.search(r'"streaming_rows_per_sec_median":\{([^}]*)\}', text)
+    if m:
         text = text[:m.start()] + text[m.end():]
     pairs = re.findall(r'"([a-z0-9_]+)":(-?[0-9.]+)', text)
     out = {}
@@ -61,9 +68,18 @@ def streaming_section(s_old, s_new, calib_old, calib_new, thr):
     the same contract the per-query movers list applies to seconds."""
     both = sorted(k for k in s_old.keys() & s_new.keys()
                   if s_old[k] > 0 and s_new[k] > 0)
-    if not both:
+    # a family whose run FAILED (or emitted 0 rows/s) must be named,
+    # not silently dropped — a broken streaming leg may not read as
+    # "all within drift band"
+    skipped = sorted(k for k in s_old.keys() & s_new.keys()
+                     if s_old[k] <= 0 or s_new[k] <= 0)
+    if not both and not skipped:
         return
     print("streaming families (rows/s):")
+    if skipped:
+        print(f"  SKIPPED (non-positive rows/s on a side): {skipped}")
+    if not both:
+        return
     have_calib = bool(calib_old and calib_new)
     if not have_calib:
         print("  (no calib on one side — raw ratios only)")
