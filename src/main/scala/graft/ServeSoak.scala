@@ -222,6 +222,85 @@ object ServeSoak {
         f"vecs=${leg.vecs}%8d build=${leg.build}%7.2fs serve=$serve%6.2fs " +
         f"read=$mb%8.1fMB recall@10=$recall")
     }
+
+    // REBUCKET-UNDER-INGEST soak (the composed-topology pattern of the
+    // IVF autopilot race, LSH flavor): a live dedupIngest stream keeps
+    // committing micro-batch decisions against the ×N hot layout
+    // (prefixLen=1 — one fat cell per band) while a maintenance thread
+    // re-buckets the index one char finer with NO coordination. The
+    // claim under test is mixed-length serving through the transition:
+    // per-batch ingest wall-clock must show no cliff while the fold
+    // runs or after the swap, and every batch's decision log must
+    // land. The two-stage AUTO decision is reported before/after — at
+    // ×N the fat pre-rebucket layout reads two-stage, the folded one
+    // page-sized — so the probe PLAN moves with the layout mid-stream.
+    // SPARK_GRAFT_SOAK_REBUCKET=0 skips the leg.
+    if (sys.env.getOrElse("SPARK_GRAFT_SOAK_REBUCKET", "1") == "1") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val idxDir = java.nio.file.Files.createTempDirectory("soak-rbk-idx").toString
+      val (_, rbkBuild) = timed(graft.ops.Dedup.persistLshIndex(
+        spark.read.parquet(s"$soakDir/documents.parquet"), idxDir,
+        prefixLen = 1))
+      val outDir = java.nio.file.Files.createTempDirectory("soak-rbk-out").toString
+      val corpus = spark.read.parquet(s"$soakDir/documents.parquet")
+        .orderBy("doc_id").limit(600).select("doc_id", "text")
+        .as[(Long, String)].collect()
+      val nBatches = 8
+      val perBatch = 120
+      // half near-copies of corpus docs (the verify stage has real
+      // candidates), half fresh (the accept + append route runs too)
+      def batchDocs(b: Int): Seq[(Long, String)] =
+        (0 until perBatch).map { i =>
+          val g = b * perBatch + i
+          val srcText = corpus(g % corpus.length)._2
+          if (i % 2 == 0)
+            (8000000000L + g, srcText.replaceFirst(" [a-z]+$", " zz"))
+          else
+            (8100000000L + g,
+              s"fresh w${g * 13 % 9973} w${g * 7 % 9973} ${srcText.take(40)}")
+        }
+      val in = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.dedupIngest(
+        in.toDS().toDF("doc_id", "text"), idxDir, outDir)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("soak-rbk-ckpt").toString)
+        .start()
+      @volatile var rbkSec = -1.0
+      @volatile var rbkError: Option[Throwable] = None
+      val rbk = new Thread(() => {
+        try {
+          val t0 = System.nanoTime()
+          graft.ops.Dedup.rebucketLshIndex(spark, idxDir, 2)
+          rbkSec = (System.nanoTime() - t0) / 1e9
+        } catch { case t: Throwable => rbkError = Some(t) }
+      })
+      val autoBefore = graft.ops.Dedup.twoStageAuto(spark, idxDir)
+      val batchSecs =
+        try (0 until nBatches).map { b =>
+          if (b == 3) rbk.start()
+          val t0 = System.nanoTime()
+          in.addData(batchDocs(b): _*)
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          q.stop()
+          if (rbk.getState != Thread.State.NEW) rbk.join()
+        }
+      rbkError.foreach(t => throw t)
+      require(rbkSec > 0, "rebucket thread never completed")
+      val autoAfter = graft.ops.Dedup.twoStageAuto(spark, idxDir)
+      val decisions = (0 until nBatches)
+        .map(b => spark.read.parquet(s"$outDir/b$b").count()).sum
+      require(decisions == nBatches.toLong * perBatch,
+        s"lost decisions through the transition: $decisions")
+      println(f"[servesoak] x$factor%-4d rebucket_under_ingest " +
+        f"build=$rbkBuild%6.2fs rebucket=$rbkSec%6.2fs " +
+        s"len=${graft.ops.Dedup.lshPrefixLenOf(spark, idxDir)} " +
+        s"auto=$autoBefore->$autoAfter decisions=$decisions batch_secs=" +
+        batchSecs.map(s => f"$s%.2f").mkString("[", ",", "]"))
+    }
     spark.stop()
   }
 }

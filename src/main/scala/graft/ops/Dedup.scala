@@ -314,6 +314,54 @@ object Dedup {
     genLen.orElse(readLshPrefixLen(spark, indexDir)).getOrElse(2)
   }
 
+  /** A generation's hottest-cell row count, persisted as `_cell_mass`
+    * inside the generation directory (written with the data like
+    * `_prefix_len`, retired with the directory by GC, invisible to
+    * Spark's file index). The O(1) probe-time input of the two-stage
+    * AUTO decision: cell mass is a LAYOUT property that only changes
+    * at a fold, so the writer pays one column-pruned count over the
+    * cells it just wrote (footer-cheap — count(1) over partition
+    * columns materializes no data pages) and every probe reads one
+    * line instead of re-aggregating footers. Appends grow cells
+    * without updating it, deliberately: deltas retire at the next
+    * fold, and the standing base layout is what the crossover is
+    * about (an append-heavy drift that matters trips the hot-cell
+    * autopilot signal first). */
+  private def cellMassPath(root: String) = s"$root/_cell_mass"
+  private def writeGenCellMass(spark: SparkSession, root: String): Unit = {
+    val row = spark.read.schema(bandReadSchema).option("basePath", root)
+      .parquet(root)
+      .groupBy("band_id", "sig_p").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head()
+    val hottest = if (row.isNullAt(0)) 0L else row.getLong(0)
+    graft.IndexFs.writeUtf8Atomic(spark, cellMassPath(root), hottest.toString)
+  }
+  private def readGenCellMass(spark: SparkSession, root: String): Option[Long] =
+    if (graft.IndexFs.exists(spark, cellMassPath(root)))
+      Some(graft.IndexFs.readUtf8(spark, cellMassPath(root)).trim.toLong)
+    else None
+
+  /** Default fat-cell floor for [[twoStageAuto]]: the measured
+    * crossover (PERF.md) has the two-stage probe at parity-to-slower
+    * on ~4k-row cells and winning 1.7× at ~60k-row cells; 16384 sits
+    * above the measured parity zone and below the proven win, i.e.
+    * the flip only fires once cells are unambiguously many-page. */
+  val twoStageCellRowsFloor: Long = 16384L
+
+  /** Decide the probe form FROM THE PERSISTED LAYOUT: true when the
+    * live base generation's hottest cell carries at least `floor` band
+    * rows — the regime where the two-stage probe's column-pruned
+    * screen has shingle pages to skip (the measured fat-cell win);
+    * below it the second scan is overhead and the one-pass plan is
+    * right. One manifest resolve + one metadata line — O(1) in corpus,
+    * backlog and probe size. A pre-mass layout (no `_cell_mass`)
+    * answers false: the one-pass plan is the safe default. */
+  def twoStageAuto(spark: SparkSession, indexDir: String,
+      floor: Long = twoStageCellRowsFloor): Boolean =
+    graft.GenManifest.resolve(spark, indexDir).exists { st =>
+      readGenCellMass(spark, lshBase(indexDir, st.gen)).exists(_ >= floor)
+    }
+
   /** Explicit read schema for a band-cell layout — NEVER inferred.
     * Partition-value inference would narrow an all-digit `sig_p` cell
     * ('07') to int and lose the leading zero; a compaction rewriting
@@ -362,10 +410,12 @@ object Dedup {
       prefixLen.toString)
     writeBandCells(bandRows(docs, prefixLen, exactFallback),
       lshBase(indexDir, 0), maxCellRows)
-    // the generation's own length, written with its data (probes
-    // derive this generation's cell paths from it)
+    // the generation's own length + cell-mass summary, written with
+    // its data (probes derive this generation's cell paths from the
+    // former and the two-stage auto decision from the latter)
     graft.IndexFs.writeUtf8Atomic(spark,
       genMetaPath(lshBase(indexDir, 0)), prefixLen.toString)
+    writeGenCellMass(spark, lshBase(indexDir, 0))
     graft.GenManifest.commit(spark, indexDir, seq = 0, gen = 0, floor = -1)
   }
 
@@ -731,6 +781,7 @@ object Dedup {
       writeBandCells(relabeled, newBase, maxCellRows)
       graft.IndexFs.writeUtf8Atomic(spark, genMetaPath(newBase),
         targetLen.toString)
+      writeGenCellMass(spark, newBase)
       graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen + 1,
         floor = if (deltas.nonEmpty) deltas.max else st.floor)
       // subsequent APPENDS band at the new length; a writer that read

@@ -48,14 +48,23 @@ object IndexMaintenance {
     * deltas to drift on. `staleDeltas` counts deltas whose labels were
     * assigned against a superseded centroid set (`_gen` below the
     * manifest's `lgen`): serving full-reads them on every probe, so
-    * their mere existence justifies a fold regardless of row counts. */
+    * their mere existence justifies a fold regardless of row counts.
+    * `medianCellRows` (LSH): the median BASE cell's row mass — the
+    * cold-layout signal (a corpus that shrank under retention deletes
+    * or aggressive dedup strands an over-split layout of tiny files).
+    * `foldedHottestRows` (LSH): what the hottest base cell WOULD weigh
+    * if the layout were folded one prefix char shorter — exact, from
+    * the same per-cell stats — so a downward re-bucket can be vetoed
+    * before it recreates the hot cell an earlier tick split. */
   final case class Signals(
       baseRows: Long,
       deltaRows: Long,
       deltaBatches: Int,
       maxDrift: Option[Double],
       staleDeltas: Int = 0,
-      hottestCellRows: Long = 0L)
+      hottestCellRows: Long = 0L,
+      medianCellRows: Long = 0L,
+      foldedHottestRows: Long = 0L)
 
   /** Thresholds. `backlogRatio`: delta mass as a share of the base
     * that justifies paying a fold (each probe reads its cells in EVERY
@@ -74,13 +83,23 @@ object IndexMaintenance {
     * default for bounded corpora; size it to the per-probe read budget
     * on growing ones). A rebucket IS a fold, so it subsumes any
     * pending Compact. */
+  /** `coldCellRows`: MEDIAN base-cell row mass below which the LSH
+    * layout is re-bucketed one prefix char COARSER (0 = disabled) —
+    * the downward twin of `hotCellRows` for a corpus that SHRANK: the
+    * escalation-only policy would strand a 16×-over-split layout of
+    * tiny per-cell files (the small-files regime `Storage.compact`
+    * exists to fix, and per-probe listing overhead forever). Bounded
+    * at prefix length 1, and VETOED when folding would recreate a hot
+    * cell (`Signals.foldedHottestRows` vs `hotCellRows`), so the two
+    * signals can never flip-flop. */
   final case class Policy(
       backlogRatio: Double = 0.10,
       backlogBatches: Int = 8,
       driftBound: Double = 0.25,
       lloydIters: Int = 2,
       trainPqIters: Int = 0,
-      hotCellRows: Long = 0L)
+      hotCellRows: Long = 0L,
+      coldCellRows: Long = 0L)
 
   private def decide(s: Signals, p: Policy): Action =
     if (s.maxDrift.exists(_ > p.driftBound)) LloydRebuild(p.lloydIters)
@@ -159,14 +178,29 @@ object IndexMaintenance {
   def lshSignals(spark: SparkSession, indexDir: String): Signals = {
     val stats = Dedup.lshIndexStats(spark, indexDir)
     val (base, delta, batches) = backlogFromStats(stats)
-    // the hot-cell signal: heaviest BASE cell (deltas retire at the
-    // next fold anyway; the base cell is the standing per-probe tax)
-    val hotRow = stats.filter(col("root") === "base")
+    // per-BASE-cell masses (deltas retire at the next fold anyway; the
+    // base layout is the standing per-probe tax) — one control-plane
+    // aggregation (≤ 2·16^len rows) feeds all three cell signals:
+    // hottest (upward rebucket), median (downward), and the EXACT
+    // hottest-if-folded-one-char-shorter (the downward veto — base
+    // cells share one generation, hence one prefix length, so the
+    // substring regroup is the true post-fold mass)
+    val baseCells = stats.filter(col("root") === "base")
       .groupBy("band_id", "sig_p").agg(sum(col("n_rows")).as("n"))
-      .agg(max(col("n"))).head()
-    val hottest = if (hotRow.isNullAt(0)) 0L else hotRow.getLong(0)
+    val row = baseCells.agg(
+      max(col("n")),
+      expr("CAST(percentile(n, 0.5) AS BIGINT)")).head()
+    val (hottest, median) =
+      if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
+    val foldedRow = baseCells
+      .groupBy(col("band_id"),
+        expr("substring(sig_p, 1, greatest(length(sig_p) - 1, 1))"))
+      .agg(sum(col("n")).as("fn"))
+      .agg(max(col("fn"))).head()
+    val folded = if (foldedRow.isNullAt(0)) 0L else foldedRow.getLong(0)
     Signals(base, delta, batches, maxDrift = None,
-      hottestCellRows = hottest)
+      hottestCellRows = hottest, medianCellRows = median,
+      foldedHottestRows = folded)
   }
 
   def planIvf(spark: SparkSession, indexDir: String,
@@ -182,6 +216,16 @@ object IndexMaintenance {
     if (policy.hotCellRows > 0 && s.hottestCellRows > policy.hotCellRows
         && curLen < 16)
       Rebucket(curLen + 1)
+    // cold-cell check second: fold one char coarser only when the
+    // MEDIAN cell is below the floor (one straggler cell must not
+    // coarsen a healthy layout), never below length 1, and never when
+    // the exact post-fold hottest would re-trip the hot signal (the
+    // flip-flop veto)
+    else if (policy.coldCellRows > 0 && curLen > 1 && s.medianCellRows > 0
+        && s.medianCellRows < policy.coldCellRows
+        && (policy.hotCellRows == 0 ||
+          s.foldedHottestRows <= policy.hotCellRows))
+      Rebucket(curLen - 1)
     else decide(s, policy)
   }
 
@@ -192,7 +236,12 @@ object IndexMaintenance {
     val action = planIvf(spark, indexDir, policy)
     action match {
       case NoOp => ()
-      case Compact => Similarity.compactIvfIndex(spark, indexDir)
+      // trainPqIters rides EVERY fold, not just drift rebuilds: a
+      // compaction rewrites the pq codes generation-coupled either
+      // way, so training here is what keeps the recall floor
+      // self-maintaining (0 = the training-free projection codebook)
+      case Compact => Similarity.compactIvfIndex(spark, indexDir,
+        trainPqIters = policy.trainPqIters)
       case LloydRebuild(iters) =>
         Similarity.compactIvfIndex(spark, indexDir, lloydIters = iters,
           trainPqIters = policy.trainPqIters)

@@ -309,9 +309,21 @@ object PipelineOps {
     * Output: `(train_vec, eval_vec, cos_sim)` unordered. */
   private[graft] def semContamPairs(train: org.apache.spark.sql.DataFrame,
       evSide: org.apache.spark.sql.DataFrame,
+      minCos: Double): org.apache.spark.sql.DataFrame =
+    semContamPairsPre(train, signBandRows(evSide, "evv"), evSide, minCos)
+
+  /** [[semContamPairs]] over a PRE-BANDED eval side — `evBands` =
+    * `(evv, band_id, sig)`, `evVecs` = `(vec_id, embedding, norm)` —
+    * so a caller holding the eval artifact on disk (the persisted
+    * index below) never re-bands the benchmark per micro-batch. Both
+    * eval relations are benchmark-sized and ride broadcasts; the
+    * train side's shape is unchanged (zero corpus-side exchanges). */
+  private[graft] def semContamPairsPre(train: org.apache.spark.sql.DataFrame,
+      evBands: org.apache.spark.sql.DataFrame,
+      evVecs: org.apache.spark.sql.DataFrame,
       minCos: Double): org.apache.spark.sql.DataFrame = {
     val cands = signBandRows(train, "tv")
-      .join(broadcast(signBandRows(evSide, "evv")), Seq("band_id", "sig"))
+      .join(broadcast(evBands), Seq("band_id", "sig"))
       .select("tv", "evv").distinct()
     val cos = Similarity.dot(col("embedding"), col("ee")) /
       (col("tnorm") * col("enorm"))
@@ -319,11 +331,75 @@ object PipelineOps {
       .select(col("vec_id").as("tv"), col("embedding"),
         col("norm").as("tnorm"))
       .join(broadcast(cands), Seq("tv"))
-      .join(broadcast(evSide.select(col("vec_id").as("evv"),
+      .join(broadcast(evVecs.select(col("vec_id").as("evv"),
         col("embedding").as("ee"), col("norm").as("enorm"))), Seq("evv"))
       .filter(cos >= minCos)
       .select(col("tv").as("train_vec"), col("evv").as("eval_vec"),
         round(cos, 6).as("cos_sim"))
+  }
+
+  /** PERSISTED eval-side artifact for semantic decontamination — the
+    * per-stream in-memory pin ([[graft.streaming.StreamOps
+    * .buildEvalSemIndex]]) promoted to an on-disk index many streams
+    * and restarts SHARE, with eval-set updates as one atomic manifest
+    * swap (the [[graft.GenManifest]] discipline of the LSH/IVF
+    * indexes, sign-LSH flavor). Layout per generation — eval sets are
+    * benchmark-sized (broadcast side by construction), so plain
+    * unpartitioned parquet: `evvec_g<gen>` holds the normed vectors
+    * `(vec_id, embedding, norm)` and `evband_g<gen>` their
+    * OR-amplified 4-band sign rows `(evv, band_id, sig)`, precomputed
+    * once at publish so serving never re-bands the benchmark. Both
+    * directories land fully BEFORE the manifest commit (a torn
+    * publish is invisible); keep-two GC retires superseded eval sets
+    * two updates later, never under a reader pinned to the previous
+    * manifest. */
+  private val evalSemPrefixes = Seq("evvec", "evband")
+  private val evBandReadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "evv BIGINT, band_id INT, sig STRING")
+  private val evVecReadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, norm DOUBLE")
+
+  private def writeEvalSemGen(evalVecs: org.apache.spark.sql.DataFrame,
+      indexDir: String, gen: Long): Unit = {
+    normedVecs(evalVecs).select("vec_id", "embedding", "norm")
+      .write.mode("overwrite").parquet(s"$indexDir/evvec_g$gen")
+    signBandRows(evalVecs, "evv")
+      .write.mode("overwrite").parquet(s"$indexDir/evband_g$gen")
+  }
+
+  def persistEvalSemIndex(evalVecs: org.apache.spark.sql.DataFrame,
+      indexDir: String): Unit = {
+    val spark = evalVecs.sparkSession
+    graft.GenManifest.reset(spark, indexDir, evalSemPrefixes)
+    writeEvalSemGen(evalVecs, indexDir, gen = 0)
+    graft.GenManifest.commit(spark, indexDir, seq = 0, gen = 0, floor = -1)
+  }
+
+  /** Replace the eval set: the next generation lands fully, one
+    * atomic manifest rename swaps every serving stream to it at its
+    * NEXT micro-batch (each batch resolves the manifest — O(1)), and
+    * keep-two GC retires the superseded artifact safely later. */
+  def updateEvalSemIndex(evalVecs: org.apache.spark.sql.DataFrame,
+      indexDir: String): Unit = {
+    val spark = evalVecs.sparkSession
+    val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no eval index manifest under $indexDir — persistEvalSemIndex first"))
+    writeEvalSemGen(evalVecs, indexDir, st.gen + 1)
+    graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen + 1, st.floor)
+    graft.GenManifest.gc(spark, indexDir, evalSemPrefixes)
+  }
+
+  /** The LIVE generation's `(evBands, evVecs)` relations — explicit
+    * read schemas (an EMPTY eval set writes only `_SUCCESS`;
+    * inference would throw). One manifest resolve per call. */
+  private[graft] def resolveEvalSemIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no eval index manifest under $indexDir — persistEvalSemIndex first"))
+    (spark.read.schema(evBandReadSchema).parquet(s"$indexDir/evband_g${st.gen}"),
+      spark.read.schema(evVecReadSchema).parquet(s"$indexDir/evvec_g${st.gen}"))
   }
 
   /** Incremental aggregation maintenance (the foreachBatch pattern as

@@ -1035,9 +1035,17 @@ object StreamOps {
     * `dup_of`/`jac` null for accepted docs, else the best-matching
     * index doc (highest Jaccard, ties to the lowest id) or the
     * in-batch family survivor. */
+  /** `twoStageProbe`: None (default) AUTO-selects the probe form from
+    * the index's persisted cell-mass metadata once per micro-batch
+    * ([[graft.ops.Dedup.twoStageAuto]] — O(1) metadata I/O, re-read
+    * each batch so a mid-stream re-bucket flips the plan with the
+    * layout); Some(x) is the operator override, forcing the form
+    * either way. Decisions are identical in all three modes by the
+    * two-stage probe's lossless construction — the knob is purely a
+    * read-plan choice. */
   def dedupIngest(docs: DataFrame, indexDir: String, outDir: String,
       threshold: Double = 0.4,
-      twoStageProbe: Boolean = false): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      twoStageProbe: Option[Boolean] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         dedupIngestBatch(batch.toDF(), indexDir, outDir, batchId, threshold,
@@ -1046,7 +1054,8 @@ object StreamOps {
 
   private[graft] def dedupIngestBatch(batch: DataFrame, indexDir: String,
       outDir: String, batchId: Long, threshold: Double,
-      twoStageProbe: Boolean = false): Unit = {
+      twoStageProbe: Option[Boolean] = None,
+      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor): Unit = {
     import org.apache.spark.sql.expressions.Window
     if (batch.isEmpty) return
     val spark = batch.sparkSession
@@ -1061,19 +1070,23 @@ object StreamOps {
       // stream's lifetime — the pinned probe relation is freed once
       // this batch's writes land, not when the ContextCleaner gets
       // around to it
-      // twoStageProbe (a deployment knob, not a default): the probe is
-      // micro-batch-sized, so the survivor collect is control-plane
-      // bounded and the index cells are read column-pruned +
-      // sig-filtered (the LSH analog of the IVF rerank's
-      // cheap-stage-then-exact discipline). Turn it ON when index
-      // cells are fat (many parquet pages each — the 100 TB regime);
-      // at page-sized cells the second scan costs more than the
-      // shingle-column pruning saves (measured: ServeSoak lsh_hot vs
-      // lsh_serve legs and PERF.md's crossover note).
+      // two-stage probe selection: the probe is micro-batch-sized, so
+      // the survivor collect is control-plane bounded and the index
+      // cells are read column-pruned + sig-filtered (the LSH analog of
+      // the IVF rerank's cheap-stage-then-exact discipline). It WINS
+      // when index cells are fat (many parquet pages each — the 100 TB
+      // regime); at page-sized cells the second scan costs more than
+      // the shingle-column pruning saves (ServeSoak lsh_hot vs
+      // lsh_serve, PERF.md crossover). The default AUTO mode reads
+      // that regime off the index's own persisted cell-mass metadata
+      // per batch — a mid-stream re-bucket moves the layout AND the
+      // plan; Some(x) stays the operator override.
+      val twoStage = twoStageProbe.getOrElse(
+        graft.ops.Dedup.twoStageAuto(spark, indexDir, twoStageFloor))
       val (dupsRaw, probeRows, releaseProbe) = graft.ops.Dedup.nearDupCheckWithProbe(
         spark, indexDir, uniq, threshold, belowBatch = batchId,
         prefixLen = 2, broadcastProbe = true, exactFallback = true,
-        twoStage = twoStageProbe)
+        twoStage = twoStage)
       val dups = dupsRaw.persist()
       try {
         val fresh = uniq.join(
@@ -1268,6 +1281,37 @@ object StreamOps {
           decontaminateEmbeddingBatch(idx, batch.toDF(), outDir, batchId, minCos)
     }
   }
+
+  /** Streaming semantic decontamination against the PERSISTED eval
+    * index ([[graft.ops.PipelineOps.persistEvalSemIndex]]) — the
+    * shareable form of [[decontaminateEmbeddingIngest]]: the eval
+    * artifact lives on disk under a GenManifest, so (1) many
+    * concurrent streams and stream RESTARTS share one published
+    * benchmark instead of each re-norming and pinning its own copy,
+    * and (2) an eval-set update (`updateEvalSemIndex`) is one atomic
+    * manifest swap that every stream picks up at its next micro-batch
+    * — each batch resolves the manifest (O(1)) and reads the
+    * benchmark-sized band + vector relations onto broadcasts; a torn
+    * publish is invisible by the manifest protocol. Decisions are
+    * identical to the in-memory form on the same eval set (the shared
+    * `semContamPairsPre` chain; StreamingSpec pins parity and the
+    * mid-stream swap). Same output/replay contract as the in-memory
+    * leg: `(train_vec, eval_vec, cos_sim)` per confirmed pair in
+    * `outDir/b<batchId>`, overwrite-idempotent. */
+  def decontaminateEmbeddingServe(vecs: DataFrame, indexDir: String,
+      outDir: String,
+      minCos: Double = 0.30): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val (evBands, evVecs) =
+            graft.ops.PipelineOps.resolveEvalSemIndex(spark, indexDir)
+          graft.ops.PipelineOps
+            .semContamPairsPre(batch.toDF(), evBands, evVecs, minCos)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+        }
+    }
 
   /** Union of every semantic-decontamination batch's confirmed pairs
     * (None if no batch has landed yet). */

@@ -969,6 +969,54 @@ class OpsSpec extends SparkSuite {
     assert(IndexMaintenance.planIvf(spark, indexDir, pol) === NoOp)
   }
 
+  test("maintenance autopilot: trainPqIters rides every fold; iters=0 keeps the projection fallback") {
+    // VERDICT r10 item 4: trained codebooks are generation-coupled and
+    // every compaction rewrites the pq codes, so a Policy with
+    // trainPqIters > 0 must re-train on a plain backlog Compact too —
+    // not only on drift-escalated LloydRebuilds — or the recall floor
+    // decays back to the projection codebook at the first
+    // non-escalated fold. iters=0 stays the training-free path.
+    import graft.ops.IndexMaintenance
+    import graft.ops.IndexMaintenance._
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-autopilot-pqt").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    val emb = graft.ops.Tables.table(spark, sf("sf0.001"), "embeddings")
+    def appendCopies(b: Long): Unit =
+      Similarity.appendToPersistedIvfIndex(spark, indexDir,
+        emb.orderBy("vec_id").limit(2)
+          .select((col("vec_id") + 1000000L * b).as("vec_id"), col("embedding")),
+        batchId = b)
+    def liveTrained(): Boolean = {
+      val gen = GenManifest.resolve(spark, indexDir).get.gen
+      graft.IndexFs.exists(spark, s"$indexDir/pqcb_g$gen/_SUCCESS")
+    }
+    assert(!liveTrained(), "fresh untrained persist left a codebook")
+    // backlog-only tick (drift out of reach) with training requested:
+    // the plain Compact must leave a live trained codebook
+    appendCopies(1L)
+    val trainPol = Policy(backlogBatches = 1, backlogRatio = 10.0,
+      driftBound = 1e9, trainPqIters = 2)
+    assert(IndexMaintenance.maintainIvfIndex(spark, indexDir, trainPol)
+      === Compact)
+    assert(liveTrained(), "backlog Compact did not train the codebook")
+    val qv = emb.orderBy("vec_id").limit(1)
+      .select("embedding").as[Seq[Float]].head()
+    assert(Similarity.ivfProbeVectorRerankedServedPq(spark, indexDir, qv)
+      .count() > 0, "PQ serving broken on the trained generation")
+    // the next fold with iters=0 re-decides: codes are rewritten
+    // against the projection codebook and no stale pqcb may survive
+    appendCopies(2L)
+    val plainPol = trainPol.copy(trainPqIters = 0)
+    assert(IndexMaintenance.maintainIvfIndex(spark, indexDir, plainPol)
+      === Compact)
+    assert(!liveTrained(),
+      "untrained fold left a trained codebook against projection-encoded codes")
+    assert(Similarity.ivfProbeVectorRerankedServedPq(spark, indexDir, qv)
+      .count() > 0, "PQ serving broken on the projection fallback")
+  }
+
   test("maintenance autopilot: delta drift triggers the Lloyd rebuild and the signal then clears") {
     import graft.ops.IndexMaintenance
     import graft.ops.IndexMaintenance._
@@ -1095,6 +1143,87 @@ class OpsSpec extends SparkSuite {
     assert(h2 < h1, s"hottest cell did not shrink: $h1 → $h2")
     assert(IndexMaintenance.planLsh(spark, indexDir, pol) === NoOp,
       s"hot-cell signal did not clear (hottest $h2, bound ${pol.hotCellRows})")
+  }
+
+  test("maintenance autopilot: cold cells fold the layout coarser, bounded at 1, hot-guard vetoes") {
+    // The DOWNWARD twin of the hot-cell cycle: an over-split layout
+    // (tiny median cell mass — the shape a corpus shrink strands)
+    // folds one prefix char coarser, serving identical through the
+    // swap; the fold is bounded at length 1 and VETOED when it would
+    // recreate a cell the hot policy just split.
+    import graft.ops.IndexMaintenance
+    import graft.ops.IndexMaintenance._
+    import graft.ops.Tables
+    val dir = sf("sf0.001")
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-coldcell").toString
+    Dedup.persistLshIndex(
+      Tables.table(spark, dir, "documents").filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text"),
+      indexDir, prefixLen = 2, exactFallback = false)
+    val probe = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+    def pairs(): Seq[(Long, Long)] = Dedup.nearDupCheck(spark, indexDir, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).toSeq
+    val before = pairs()
+    assert(before.nonEmpty)
+    val s0 = IndexMaintenance.lshSignals(spark, indexDir)
+    assert(s0.medianCellRows > 0)
+    // fixture sanity: folding 2 → 1 merges up to 16 cells, so the
+    // post-fold hottest strictly exceeds the current one here — which
+    // makes the veto case below deterministic (hot clause can't fire)
+    assert(s0.foldedHottestRows > s0.hottestCellRows)
+    // disabled (default 0) never coarsens; the hot-guard vetoes a fold
+    // whose exact post-fold hottest would re-trip the hot signal
+    assert(IndexMaintenance.planLsh(spark, indexDir) === NoOp)
+    val vetoed = Policy(coldCellRows = s0.medianCellRows + 1,
+      hotCellRows = s0.foldedHottestRows - 1)
+    assert(IndexMaintenance.planLsh(spark, indexDir, vetoed) === NoOp,
+      "cold fold fired despite the hot-cell veto")
+    // with the veto clear, the cold tick folds 2 → 1; probe identical
+    val pol = Policy(coldCellRows = s0.medianCellRows + 1,
+      hotCellRows = s0.foldedHottestRows + 1)
+    assert(IndexMaintenance.maintainLshIndex(spark, indexDir, pol)
+      === Rebucket(1))
+    assert(Dedup.lshPrefixLenOf(spark, indexDir) === 1)
+    assert(pairs() === before, "downward re-bucketing changed probe results")
+    // bounded: length 1 is the floor — even a policy that still reads
+    // the layout as cold must not act on the cold clause again
+    val s1 = IndexMaintenance.lshSignals(spark, indexDir)
+    val still = Policy(coldCellRows = s1.medianCellRows + 1)
+    assert(IndexMaintenance.planLsh(spark, indexDir, still) === NoOp,
+      "cold clause re-fired below the length-1 floor")
+  }
+
+  test("two-stage auto-selection reads the persisted cell mass; ingest decisions identical in auto mode") {
+    // VERDICT r10 item 3: the probe form is selected from the LAYOUT —
+    // `_cell_mass` written with each generation — not a caller knob.
+    // A page-sized layout answers one-pass at the default floor; the
+    // same corpus at the hot layout (prefixLen=1) answers two-stage
+    // once the floor is at its own hottest cell; a re-bucket moves the
+    // answer WITH the layout.
+    import graft.ops.Tables
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val docs = Tables.table(spark, dir, "documents")
+      .filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val pageDir = java.nio.file.Files.createTempDirectory("lsh-auto-page").toString
+    Dedup.persistLshIndex(docs, pageDir) // default 512-cell layout
+    assert(!Dedup.twoStageAuto(spark, pageDir),
+      "page-sized sandbox layout read as fat at the default floor")
+    assert(Dedup.twoStageAuto(spark, pageDir, floor = 1L),
+      "_cell_mass missing or zero on a non-empty layout")
+    val hotDir = java.nio.file.Files.createTempDirectory("lsh-auto-hot").toString
+    Dedup.persistLshIndex(docs, hotDir, prefixLen = 1)
+    val hottest = graft.ops.IndexMaintenance.lshSignals(spark, hotDir)
+      .hottestCellRows
+    assert(Dedup.twoStageAuto(spark, hotDir, floor = hottest))
+    assert(!Dedup.twoStageAuto(spark, hotDir, floor = hottest + 1))
+    // the decision tracks a re-bucket: folding 1 → 2 shrinks the
+    // hottest cell, and the NEW generation's mass answers
+    Dedup.rebucketLshIndex(spark, hotDir, 2)
+    assert(!Dedup.twoStageAuto(spark, hotDir, floor = hottest),
+      "auto decision still reads the pre-rebucket generation's mass")
   }
 
   test("an empty committed delta neither wedges compaction nor corrupts stats") {

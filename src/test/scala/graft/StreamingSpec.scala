@@ -1050,25 +1050,33 @@ class StreamingSpec extends SparkSuite {
       111L -> "doc tiny")
     // same seeded base, same two batches, one run per probe mode — the
     // two-stage screen must be decision-invisible (incl. the short-doc
-    // fallback band and the delta probe of batch 1 against batch 0)
-    def runMode(twoStageProbe: Boolean): Seq[Map[Long, Option[Long]]] = {
+    // fallback band and the delta probe of batch 1 against batch 0).
+    // The THIRD mode is AUTO with a floor of 1 (every non-empty layout
+    // reads as fat), so the auto resolution path itself is driven
+    // through the ingest loop, not just the forced override.
+    def runMode(twoStageProbe: Option[Boolean]): Seq[Map[Long, Option[Long]]] = {
       val indexDir = java.nio.file.Files.createTempDirectory("dedup-2s-idx").toString
       val outDir = java.nio.file.Files.createTempDirectory("dedup-2s-out").toString
       Dedup.persistLshIndex(Seq(2L -> seeded).toDF("doc_id", "text"), indexDir)
       StreamOps.dedupIngestBatch(b0.toDF("doc_id", "text"), indexDir, outDir,
-        batchId = 0L, threshold = 0.4, twoStageProbe = twoStageProbe)
+        batchId = 0L, threshold = 0.4, twoStageProbe = twoStageProbe,
+        twoStageFloor = 1L)
       StreamOps.dedupIngestBatch(b1.toDF("doc_id", "text"), indexDir, outDir,
-        batchId = 1L, threshold = 0.4, twoStageProbe = twoStageProbe)
+        batchId = 1L, threshold = 0.4, twoStageProbe = twoStageProbe,
+        twoStageFloor = 1L)
       // crash replay of batch 1 in the same mode: identical decisions
       StreamOps.dedupIngestBatch(b1.toDF("doc_id", "text"), indexDir, outDir,
-        batchId = 1L, threshold = 0.4, twoStageProbe = twoStageProbe)
+        batchId = 1L, threshold = 0.4, twoStageProbe = twoStageProbe,
+        twoStageFloor = 1L)
       (0 to 1).map(b => spark.read.parquet(s"$outDir/b$b")
         .collect().map(r => r.getLong(0) ->
           (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap)
     }
-    val onePass = runMode(twoStageProbe = false)
-    val twoStage = runMode(twoStageProbe = true)
+    val onePass = runMode(twoStageProbe = Some(false))
+    val twoStage = runMode(twoStageProbe = Some(true))
+    val auto = runMode(twoStageProbe = None)
     assert(twoStage === onePass, "two-stage ingest probe changed decisions")
+    assert(auto === onePass, "auto-selected ingest probe changed decisions")
     // the fixture is not vacuous: a cross-batch near-dup, an accepted
     // doc and a token-reordered short-doc fallback dup all decided
     assert(onePass(0)(101L) === Some(2L))
@@ -1430,6 +1438,76 @@ class StreamingSpec extends SparkSuite {
     StreamOps.decontaminateEmbeddingBatch(idx,
       b1.toSeq.toDF("vec_id", "embedding"), outDir, batchId = 1L, minCos = 0.30)
     assert(got() === expect)
+  }
+
+  test("persisted eval index: served decontamination equals the in-memory form; swap atomic, torn publish invisible") {
+    // VERDICT r10 item 8: the eval side as a SHARED on-disk artifact.
+    // Claims: (1) serving against the persisted index decides exactly
+    // what the in-memory pin decides on the same eval set; (2) a torn
+    // publish (next-generation dirs landed, NO manifest commit) is
+    // invisible — batches keep serving the committed set; (3) an
+    // updateEvalSemIndex swap is atomic and visible at the next
+    // micro-batch, including overwriting the torn leftovers (the
+    // crash-replay path of a failed publish).
+    import graft.ops.{PipelineOps, Tables}
+    val dir = sf("sf0.001")
+    val emb = Tables.table(spark, dir, "embeddings")
+    val evalVecs = emb.filter(col("vec_id") % 23 === 0)
+      .select("vec_id", "embedding")
+    val idxDir = java.nio.file.Files.createTempDirectory("semdecon-evidx").toString
+    PipelineOps.persistEvalSemIndex(evalVecs, idxDir)
+    val train = emb.filter(col("vec_id") % 23 =!= 0)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val (b0, b1) = train.partition(_._1 < 250)
+    assert(b0.nonEmpty && b1.nonEmpty)
+
+    val outDir = java.nio.file.Files.createTempDirectory("semdecon-sv-out").toString
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.decontaminateEmbeddingServe(
+      in.toDF().toDF("vec_id", "embedding"), idxDir, outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("semdecon-sv-ckpt").toString)
+      .start()
+    in.addData(b0.toSeq: _*); q.processAllAvailable()
+    // torn publish BETWEEN batches: generation-1 dirs exist with
+    // garbage content, but no manifest names them — batch 1 must keep
+    // serving generation 0
+    spark.range(1).selectExpr("id AS evv", "CAST(0 AS INT) AS band_id",
+      "'xx' AS sig").write.parquet(s"$idxDir/evband_g1")
+    spark.range(1).selectExpr("id AS vec_id",
+      "array(CAST(1.0 AS FLOAT)) AS embedding",
+      "CAST(1.0 AS DOUBLE) AS norm").write.parquet(s"$idxDir/evvec_g1")
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    val expect = PipelineOps.decontaminateEmbedding.fn(spark, dir)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(expect.nonEmpty, "fixture vacuous: batch query found no pairs")
+    def got(): Seq[(Long, Long, Double)] =
+      StreamOps.semDecontaminationResults(spark, outDir).get
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got() === expect,
+      "served decisions diverged from the batch query (or a torn publish leaked)")
+
+    // committed swap to a SHRUNK eval set: the publish overwrites the
+    // torn gen-1 leftovers, and the very next micro-batch serves it
+    val evNew = evalVecs.filter(col("vec_id") % 46 === 0)
+    // fixture sanity: the swap must be observable — some confirmed b1
+    // pair's eval vec leaves the set
+    assert(expect.exists { case (tv, ev, _) =>
+      b1.exists(_._1 == tv) && ev % 46 != 0 },
+      "fixture vacuous: no b1 pair drops under the shrunk eval set")
+    PipelineOps.updateEvalSemIndex(evNew, idxDir)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val expect2 = PipelineOps.semContamPairs(
+      b1.toSeq.toDF("vec_id", "embedding"),
+      graft.Materialize(PipelineOps.normedVecs(evNew)), 0.30)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val batch2 = spark.read.parquet(s"$outDir/b2")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(batch2 === expect2,
+      "post-swap batch did not serve the new eval generation")
+    assert(batch2.forall(_._2 % 46 == 0),
+      "post-swap decisions cite an eval vec outside the new set")
   }
 
   test("a crash-replayed batch whose delta was already compacted does not flag its own docs") {
