@@ -298,7 +298,7 @@ object ServeSoak {
       println(f"[servesoak] x$factor%-4d rebucket_under_ingest " +
         f"build=$rbkBuild%6.2fs rebucket=$rbkSec%6.2fs " +
         s"len=${graft.ops.Dedup.lshPrefixLenOf(spark, idxDir)} " +
-        s"auto=$autoBefore->$autoAfter decisions=$decisions batch_secs=" +
+        s"fat_layout=$autoBefore->$autoAfter decisions=$decisions batch_secs=" +
         batchSecs.map(s => f"$s%.2f").mkString("[", ",", "]"))
     }
     spark.stop()

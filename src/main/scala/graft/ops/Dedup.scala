@@ -328,18 +328,53 @@ object Dedup {
     * about (an append-heavy drift that matters trips the hot-cell
     * autopilot signal first). */
   private def cellMassPath(root: String) = s"$root/_cell_mass"
+
+  /** Cells below this mass are never worth a two-stage read (the
+    * measured parity zone starts well above one parquet page), so the
+    * persisted tail only carries cells at or above it — the file stays
+    * O(fat cells), bounded by corpus/1024 regardless of the cell
+    * space. */
+  private[graft] val cellMassTailFloor: Long = 1024L
+  private val cellMassTailCap = 4096
+
   private def writeGenCellMass(spark: SparkSession, root: String): Unit = {
-    val row = spark.read.schema(bandReadSchema).option("basePath", root)
+    val cells = spark.read.schema(bandReadSchema).option("basePath", root)
       .parquet(root)
       .groupBy("band_id", "sig_p").agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head()
-    val hottest = if (row.isNullAt(0)) 0L else row.getLong(0)
-    graft.IndexFs.writeUtf8Atomic(spark, cellMassPath(root), hottest.toString)
+    val hotRow = cells.agg(max(col("n"))).head()
+    val hottest = if (hotRow.isNullAt(0)) 0L else hotRow.getLong(0)
+    // the FAT TAIL rides along (heaviest first, capped): per-probe
+    // two-stage selection intersects it with the probe's own cells —
+    // a skewed layout whose hottest cell a probe never touches must
+    // not force the two-stage plan onto page-sized reads (measured:
+    // the ×100 512-cell layout reads "fat" by hottest yet probes at
+    // parity — ServeSoak lsh_serve vs lsh_2stage)
+    val tail = cells.filter(col("n") >= cellMassTailFloor)
+      .orderBy(col("n").desc, col("band_id"), col("sig_p"))
+      .limit(cellMassTailCap)
+      .collect()
+      .map(r => s"band_id=${r.getInt(0)}/sig_p=${r.getString(1)}\t${r.getLong(2)}")
+    graft.IndexFs.writeUtf8Atomic(spark, cellMassPath(root),
+      (hottest.toString +: tail).mkString("\n"))
   }
+
+  /** `(hottest, fat-cell tail)` of a generation — None on a pre-mass
+    * layout. One metadata read. */
+  private def readGenCellMassFull(spark: SparkSession,
+      root: String): Option[(Long, Map[String, Long])] =
+    if (!graft.IndexFs.exists(spark, cellMassPath(root))) None
+    else {
+      val lines = graft.IndexFs.readUtf8(spark, cellMassPath(root))
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      val tail = lines.drop(1).map { l =>
+        val Array(cell, n) = l.split("\t")
+        cell -> n.toLong
+      }.toMap
+      Some((lines.head.toLong, tail))
+    }
+
   private def readGenCellMass(spark: SparkSession, root: String): Option[Long] =
-    if (graft.IndexFs.exists(spark, cellMassPath(root)))
-      Some(graft.IndexFs.readUtf8(spark, cellMassPath(root)).trim.toLong)
-    else None
+    readGenCellMassFull(spark, root).map(_._1)
 
   /** Default fat-cell floor for [[twoStageAuto]]: the measured
     * crossover (PERF.md) has the two-stage probe at parity-to-slower
@@ -348,14 +383,17 @@ object Dedup {
     * the flip only fires once cells are unambiguously many-page. */
   val twoStageCellRowsFloor: Long = 16384L
 
-  /** Decide the probe form FROM THE PERSISTED LAYOUT: true when the
-    * live base generation's hottest cell carries at least `floor` band
-    * rows — the regime where the two-stage probe's column-pruned
-    * screen has shingle pages to skip (the measured fat-cell win);
-    * below it the second scan is overhead and the one-pass plan is
-    * right. One manifest resolve + one metadata line — O(1) in corpus,
-    * backlog and probe size. A pre-mass layout (no `_cell_mass`)
-    * answers false: the one-pass plan is the safe default. */
+  /** The LAYOUT-level fat-cell answer: true when the live base
+    * generation's hottest cell carries at least `floor` band rows —
+    * the operational/reporting signal ("does this layout have cells
+    * worth two-staging at all"). The actual per-probe selection
+    * ([[nearDupCheckWithProbe]] with `twoStage = None`) is finer: it
+    * intersects the persisted fat-cell TAIL with the cells the probe
+    * actually lands in, so a skewed layout that reads fat here still
+    * serves one-pass probes into its page-sized cells. One manifest
+    * resolve + one metadata line — O(1) in corpus, backlog and probe
+    * size. A pre-mass layout (no `_cell_mass`) answers false: the
+    * one-pass plan is the safe default. */
   def twoStageAuto(spark: SparkSession, indexDir: String,
       floor: Long = twoStageCellRowsFloor): Boolean =
     graft.GenManifest.resolve(spark, indexDir).exists { st =>
@@ -578,9 +616,17 @@ object Dedup {
       belowBatch: Long, prefixLen: Int, broadcastProbe: Boolean,
       exactFallback: Boolean, twoStage: Boolean = false): (DataFrame, () => Unit) = {
     val (out, _, release) = nearDupCheckWithProbe(spark, indexDir, probeDocs,
-      threshold, belowBatch, prefixLen, broadcastProbe, exactFallback, twoStage)
+      threshold, belowBatch, prefixLen, broadcastProbe, exactFallback,
+      Some(twoStage))
     (out, release)
   }
+
+  /** The probe form the LAST [[nearDupCheckWithProbe]] call actually
+    * ran with — a test seam (the `IndexFs.seamCalls` precedent), never
+    * a control input: the AUTO decision is otherwise invisible from
+    * the outside because it is decision-identical by construction. */
+  private[graft] val lastTwoStageDecision =
+    new java.util.concurrent.atomic.AtomicReference[Option[Boolean]](None)
 
   /** [[nearDupCheckReleasable]] that ALSO hands back the pinned probe
     * band-row relation `(probe_id, band_id, sig, sig_p, pss)` — the
@@ -611,10 +657,23 @@ object Dedup {
     * collect discipline as IVF serving); a corpus-scale probe would
     * make the survivor collect data-plane-sized — keep the default
     * one-pass plan there. */
+  /** `twoStage = None` is AUTO: resolved per call FROM THE PROBED
+    * CELLS — the base generation's persisted fat-cell tail
+    * (`_cell_mass`) intersected with the cells THIS probe lands in;
+    * two-stage only when a probed base cell carries at least
+    * `twoStageFloor` rows. The layout's hottest cell alone is NOT the
+    * signal: a skewed layout can read "fat" while every probe lands
+    * in page-sized cells, where the second scan is pure overhead
+    * (measured — ServeSoak ×100 lsh_serve 0.72 s vs lsh_2stage
+    * 0.78 s on a layout whose hottest clique cell cleared the floor).
+    * A floor below [[cellMassTailFloor]] degrades to the layout-level
+    * hottest answer (the tail doesn't record cells that small); a
+    * pre-mass layout answers one-pass. */
   private[graft] def nearDupCheckWithProbe(spark: SparkSession,
       indexDir: String, probeDocs: DataFrame, threshold: Double,
       belowBatch: Long, prefixLen: Int, broadcastProbe: Boolean,
-      exactFallback: Boolean, twoStage: Boolean = false): (DataFrame, DataFrame, () => Unit) = {
+      exactFallback: Boolean, twoStage: Option[Boolean] = Some(false),
+      twoStageFloor: Long = twoStageCellRowsFloor): (DataFrame, DataFrame, () => Unit) = {
     // band the probe at the INDEX's persisted prefixLen — probing at a
     // caller-supplied mismatch builds sig_p paths that exist for no
     // cell and silently returns zero candidates (the prefixLen param
@@ -643,6 +702,25 @@ object Dedup {
         probe.select(col("band_id"), substring(col("sig"), 1, len).as("p"))
           .distinct()
           .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted)
+    // AUTO resolution (twoStage = None): intersect the base
+    // generation's persisted fat-cell tail with THIS probe's cells at
+    // the base length — prefixesAt caches per length, so the pass is
+    // shared with lshCellPaths below, and the metadata cost is one
+    // O(fat-cells) line read. Explicit Some(x) skips all of it.
+    val twoStageEff = twoStage.getOrElse(
+      graft.GenManifest.resolve(spark, indexDir).exists { st =>
+        val baseRoot = lshBase(indexDir, st.gen)
+        readGenCellMassFull(spark, baseRoot).exists { case (hottest, tail) =>
+          if (twoStageFloor < cellMassTailFloor) hottest >= twoStageFloor
+          else {
+            val baseLen = readGenPrefixLen(spark, baseRoot).getOrElse(effPrefix)
+            prefixesAt(baseLen).exists { case (b, p) =>
+              tail.getOrElse(s"band_id=$b/sig_p=$p", 0L) >= twoStageFloor
+            }
+          }
+        }
+      })
+    lastTwoStageDecision.set(Some(twoStageEff))
     // ONE metadata resolve shared by both stages — the two-stage form
     // must not double the probe's seam calls (IndexFsSpec pins this)
     val roots = lshCellPaths(spark, indexDir, prefixesAt, belowBatch, effPrefix)
@@ -650,7 +728,7 @@ object Dedup {
     def cellFrames: Seq[DataFrame] =
       roots.map { case (root, paths) => readBandRoot(spark, root, paths) }
     val perRoot =
-      if (!twoStage) cellFrames
+      if (!twoStageEff) cellFrames
       else {
         val survivors = cellFrames
           .map(_.select(col("doc_id"), col("band_id"), col("sig")))

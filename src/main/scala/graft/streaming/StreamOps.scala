@@ -1035,11 +1035,12 @@ object StreamOps {
     * `dup_of`/`jac` null for accepted docs, else the best-matching
     * index doc (highest Jaccard, ties to the lowest id) or the
     * in-batch family survivor. */
-  /** `twoStageProbe`: None (default) AUTO-selects the probe form from
-    * the index's persisted cell-mass metadata once per micro-batch
-    * ([[graft.ops.Dedup.twoStageAuto]] — O(1) metadata I/O, re-read
-    * each batch so a mid-stream re-bucket flips the plan with the
-    * layout); Some(x) is the operator override, forcing the form
+  /** `twoStageProbe`: None (default) AUTO-selects the probe form once
+    * per micro-batch from the index's persisted fat-cell tail
+    * intersected with the batch's OWN probed cells (resolved inside
+    * [[graft.ops.Dedup.nearDupCheckWithProbe]] — O(1) metadata I/O,
+    * re-read each batch so a mid-stream re-bucket flips the plan with
+    * the layout); Some(x) is the operator override, forcing the form
     * either way. Decisions are identical in all three modes by the
     * two-stage probe's lossless construction — the knob is purely a
     * read-plan choice. */
@@ -1074,19 +1075,18 @@ object StreamOps {
       // the survivor collect is control-plane bounded and the index
       // cells are read column-pruned + sig-filtered (the LSH analog of
       // the IVF rerank's cheap-stage-then-exact discipline). It WINS
-      // when index cells are fat (many parquet pages each — the 100 TB
-      // regime); at page-sized cells the second scan costs more than
-      // the shingle-column pruning saves (ServeSoak lsh_hot vs
-      // lsh_serve, PERF.md crossover). The default AUTO mode reads
-      // that regime off the index's own persisted cell-mass metadata
-      // per batch — a mid-stream re-bucket moves the layout AND the
-      // plan; Some(x) stays the operator override.
-      val twoStage = twoStageProbe.getOrElse(
-        graft.ops.Dedup.twoStageAuto(spark, indexDir, twoStageFloor))
+      // when the cells THIS probe lands in are fat (many parquet pages
+      // each — the 100 TB regime); at page-sized cells the second scan
+      // costs more than the shingle-column pruning saves (ServeSoak
+      // lsh_hot vs lsh_serve, PERF.md crossover). The default AUTO
+      // mode (None) resolves that inside the probe itself — the
+      // index's persisted fat-cell tail intersected with the batch's
+      // own cells, re-read each batch so a mid-stream re-bucket moves
+      // the plan WITH the layout; Some(x) stays the operator override.
       val (dupsRaw, probeRows, releaseProbe) = graft.ops.Dedup.nearDupCheckWithProbe(
         spark, indexDir, uniq, threshold, belowBatch = batchId,
         prefixLen = 2, broadcastProbe = true, exactFallback = true,
-        twoStage = twoStage)
+        twoStage = twoStageProbe, twoStageFloor = twoStageFloor)
       val dups = dupsRaw.persist()
       try {
         val fresh = uniq.join(

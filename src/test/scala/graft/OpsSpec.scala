@@ -1224,6 +1224,42 @@ class OpsSpec extends SparkSuite {
     Dedup.rebucketLshIndex(spark, hotDir, 2)
     assert(!Dedup.twoStageAuto(spark, hotDir, floor = hottest),
       "auto decision still reads the pre-rebucket generation's mass")
+
+    // PER-PROBE honesty (the refinement the ×100 soak motivated —
+    // ServeSoak measured a layout whose HOTTEST clique cell clears the
+    // floor while probes land in page-sized cells at two-stage
+    // parity-to-loss): one fat clique cell (1200 identical docs share
+    // every band sig) next to skinny cells. A probe of the SAME text
+    // lands in the clique cell → auto runs two-stage; a probe of
+    // unrelated text lands elsewhere → auto stays one-pass even
+    // though the layout-level answer is "fat". Pairs identical either
+    // way (the lossless contract).
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // chosen for ZERO band-prefix collision with seeded's clique cells
+    // (seeded bands at sig_p 0b/17, this text at 21/0d — deterministic
+    // MinHash, verified; e.g. "red orange yellow…" collides at 0b and
+    // would land the "skinny" probe in the clique cell)
+    val textA = "one two three four five six seven eight nine ten eleven twelve"
+    val fatDir = java.nio.file.Files.createTempDirectory("lsh-auto-fat").toString
+    Dedup.persistLshIndex(
+      (0 until 1200).map(i => (i.toLong, seeded)).toDF("doc_id", "text")
+        .unionByName(Seq(900000L -> textA).toDF("doc_id", "text")),
+      fatDir)
+    assert(Dedup.twoStageAuto(spark, fatDir, floor = 1100L),
+      "layout-level answer missed the clique cell")
+    def probeDecision(text: String): Boolean = {
+      val (out, _, release) = Dedup.nearDupCheckWithProbe(spark, fatDir,
+        Seq(990001L -> text).toDF("doc_id", "text"), threshold = 0.4,
+        belowBatch = Long.MaxValue, prefixLen = 2, broadcastProbe = true,
+        exactFallback = false, twoStage = None, twoStageFloor = 1100L)
+      out.collect()
+      release()
+      Dedup.lastTwoStageDecision.get().get
+    }
+    assert(probeDecision(seeded),
+      "probe into the fat clique cell did not select two-stage")
+    assert(!probeDecision(textA),
+      "probe into page-sized cells selected two-stage off the layout's skew")
   }
 
   test("an empty committed delta neither wedges compaction nor corrupts stats") {
