@@ -1046,11 +1046,12 @@ object StreamOps {
     * read-plan choice. */
   def dedupIngest(docs: DataFrame, indexDir: String, outDir: String,
       threshold: Double = 0.4,
-      twoStageProbe: Option[Boolean] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      twoStageProbe: Option[Boolean] = None,
+      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         dedupIngestBatch(batch.toDF(), indexDir, outDir, batchId, threshold,
-          twoStageProbe)
+          twoStageProbe, twoStageFloor)
     }
 
   private[graft] def dedupIngestBatch(batch: DataFrame, indexDir: String,
