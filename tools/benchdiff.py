@@ -54,7 +54,7 @@ def load(path):
     for k, v in pairs:
         out.setdefault(k, float(v))  # first occurrence = min-based "queries" map
     calib = out.pop("calib", None)
-    for meta in ("value", "n"):
+    for meta in ("value", "n", "stream_passes"):
         out.pop(meta, None)
     return out, calib, streaming
 
