@@ -828,6 +828,9 @@ object Similarity {
     // a pre-ledger layout, never a fresh index
     graft.GenManifest.writeLedger(spark, dir, Seq.empty)
     index.centroids.write.mode("overwrite").parquet(gdir(dir, "centroids", 0))
+    // fresh identity BEFORE the commit: a rebuilt index re-uses gen 0,
+    // and serving caches key on this token (see centroidCache)
+    writeGenId(spark, gdir(dir, "centroids", 0))
     index.stats.write.mode("overwrite").parquet(gdir(dir, "stats", 0))
     Storage.writeCellClustered(index.corpus, Seq("label"), "vec_id",
       gdir(dir, "corpus", 0), maxCellRows)
@@ -886,7 +889,8 @@ object Similarity {
   private def nearestLabelsAt(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State, query: Seq[Float], nprobe: Int): Seq[Long] = {
     val qd = query.map(_.toDouble).toArray
-    servingCentroidsAt(spark, indexDir, st).collect().map { r =>
+    centroidRowsCached(spark, indexDir, st).map(_._2)
+      .getOrElse(servingCentroidsAt(spark, indexDir, st).collect()).map { r =>
       val cent = r.getSeq[Double](r.fieldIndex("cent"))
       var d2 = 0.0
       var i = 0
@@ -908,6 +912,69 @@ object Similarity {
   private[graft] def servingCentroidsAt(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State): DataFrame =
     spark.read.parquet(gdir(indexDir, "centroids", st.gen))
+
+  /** A generation's IDENTITY token (`_id` inside the centroids dir,
+    * one random UUID written with the data like `_prefix_len`): the
+    * cache key ingredient that makes driver-local caching of
+    * generation content SAFE. `(indexDir, gen)` alone is not an
+    * identity — `persistIvfIndex` RESETS the manifest chain, so a
+    * rebuilt index re-uses gen 0 with different centroids and a
+    * gen-keyed cache would silently serve the old coarse quantizer
+    * (the prefixLen lesson: identity must be explicit metadata, never
+    * inferred from paths). Pre-`_id` layouts simply don't cache. */
+  private def genIdPath(root: String) = s"$root/_id"
+  private def writeGenId(spark: SparkSession, root: String): Unit =
+    graft.IndexFs.writeUtf8Atomic(spark, genIdPath(root),
+      java.util.UUID.randomUUID().toString)
+  private def readGenId(spark: SparkSession, root: String): Option[String] =
+    if (graft.IndexFs.exists(spark, genIdPath(root)))
+      Some(graft.IndexFs.readUtf8(spark, genIdPath(root)).trim)
+    else None
+
+  /** Driver-local cache of COLLECTED centroid relations, keyed by
+    * (indexDir, gen, identity): a committed generation's
+    * `centroids_g<gen>` is immutable, so its k_coarse rows (a few KB)
+    * can be collected once and replayed as a LocalRelation for every
+    * subsequent probe and serving micro-batch of that generation.
+    * This removes a parquet footer/scan read from EVERY serving
+    * micro-batch AND lets Spark build the assignment broadcast
+    * driver-side with no extra job — measured ~60 ms plan cost plus a
+    * share of the ~220 ms assign job per `annServe` batch, the fixed
+    * overhead the 1×-batch rows/s floor is made of (PERF.md r11). On
+    * insert, entries of OLDER generations for the same indexDir are
+    * dropped (the keep-two GC discipline); the cache never grows past
+    * two generations per served index. */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String),
+    (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+
+  private def centroidRowsCached(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State)
+      : Option[(org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])] =
+    readGenId(spark, gdir(indexDir, "centroids", st.gen)).map { id =>
+      val got = centroidCache.computeIfAbsent((indexDir, st.gen, id), _ => {
+        val df = servingCentroidsAt(spark, indexDir, st)
+        (df.schema, df.collect())
+      })
+      centroidCache.keySet().removeIf(k =>
+        k._1 == indexDir && k._2 < st.gen)
+      got
+    }
+
+  /** [[servingCentroidsAt]] through the generation cache: a
+    * LocalRelation replay of the committed rows when the generation
+    * carries an identity token, the plain parquet read otherwise.
+    * Values are identical by construction (immutable generation +
+    * explicit identity), so callers choose purely on access pattern —
+    * the per-batch/per-probe serving paths use this; one-shot
+    * maintenance reads keep the direct form. */
+  private[graft] def servingCentroidsCached(spark: SparkSession,
+      indexDir: String, st: graft.GenManifest.State): DataFrame =
+    centroidRowsCached(spark, indexDir, st) match {
+      case Some((schema, rows)) =>
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      case None => servingCentroidsAt(spark, indexDir, st)
+    }
 
   /** Grow a PERSISTED index in place: the batch is assigned to its
     * nearest existing centroids and written as a label-partitioned
@@ -938,7 +1005,7 @@ object Similarity {
   private[graft] def appendToPersistedIvfIndexAt(spark: SparkSession,
       indexDir: String, st: graft.GenManifest.State, newVecs: DataFrame,
       batchId: Long, maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
-    val centroids = servingCentroidsAt(spark, indexDir, st)
+    val centroids = servingCentroidsCached(spark, indexDir, st)
     val root = s"$indexDir/delta/b$batchId"
     val prior = allDeltaEntries(spark, indexDir)
     // replay overwrite: RETRACT the ledger entry before touching the
@@ -1213,6 +1280,10 @@ object Similarity {
               readCorpusRoot(spark, root, Seq(root))
             }.reduce(_ unionByName _).select(col("vec_id"), col("embedding")))
         idx.centroids.write.mode("overwrite").parquet(gdir(indexDir, "centroids", gen))
+        // identity for the new generation (a crash-replayed compaction
+        // re-uses gen and rewrites the centroids — the fresh token
+        // keeps any cache of the torn attempt from surviving)
+        writeGenId(spark, gdir(indexDir, "centroids", gen))
         idx.stats.write.mode("overwrite").parquet(gdir(indexDir, "stats", gen))
         Storage.writeCellClustered(
           idx.corpus.select(col("vec_id"), col("label"), col("embedding"), col("norm")),
@@ -1403,7 +1474,7 @@ object Similarity {
       exclude.fold(df)(id => df.filter(col("vec_id") =!= id))
     val st = resolveIvf(spark, indexDir)
     val wide = nearestLabelsAt(spark, indexDir, st, query, nprobeWide)
-    val centroids = servingCentroidsAt(spark, indexDir, st)
+    val centroids = servingCentroidsCached(spark, indexDir, st)
     val cb = servingPqCodebookAt(spark, indexDir, st, centroids)
     val q = spark.range(1).select(typedLit(query).as("qe"))
       .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
@@ -1563,7 +1634,7 @@ object Similarity {
     def emptyResult = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], resultSchema)
     val st = resolveIvf(spark, indexDir)
-    val centroids = servingCentroidsAt(spark, indexDir, st)
+    val centroids = servingCentroidsCached(spark, indexDir, st)
     val d2 = aggregate(
       zip_with(col("cent"), col("qe"),
         (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),

@@ -917,7 +917,10 @@ object StreamOps {
     // compaction committing between two resolves would mix old-gen
     // label ids with a re-clustered corpus)
     val st = graft.ops.Similarity.resolveIvf(spark, indexDir)
-    val centroids = graft.ops.Similarity.servingCentroidsAt(spark, indexDir, st)
+    // generation-cached LocalRelation: no parquet read and no extra
+    // broadcast-build job per micro-batch (the identity-keyed cache in
+    // Similarity — values bit-identical to the committed relation)
+    val centroids = graft.ops.Similarity.servingCentroidsCached(spark, indexDir, st)
     val wc = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
     // pinned: the touched-label list (control plane) and the serving
     // join both consume the assignment — without the pin the

@@ -1017,6 +1017,32 @@ class OpsSpec extends SparkSuite {
       .count() > 0, "PQ serving broken on the projection fallback")
   }
 
+  test("centroid generation cache: an in-place index rebuild serves its NEW centroids") {
+    // The trap the per-generation `_id` token closes: persistIvfIndex
+    // RESETS the manifest chain, so a rebuilt index re-uses gen 0
+    // with different centroids — a cache keyed on (dir, gen) alone
+    // would keep routing probes through the OLD coarse quantizer.
+    // Serve (populating the cache), rebuild in place with a disjoint
+    // corpus, serve again: the second probe must see the new corpus.
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-rebuild").toString
+    def oneHot(d: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i == d) 9f else 0f)
+    val vecsA = (0 until 40).map(i => (1000L + i, oneHot(1 + i % 3), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.persistIvfIndex(Similarity.buildIvfIndexFrom(vecsA), indexDir)
+    val hitA = Similarity.ivfProbeVectorServed(spark, indexDir, oneHot(2), k = 1)
+      .head().getLong(0)
+    assert(hitA >= 1000L && hitA < 2000L)
+    val vecsB = (0 until 40).map(i => (2000L + i, oneHot(40 + i % 3), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    Similarity.persistIvfIndex(Similarity.buildIvfIndexFrom(vecsB), indexDir)
+    val hitB = Similarity.ivfProbeVectorServed(spark, indexDir, oneHot(41), k = 1)
+      .head().getLong(0)
+    assert(hitB >= 2000L,
+      s"stale cached centroids served after the in-place rebuild (got $hitB)")
+  }
+
   test("maintenance autopilot: delta drift triggers the Lloyd rebuild and the signal then clears") {
     import graft.ops.IndexMaintenance
     import graft.ops.IndexMaintenance._
