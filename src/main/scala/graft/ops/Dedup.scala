@@ -483,18 +483,36 @@ object Dedup {
       newDocs: DataFrame, batchId: Long, prefixLen: Int = 2,
       exactFallback: Boolean = false,
       maxCellRows: Long = defaultMaxCellRows): Unit = {
-    val root = s"$indexDir/delta/b$batchId"
     // the index's persisted prefixLen wins — a caller-supplied
     // mismatch would write delta cells no probe of this index ever
     // lists (prefixLen param = pre-meta-layout fallback only)
     val effPrefix = readLshPrefixLen(spark, indexDir).getOrElse(prefixLen)
+    appendBandRowsToLshIndex(spark, indexDir,
+      bandRows(newDocs, effPrefix, exactFallback), batchId, maxCellRows)
+  }
+
+  /** [[appendToLshIndex]] over ALREADY-BANDED rows `(doc_id, sig, ss,
+    * band_id, sig_p)` — the ingest-loop form: `dedupIngest` holds the
+    * batch's band rows pinned from its own probe, and re-running
+    * shingle+MinHash over the accepted docs' text was the single
+    * largest stage of a steady-state ingest batch (~measured in
+    * PERF.md r11). The rows' `sig_p` carries the length the PROBE
+    * resolved; if a re-bucket commits between the probe and this
+    * append, the delta lands at the pre-rebucket length and stays
+    * correct by the mixed-length discipline — ledger cell names carry
+    * their own length, probes derive per-delta paths from them, and
+    * the next fold re-derives the cell key (exactly the
+    * append-racing-rebucket window the OpsSpec race pins). */
+  private[graft] def appendBandRowsToLshIndex(spark: SparkSession,
+      indexDir: String, rows: DataFrame, batchId: Long,
+      maxCellRows: Long = defaultMaxCellRows): Unit = {
+    val root = s"$indexDir/delta/b$batchId"
     val floor = graft.GenManifest.resolve(spark, indexDir).map(_.floor).getOrElse(-1L)
     val prior = lshDeltaEntries(spark, indexDir)
     if (prior.exists(_.id == batchId))
       graft.GenManifest.writeLedger(spark, indexDir,
         prior.filterNot(_.id == batchId))
-    writeBandCells(bandRows(newDocs, effPrefix, exactFallback),
-      root, maxCellRows)
+    writeBandCells(rows, root, maxCellRows)
     // two-level cell listing at INGEST time (1 + #bands listings) so
     // probes never pay per-cell existence checks against this delta
     val cells = graft.IndexFs.listNames(spark, root, "band_id=.*").flatMap { b =>

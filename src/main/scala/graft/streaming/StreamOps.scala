@@ -1117,31 +1117,69 @@ object StreamOps {
           val (localPairs, releasePairs) = graft.ops.Dedup
             .nearDupPairsFromBandRows(freshBandRows, threshold)
           try {
+            // in-batch families are resolved ON THE DRIVER: the
+            // confirmed pairs are bounded by the batch's own size (the
+            // survivor-collect argument), and the distributed
+            // min-label propagation — right for the corpus-scale
+            // dedup_clusters query — costs an iteration of Spark jobs
+            // per hop here (~1.2 s of a ~6 s steady-state batch,
+            // PERF.md r11) to label what a local union-find does for
+            // free. Same semantics: component minimum survives, the
+            // rest flag against it with their best incident Jaccard.
+            val pairRows = localPairs
+              .select(col("doc_a"), col("doc_b"), col("jac"))
+              .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
             val (inBatchDups, accepted, releaseFlagged) =
-              if (localPairs.isEmpty) (None, fresh, () => ())
+              if (pairRows.isEmpty) (None, fresh, () => ())
               else {
-                val (labels, releaseLabels) = graft.ops.Dedup
-                  .connectedComponentsReleasable(
-                    localPairs.select(col("doc_a"), col("doc_b")))
-                val bestJac = localPairs
-                  .select(col("doc_a").as("d"), col("jac"))
-                  .unionByName(localPairs.select(col("doc_b").as("d"), col("jac")))
-                  .groupBy("d").agg(max(col("jac")).as("jac"))
-                val flagged = labels.filter(col("node") =!= col("label"))
-                  .select(col("node").as("doc_id"),
-                    col("label").cast("long").as("dup_of"))
-                  .join(bestJac.withColumnRenamed("d", "doc_id"), Seq("doc_id"))
+                val parent = scala.collection.mutable.Map.empty[Long, Long]
+                def find(x: Long): Long = {
+                  val p = parent.getOrElse(x, x)
+                  if (p == x) x
+                  else { val r = find(p); parent(x) = r; r }
+                }
+                val bestJac = scala.collection.mutable.Map.empty[Long, Double]
+                for ((a, b, j) <- pairRows) {
+                  val (ra, rb) = (find(a), find(b))
+                  if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+                  bestJac(a) = math.max(bestJac.getOrElse(a, 0.0), j)
+                  bestJac(b) = math.max(bestJac.getOrElse(b, 0.0), j)
+                }
+                val flaggedRows = bestJac.keys.toSeq.sorted
+                  .map(d => (d, find(d)))
+                  .collect { case (d, root) if d != root =>
+                    (d, root, bestJac(d)) }
+                import spark.implicits._
+                // rounding stays IN Spark (round() on the relation):
+                // Spark rounds the shortest-decimal-string HALF_UP,
+                // and a driver-side BigDecimal of the binary double
+                // can diverge exactly on ties (the roundedRatio class
+                // of bug)
+                val flaggedM = flaggedRows.toDF("doc_id", "dup_of", "jac")
                   .select(col("doc_id"), col("dup_of"),
                     round(col("jac"), 6).as("jac"))
-                val (flaggedM, releaseF) = graft.Materialize.releasable(flagged)
-                releaseLabels() // flaggedM is materialized off the labels
                 (Some(flaggedM),
-                  fresh.join(flaggedM.select("doc_id"), Seq("doc_id"), "left_anti"),
-                  releaseF)
+                  fresh.join(broadcast(flaggedM.select("doc_id")),
+                    Seq("doc_id"), "left_anti"),
+                  () => ())
               }
             try {
-              graft.ops.Dedup.appendToLshIndex(spark, indexDir, accepted, batchId,
-                exactFallback = true)
+              // the batch is already banded (the pinned probe
+              // relation) — append the accepted docs' band rows
+              // directly instead of re-running shingle+MinHash over
+              // their text (the largest stage of a steady-state
+              // ingest batch). A re-bucket committing between the
+              // probe and this append lands the delta at the
+              // pre-rebucket length — correct by the mixed-length
+              // serving discipline (ledger cell names carry their own
+              // length).
+              val acceptedBandRows = probeRows
+                .join(accepted.select(col("doc_id").as("probe_id")),
+                  Seq("probe_id"), "left_semi")
+                .select(col("probe_id").as("doc_id"), col("sig"),
+                  col("pss").as("ss"), col("band_id"), col("sig_p"))
+              graft.ops.Dedup.appendBandRowsToLshIndex(spark, indexDir,
+                acceptedBandRows, batchId)
               val bestIndex = dups
                 .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
                   .orderBy(col("jac").desc, col("index_id"))))
