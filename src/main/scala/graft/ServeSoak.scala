@@ -267,36 +267,45 @@ object ServeSoak {
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("soak-rbk-ckpt").toString)
         .start()
+      // two uncoordinated transitions under the live stream: UP
+      // (1 → 2, the hot-cell repair) at batch 3 and back DOWN
+      // (2 → 1, the cold-layout fold) at batch 6 — both directions of
+      // the autopilot's Rebucket action must serve through the swap
       @volatile var rbkSec = -1.0
+      @volatile var rbkDownSec = -1.0
       @volatile var rbkError: Option[Throwable] = None
-      val rbk = new Thread(() => {
+      def rbkThread(len: Int, record: Double => Unit) = new Thread(() => {
         try {
           val t0 = System.nanoTime()
-          graft.ops.Dedup.rebucketLshIndex(spark, idxDir, 2)
-          rbkSec = (System.nanoTime() - t0) / 1e9
+          graft.ops.Dedup.rebucketLshIndex(spark, idxDir, len)
+          record((System.nanoTime() - t0) / 1e9)
         } catch { case t: Throwable => rbkError = Some(t) }
       })
+      val rbkUp = rbkThread(2, rbkSec = _)
+      val rbkDown = rbkThread(1, rbkDownSec = _)
       val autoBefore = graft.ops.Dedup.twoStageAuto(spark, idxDir)
       val batchSecs =
         try (0 until nBatches).map { b =>
-          if (b == 3) rbk.start()
+          if (b == 3) rbkUp.start()
+          if (b == 6) { rbkUp.join(); rbkDown.start() }
           val t0 = System.nanoTime()
           in.addData(batchDocs(b): _*)
           q.processAllAvailable()
           (System.nanoTime() - t0) / 1e9
         } finally {
           q.stop()
-          if (rbk.getState != Thread.State.NEW) rbk.join()
+          Seq(rbkUp, rbkDown).foreach(t =>
+            if (t.getState != Thread.State.NEW) t.join())
         }
       rbkError.foreach(t => throw t)
-      require(rbkSec > 0, "rebucket thread never completed")
+      require(rbkSec > 0 && rbkDownSec > 0, "a rebucket thread never completed")
       val autoAfter = graft.ops.Dedup.twoStageAuto(spark, idxDir)
       val decisions = (0 until nBatches)
         .map(b => spark.read.parquet(s"$outDir/b$b").count()).sum
       require(decisions == nBatches.toLong * perBatch,
         s"lost decisions through the transition: $decisions")
       println(f"[servesoak] x$factor%-4d rebucket_under_ingest " +
-        f"build=$rbkBuild%6.2fs rebucket=$rbkSec%6.2fs " +
+        f"build=$rbkBuild%6.2fs up=$rbkSec%6.2fs down=$rbkDownSec%6.2fs " +
         s"len=${graft.ops.Dedup.lshPrefixLenOf(spark, idxDir)} " +
         s"fat_layout=$autoBefore->$autoAfter decisions=$decisions batch_secs=" +
         batchSecs.map(s => f"$s%.2f").mkString("[", ",", "]"))
