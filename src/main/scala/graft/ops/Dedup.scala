@@ -789,6 +789,38 @@ object Dedup {
     (out, probe, release)
   }
 
+  /** Driver-side family labeling of one micro-batch's confirmed
+    * near-dup pairs — the batch-local twin of [[connectedComponents]]
+    * (which stays the corpus-scale form): the pair set is bounded by
+    * the batch's own size, so a local union-find labels it for free
+    * where the distributed min-label propagation pays an iteration of
+    * Spark jobs per hop. Semantics identical by construction: each
+    * connected component's MINIMUM doc survives; every other member
+    * is flagged `(doc, component_min, best incident Jaccard)` —
+    * transitive (a~b, b~c puts c in a's family even when a~c itself
+    * is below threshold), order-independent. Jaccards are returned
+    * RAW; display rounding stays in Spark at the caller (the
+    * shortest-decimal-string HALF_UP class of divergence). */
+  private[graft] def inBatchFamilies(
+      pairs: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    val bestJac = scala.collection.mutable.Map.empty[Long, Double]
+    for ((a, b, j) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      bestJac(a) = math.max(bestJac.getOrElse(a, 0.0), j)
+      bestJac(b) = math.max(bestJac.getOrElse(b, 0.0), j)
+    }
+    bestJac.keys.toSeq.sorted
+      .map(d => (d, find(d)))
+      .collect { case (d, root) if d != root => (d, root, bestJac(d)) }
+  }
+
   /** Confirmed near-dup pairs WITHIN one document batch (no persisted
     * index involved): band the batch, self-join within (band_id, sig),
     * verify with exact shingle-set Jaccard — the batch-local leg of

@@ -1132,23 +1132,7 @@ object StreamOps {
             val (inBatchDups, accepted, releaseFlagged) =
               if (pairRows.isEmpty) (None, fresh, () => ())
               else {
-                val parent = scala.collection.mutable.Map.empty[Long, Long]
-                def find(x: Long): Long = {
-                  val p = parent.getOrElse(x, x)
-                  if (p == x) x
-                  else { val r = find(p); parent(x) = r; r }
-                }
-                val bestJac = scala.collection.mutable.Map.empty[Long, Double]
-                for ((a, b, j) <- pairRows) {
-                  val (ra, rb) = (find(a), find(b))
-                  if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-                  bestJac(a) = math.max(bestJac.getOrElse(a, 0.0), j)
-                  bestJac(b) = math.max(bestJac.getOrElse(b, 0.0), j)
-                }
-                val flaggedRows = bestJac.keys.toSeq.sorted
-                  .map(d => (d, find(d)))
-                  .collect { case (d, root) if d != root =>
-                    (d, root, bestJac(d)) }
+                val flaggedRows = graft.ops.Dedup.inBatchFamilies(pairRows.toSeq)
                 import spark.implicits._
                 // rounding stays IN Spark (round() on the relation):
                 // Spark rounds the shortest-decimal-string HALF_UP,

@@ -1043,6 +1043,36 @@ class OpsSpec extends SparkSuite {
       s"stale cached centroids served after the in-place rebuild (got $hitB)")
   }
 
+  test("in-batch family labeling: transitive chains, multiple families, order-independent, equals distributed CC") {
+    // The driver-side union-find that replaced the distributed
+    // min-label propagation in the ingest loop must keep its exact
+    // semantics: component MIN survives, everyone else flags against
+    // it with their best incident Jaccard — including TRANSITIVE
+    // members (a~b, b~c puts c in a's family even when a~c itself is
+    // below threshold).
+    import spark.implicits._
+    val chain = Seq((20L, 10L, 0.5), (20L, 30L, 0.7))
+    assert(Dedup.inBatchFamilies(chain).toSet ===
+      Set((20L, 10L, 0.7), (30L, 10L, 0.7)))
+    // two disjoint families + an edge order that unions large roots
+    // first (exercises path compression through a relabeled root)
+    val two = Seq((5L, 6L, 0.9), (3L, 4L, 0.8), (2L, 3L, 0.6), (1L, 2L, 0.5))
+    assert(Dedup.inBatchFamilies(two).toSet ===
+      Set((6L, 5L, 0.9), (2L, 1L, 0.6), (3L, 1L, 0.8), (4L, 1L, 0.8)))
+    assert(Dedup.inBatchFamilies(two.reverse).toSet ===
+      Dedup.inBatchFamilies(two).toSet, "edge order changed families")
+    // equality against the distributed form on a worst-case path
+    // graph: same members, same component minima
+    val path = (1L until 64L).map(i => (i, i + 1, 0.5))
+    val uf = Dedup.inBatchFamilies(path)
+      .map { case (d, root, _) => (d, root) }.toSet
+    val cc = Dedup.connectedComponents(
+      path.map(p => (p._1, p._2)).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+      .filter { case (n, l) => n != l }.toSet
+    assert(uf === cc, "union-find diverged from the distributed CC")
+  }
+
   test("maintenance autopilot: delta drift triggers the Lloyd rebuild and the signal then clears") {
     import graft.ops.IndexMaintenance
     import graft.ops.IndexMaintenance._
