@@ -314,19 +314,22 @@ object Dedup {
     genLen.orElse(readLshPrefixLen(spark, indexDir)).getOrElse(2)
   }
 
-  /** A generation's hottest-cell row count, persisted as `_cell_mass`
+  /** A generation's cell-mass summary, persisted as `_cell_mass`
     * inside the generation directory (written with the data like
     * `_prefix_len`, retired with the directory by GC, invisible to
-    * Spark's file index). The O(1) probe-time input of the two-stage
-    * AUTO decision: cell mass is a LAYOUT property that only changes
-    * at a fold, so the writer pays one column-pruned count over the
-    * cells it just wrote (footer-cheap — count(1) over partition
-    * columns materializes no data pages) and every probe reads one
-    * line instead of re-aggregating footers. Appends grow cells
-    * without updating it, deliberately: deltas retire at the next
-    * fold, and the standing base layout is what the crossover is
-    * about (an append-heavy drift that matters trips the hot-cell
-    * autopilot signal first). */
+    * Spark's file index): line 1 is the hottest cell's row count (the
+    * layout-level signal), the rest the FAT-CELL TAIL —
+    * `cellName\trows` for cells ≥ [[cellMassTailFloor]], heaviest
+    * first, capped — the per-probe two-stage decision input. Cell
+    * mass is a LAYOUT property that only changes at a fold, so the
+    * writer pays one column-pruned count over the cells it just wrote
+    * (footer-cheap — count(1) over partition columns materializes no
+    * data pages) and every probe reads one small metadata file
+    * instead of re-aggregating footers. Appends grow cells without
+    * updating it, deliberately: deltas retire at the next fold, and
+    * the standing base layout is what the crossover is about (an
+    * append-heavy drift that matters trips the hot-cell autopilot
+    * signal first). */
   private def cellMassPath(root: String) = s"$root/_cell_mass"
 
   /** Cells below this mass are never worth a two-stage read (the
