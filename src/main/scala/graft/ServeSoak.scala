@@ -284,6 +284,12 @@ object ServeSoak {
       val rbkUp = rbkThread(2, rbkSec = _)
       val rbkDown = rbkThread(1, rbkDownSec = _)
       val autoBefore = graft.ops.Dedup.twoStageAuto(spark, idxDir)
+      // the observable that actually shows the plan moving with the
+      // layout: the probe form EACH BATCH resolved (the fat_layout
+      // before/after snapshots alone can't — both ends of this soak
+      // are fat len-1 layouts, so they read true->true while the
+      // mid-stream len-2 window is where the flip happens)
+      val probeForms = Array.fill(nBatches)("-")
       val batchSecs =
         try (0 until nBatches).map { b =>
           if (b == 3) rbkUp.start()
@@ -291,6 +297,8 @@ object ServeSoak {
           val t0 = System.nanoTime()
           in.addData(batchDocs(b): _*)
           q.processAllAvailable()
+          probeForms(b) = graft.ops.Dedup.lastTwoStageDecision.get()
+            .map(d => if (d) "2s" else "1p").getOrElse("-")
           (System.nanoTime() - t0) / 1e9
         } finally {
           q.stop()
@@ -300,14 +308,21 @@ object ServeSoak {
       rbkError.foreach(t => throw t)
       require(rbkSec > 0 && rbkDownSec > 0, "a rebucket thread never completed")
       val autoAfter = graft.ops.Dedup.twoStageAuto(spark, idxDir)
+      // explicit schema (the never-infer rule): the decision log is
+      // non-empty by construction here, but batch-output dirs are
+      // exactly the class inference must never touch
+      val decisionSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, dup_of BIGINT, jac DOUBLE")
       val decisions = (0 until nBatches)
-        .map(b => spark.read.parquet(s"$outDir/b$b").count()).sum
+        .map(b => spark.read.schema(decisionSchema)
+          .parquet(s"$outDir/b$b").count()).sum
       require(decisions == nBatches.toLong * perBatch,
         s"lost decisions through the transition: $decisions")
       println(f"[servesoak] x$factor%-4d rebucket_under_ingest " +
         f"build=$rbkBuild%6.2fs up=$rbkSec%6.2fs down=$rbkDownSec%6.2fs " +
         s"len=${graft.ops.Dedup.lshPrefixLenOf(spark, idxDir)} " +
-        s"fat_layout=$autoBefore->$autoAfter decisions=$decisions batch_secs=" +
+        s"fat_layout=$autoBefore->$autoAfter decisions=$decisions " +
+        s"probe=${probeForms.mkString("[", ",", "]")} batch_secs=" +
         batchSecs.map(s => f"$s%.2f").mkString("[", ",", "]"))
     }
     spark.stop()

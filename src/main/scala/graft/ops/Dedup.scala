@@ -555,12 +555,14 @@ object Dedup {
   private def cellNameLen(name: String): Int =
     name.length - name.indexOf("sig_p=") - "sig_p=".length
 
+  /** `st`/`baseLen` are RESOLVED BY THE CALLER and shared with the
+    * probe's other metadata consumers (the two-stage auto decision) —
+    * one manifest resolve and one generation-length read per probe,
+    * whatever the mode (the seam-call discipline IndexFsSpec pins). */
   private def lshCellPaths(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State, baseLen: Int,
       prefixesAt: Int => Seq[(Int, String)], belowBatch: Long,
       fallbackLen: Int): Seq[(String, Seq[String])] = {
-    val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
-      throw new IllegalStateException(
-        s"no LSH index manifest under $indexDir — persistLshIndex first"))
     // cell names are derived PER ROOT from the probe's distinct sig
     // PREFIXES at that root's own prefix length — mixed-length serving
     // (the rebucket transition) needs no global length agreement, and
@@ -573,8 +575,6 @@ object Dedup {
     // existence filter stays — O(probe cells), constant in the backlog
     val baseRoot = lshBase(indexDir, st.gen)
     val base = {
-      val baseLen = readGenPrefixLen(spark, baseRoot)
-        .orElse(readLshPrefixLen(spark, indexDir)).getOrElse(fallbackLen)
       val paths = namesAt(baseLen).map(n => s"$baseRoot/$n")
         .filter(p => graft.IndexFs.isDir(spark, p))
       if (paths.isEmpty) None else Some(baseRoot -> paths)
@@ -723,28 +723,30 @@ object Dedup {
         probe.select(col("band_id"), substring(col("sig"), 1, len).as("p"))
           .distinct()
           .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted)
+    // ONE manifest resolve + ONE generation-length read per probe,
+    // shared by the auto decision, the cell-path resolution and both
+    // read stages — auto mode must not double the probe's metadata
+    // round-trips (the seam-call discipline IndexFsSpec pins)
+    val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no LSH index manifest under $indexDir — persistLshIndex first"))
+    val baseRoot = lshBase(indexDir, st.gen)
+    val baseLen = readGenPrefixLen(spark, baseRoot).getOrElse(effPrefix)
     // AUTO resolution (twoStage = None): intersect the base
     // generation's persisted fat-cell tail with THIS probe's cells at
     // the base length — prefixesAt caches per length, so the pass is
     // shared with lshCellPaths below, and the metadata cost is one
-    // O(fat-cells) line read. Explicit Some(x) skips all of it.
+    // O(fat-cells) file read. Explicit Some(x) skips it.
     val twoStageEff = twoStage.getOrElse(
-      graft.GenManifest.resolve(spark, indexDir).exists { st =>
-        val baseRoot = lshBase(indexDir, st.gen)
-        readGenCellMassFull(spark, baseRoot).exists { case (hottest, tail) =>
-          if (twoStageFloor < cellMassTailFloor) hottest >= twoStageFloor
-          else {
-            val baseLen = readGenPrefixLen(spark, baseRoot).getOrElse(effPrefix)
-            prefixesAt(baseLen).exists { case (b, p) =>
-              tail.getOrElse(s"band_id=$b/sig_p=$p", 0L) >= twoStageFloor
-            }
-          }
+      readGenCellMassFull(spark, baseRoot).exists { case (hottest, tail) =>
+        if (twoStageFloor < cellMassTailFloor) hottest >= twoStageFloor
+        else prefixesAt(baseLen).exists { case (b, p) =>
+          tail.getOrElse(s"band_id=$b/sig_p=$p", 0L) >= twoStageFloor
         }
       })
     lastTwoStageDecision.set(Some(twoStageEff))
-    // ONE metadata resolve shared by both stages — the two-stage form
-    // must not double the probe's seam calls (IndexFsSpec pins this)
-    val roots = lshCellPaths(spark, indexDir, prefixesAt, belowBatch, effPrefix)
+    val roots = lshCellPaths(spark, indexDir, st, baseLen, prefixesAt,
+      belowBatch, effPrefix)
     if (roots.isEmpty) return (emptyResult, probe, release)
     def cellFrames: Seq[DataFrame] =
       roots.map { case (root, paths) => readBandRoot(spark, root, paths) }
@@ -804,13 +806,27 @@ object Dedup {
     * is below threshold), order-independent. Jaccards are returned
     * RAW; display rounding stays in Spark at the caller (the
     * shortest-decimal-string HALF_UP class of divergence). */
+  /** Confirmed-pair count above which the ingest loop falls back to
+    * the distributed [[connectedComponents]] instead of collecting
+    * pairs to the driver: distinct sigs bound the SURVIVOR collect by
+    * the batch, but the PAIR set is quadratic in a worst-case batch
+    * (n near-identical non-exact docs confirm n(n-1)/2 pairs) — a cap
+    * this size is ~24 MB of tuples, far above any healthy batch and
+    * far below driver death. */
+  private[graft] val inBatchPairsDriverCap = 1L << 20
+
   private[graft] def inBatchFamilies(
       pairs: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // iterative find + full path compression: the recursive form
+    // overflows the driver stack on an adversarial union order (a
+    // path graph processed largest-first leaves an O(n)-deep chain)
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     val bestJac = scala.collection.mutable.Map.empty[Long, Double]
     for ((a, b, j) <- pairs) {

@@ -52,10 +52,12 @@ object IndexMaintenance {
     * `medianCellRows` (LSH): the median BASE cell's row mass — the
     * cold-layout signal (a corpus that shrank under retention deletes
     * or aggressive dedup strands an over-split layout of tiny files).
-    * `foldedHottestRows` (LSH): what the hottest base cell WOULD weigh
-    * if the layout were folded one prefix char shorter — exact, from
-    * the same per-cell stats — so a downward re-bucket can be vetoed
-    * before it recreates the hot cell an earlier tick split. */
+    * `foldedHottestRows` (LSH): what the hottest cell WOULD weigh if
+    * the layout — base AND committed deltas, since the fold absorbs
+    * both — were folded one prefix char shorter (exact for
+    * current-length cells, conservatively coarse for stale-length
+    * delta cells), so a downward re-bucket can be vetoed before it
+    * recreates the hot cell an earlier tick split. */
   final case class Signals(
       baseRows: Long,
       deltaRows: Long,
@@ -192,10 +194,18 @@ object IndexMaintenance {
       expr("CAST(percentile(n, 0.5) AS BIGINT)")).head()
     val (hottest, median) =
       if (row.isNullAt(0)) (0L, 0L) else (row.getLong(0), row.getLong(1))
-    val foldedRow = baseCells
+    // the fold a downward rebucket performs absorbs the COMMITTED
+    // DELTAS too, so the veto's post-fold hottest must aggregate over
+    // ALL roots — a base-only estimate could pass the veto while the
+    // folded-in delta mass re-trips the hot signal next tick (the
+    // exact oscillation the veto exists to prevent). A stale-length
+    // delta cell groups at its own length-1 (its sig isn't in the
+    // stats), which merges MORE than the real fold would — an
+    // overestimate, i.e. the veto errs conservative.
+    val foldedRow = stats
       .groupBy(col("band_id"),
         expr("substring(sig_p, 1, greatest(length(sig_p) - 1, 1))"))
-      .agg(sum(col("n")).as("fn"))
+      .agg(sum(col("n_rows")).as("fn"))
       .agg(max(col("fn"))).head()
     val folded = if (foldedRow.isNullAt(0)) 0L else foldedRow.getLong(0)
     Signals(base, delta, batches, maxDrift = None,

@@ -956,8 +956,13 @@ object Similarity {
         val df = servingCentroidsAt(spark, indexDir, st)
         (df.schema, df.collect())
       })
+      // evict superseded entries: older generations AND same-gen
+      // entries under a different identity — an in-place rebuild
+      // re-uses gen 0 with a fresh token, and without the same-gen
+      // clause one dead row array would leak per rebuild
       centroidCache.keySet().removeIf(k =>
-        k._1 == indexDir && k._2 < st.gen)
+        k._1 == indexDir &&
+          (k._2 < st.gen || (k._2 == st.gen && k._3 != id)))
       got
     }
 

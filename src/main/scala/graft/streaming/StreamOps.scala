@@ -1060,7 +1060,8 @@ object StreamOps {
   private[graft] def dedupIngestBatch(batch: DataFrame, indexDir: String,
       outDir: String, batchId: Long, threshold: Double,
       twoStageProbe: Option[Boolean] = None,
-      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor): Unit = {
+      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor,
+      pairsDriverCap: Long = graft.ops.Dedup.inBatchPairsDriverCap): Unit = {
     import org.apache.spark.sql.expressions.Window
     if (batch.isEmpty) return
     val spark = batch.sparkSession
@@ -1117,21 +1118,27 @@ object StreamOps {
           val (localPairs, releasePairs) = graft.ops.Dedup
             .nearDupPairsFromBandRows(freshBandRows, threshold)
           try {
-            // in-batch families are resolved ON THE DRIVER: the
-            // confirmed pairs are bounded by the batch's own size (the
-            // survivor-collect argument), and the distributed
-            // min-label propagation — right for the corpus-scale
-            // dedup_clusters query — costs an iteration of Spark jobs
-            // per hop here (~1.2 s of a ~6 s steady-state batch,
-            // PERF.md r11) to label what a local union-find does for
-            // free. Same semantics: component minimum survives, the
-            // rest flag against it with their best incident Jaccard.
-            val pairRows = localPairs
-              .select(col("doc_a"), col("doc_b"), col("jac"))
-              .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            // in-batch families are resolved ON THE DRIVER when the
+            // confirmed-pair count allows: distinct sigs bound the
+            // survivor collect by the batch, but the PAIR set is
+            // quadratic in a worst-case batch (n near-identical
+            // non-exact docs confirm n(n-1)/2 pairs), so the count —
+            // one cheap aggregate over the already-materialized pair
+            // relation — gates the collect, and an adversarial batch
+            // falls back to the distributed min-label propagation
+            // (which never collects pairs). The healthy-batch fast
+            // path is a local union-find instead of an iteration of
+            // Spark jobs per hop (~1.2 s of a ~6 s steady-state batch,
+            // PERF.md r11). Same semantics either way: component
+            // minimum survives, the rest flag against it with their
+            // best incident Jaccard.
+            val nPairs = localPairs.count()
             val (inBatchDups, accepted, releaseFlagged) =
-              if (pairRows.isEmpty) (None, fresh, () => ())
-              else {
+              if (nPairs == 0L) (None, fresh, () => ())
+              else if (nPairs <= pairsDriverCap) {
+                val pairRows = localPairs
+                  .select(col("doc_a"), col("doc_b"), col("jac"))
+                  .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
                 val flaggedRows = graft.ops.Dedup.inBatchFamilies(pairRows.toSeq)
                 import spark.implicits._
                 // rounding stays IN Spark (round() on the relation):
@@ -1146,6 +1153,25 @@ object StreamOps {
                   fresh.join(broadcast(flaggedM.select("doc_id")),
                     Seq("doc_id"), "left_anti"),
                   () => ())
+              } else {
+                val (labels, releaseLabels) = graft.ops.Dedup
+                  .connectedComponentsReleasable(
+                    localPairs.select(col("doc_a"), col("doc_b")))
+                val bestJac = localPairs
+                  .select(col("doc_a").as("d"), col("jac"))
+                  .unionByName(localPairs.select(col("doc_b").as("d"), col("jac")))
+                  .groupBy("d").agg(max(col("jac")).as("jac"))
+                val flagged = labels.filter(col("node") =!= col("label"))
+                  .select(col("node").as("doc_id"),
+                    col("label").cast("long").as("dup_of"))
+                  .join(bestJac.withColumnRenamed("d", "doc_id"), Seq("doc_id"))
+                  .select(col("doc_id"), col("dup_of"),
+                    round(col("jac"), 6).as("jac"))
+                val (flaggedM, releaseF) = graft.Materialize.releasable(flagged)
+                releaseLabels() // flaggedM is materialized off the labels
+                (Some(flaggedM),
+                  fresh.join(flaggedM.select("doc_id"), Seq("doc_id"), "left_anti"),
+                  releaseF)
               }
             try {
               // the batch is already banded (the pinned probe

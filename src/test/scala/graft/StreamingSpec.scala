@@ -1128,6 +1128,21 @@ class StreamingSpec extends SparkSuite {
     assert(Dedup.nearDupCheck(spark, indexDir,
       Seq(999L -> textA).toDF("doc_id", "text"), threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((999L, 301L)))
+
+    // the adversarial-batch fallback (pair count above the driver cap
+    // routes families through the distributed CC instead of the
+    // collect) decides IDENTICALLY — cap=0 forces the branch on the
+    // same fixture
+    val indexDir2 = java.nio.file.Files.createTempDirectory("dedup-inbatch-idx2").toString
+    val outDir2 = java.nio.file.Files.createTempDirectory("dedup-inbatch-out2").toString
+    Dedup.persistLshIndex(Seq(2L -> seeded).toDF("doc_id", "text"), indexDir2)
+    StreamOps.dedupIngestBatch(batch, indexDir2, outDir2, batchId = 0L,
+      threshold = 0.4, pairsDriverCap = 0L)
+    val viaCc = spark.read.parquet(s"$outDir2/b0")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(viaCc === decisions(),
+      "distributed fallback branch diverged from the driver union-find")
   }
 
   test("dedup ingest: sub-3-token docs fall back to exact fingerprints across batches") {
@@ -1502,7 +1517,14 @@ class StreamingSpec extends SparkSuite {
       b1.toSeq.toDF("vec_id", "embedding"),
       graft.Materialize(PipelineOps.normedVecs(evNew)), 0.30)
       .as[(Long, Long, Double)].collect().sorted.toSeq
-    val batch2 = spark.read.parquet(s"$outDir/b2")
+    // explicit schema: an all-clean post-swap batch writes only
+    // _SUCCESS, and inference over a file-less directory throws (the
+    // CLAUDE.md never-infer rule) — the fixture asserts a pair DROPS
+    // under the shrunk set, not that one remains
+    val batch2 = spark.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "train_vec BIGINT, eval_vec BIGINT, cos_sim DOUBLE"))
+      .parquet(s"$outDir/b2")
       .as[(Long, Long, Double)].collect().sorted.toSeq
     assert(batch2 === expect2,
       "post-swap batch did not serve the new eval generation")
