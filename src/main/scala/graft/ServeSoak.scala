@@ -297,7 +297,7 @@ object ServeSoak {
           val t0 = System.nanoTime()
           in.addData(batchDocs(b): _*)
           q.processAllAvailable()
-          probeForms(b) = graft.ops.Dedup.lastTwoStageDecision.get()
+          probeForms(b) = graft.ops.Dedup.lastTwoStageDecision(idxDir)
             .map(d => if (d) "2s" else "1p").getOrElse("-")
           (System.nanoTime() - t0) / 1e9
         } finally {

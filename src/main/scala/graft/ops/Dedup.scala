@@ -351,29 +351,39 @@ object Dedup {
     // a skewed layout whose hottest cell a probe never touches must
     // not force the two-stage plan onto page-sized reads (measured:
     // the ×100 512-cell layout reads "fat" by hottest yet probes at
-    // parity — ServeSoak lsh_serve vs lsh_2stage)
-    val tail = cells.filter(col("n") >= cellMassTailFloor)
+    // parity — ServeSoak lsh_serve vs lsh_2stage). A layout with MORE
+    // fat cells than the cap records the truncation on line 1: an
+    // absent tail entry then means "unknown", not "thin", and the
+    // AUTO decision degrades to the layout-level hottest answer
+    // instead of silently forfeiting the two-stage win at exactly the
+    // many-fat-cells scale the feature targets.
+    val tailRows = cells.filter(col("n") >= cellMassTailFloor)
       .orderBy(col("n").desc, col("band_id"), col("sig_p"))
-      .limit(cellMassTailCap)
+      .limit(cellMassTailCap + 1)
       .collect()
+    val truncated = tailRows.length > cellMassTailCap
+    val tail = tailRows.take(cellMassTailCap)
       .map(r => s"band_id=${r.getInt(0)}/sig_p=${r.getString(1)}\t${r.getLong(2)}")
+    val head = if (truncated) s"$hottest\ttruncated" else hottest.toString
     graft.IndexFs.writeUtf8Atomic(spark, cellMassPath(root),
-      (hottest.toString +: tail).mkString("\n"))
+      (head +: tail).mkString("\n"))
   }
 
-  /** `(hottest, fat-cell tail)` of a generation — None on a pre-mass
-    * layout. One metadata read. */
+  /** `(hottest, fat-cell tail, tail-truncated)` of a generation — None
+    * on a pre-mass layout. One metadata read. */
   private def readGenCellMassFull(spark: SparkSession,
-      root: String): Option[(Long, Map[String, Long])] =
+      root: String): Option[(Long, Map[String, Long], Boolean)] =
     if (!graft.IndexFs.exists(spark, cellMassPath(root))) None
     else {
       val lines = graft.IndexFs.readUtf8(spark, cellMassPath(root))
         .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      val headFields = lines.head.split("\t")
       val tail = lines.drop(1).map { l =>
         val Array(cell, n) = l.split("\t")
         cell -> n.toLong
       }.toMap
-      Some((lines.head.toLong, tail))
+      Some((headFields(0).toLong, tail,
+        headFields.length > 1 && headFields(1) == "truncated"))
     }
 
   private def readGenCellMass(spark: SparkSession, root: String): Option[Long] =
@@ -642,12 +652,18 @@ object Dedup {
     (out, release)
   }
 
-  /** The probe form the LAST [[nearDupCheckWithProbe]] call actually
-    * ran with — a test seam (the `IndexFs.seamCalls` precedent), never
-    * a control input: the AUTO decision is otherwise invisible from
-    * the outside because it is decision-identical by construction. */
-  private[graft] val lastTwoStageDecision =
-    new java.util.concurrent.atomic.AtomicReference[Option[Boolean]](None)
+  /** The probe form the last [[nearDupCheckWithProbe]] call against
+    * EACH index actually ran with — a test seam (the
+    * `IndexFs.seamCalls` precedent), never a control input: the AUTO
+    * decision is otherwise invisible from the outside because it is
+    * decision-identical by construction. Keyed by indexDir so two
+    * concurrent streams in one JVM never overwrite each other's
+    * reading (a ServeSoak per-batch probe-form series must record its
+    * OWN index's decision). */
+  private val lastTwoStageDecisions =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private[graft] def lastTwoStageDecision(indexDir: String): Option[Boolean] =
+    Option(lastTwoStageDecisions.get(indexDir))
 
   /** [[nearDupCheckReleasable]] that ALSO hands back the pinned probe
     * band-row relation `(probe_id, band_id, sig, sig_p, pss)` — the
@@ -738,13 +754,22 @@ object Dedup {
     // shared with lshCellPaths below, and the metadata cost is one
     // O(fat-cells) file read. Explicit Some(x) skips it.
     val twoStageEff = twoStage.getOrElse(
-      readGenCellMassFull(spark, baseRoot).exists { case (hottest, tail) =>
+      readGenCellMassFull(spark, baseRoot).exists { case (hottest, tail, truncated) =>
         if (twoStageFloor < cellMassTailFloor) hottest >= twoStageFloor
-        else prefixesAt(baseLen).exists { case (b, p) =>
-          tail.getOrElse(s"band_id=$b/sig_p=$p", 0L) >= twoStageFloor
+        else {
+          val probed = prefixesAt(baseLen)
+            .map { case (b, p) => s"band_id=$b/sig_p=$p" }
+          probed.exists(c => tail.getOrElse(c, 0L) >= twoStageFloor) ||
+            // truncated tail: a probed cell ABSENT from it is unknown
+            // (could be fat, cut off by the cap), not known-thin —
+            // degrade to the layout-level hottest answer rather than
+            // silently forfeiting the two-stage win on exactly the
+            // many-fat-cells layouts truncation happens on
+            (truncated && probed.exists(!tail.contains(_)) &&
+              hottest >= twoStageFloor)
         }
       })
-    lastTwoStageDecision.set(Some(twoStageEff))
+    lastTwoStageDecisions.put(indexDir, twoStageEff)
     val roots = lshCellPaths(spark, indexDir, st, baseLen, prefixesAt,
       belowBatch, effPrefix)
     if (roots.isEmpty) return (emptyResult, probe, release)
@@ -810,10 +835,13 @@ object Dedup {
     * the distributed [[connectedComponents]] instead of collecting
     * pairs to the driver: distinct sigs bound the SURVIVOR collect by
     * the batch, but the PAIR set is quadratic in a worst-case batch
-    * (n near-identical non-exact docs confirm n(n-1)/2 pairs) — a cap
-    * this size is ~24 MB of tuples, far above any healthy batch and
-    * far below driver death. */
-  private[graft] val inBatchPairsDriverCap = 1L << 20
+    * (n near-identical non-exact docs confirm n(n-1)/2 pairs). The
+    * collect transiently materializes GenericRows AND boxed Tuple3s —
+    * roughly 150–200 bytes per pair, not the 24 raw field bytes — so
+    * the cap is sized to ~40–50 MB of transient driver footprint
+    * (2^18 pairs), far above any healthy batch and safe on a lean
+    * driver. */
+  private[graft] val inBatchPairsDriverCap = 1L << 18
 
   private[graft] def inBatchFamilies(
       pairs: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] = {

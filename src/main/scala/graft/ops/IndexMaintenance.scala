@@ -198,13 +198,19 @@ object IndexMaintenance {
     // DELTAS too, so the veto's post-fold hottest must aggregate over
     // ALL roots — a base-only estimate could pass the veto while the
     // folded-in delta mass re-trips the hot signal next tick (the
-    // exact oscillation the veto exists to prevent). A stale-length
-    // delta cell groups at its own length-1 (its sig isn't in the
-    // stats), which merges MORE than the real fold would — an
-    // overestimate, i.e. the veto errs conservative.
+    // exact oscillation the veto exists to prevent). Every row groups
+    // at the ACTUAL fold target, curLen - 1, clamped to each cell's
+    // own length: a SHORTER stale delta cell (appended before an
+    // upward rebucket) groups at its own length-1 — coarser than the
+    // real fold, an overestimate, the veto errs conservative — while
+    // a LONGER stale delta cell (appended racing a DOWNWARD rebucket)
+    // is truncated to the target so it merges with the base cells
+    // sharing that prefix instead of grouping finer and silently
+    // UNDERestimating the post-fold hottest.
+    val curLen = Dedup.lshPrefixLenOf(spark, indexDir)
     val foldedRow = stats
       .groupBy(col("band_id"),
-        expr("substring(sig_p, 1, greatest(length(sig_p) - 1, 1))"))
+        expr(s"substring(sig_p, 1, greatest(least(length(sig_p), $curLen) - 1, 1))"))
       .agg(sum(col("n_rows")).as("fn"))
       .agg(max(col("fn"))).head()
     val folded = if (foldedRow.isNullAt(0)) 0L else foldedRow.getLong(0)

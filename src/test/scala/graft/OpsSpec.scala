@@ -1310,7 +1310,7 @@ class OpsSpec extends SparkSuite {
         exactFallback = false, twoStage = None, twoStageFloor = 1100L)
       out.collect()
       release()
-      Dedup.lastTwoStageDecision.get().get
+      Dedup.lastTwoStageDecision(fatDir).get
     }
     assert(probeDecision(seeded),
       "probe into the fat clique cell did not select two-stage")
