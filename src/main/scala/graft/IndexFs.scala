@@ -174,6 +174,8 @@ object IndexFs {
   *     once a later manifest exists)
   *   - `delta/b<batchId>` — batch deltas (batchId-idempotent
   *     overwrites)
+  *   - `delta/t<batchId>` — TOMBSTONE deltas (retention/takedown key
+  *     lists; readers subtract them, folds apply and retire them)
   *   - `m<seq>`           — manifests; the NEWEST one is the truth:
   *     `gen`   = the generation that owns the base,
   *     `floor` = the highest delta batchId folded INTO that base
@@ -237,8 +239,15 @@ private[graft] object GenManifest {
     * space never changes, e.g. LSH bands), `cells` the root-relative
     * cell directory fragments the delta actually wrote — `label=5` for
     * the IVF layout, `band_id=0/sig_p=ab` for LSH (`None` = unknown —
-    * readers fall back to per-cell existence checks). */
-  final case class DeltaEntry(id: Long, gen: Long, cells: Option[Seq[String]])
+    * readers fall back to per-cell existence checks). `tomb` marks a
+    * TOMBSTONE delta (a retention/takedown delete): its data is a key
+    * list under `delta/t<id>` (not band/corpus rows under `b<id>`),
+    * readers subtract it instead of adding it, and the next fold
+    * applies and retires it. `rows` (optional, aligned with `cells`)
+    * records each cell's row count at append time — the per-probe
+    * decision inputs that must not re-read delta footers. */
+  final case class DeltaEntry(id: Long, gen: Long, cells: Option[Seq[String]],
+      tomb: Boolean = false, rows: Option[Seq[Long]] = None)
 
   /** The delta ledger: ONE small file (`delta/ledger`) naming every
     * committed delta with its label-space generation and cell list, so
@@ -259,10 +268,16 @@ private[graft] object GenManifest {
     val p = s"$dir/delta/ledger"
     if (!IndexFs.exists(spark, p)) None
     else Some(IndexFs.readUtf8(spark, p).linesIterator.filter(_.nonEmpty).map { l =>
+      // columns 4 (kind: d=data, t=tombstone) and 5 (per-cell rows)
+      // were added later; a ledger written before them reads as
+      // data-kind with unknown rows — exactly its original meaning
       val f = l.split("\t", -1)
       DeltaEntry(f(0).toLong, f(1).toLong,
         if (f.length < 3 || f(2) == "?") None
-        else Some(f(2).split(',').filter(_.nonEmpty).toSeq))
+        else Some(f(2).split(',').filter(_.nonEmpty).toSeq),
+        tomb = f.length > 3 && f(3) == "t",
+        rows = if (f.length < 5 || f(4) == "?") None
+          else Some(f(4).split(',').filter(_.nonEmpty).map(_.toLong).toSeq))
     }.toSeq)
   }
 
@@ -271,7 +286,8 @@ private[graft] object GenManifest {
     IndexFs.writeUtf8Atomic(spark, s"$dir/delta/ledger",
       entries.sortBy(_.id).map { e =>
         val cs = e.cells.fold("?")(_.mkString(","))
-        s"${e.id}\t${e.gen}\t$cs"
+        val rs = e.rows.fold("?")(_.mkString(","))
+        s"${e.id}\t${e.gen}\t$cs\t${if (e.tomb) "t" else "d"}\t$rs"
       }.mkString("", "\n", "\n"))
 
   /** Delta batchIds in (above, below) — exclusive on both ends: a
@@ -352,7 +368,11 @@ private[graft] object GenManifest {
             IndexFs.delete(spark, s"$dir/$n")
         }
     }
-    IndexFs.listNames(spark, s"$dir/delta", "b\\d+").foreach { n =>
+    // tombstone deltas (t<id>) retire on the same keep-two horizon as
+    // data deltas: a fold that applied a tombstone raised the floor to
+    // (at least) its id, and a reader pinned to the PREVIOUS manifest
+    // may still subtract it until two more commits happen
+    IndexFs.listNames(spark, s"$dir/delta", "[bt]\\d+").foreach { n =>
       if (n.drop(1).toLong <= minFloor) IndexFs.delete(spark, s"$dir/delta/$n")
     }
   }

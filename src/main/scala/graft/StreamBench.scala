@@ -101,7 +101,15 @@ object StreamBench {
         safely(s"dedup_ingest_x$m")(
           benchDedupIngest(spark, nDocs = 400 * m, nBatches = 2)),
         safely(s"ann_serve_x$m")(
-          benchAnnServe(spark, sfDir, nQueries = 80 * m, nBatches = 2)))
+          benchAnnServe(spark, sfDir, nQueries = 80 * m, nBatches = 2)),
+        // the RocksDB state-store families get the same amortization
+        // curve as the index loops: a state-growth or compaction-stall
+        // regression bends THESE multipliers while the one-shot
+        // headline legs (overhead-dominated) sit still
+        safely(s"uv_dedup_tws_x$m")(
+          benchUvDedup(spark, nEvents = 5000 * m, nBatches = 2)),
+        safely(s"cep_pattern_x$m")(
+          benchCep(spark, keysPerBatch = 500 * m, nBatches = 2)))
     })
 
   /** [[runScaling]] under the same interleaved min-of-N protocol —

@@ -174,8 +174,17 @@ object Dedup {
   /** LSH candidate pairs scored with exact Jaccard (`doc_a, doc_b,
     * jac`). One shingle scan feeds both the candidate generation and
     * the verification. */
-  private def scoredPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+  private def scoredPairs(spark: SparkSession, dir: String): DataFrame =
+    scoredPairsOf(shinglesOf(Tables.table(spark, dir, "documents")), spark)
+
+  /** [[scoredPairs]] over an ARBITRARY `(doc_id, s)` element relation —
+    * the minhash → band → bucket-join → exact-Jaccard pipeline is
+    * element-agnostic, so other modalities reuse it whole: the
+    * multimodal near-dup ([[Multimodal.mmNearDup]]) feeds byte 8-grams
+    * of binary payloads through exactly this path. */
+  private[ops] def scoredPairsOf(elems: DataFrame,
+      spark: SparkSession): DataFrame = {
+    val sh = elems.cache()
     val cand = bandPairs(sh, spark)
     val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
     val inter = size(array_intersect(col("sa.ss"), col("sb.ss")))
@@ -531,10 +540,113 @@ object Dedup {
     val cells = graft.IndexFs.listNames(spark, root, "band_id=.*").flatMap { b =>
       graft.IndexFs.listNames(spark, s"$root/$b", "sig_p=.*").map(p => s"$b/$p")
     }.sorted
+    // per-cell row counts ride the ledger entry (one footer-cheap
+    // count over the just-written batch-sized delta): the per-probe
+    // two-stage AUTO decision folds committed-delta mass into its
+    // probed-cell intersection with ZERO extra metadata reads, closing
+    // the window where an append-heavy stream fattens cells past the
+    // crossover while the base generation's _cell_mass still answers
+    // one-pass
+    val counts = spark.read.schema(bandReadSchema).option("basePath", root)
+      .parquet(root)
+      .groupBy("band_id", "sig_p").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (s"band_id=${r.getInt(0)}/sig_p=${r.getString(1)}", r.getLong(2)))
+      .toMap
     graft.GenManifest.writeLedger(spark, indexDir,
-      prior.filterNot(e => e.id == batchId || e.id <= floor) :+
-        graft.GenManifest.DeltaEntry(batchId, 0L, Some(cells)))
+      prior.filterNot(e => (e.id == batchId && !e.tomb) || e.id <= floor) :+
+        graft.GenManifest.DeltaEntry(batchId, 0L, Some(cells),
+          rows = Some(cells.map(c => counts.getOrElse(c, 0L)))))
   }
+
+  /** Explicit read schema of an LSH tombstone delta (a doc-id key
+    * list) — NEVER inferred: an empty delete writes only `_SUCCESS`
+    * and must read as zero keys, not a schema-inference failure. */
+  private val lshTombReadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT")
+
+  /** RETENTION/TAKEDOWN DELETE — remove documents from the persisted
+    * LSH index without rewriting it: the distinct doc-id key list
+    * lands under `delta/t<batchId>` and its ledger entry (kind `t`,
+    * written AFTER the data — the commit point, retracted first on a
+    * replay overwrite) makes it visible. Semantics are log-ordered —
+    * the `dimUpsert` tombstone discipline (`StreamOps.mergeDimBatch`,
+    * reference analog: CDC delete ops, `app/dwd/BaseDbApp.java:43`)
+    * applied to the index: the delete hits the base generation and
+    * every data delta with a LOWER batchId; a data delta appended at
+    * a HIGHER id re-adds the document. Probes subtract the live
+    * tombstone set (a broadcast anti-join — deletes are small
+    * relative to the corpus); the next fold ([[compactLshIndex]])
+    * drops tombstoned rows physically and retires the tombstone under
+    * the manifest floor (keep-two GC removes its directory two
+    * commits later, after no pinned reader can still subtract it).
+    * This is also the shrink mechanism the downward re-bucketing
+    * policy presumes ("a corpus that shrank under retention
+    * deletes"). batchId-idempotent like every delta write.
+    *
+    * CONTRACT: `batchId` lives on the SAME monotonic axis as the data
+    * batch ids (an id far above the stream's counter would kill every
+    * future append below it), and deletes come from the index's one
+    * sequential writer context — issued between micro-batches, never
+    * racing an append (the ledger is read-modify-write). Within one
+    * id the tombstone sorts BEFORE the data: deleting at the next
+    * unclaimed batch id takes effect from that very batch, and a
+    * same-id re-add survives. */
+  def deleteFromLshIndex(spark: SparkSession, indexDir: String,
+      docIds: DataFrame, batchId: Long): Unit = {
+    val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no LSH index manifest under $indexDir — persistLshIndex first"))
+    val root = s"$indexDir/delta/t$batchId"
+    val prior = lshDeltaEntries(spark, indexDir)
+    // replay overwrite: retract the entry BEFORE touching the data, so
+    // a concurrent probe never subtracts a half-overwritten key list
+    if (prior.exists(e => e.id == batchId && e.tomb))
+      graft.GenManifest.writeLedger(spark, indexDir,
+        prior.filterNot(e => e.id == batchId && e.tomb))
+    // one file: a tombstone is control-plane sized next to the corpus,
+    // and every probe broadcast-reads it whole
+    docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(root)
+    graft.GenManifest.writeLedger(spark, indexDir,
+      prior.filterNot(e => (e.id == batchId && e.tomb) || e.id <= st.floor) :+
+        graft.GenManifest.DeltaEntry(batchId, 0L, None, tomb = true))
+  }
+
+  /** The LIVE tombstone set of an entry list, as `(t_doc, t_del)` with
+    * `t_del` the key's highest delete id — None when no tombstone is
+    * live in `(floor, belowBatch]` (the overwhelmingly common case:
+    * zero plan change, zero extra reads). The upper bound is INCLUSIVE
+    * — unlike data deltas, which a probing batch excludes at its own
+    * id (its possibly-torn output): within one id, the tombstone
+    * sorts BEFORE the data (`minusTombs` is strict, so a same-id data
+    * delta survives its tombstone), which lets an operator delete
+    * "effective from batch N" by claiming id N on the stream's own
+    * batch axis. Reads are ledger-driven (paths built from committed
+    * entry ids — no existence checks), so probe metadata I/O stays
+    * O(1) in the backlog. */
+  private def lshTombstones(spark: SparkSession, indexDir: String,
+      entries: Seq[graft.GenManifest.DeltaEntry], floor: Long,
+      belowBatch: Long): Option[DataFrame] = {
+    val tombs = entries.filter(e => e.tomb && e.id > floor && e.id <= belowBatch)
+    if (tombs.isEmpty) None
+    else Some(tombs.map { e =>
+      spark.read.schema(lshTombReadSchema)
+        .parquet(s"$indexDir/delta/t${e.id}")
+        .select(col("doc_id").as("t_doc"), lit(e.id).as("t_del"))
+    }.reduce(_ unionByName _)
+      .groupBy("t_doc").agg(max(col("t_del")).as("t_del")))
+  }
+
+  /** Subtract the live tombstones from one source root's rows: a row
+    * from source `srcId` (base = the manifest floor — every base row
+    * predates every live tombstone) is dead iff a tombstone with id >
+    * srcId names its key. Broadcast anti-join; identity when no
+    * tombstone is live. */
+  private[ops] def minusTombs(rows: DataFrame, tomb: Option[DataFrame],
+      srcId: Long, keyCol: String = "doc_id"): DataFrame =
+    tomb.fold(rows)(t => rows.join(broadcast(t),
+      rows(keyCol) === t("t_doc") && t("t_del") > lit(srcId), "left_anti"))
 
   /** The RESOLVED `(root, cellPaths)` list of a probe across the base
     * generation and the committed deltas above the manifest floor —
@@ -572,7 +684,8 @@ object Dedup {
   private def lshCellPaths(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State, baseLen: Int,
       prefixesAt: Int => Seq[(Int, String)], belowBatch: Long,
-      fallbackLen: Int): Seq[(String, Seq[String])] = {
+      fallbackLen: Int, entries: Seq[graft.GenManifest.DeltaEntry])
+      : Seq[(Long, String, Seq[String])] = {
     // cell names are derived PER ROOT from the probe's distinct sig
     // PREFIXES at that root's own prefix length — mixed-length serving
     // (the rebucket transition) needs no global length agreement, and
@@ -582,28 +695,31 @@ object Dedup {
       prefixesAt(len).map { case (b, p) => s"band_id=$b/sig_p=$p" }
         .distinct.sorted
     // base: probed cells are sparse in the 2×16^len space, so the
-    // existence filter stays — O(probe cells), constant in the backlog
+    // existence filter stays — O(probe cells), constant in the backlog.
+    // source id = the manifest floor: every base row was folded at or
+    // below it, so every live tombstone (id > floor) applies to it.
     val baseRoot = lshBase(indexDir, st.gen)
     val base = {
       val paths = namesAt(baseLen).map(n => s"$baseRoot/$n")
         .filter(p => graft.IndexFs.isDir(spark, p))
-      if (paths.isEmpty) None else Some(baseRoot -> paths)
+      if (paths.isEmpty) None else Some((st.floor, baseRoot, paths))
     }
     // deltas: cell lists come from the ONE ledger read — zero
     // per-delta round-trips at probe time (the IVF serving discipline)
-    val deltas = lshDeltaEntries(spark, indexDir)
-      .filter(e => e.id > st.floor && e.id < belowBatch).sortBy(_.id)
+    val deltas = entries
+      .filter(e => !e.tomb && e.id > st.floor && e.id < belowBatch).sortBy(_.id)
       .flatMap { e =>
         val root = s"$indexDir/delta/b${e.id}"
         e.cells match {
           case Some(cs) if cs.isEmpty => None
           case Some(cs) =>
             val hit = namesAt(cellNameLen(cs.head)).filter(cs.toSet)
-            if (hit.isEmpty) None else Some(root -> hit.map(n => s"$root/$n"))
+            if (hit.isEmpty) None
+            else Some((e.id, root, hit.map(n => s"$root/$n")))
           case None =>
             val paths = namesAt(fallbackLen).map(n => s"$root/$n")
               .filter(p => graft.IndexFs.isDir(spark, p))
-            if (paths.isEmpty) None else Some(root -> paths)
+            if (paths.isEmpty) None else Some((e.id, root, paths))
         }
       }
     base.toSeq ++ deltas
@@ -739,42 +855,73 @@ object Dedup {
         probe.select(col("band_id"), substring(col("sig"), 1, len).as("p"))
           .distinct()
           .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sorted)
-    // ONE manifest resolve + ONE generation-length read per probe,
-    // shared by the auto decision, the cell-path resolution and both
-    // read stages — auto mode must not double the probe's metadata
-    // round-trips (the seam-call discipline IndexFsSpec pins)
+    // ONE manifest resolve + ONE generation-length read + ONE ledger
+    // read per probe, shared by the auto decision, the tombstone set,
+    // the cell-path resolution and both read stages — auto mode must
+    // not double the probe's metadata round-trips (the seam-call
+    // discipline IndexFsSpec pins)
     val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no LSH index manifest under $indexDir — persistLshIndex first"))
     val baseRoot = lshBase(indexDir, st.gen)
     val baseLen = readGenPrefixLen(spark, baseRoot).getOrElse(effPrefix)
+    val entries = lshDeltaEntries(spark, indexDir)
+    // committed-delta mass per probed cell rides the ledger entries
+    // (zero extra reads): _cell_mass only changes at a fold, so an
+    // append-heavy stream can fatten probed cells past the crossover
+    // while the base summary still answers one-pass — the per-cell
+    // row counts the appends recorded close that window. A delta cell
+    // at a different prefix length counts when prefix-compatible
+    // (conservative over-attribution on the transient mixed-length
+    // layouts a rebucket leaves).
+    val liveDataEntries = entries
+      .filter(e => !e.tomb && e.id > st.floor && e.id < belowBatch)
+    def deltaMassFor(b: Int, p: String): Long =
+      liveDataEntries.iterator.map { e =>
+        (e.cells, e.rows) match {
+          case (Some(cs), Some(rs)) if cs.length == rs.length =>
+            cs.iterator.zip(rs.iterator).collect {
+              case (c, r) if c.startsWith(s"band_id=$b/sig_p=") && {
+                val cp = c.substring(c.indexOf("sig_p=") + 6)
+                cp.startsWith(p) || p.startsWith(cp)
+              } => r
+            }.sum
+          case _ => 0L
+        }
+      }.sum
     // AUTO resolution (twoStage = None): intersect the base
-    // generation's persisted fat-cell tail with THIS probe's cells at
-    // the base length — prefixesAt caches per length, so the pass is
-    // shared with lshCellPaths below, and the metadata cost is one
+    // generation's persisted fat-cell tail — PLUS the ledger-recorded
+    // committed-delta mass — with THIS probe's cells at the base
+    // length. prefixesAt caches per length, so the pass is shared
+    // with lshCellPaths below, and the metadata cost is one
     // O(fat-cells) file read. Explicit Some(x) skips it.
     val twoStageEff = twoStage.getOrElse(
       readGenCellMassFull(spark, baseRoot).exists { case (hottest, tail, truncated) =>
         if (twoStageFloor < cellMassTailFloor) hottest >= twoStageFloor
         else {
           val probed = prefixesAt(baseLen)
-            .map { case (b, p) => s"band_id=$b/sig_p=$p" }
-          probed.exists(c => tail.getOrElse(c, 0L) >= twoStageFloor) ||
+          probed.exists { case (b, p) =>
+            tail.getOrElse(s"band_id=$b/sig_p=$p", 0L) + deltaMassFor(b, p) >=
+              twoStageFloor
+          } ||
             // truncated tail: a probed cell ABSENT from it is unknown
             // (could be fat, cut off by the cap), not known-thin —
             // degrade to the layout-level hottest answer rather than
             // silently forfeiting the two-stage win on exactly the
             // many-fat-cells layouts truncation happens on
-            (truncated && probed.exists(!tail.contains(_)) &&
-              hottest >= twoStageFloor)
+            (truncated && probed.exists { case (b, p) =>
+              !tail.contains(s"band_id=$b/sig_p=$p")
+            } && hottest >= twoStageFloor)
         }
       })
     lastTwoStageDecisions.put(indexDir, twoStageEff)
+    val tomb = lshTombstones(spark, indexDir, entries, st.floor, belowBatch)
     val roots = lshCellPaths(spark, indexDir, st, baseLen, prefixesAt,
-      belowBatch, effPrefix)
+      belowBatch, effPrefix, entries)
     if (roots.isEmpty) return (emptyResult, probe, release)
     def cellFrames: Seq[DataFrame] =
-      roots.map { case (root, paths) => readBandRoot(spark, root, paths) }
+      roots.map { case (srcId, root, paths) =>
+        minusTombs(readBandRoot(spark, root, paths), tomb, srcId) }
     val perRoot =
       if (!twoStageEff) cellFrames
       else {
@@ -933,16 +1080,25 @@ object Dedup {
     newPrefixLen.foreach(l => require(l >= 1 && l <= 16,
       s"newPrefixLen=$l: must be in [1, 16]"))
     val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(return)
-    val deltas = lshDeltaEntries(spark, indexDir).map(_.id)
-      .filter(_ > st.floor).sorted
+    val entries = lshDeltaEntries(spark, indexDir).filter(_.id > st.floor)
+    val deltas = entries.filterNot(_.tomb).map(_.id).sorted
+    val tombIds = entries.filter(_.tomb).map(_.id).sorted
     val curLen = readGenPrefixLen(spark, lshBase(indexDir, st.gen))
       .orElse(readLshPrefixLen(spark, indexDir)).getOrElse(2)
     val targetLen = newPrefixLen.getOrElse(curLen)
-    if (deltas.nonEmpty || targetLen != curLen) {
-      val roots = lshBase(indexDir, st.gen) +:
-        deltas.map(id => s"$indexDir/delta/b$id")
-      val all = roots
-        .map(root => readBandRoot(spark, root, Seq(root)))
+    if (deltas.nonEmpty || tombIds.nonEmpty || targetLen != curLen) {
+      // tombstones are APPLIED by the fold (each source's rows minus
+      // every delete above that source — the same log-ordered rule
+      // serving uses) and then retired under the new floor; the
+      // physical drop is what makes a takedown durable and what the
+      // downward-rebucket policy's "corpus that shrank" presumes
+      val tomb = lshTombstones(spark, indexDir, entries, st.floor,
+        Long.MaxValue)
+      val srcRoots = (st.floor, lshBase(indexDir, st.gen)) +:
+        deltas.map(id => (id, s"$indexDir/delta/b$id"))
+      val all = srcRoots
+        .map { case (src, root) =>
+          minusTombs(readBandRoot(spark, root, Seq(root)), tomb, src) }
         .reduce(_ unionByName _)
       // ALWAYS re-derive the cell key at the target length (one
       // projection on the fold the compaction pays anyway): folded
@@ -957,8 +1113,9 @@ object Dedup {
       graft.IndexFs.writeUtf8Atomic(spark, genMetaPath(newBase),
         targetLen.toString)
       writeGenCellMass(spark, newBase)
+      val folded = deltas ++ tombIds
       graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen + 1,
-        floor = if (deltas.nonEmpty) deltas.max else st.floor)
+        floor = if (folded.nonEmpty) folded.max else st.floor)
       // subsequent APPENDS band at the new length; a writer that read
       // the old pointer mid-rebucket still stays servable — its
       // delta's ledger cell names carry their own length and probes
@@ -1061,6 +1218,33 @@ object Dedup {
     dedupAgainstIndex.oracle,
     (spark, dir) =>
       probeOddAgainstIndex(spark, dir, cachedLshIndexDir(spark, dir)))
+
+  /** [[dedupAgainstIndex]] with a RETENTION DELETE in the lifecycle:
+    * the even-id half is persisted, every even id divisible by 10 is
+    * then tombstone-deleted ([[deleteFromLshIndex]]), and the odd-id
+    * probe runs against the shrunk index — confirmed pairs must never
+    * name a deleted document. The oracle excludes the deleted ids from
+    * the candidate INDEX side of the same split (their shingle sets
+    * never pair); threshold and rounding identical to the base query.
+    * This is the oracle gate for the takedown path: a tombstone that
+    * leaked (or over-deleted) flips rows/hash here. */
+  val dedupAgainstIndexAfterDelete = QueryDef(
+    "dedup_against_index_after_delete",
+    Some(s"""${lshSplitCtes.replace(
+              "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0",
+              "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 10 <> 0")}
+            |SELECT probe_id, index_id, ${graft.QueryDef.roundedRatioSql("ni", "nu", 6)} AS jac
+            |FROM j WHERE jac >= $jaccardThreshold
+            |ORDER BY probe_id, index_id""".stripMargin),
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val indexDir = graft.TempDirs.create("lsh-index-del")
+      persistLshIndex(docs.filter(col("doc_id") % 2 === 0), indexDir,
+        prefixLen = 1, exactFallback = false)
+      deleteFromLshIndex(spark, indexDir,
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"), batchId = 1L)
+      probeOddAgainstIndex(spark, dir, indexDir)
+    })
 
   val dedupJaccardNgram = QueryDef(
     "dedup_jaccard_ngram",
@@ -1461,5 +1645,5 @@ object Dedup {
     dedupExact, dedupFingerprint, dedupMinhashLsh, dedupJaccardNgram,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupClusters,
     dedupLines, dedupSemanticClusters, dedupEditdist, dedupAgainstIndex,
-    dedupAgainstIndexServeOnly)
+    dedupAgainstIndexServeOnly, dedupAgainstIndexAfterDelete)
 }

@@ -58,6 +58,15 @@ object IndexMaintenance {
     * current-length cells, conservatively coarse for stale-length
     * delta cells), so a downward re-bucket can be vetoed before it
     * recreates the hot cell an earlier tick split. */
+  /** `deltaFiles`: the live delta backlog counted in CELL DIRECTORIES
+    * (Σ ledger cell-list sizes over data deltas, +1 per live
+    * tombstone) — the FS-metadata pressure signal. A many-tiny-batches
+    * workload pays per-probe listing/footer cost long before row mass
+    * justifies a fold (PERF.md r11 names ~250 delta files per ingest
+    * batch as the steady-state floor), so row- and batch-count
+    * thresholds alone under-fire exactly there. O(1) to compute: the
+    * ledger already carries every cell list. Pre-ledger layouts read
+    * 0 (the signal is ledger-born, like the cell lists themselves). */
   final case class Signals(
       baseRows: Long,
       deltaRows: Long,
@@ -66,7 +75,8 @@ object IndexMaintenance {
       staleDeltas: Int = 0,
       hottestCellRows: Long = 0L,
       medianCellRows: Long = 0L,
-      foldedHottestRows: Long = 0L)
+      foldedHottestRows: Long = 0L,
+      deltaFiles: Long = 0L)
 
   /** Thresholds. `backlogRatio`: delta mass as a share of the base
     * that justifies paying a fold (each probe reads its cells in EVERY
@@ -94,6 +104,10 @@ object IndexMaintenance {
     * at prefix length 1, and VETOED when folding would recreate a hot
     * cell (`Signals.foldedHottestRows` vs `hotCellRows`), so the two
     * signals can never flip-flop. */
+  /** `maxDeltaFiles`: live delta cell-directory count at or above
+    * which a fold is justified on FS-metadata pressure alone (0 =
+    * disabled — size it to the probe-latency budget per delta file on
+    * the deployment's store; see [[Signals.deltaFiles]]). */
   final case class Policy(
       backlogRatio: Double = 0.10,
       backlogBatches: Int = 8,
@@ -101,16 +115,32 @@ object IndexMaintenance {
       lloydIters: Int = 2,
       trainPqIters: Int = 0,
       hotCellRows: Long = 0L,
-      coldCellRows: Long = 0L)
+      coldCellRows: Long = 0L,
+      maxDeltaFiles: Long = 0L)
 
   private def decide(s: Signals, p: Policy): Action =
     if (s.maxDrift.exists(_ > p.driftBound)) LloydRebuild(p.lloydIters)
     else if (s.staleDeltas > 0) Compact // full-read tax + relabel-on-fold
+    else if (p.maxDeltaFiles > 0 && s.deltaFiles >= p.maxDeltaFiles)
+      Compact // small-file pressure: listing cost, not row mass
     else if (s.deltaBatches > 0 &&
       (s.deltaBatches >= p.backlogBatches ||
         s.deltaRows.toDouble >= p.backlogRatio * math.max(1L, s.baseRows)))
       Compact
     else NoOp
+
+  /** [[Signals.deltaFiles]] from the ledger — one read, O(|entries|).
+    * Live = above the manifest floor; a tombstone counts one file
+    * (its single-file key list taxes every probe until the fold
+    * retires it). */
+  private def deltaFilesOf(spark: SparkSession, indexDir: String): Long = {
+    val floor = graft.GenManifest.resolve(spark, indexDir)
+      .map(_.floor).getOrElse(-1L)
+    graft.GenManifest.readLedger(spark, indexDir).getOrElse(Seq.empty)
+      .filter(_.id > floor)
+      .map(e => if (e.tomb) 1L else e.cells.map(_.size.toLong).getOrElse(1L))
+      .sum
+  }
 
   private def backlogFromStats(stats: DataFrame): (Long, Long, Int) = {
     val rows = stats.groupBy(col("root") === "base")
@@ -174,7 +204,8 @@ object IndexMaintenance {
           .agg(max(col("drift"))).head()
         if (worst.isNullAt(0)) None else Some(worst.getDouble(0))
       }
-    Signals(base, delta, batches, drift, staleDeltas = stale)
+    Signals(base, delta, batches, drift, staleDeltas = stale,
+      deltaFiles = deltaFilesOf(spark, indexDir))
   }
 
   def lshSignals(spark: SparkSession, indexDir: String): Signals = {
@@ -216,7 +247,8 @@ object IndexMaintenance {
     val folded = if (foldedRow.isNullAt(0)) 0L else foldedRow.getLong(0)
     Signals(base, delta, batches, maxDrift = None,
       hottestCellRows = hottest, medianCellRows = median,
-      foldedHottestRows = folded)
+      foldedHottestRows = folded,
+      deltaFiles = deltaFilesOf(spark, indexDir))
   }
 
   def planIvf(spark: SparkSession, indexDir: String,

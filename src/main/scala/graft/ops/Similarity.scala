@@ -1017,9 +1017,9 @@ object Similarity {
     // delta's data, so a concurrent probe never label-prunes into a
     // half-overwritten directory — the window's cost is one invisible
     // (replaying) batch, the same semantics as a torn `_SUCCESS`.
-    if (prior.exists(_.id == batchId))
+    if (prior.exists(e => e.id == batchId && !e.tomb))
       graft.GenManifest.writeLedger(spark, indexDir,
-        prior.filterNot(_.id == batchId))
+        prior.filterNot(e => e.id == batchId && !e.tomb))
     Storage.writeCellClustered(
       assignToCentroids(centroids, newVecs)
         .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
@@ -1035,8 +1035,70 @@ object Similarity {
     // is conservative; readers filter by their own resolved floor).
     val cells = graft.IndexFs.listNames(spark, root, "label=-?\\d+").sorted
     graft.GenManifest.writeLedger(spark, indexDir,
-      prior.filterNot(e => e.id == batchId || e.id <= st.floor) :+
+      prior.filterNot(e => (e.id == batchId && !e.tomb) || e.id <= st.floor) :+
         graft.GenManifest.DeltaEntry(batchId, st.gen, Some(cells)))
+  }
+
+  /** Explicit read schema of an IVF tombstone delta (a vec-id key
+    * list) — NEVER inferred: an empty delete writes only `_SUCCESS`
+    * and must read as zero keys. */
+  private val ivfTombReadSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT")
+
+  /** RETENTION/TAKEDOWN DELETE — remove vectors from the persisted
+    * IVF index without rewriting it: the distinct vec-id key list
+    * lands under `delta/t<batchId>` and its ledger entry (kind `t`,
+    * written AFTER the data — the commit point, retracted first on a
+    * replay overwrite) makes it visible. Log-ordered semantics, the
+    * [[graft.ops.Dedup.deleteFromLshIndex]] twin: the delete hits the
+    * base generation and every data delta with a LOWER batchId; a
+    * data delta appended at a HIGHER id re-adds the vector. Every
+    * serving read (plain, int8-reranked, PQ-reranked, batched)
+    * subtracts the live tombstone set with a broadcast anti-join; the
+    * next [[compactIvfIndex]] drops tombstoned rows physically —
+    * corpus, sketch and PQ cells alike, since the codecs re-derive
+    * from the folded corpus — and retires the tombstone under the
+    * manifest floor (keep-two GC removes its directory two commits
+    * later). Tombstones are label-space INDEPENDENT (key lists, not
+    * cells), so a Lloyd re-clustering neither stales nor relabels
+    * them. batchId-idempotent like every delta write. Same id-axis
+    * and single-writer contract as the LSH delete: ids on the data
+    * batch axis, issued between appends, never racing one. */
+  def deleteFromIvfIndex(spark: SparkSession, indexDir: String,
+      vecIds: DataFrame, batchId: Long): Unit = {
+    val st = resolveIvf(spark, indexDir)
+    val root = s"$indexDir/delta/t$batchId"
+    val prior = allDeltaEntries(spark, indexDir)
+    // replay overwrite: retract the entry BEFORE touching the data, so
+    // a concurrent probe never subtracts a half-overwritten key list
+    if (prior.exists(e => e.id == batchId && e.tomb))
+      graft.GenManifest.writeLedger(spark, indexDir,
+        prior.filterNot(e => e.id == batchId && e.tomb))
+    vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(root)
+    graft.GenManifest.writeLedger(spark, indexDir,
+      prior.filterNot(e => (e.id == batchId && e.tomb) || e.id <= st.floor) :+
+        graft.GenManifest.DeltaEntry(batchId, st.gen, None, tomb = true))
+  }
+
+  /** The LIVE tombstone set of an (already floor-filtered) entry
+    * list, as `(t_doc, t_del)` with `t_del` the key's highest delete
+    * id — None when no tombstone is live (the common case: zero plan
+    * change, zero extra reads). Paths are ledger-driven — no
+    * existence checks, probe metadata I/O stays O(1) in the
+    * backlog. Rows are subtracted per source through
+    * [[graft.ops.Dedup.minusTombs]] with the same log-ordered rule as
+    * the LSH family. */
+  private def ivfTombstones(spark: SparkSession, indexDir: String,
+      entries: Seq[graft.GenManifest.DeltaEntry]): Option[DataFrame] = {
+    val tombs = entries.filter(_.tomb)
+    if (tombs.isEmpty) None
+    else Some(tombs.map { e =>
+      spark.read.schema(ivfTombReadSchema)
+        .parquet(s"$indexDir/delta/t${e.id}")
+        .select(col("vec_id").as("t_doc"), lit(e.id).as("t_del"))
+    }.reduce(_ unionByName _)
+      .groupBy("t_doc").agg(max(col("t_del")).as("t_del")))
   }
 
   /** The centroid generation that assigned a delta's labels, if its
@@ -1076,8 +1138,11 @@ object Similarity {
     * a superseded centroid set) and instead justify a fold outright. */
   private[ops] def deltaIdsByLabelSpace(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State): (Seq[Long], Seq[Long]) = {
+    // tombstones are label-space independent key lists: they are
+    // neither current nor stale data and must not trip the
+    // stale-delta fold signal
     val (cur, stale) = deltaEntriesAbove(spark, indexDir, st)
-      .partition(_.gen >= st.lgen)
+      .filterNot(_.tomb).partition(_.gen >= st.lgen)
     (cur.map(_.id), stale.map(_.id))
   }
 
@@ -1113,8 +1178,14 @@ object Similarity {
     * ever present in the append-raced-re-cluster window. */
   private[graft] def servingCorpusAt(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State, labels: Seq[Long]): DataFrame = {
-    val perRoot = prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), labels).toSeq ++
-      servingDeltaFramesAt(spark, indexDir, st, labels)
+    // ONE entries read feeds the delta frames AND the tombstone set;
+    // base rows all predate every live tombstone (ids > floor), so
+    // the base subtracts the whole set (src = floor)
+    val entries = deltaEntriesAbove(spark, indexDir, st)
+    val tomb = ivfTombstones(spark, indexDir, entries)
+    val perRoot = prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), labels)
+      .map(Dedup.minusTombs(_, tomb, st.floor, "vec_id")).toSeq ++
+      servingDeltaFramesFrom(spark, indexDir, st, labels, entries, tomb)
     if (perRoot.isEmpty) emptyCorpus(spark) else perRoot.reduce(_ unionByName _)
   }
 
@@ -1140,17 +1211,32 @@ object Similarity {
     * or untagged one is read in full (its cell layout indexes a
     * superseded centroid set — see [[servingCorpusAt]]'s race note). */
   private def servingDeltaFramesAt(spark: SparkSession, indexDir: String,
-      st: graft.GenManifest.State, labels: Seq[Long]): Seq[DataFrame] =
-    deltaEntriesAbove(spark, indexDir, st).flatMap { e =>
+      st: graft.GenManifest.State, labels: Seq[Long]): Seq[DataFrame] = {
+    val entries = deltaEntriesAbove(spark, indexDir, st)
+    servingDeltaFramesFrom(spark, indexDir, st, labels, entries,
+      ivfTombstones(spark, indexDir, entries))
+  }
+
+  /** [[servingDeltaFramesAt]] over ALREADY-READ entries + tombstones —
+    * the form probe paths that resolve the ledger once use. Each data
+    * delta subtracts only the tombstones ABOVE its own id (a later
+    * re-add of a deleted key survives, the log-ordered rule). */
+  private def servingDeltaFramesFrom(spark: SparkSession, indexDir: String,
+      st: graft.GenManifest.State, labels: Seq[Long],
+      entries: Seq[graft.GenManifest.DeltaEntry],
+      tomb: Option[DataFrame]): Seq[DataFrame] =
+    entries.filterNot(_.tomb).flatMap { e =>
       val root = s"$indexDir/delta/b${e.id}"
-      if (e.gen < st.lgen) Some(readCorpusRoot(spark, root, Seq(root)))
-      else e.cells match {
-        case Some(cs) =>
-          val hit = labels.map(l => s"label=$l").filter(cs.toSet)
-          if (hit.isEmpty) None
-          else Some(readCorpusRoot(spark, root, hit.map(n => s"$root/$n")))
-        case None => prunedCorpusRead(spark, root, labels)
-      }
+      val raw =
+        if (e.gen < st.lgen) Some(readCorpusRoot(spark, root, Seq(root)))
+        else e.cells match {
+          case Some(cs) =>
+            val hit = labels.map(l => s"label=$l").filter(cs.toSet)
+            if (hit.isEmpty) None
+            else Some(readCorpusRoot(spark, root, hit.map(n => s"$root/$n")))
+          case None => prunedCorpusRead(spark, root, labels)
+        }
+      raw.map(Dedup.minusTombs(_, tomb, e.id, "vec_id"))
     }
 
   /** Lloyd refinement over an in-memory index: `iters` rounds of
@@ -1235,9 +1321,11 @@ object Similarity {
       indexDir: String, lloydIters: Int, maxCellRows: Long,
       beforeCatchUp: () => Unit, trainPqIters: Int = 0): Unit = {
     val st = resolveIvf(spark, indexDir)
-    val entries = deltaEntriesAbove(spark, indexDir, st)
+    val allEntries = deltaEntriesAbove(spark, indexDir, st)
+    val entries = allEntries.filterNot(_.tomb)
+    val tombIds = allEntries.filter(_.tomb).map(_.id)
     val deltas = entries.map(_.id)
-    if (deltas.nonEmpty || lloydIters > 0) {
+    if (deltas.nonEmpty || tombIds.nonEmpty || lloydIters > 0) {
       val curCentroids = servingCentroidsAt(spark, indexDir, st)
       // a delta assigned against a superseded label space is RELABELED
       // against the current centroids before folding — a
@@ -1252,8 +1340,16 @@ object Similarity {
           .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
           .select(col("vec_id"), col("embedding"), col("norm"), col("label"))
       }
+      // tombstones apply to each source by the same log-ordered rule
+      // serving uses (base = floor, deltas at their own id), then
+      // retire under the new floor — the fold is where a takedown
+      // becomes physical (corpus, sketch and PQ cells alike: the
+      // codecs re-derive from the folded corpus below)
+      val tomb = ivfTombstones(spark, indexDir, allEntries)
       val base = gdir(indexDir, "corpus", st.gen)
-      val all = (readCorpusRoot(spark, base, Seq(base)) +: entries.map(readDelta))
+      val all = (Dedup.minusTombs(readCorpusRoot(spark, base, Seq(base)),
+          tomb, st.floor, "vec_id") +:
+        entries.map(e => Dedup.minusTombs(readDelta(e), tomb, e.id, "vec_id")))
         .reduce(_ unionByName _)
       val gen = st.gen + 1
       val idx0 = IvfIndex(
@@ -1271,12 +1367,25 @@ object Similarity {
         // the next compaction — assign it against the final centroids
         // now and fold it too. Only meaningful when the label space
         // moved; a label-preserving fold leaves late deltas serving
-        // normally above the floor.
-        val late =
+        // normally above the floor. A late TOMBSTONE is never folded
+        // here, AND it fences the catch-up: a late data delta above a
+        // late tombstone must not fold either — its rows would land
+        // in the new base, whose rows the still-live tombstone
+        // (id > the raised floor) kills wholesale, resurrecting the
+        // delete onto rows that post-date it. Folding only the data
+        // deltas BELOW the earliest late tombstone keeps the floor
+        // below that tombstone, so it stays live and applies to
+        // exactly the rows that predate it.
+        val lateAll =
           if (lloydIters > 0)
-            deltaEntriesAbove(spark, indexDir, st).map(_.id)
-              .filterNot(deltas.toSet)
+            deltaEntriesAbove(spark, indexDir, st)
+              .filterNot(e => deltas.contains(e.id) && !e.tomb)
+              .filterNot(e => tombIds.contains(e.id) && e.tomb)
           else Seq.empty
+        val lateTombFence = lateAll.filter(_.tomb).map(_.id)
+          .minOption.getOrElse(Long.MaxValue)
+        val late = lateAll.filterNot(_.tomb).map(_.id)
+          .filter(_ < lateTombFence)
         val idx =
           if (late.isEmpty) refined
           else appendToIvfIndex(refined,
@@ -1324,7 +1433,7 @@ object Similarity {
           }
         Storage.writeCellClustered(pqCodesOfCb(committed, cb),
           Seq("label"), "vec_id", gdir(indexDir, "pq", gen), maxCellRows)
-        val folded = deltas ++ late
+        val folded = deltas ++ late ++ tombIds
         graft.GenManifest.commit(spark, indexDir, st.seq + 1, gen,
           floor = if (folded.nonEmpty) folded.max else st.floor,
           lgen = if (lloydIters > 0) gen else st.lgen)
@@ -1402,20 +1511,10 @@ object Similarity {
       .withColumn("qnorm", sqrt(dot(col("qe"), col("qe"))))
       .withColumn("qamax", amaxCol(col("qe")))
       .withColumn("q8q", q8Col(col("qe"), col("qamax")))
-    val sketchRoot = gdir(indexDir, "sketch", st.gen)
-    val baseSketch =
-      if (graft.IndexFs.isDir(spark, sketchRoot)) {
-        val paths = wide.map(l => s"$sketchRoot/label=$l")
-          .filter(p => graft.IndexFs.isDir(spark, p))
-        if (paths.isEmpty) None
-        else Some(spark.read.schema(sketchReadSchema)
-          .option("basePath", sketchRoot).parquet(paths: _*))
-      } else // legacy layout: sketch the full base cells in flight
-        prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), wide)
-          .map(sketchOf)
-    val deltaSketch = servingDeltaFramesAt(spark, indexDir, st, wide)
-      .map(sketchOf)
-    val sketches = (baseSketch.toSeq ++ deltaSketch)
+    // base (persisted sketch cells or the legacy in-flight fallback)
+    // plus delta sketches, tombstone-subtracted — the shared stage-1
+    // builder the batched scaffold uses too
+    val sketches = sketchFramesAt(spark, indexDir, st, wide)
     val cells: Seq[Long] =
       if (sketches.isEmpty) wide.take(rerankCells)
       else dropExcluded(sketches.reduce(_ unionByName _))
@@ -1444,17 +1543,19 @@ object Similarity {
     * codebook — correct, without the bytes saving. */
   private def pqBaseFrame(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State, labels: Seq[Long],
-      cb: DataFrame): Option[DataFrame] = {
+      cb: DataFrame, tomb: Option[DataFrame]): Option[DataFrame] = {
     val pqRoot = gdir(indexDir, "pq", st.gen)
-    if (graft.IndexFs.isDir(spark, pqRoot)) {
-      val paths = labels.map(l => s"$pqRoot/label=$l")
-        .filter(p => graft.IndexFs.isDir(spark, p))
-      if (paths.isEmpty) None
-      else Some(spark.read.schema(pqReadSchema)
-        .option("basePath", pqRoot).parquet(paths: _*))
-    } else
-      prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), labels)
-        .map(pqCodesOfCb(_, cb))
+    val raw =
+      if (graft.IndexFs.isDir(spark, pqRoot)) {
+        val paths = labels.map(l => s"$pqRoot/label=$l")
+          .filter(p => graft.IndexFs.isDir(spark, p))
+        if (paths.isEmpty) None
+        else Some(spark.read.schema(pqReadSchema)
+          .option("basePath", pqRoot).parquet(paths: _*))
+      } else
+        prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), labels)
+          .map(pqCodesOfCb(_, cb))
+    raw.map(Dedup.minusTombs(_, tomb, st.floor, "vec_id"))
   }
 
   /** [[ivfProbeVectorRerankedServed]] with the PQ codec in stage 1:
@@ -1486,7 +1587,9 @@ object Similarity {
       .crossJoin(broadcast(cb))
       .withColumn("lut", pqLutCol(col("qe")))
       .select("qe", "qnorm", "lut")
-    val baseAp = pqBaseFrame(spark, indexDir, st, wide, cb).map(df =>
+    val entries = deltaEntriesAbove(spark, indexDir, st)
+    val tomb = ivfTombstones(spark, indexDir, entries)
+    val baseAp = pqBaseFrame(spark, indexDir, st, wide, cb, tomb).map(df =>
       dropExcluded(df)
       .crossJoin(broadcast(q.select("lut", "qnorm")))
       .select(col("vec_id"), col("label"), approxCosPq.as("ap")))
@@ -1497,7 +1600,7 @@ object Similarity {
     // seen reconstructs onto the nearest codeword and under-scores)
     // until the next codebook-retraining compaction — the freshness
     // hole the int8 codec's per-vector scales don't have.
-    val deltaAp = servingDeltaFramesAt(spark, indexDir, st, wide)
+    val deltaAp = servingDeltaFramesFrom(spark, indexDir, st, wide, entries, tomb)
       .map(df => dropExcluded(df)
         .crossJoin(broadcast(q.select("qe", "qnorm")))
         .select(col("vec_id"), col("label"),
@@ -1526,6 +1629,8 @@ object Similarity {
     * plus on-the-fly sketches of committed delta rows. */
   private def sketchFramesAt(spark: SparkSession, indexDir: String,
       st: graft.GenManifest.State, labels: Seq[Long]): Seq[DataFrame] = {
+    val entries = deltaEntriesAbove(spark, indexDir, st)
+    val tomb = ivfTombstones(spark, indexDir, entries)
     val sketchRoot = gdir(indexDir, "sketch", st.gen)
     val base =
       if (graft.IndexFs.isDir(spark, sketchRoot)) {
@@ -1537,7 +1642,12 @@ object Similarity {
       } else
         prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), labels)
           .map(sketchOf)
-    base.toSeq ++ servingDeltaFramesAt(spark, indexDir, st, labels).map(sketchOf)
+    // tombstones apply to stage 1 too — a deleted vector must not
+    // hold a candidate-pool slot (the exact stage would drop it from
+    // the OUTPUT either way, but it could displace a live hit)
+    base.map(Dedup.minusTombs(_, tomb, st.floor, "vec_id")).toSeq ++
+      servingDeltaFramesFrom(spark, indexDir, st, labels, entries, tomb)
+        .map(sketchOf)
   }
 
   /** Batched serving form of the re-ranked probe — ONE relational plan
@@ -1587,10 +1697,12 @@ object Similarity {
       queryCols = identity,
       stage1 = (st, probes, touched, centroids) => {
         val cb = servingPqCodebookAt(spark, indexDir, st, centroids)
+        val entries = deltaEntriesAbove(spark, indexDir, st)
+        val tomb = ivfTombstones(spark, indexDir, entries)
         val qlut = probes.select("query_id", "qe", "qnorm").distinct()
           .crossJoin(broadcast(cb))
           .select(col("query_id"), pqLutCol(col("qe")).as("lut"), col("qnorm"))
-        val baseAp = pqBaseFrame(spark, indexDir, st, touched, cb).map(df =>
+        val baseAp = pqBaseFrame(spark, indexDir, st, touched, cb, tomb).map(df =>
           df.join(broadcast(probes.select("query_id", "label")), Seq("label"))
             .join(broadcast(qlut), Seq("query_id"))
             .select(col("query_id"), col("vec_id"), col("label"),
@@ -1598,7 +1710,8 @@ object Similarity {
         // deltas are batch-sized and read at full precision anyway:
         // score them EXACTLY so an out-of-vocabulary batch is never
         // blinded by the codebook (see ivfProbeVectorRerankedServedPq)
-        val deltaAp = servingDeltaFramesAt(spark, indexDir, st, touched).map(df =>
+        val deltaAp = servingDeltaFramesFrom(spark, indexDir, st, touched,
+            entries, tomb).map(df =>
           df.join(broadcast(probes.select("query_id", "label", "qe", "qnorm")),
               Seq("label"))
             .select(col("query_id"), col("vec_id"), col("label"),

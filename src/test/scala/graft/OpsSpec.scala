@@ -1495,4 +1495,216 @@ class OpsSpec extends SparkSuite {
     assert(read("sketch_g0") === n)
     assert(read("pq_g0") === n)
   }
+
+  test("LSH tombstone delete: probes exclude, the fold applies and retires, a later re-add resurrects") {
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-del").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textA = "one two three four five six seven eight nine ten eleven twelve"
+    Dedup.persistLshIndex(
+      Seq(1L -> seeded, 2L -> textA).toDF("doc_id", "text"), indexDir)
+    val probe = Seq(11L -> seeded.replace(" mu", " nu")).toDF("doc_id", "text")
+    def pairs(): Seq[(Long, Long)] = Dedup.nearDupCheck(spark, indexDir, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs() === Seq((11L, 1L)))
+
+    // delete the match target: the very next probe excludes it
+    Dedup.deleteFromLshIndex(spark, indexDir, Seq(1L).toDF("doc_id"), batchId = 5L)
+    assert(pairs().isEmpty, "tombstoned doc still served")
+    // replay-overwrite of the same delete: idempotent
+    Dedup.deleteFromLshIndex(spark, indexDir, Seq(1L).toDF("doc_id"), batchId = 5L)
+    assert(pairs().isEmpty)
+
+    // a TORN delete (data landed, ledger entry retracted — the state a
+    // crash between the write and the entry leaves) is invisible...
+    val entries = GenManifest.readLedger(spark, indexDir).get
+    GenManifest.writeLedger(spark, indexDir, entries.filterNot(_.tomb))
+    assert(pairs() === Seq((11L, 1L)), "torn (uncommitted) delete was applied")
+    // ...until its replay commits it again
+    Dedup.deleteFromLshIndex(spark, indexDir, Seq(1L).toDF("doc_id"), batchId = 5L)
+    assert(pairs().isEmpty)
+
+    // the fold applies the delete PHYSICALLY and retires the tombstone
+    // under the floor
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(pairs().isEmpty)
+    val st = GenManifest.resolve(spark, indexDir).get
+    assert(st.floor === 5L, "fold did not absorb the tombstone")
+    val bandSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, sig STRING, ss ARRAY<STRING>, band_id INT, sig_p STRING")
+    val baseRoot = s"$indexDir/bands_g${st.gen}"
+    val baseDocs = spark.read.schema(bandSchema).option("basePath", baseRoot)
+      .parquet(baseRoot).select("doc_id").distinct().as[Long].collect().toSet
+    assert(!baseDocs.contains(1L), "fold kept tombstoned rows in the new base")
+    assert(baseDocs.contains(2L), "fold dropped a live doc")
+
+    // keep-two GC: the applied tombstone's directory retires on the
+    // SECOND commit after absorption
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(graft.IndexFs.listNames(spark, s"$indexDir/delta", "t\\d+").isEmpty,
+      "applied tombstone survived two compaction passes")
+    assert(pairs().isEmpty)
+
+    // a re-add ABOVE the delete resurrects the doc (log-ordered)
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(1L -> seeded).toDF("doc_id", "text"), batchId = 9L)
+    assert(pairs() === Seq((11L, 1L)), "re-added doc stayed deleted")
+  }
+
+  test("LSH tombstone ordering without a fold: delete kills earlier sources only; same-id re-add survives") {
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-del-ord").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(Seq(1L -> seeded).toDF("doc_id", "text"), indexDir)
+    val probe = Seq(11L -> seeded.replace(" mu", " nu")).toDF("doc_id", "text")
+    def pairs(): Seq[(Long, Long)] = Dedup.nearDupCheck(spark, indexDir, probe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // delete at id 3, re-add the SAME doc as a data delta at id 4:
+    // the base copy is dead (floor < 3), the delta copy lives (4 > 3),
+    // and the verify's per-pair grouping collapses them to one pair
+    Dedup.deleteFromLshIndex(spark, indexDir, Seq(1L).toDF("doc_id"), batchId = 3L)
+    assert(pairs().isEmpty)
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(1L -> seeded).toDF("doc_id", "text"), batchId = 4L)
+    assert(pairs() === Seq((11L, 1L)))
+    // a SAME-ID pair (t5 + b5): within one id the tombstone sorts
+    // first, so the data delta's rows survive their own-id delete
+    Dedup.deleteFromLshIndex(spark, indexDir, Seq(2L).toDF("doc_id"), batchId = 5L)
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(2L -> seeded.replace(" mu", " xi")).toDF("doc_id", "text"), batchId = 5L)
+    assert(pairs().map(_._2).toSet === Set(1L, 2L),
+      "a same-id re-add must survive its tombstone")
+    // and the fold preserves exactly these semantics physically
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(pairs().map(_._2).toSet === Set(1L, 2L))
+  }
+
+  test("IVF tombstone delete: every serving path excludes, the fold applies and retires, re-add resurrects") {
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    val spike = Seq(8f, 8f, 8f, 8f) ++ Seq.fill(60)(0f)
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      Seq((1000000L, spike)).toDF("vec_id", "embedding"), batchId = 1L)
+    def served(): Seq[Long] =
+      Similarity.ivfProbeVectorServed(spark, indexDir, spike)
+        .collect().map(_.getLong(0)).toSeq
+    def reranked(): Seq[Long] =
+      Similarity.ivfProbeVectorRerankedServed(spark, indexDir, spike)
+        .collect().map(_.getLong(0)).toSeq
+    def rerankedPq(): Seq[Long] =
+      Similarity.ivfProbeVectorRerankedServedPq(spark, indexDir, spike)
+        .collect().map(_.getLong(0)).toSeq
+    assert(served().head === 1000000L)
+    // the base top hit for the spike BEFORE any delete — deleting a
+    // base-generation row must hide it too
+    val baseTop = served().filter(_ != 1000000L).head
+    assert(reranked().head === 1000000L)
+    assert(rerankedPq().head === 1000000L)
+
+    // delete the delta-sourced vector AND a base-sourced one
+    Similarity.deleteFromIvfIndex(spark, indexDir,
+      Seq(1000000L, baseTop).toDF("vec_id"), batchId = 2L)
+    for ((name, hits) <- Seq(("served", served()), ("reranked", reranked()),
+        ("rerankedPq", rerankedPq()))) {
+      assert(!hits.contains(1000000L), s"$name still serves the deleted delta row")
+      assert(!hits.contains(baseTop), s"$name still serves the deleted base row")
+      assert(hits.nonEmpty, s"$name went empty — the subtract is over-broad")
+    }
+    // the batched scaffold path too
+    val (batchOut, releaseB) = Similarity.ivfProbeBatchRerankedServedReleasable(
+      spark, indexDir, Seq((7L, spike)).toDF("query_id", "qe"))
+    val batchHits = batchOut.collect().map(_.getLong(1)).toSet
+    releaseB()
+    assert(!batchHits.contains(1000000L) && !batchHits.contains(baseTop),
+      "batched rerank still serves deleted rows")
+
+    val afterDelete = served()
+    // fold: physical drop (corpus, sketch, pq re-derive), floor covers
+    // the tombstone, serving unchanged
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(served() === afterDelete)
+    val st = Similarity.resolveIvf(spark, indexDir)
+    assert(st.floor === 2L)
+    val gone = spark.read.parquet(s"$indexDir/corpus_g${st.gen}")
+      .filter(col("vec_id").isin(1000000L, baseTop)).count()
+    assert(gone === 0L, "fold kept tombstoned rows in the new base")
+    // keep-two GC retires the applied tombstone's directory
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(graft.IndexFs.listNames(spark, s"$indexDir/delta", "t\\d+").isEmpty,
+      "applied tombstone survived two compaction passes")
+
+    // re-add above the delete resurrects
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      Seq((1000000L, spike)).toDF("vec_id", "embedding"), batchId = 9L)
+    assert(served().head === 1000000L, "re-added vector stayed deleted")
+  }
+
+  test("maintenance autopilot: tiny-batch file pressure trips Compact on file count alone; the signal clears") {
+    import graft.ops.{Dedup, IndexMaintenance}
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-files").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textA = "one two three four five six seven eight nine ten eleven twelve"
+    val textC = "red orange yellow green blue indigo violet septaria umbra ochre sienna teal"
+    Dedup.persistLshIndex(
+      (0 until 40).map(i => (i.toLong, s"$seeded tail$i")).toDF("doc_id", "text"),
+      indexDir)
+    // three TINY batches: rows far below backlogRatio of the base,
+    // batch count far below backlogBatches — yet each lands ~2-6 cell
+    // directories of FS metadata every probe must touch
+    Seq(textA, textC, seeded.replace("alpha", "omega")).zipWithIndex.foreach {
+      case (t, i) => Dedup.appendToLshIndex(spark, indexDir,
+        Seq((100L + i) -> t).toDF("doc_id", "text"), batchId = i + 1L)
+    }
+    val s = IndexMaintenance.lshSignals(spark, indexDir)
+    assert(s.deltaFiles >= 6, s"ledger cell lists not counted: $s")
+    val rowPolicy = IndexMaintenance.Policy(backlogRatio = 0.9,
+      backlogBatches = 100)
+    assert(IndexMaintenance.planLsh(spark, indexDir, rowPolicy) ===
+      IndexMaintenance.NoOp, "premise broken: row/batch thresholds fired")
+    // the file floor alone trips the fold...
+    val filePolicy = rowPolicy.copy(maxDeltaFiles = 6L)
+    assert(IndexMaintenance.maintainLshIndex(spark, indexDir, filePolicy) ===
+      IndexMaintenance.Compact)
+    // ...and the signal self-clears
+    assert(IndexMaintenance.lshSignals(spark, indexDir).deltaFiles === 0L)
+    assert(IndexMaintenance.planLsh(spark, indexDir, filePolicy) ===
+      IndexMaintenance.NoOp)
+  }
+
+  test("two-stage AUTO sees committed-delta mass: an append-only layout flips once probed cells clear the floor") {
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-auto-delta").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(
+      (0 until 10).map(i => (i.toLong, seeded)).toDF("doc_id", "text"), indexDir)
+    def decision(): Boolean = {
+      val (out, _, release) = Dedup.nearDupCheckWithProbe(spark, indexDir,
+        Seq(990001L -> seeded).toDF("doc_id", "text"), threshold = 0.4,
+        belowBatch = Long.MaxValue, prefixLen = 2, broadcastProbe = true,
+        exactFallback = false, twoStage = None,
+        twoStageFloor = Dedup.cellMassTailFloor)
+      out.collect()
+      release()
+      Dedup.lastTwoStageDecision(indexDir).get
+    }
+    assert(!decision(), "a 10-row layout selected two-stage")
+    // an append-heavy stream fattens the SAME cells far past the floor
+    // with NO fold in between: the base _cell_mass alone still answers
+    // one-pass, but the ledger-recorded delta row counts must flip the
+    // per-probe decision
+    Dedup.appendToLshIndex(spark, indexDir,
+      (1000 until 2200).map(i => (i.toLong, seeded)).toDF("doc_id", "text"),
+      batchId = 1L)
+    assert(!Dedup.twoStageAuto(spark, indexDir,
+      floor = Dedup.cellMassTailFloor),
+      "premise broken: the layout-level (base-only) answer already flipped")
+    assert(decision(),
+      "committed-delta mass invisible to the AUTO decision before a fold")
+    // the fold bakes the mass into the new base's _cell_mass — the
+    // decision stays two-stage from the summary alone
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(decision())
+    assert(Dedup.twoStageAuto(spark, indexDir, floor = Dedup.cellMassTailFloor))
+  }
 }

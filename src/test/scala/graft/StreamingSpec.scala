@@ -1039,6 +1039,61 @@ class StreamingSpec extends SparkSuite {
     assert(copies === Seq((999L, 109L)), s"replay double-grew the index: $copies")
   }
 
+  test("dedup ingest racing a retention delete: the next batch stops matching, replay decisions identical, later accepts resurrect") {
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-del-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dedup-del-out").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textA = "one two three four five six seven eight nine ten eleven twelve"
+    Dedup.persistLshIndex(Seq((2L, seeded)).toDF("doc_id", "text"), indexDir)
+    val nearSeeded = seeded.replace(" mu", " nu")
+    val nearA = textA.replace(" twelve", " fifteen")
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupIngest(
+      in.toDF().toDF("doc_id", "text"), indexDir, outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dedup-del-ckpt").toString)
+      .start()
+    // batch 0: 101 flags against the seeded doc 2; 103 is accepted
+    in.addData(101L -> nearSeeded, 103L -> textA)
+    q.processAllAvailable()
+    // takedown between micro-batches, on the stream's own id axis:
+    // batchId 1 = the next unclaimed slot, so it takes effect from
+    // batch 1 (tombstone sorts before same-id data) — doc 2 (base) and
+    // doc 103 (batch-0 delta) both go
+    Dedup.deleteFromLshIndex(spark, indexDir,
+      Seq(2L, 103L).toDF("doc_id"), batchId = 1L)
+    // batch 1: the same near-copies now find NOTHING — both accepted
+    in.addData(111L -> nearSeeded, 113L -> nearA)
+    q.processAllAvailable()
+    // batch 2: copies of batch 1's accepted docs flag against THEM
+    // (ids above the tombstone — the re-add resurrection rule); 121 is
+    // an exact text copy of 111 (guaranteed band match), 123 keeps
+    // textA's band 1 vs 113 (the verified fixture edit)
+    in.addData(121L -> nearSeeded, 123L -> textA)
+    q.processAllAvailable()
+    q.stop()
+
+    def decisions(b: Int): Map[Long, Option[Long]] =
+      spark.read.parquet(s"$outDir/b$b")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(decisions(0) === Map(101L -> Some(2L), 103L -> None))
+    assert(decisions(1) === Map(111L -> None, 113L -> None),
+      "the delete was invisible to the next micro-batch")
+    assert(decisions(2) === Map(121L -> Some(111L), 123L -> Some(113L)),
+      "batch-1 accepts (above the tombstone) must serve again")
+
+    // crash replay of batch 1: the tombstone (id == its own batchId)
+    // stays visible — decisions identical, nothing double-grown
+    StreamOps.dedupIngestBatch(
+      Seq(111L -> nearSeeded, 113L -> nearA).toDF("doc_id", "text"),
+      indexDir, outDir, batchId = 1L, threshold = 0.4)
+    assert(decisions(1) === Map(111L -> None, 113L -> None),
+      "replayed batch saw a different tombstone view than its original run")
+  }
+
   test("dedup ingest with the two-stage probe: decision logs identical to the one-pass mode, replay-safe") {
     import graft.ops.Dedup
     val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
