@@ -378,6 +378,68 @@ private[graft] object GenManifest {
   }
 }
 
+/** The shared per-generation lifecycle pieces the three persisted
+  * index families (LSH `bands`, IVF `corpus`/`centroids`, eval-sem
+  * `evvec`/`evband`) build on top of [[GenManifest]] — extracted so
+  * none of them hand-rolls them separately:
+  *
+  *   - resolve-or-throw (uniform "persist first" failure),
+  *   - per-generation metadata sidecars (`_prefix_len`, `_cell_mass`,
+  *     `_id`): underscore-prefixed single files written WITH the data
+  *     before the manifest commit, retired with their directory by
+  *     GC, invisible to Spark's file index,
+  *   - the UNIFORM `_id` identity token: `(dir, gen)` is NOT an
+  *     identity — a persist-entry-point rebuild resets the manifest
+  *     chain and re-uses gen 0 with different content — so any
+  *     driver-local cache of generation content must key on `_id`
+  *     (the IVF centroid cache's lesson, now carried by every
+  *     family's generations so no future cache re-learns it),
+  *   - the retract → write → append delta-ledger commit discipline
+  *     every append/delete shares (entry = the commit point; a
+  *     replay retracts it before overwriting the data, so a
+  *     concurrent reader never consumes a half-overwritten delta).
+  */
+private[graft] object GenLifecycle {
+
+  def resolveOrThrow(spark: SparkSession, dir: String,
+      family: String, persistHint: String): GenManifest.State =
+    GenManifest.resolve(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"no $family index manifest under $dir — $persistHint first"))
+
+  def writeMeta(spark: SparkSession, root: String, name: String,
+      content: String): Unit =
+    IndexFs.writeUtf8Atomic(spark, s"$root/$name", content)
+
+  def readMeta(spark: SparkSession, root: String,
+      name: String): Option[String] =
+    if (IndexFs.exists(spark, s"$root/$name"))
+      Some(IndexFs.readUtf8(spark, s"$root/$name"))
+    else None
+
+  def writeGenId(spark: SparkSession, root: String): Unit =
+    writeMeta(spark, root, "_id", java.util.UUID.randomUUID().toString)
+
+  def readGenId(spark: SparkSession, root: String): Option[String] =
+    readMeta(spark, root, "_id").map(_.trim)
+
+  /** Retract any prior (id, kind) entry, run the data write, append
+    * the entry it returns (floor-trimmed). `prior` is the caller's
+    * already-resolved entry list — the families differ only in their
+    * pre-ledger fallback for it. */
+  def commitDelta(spark: SparkSession, dir: String,
+      prior: Seq[GenManifest.DeltaEntry], floor: Long, id: Long,
+      tomb: Boolean)(writeData: => GenManifest.DeltaEntry): Unit = {
+    if (prior.exists(e => e.id == id && e.tomb == tomb))
+      GenManifest.writeLedger(spark, dir,
+        prior.filterNot(e => e.id == id && e.tomb == tomb))
+    val entry = writeData
+    GenManifest.writeLedger(spark, dir,
+      prior.filterNot(e => (e.id == id && e.tomb == tomb) || e.id <= floor)
+        :+ entry)
+  }
+}
+
 /** Session-lifetime temp directories with JVM-exit cleanup — the
   * query-surface index builders (`dedup_against_index`,
   * `sim_topk_ivf_served`, and the serve-only cached variants) persist

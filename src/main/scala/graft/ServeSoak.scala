@@ -113,6 +113,9 @@ object ServeSoak {
       (plain, rerank, rerankPq, rerankPqTrained)
     }
 
+    // SPARK_GRAFT_SOAK_LEGS=0 skips the timed serve legs (iterating on
+    // the composed/rebucket soaks without re-paying four index builds)
+    if (sys.env.getOrElse("SPARK_GRAFT_SOAK_LEGS", "1") == "1") {
     final case class Leg(tag: String, dir: String, name: String,
         serve: () => Unit, build: Double, docs: Long, vecs: Long,
         recall: Double = -1.0)
@@ -222,6 +225,7 @@ object ServeSoak {
         f"vecs=${leg.vecs}%8d build=${leg.build}%7.2fs serve=$serve%6.2fs " +
         f"read=$mb%8.1fMB recall@10=$recall")
     }
+    }
 
     // REBUCKET-UNDER-INGEST soak (the composed-topology pattern of the
     // IVF autopilot race, LSH flavor): a live dedupIngest stream keeps
@@ -323,6 +327,192 @@ object ServeSoak {
         s"len=${graft.ops.Dedup.lshPrefixLenOf(spark, idxDir)} " +
         s"fat_layout=$autoBefore->$autoAfter decisions=$decisions " +
         s"probe=${probeForms.mkString("[", ",", "]")} batch_secs=" +
+        batchSecs.map(s => f"$s%.2f").mkString("[", ",", "]"))
+    }
+
+    // ALL-SIGNALS COMPOSED SOAK: every autopilot arc enabled AT ONCE on
+    // BOTH index families — LSH hot/cold re-bucketing, row/batch/file
+    // backlog folds, IVF drift → Lloyd with PQ training riding — under
+    // a live dedupIngest stream, a live annIngest stream, periodic ANN
+    // serving, and a mid-soak retention delete on each index. The arcs
+    // are each soaked individually elsewhere; THIS leg is the
+    // interaction claim: with everything firing against the same two
+    // layouts, (1) every batch's decision log lands, (2) probes honor
+    // the deletes immediately and permanently, (3) the maintenance
+    // loop converges to NoOp once ingest stops (signals self-clear, no
+    // flip-flop), (4) no torn state — every resolve/probe on the way
+    // out succeeds. SPARK_GRAFT_SOAK_COMPOSED=0 skips the leg.
+    if (sys.env.getOrElse("SPARK_GRAFT_SOAK_COMPOSED", "1") == "1") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.ops.{Dedup, IndexMaintenance, Similarity}
+      val lshDir = java.nio.file.Files.createTempDirectory("soak-all-lsh").toString
+      val (_, lshBuild) = timed(Dedup.persistLshIndex(
+        spark.read.parquet(s"$soakDir/documents.parquet"), lshDir,
+        prefixLen = 1))
+      val lshOut = java.nio.file.Files.createTempDirectory("soak-all-lshout").toString
+      val ivfDir = java.nio.file.Files.createTempDirectory("soak-all-ivf").toString
+      val (_, ivfBuild) = timed(Similarity.persistIvfIndex(
+        Similarity.buildIvfIndexFrom(
+          spark.read.parquet(s"$soakDir/embeddings.parquet")), ivfDir))
+      val corpus = spark.read.parquet(s"$soakDir/documents.parquet")
+        .orderBy("doc_id").limit(600).select("doc_id", "text")
+        .as[(Long, String)].collect()
+      val nBatches = 10
+      val perBatch = 120
+      def batchDocs(b: Int): Seq[(Long, String)] =
+        (0 until perBatch).map { i =>
+          val g = b * perBatch + i
+          val srcText = corpus(g % corpus.length)._2
+          if (i % 2 == 0)
+            (8000000000L + g, srcText.replaceFirst(" [a-z]+$", " zz"))
+          else
+            (8100000000L + g,
+              s"fresh w${g * 13 % 9973} w${g * 7 % 9973} ${srcText.take(40)}")
+        }
+      val spike = (Seq(8f, 8f, 8f, 8f) ++ Seq.fill(60)(0f))
+      def batchVecs(b: Int): Seq[(Long, Seq[Float])] =
+        (0 until 60).map { i =>
+          val g = b * 60 + i
+          if (b == 1 && i == 0) (9000000000L, spike)
+          else (8200000000L + g,
+            Seq.tabulate(64)(d => ((g * 31 + d * 17) % 100) / 50f - 1f))
+        }
+      // hot fires on the first tick (the fat len-1 layout), then must
+      // NOT re-trip after the split; cold is enabled with a floor low
+      // enough that the veto, not luck, is what prevents a flip-flop
+      val hotFloor = math.max(1L,
+        IndexMaintenance.lshSignals(spark, lshDir).hottestCellRows / 2)
+      val lshPolicy = IndexMaintenance.Policy(backlogRatio = 0.02,
+        backlogBatches = 3, hotCellRows = hotFloor, coldCellRows = 8,
+        maxDeltaFiles = 24)
+      val ivfPolicy = IndexMaintenance.Policy(backlogRatio = 0.02,
+        backlogBatches = 3, driftBound = 0.05, lloydIters = 1,
+        trainPqIters = 1)
+      val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      @volatile var maintErr: Option[Throwable] = None
+      @volatile var ingestDone = false
+      val maint = new Thread(() => {
+        try while (!ingestDone) {
+          val a = IndexMaintenance.maintainLshIndex(spark, lshDir, lshPolicy)
+          if (a != IndexMaintenance.NoOp) actions.add(s"lsh:$a")
+          val b = IndexMaintenance.maintainIvfIndex(spark, ivfDir, ivfPolicy)
+          if (b != IndexMaintenance.NoOp) actions.add(s"ivf:$b")
+          Thread.sleep(300)
+        } catch { case t: Throwable => maintErr = Some(t) }
+      })
+      val docsIn = MemoryStream[(Long, String)]
+      val qd = graft.streaming.StreamOps.dedupIngest(
+        docsIn.toDS().toDF("doc_id", "text"), lshDir, lshOut)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("soak-all-dckpt").toString)
+        .start()
+      val vecsIn = MemoryStream[(Long, Seq[Float])]
+      val qv = graft.streaming.StreamOps.annIngest(
+        vecsIn.toDS().toDF("vec_id", "embedding"), ivfDir)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("soak-all-vckpt").toString)
+        .start()
+      val deletedDocs = corpus.take(10).map(_._1).toSeq
+      val batchSecs =
+        try (0 until nBatches).map { b =>
+          if (b == 1) maint.start()
+          // retention deletes issued from the writer context BETWEEN
+          // micro-batches, on each stream's own id axis: the LSH one
+          // takes effect from doc-batch 5, the IVF one from the next
+          // serve (tombstones apply to all un-scoped probes)
+          if (b == 5) {
+            Dedup.deleteFromLshIndex(spark, lshDir,
+              deletedDocs.toDF("doc_id"), batchId = 5L)
+            Similarity.deleteFromIvfIndex(spark, ivfDir,
+              Seq(9000000000L).toDF("vec_id"), batchId = 6L)
+          }
+          val t0 = System.nanoTime()
+          docsIn.addData(batchDocs(b): _*)
+          vecsIn.addData(batchVecs(b): _*)
+          qd.processAllAvailable()
+          qv.processAllAvailable()
+          // serving rides along: the ANN probe must stay correct under
+          // every concurrent arc — the spike is the top hit while it
+          // lives, absent after its delete
+          val hits = Similarity.ivfProbeVectorServed(spark, ivfDir, spike)
+            .collect().map(_.getLong(0)).toSeq
+          if (b >= 1 && b < 5)
+            require(hits.headOption.contains(9000000000L),
+              s"batch $b: live spike not served: ${hits.take(3)}")
+          if (b >= 5) {
+            require(!hits.contains(9000000000L),
+              s"batch $b: deleted spike still served")
+            require(hits.nonEmpty, s"batch $b: ANN serving went empty")
+          }
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          qd.stop(); qv.stop()
+          ingestDone = true
+          if (maint.getState != Thread.State.NEW) maint.join()
+        }
+      maintErr.foreach(t => throw t)
+      // convergence: with ingest stopped, a bounded run of ticks must
+      // reach NoOp on BOTH families and stay there (self-clearing
+      // signals; the hot/cold veto pair can't flip-flop)
+      var settleTicks = 0
+      while (settleTicks < 8 && (
+          IndexMaintenance.planLsh(spark, lshDir, lshPolicy) != IndexMaintenance.NoOp ||
+          IndexMaintenance.planIvf(spark, ivfDir, ivfPolicy) != IndexMaintenance.NoOp)) {
+        val a = IndexMaintenance.maintainLshIndex(spark, lshDir, lshPolicy)
+        if (a != IndexMaintenance.NoOp) actions.add(s"settle-lsh:$a")
+        val b = IndexMaintenance.maintainIvfIndex(spark, ivfDir, ivfPolicy)
+        if (b != IndexMaintenance.NoOp) actions.add(s"settle-ivf:$b")
+        settleTicks += 1
+      }
+      require(IndexMaintenance.planLsh(spark, lshDir, lshPolicy) ==
+        IndexMaintenance.NoOp, "LSH signals did not self-clear")
+      require(IndexMaintenance.planIvf(spark, ivfDir, ivfPolicy) ==
+        IndexMaintenance.NoOp, "IVF signals did not self-clear")
+      import scala.jdk.CollectionConverters._
+      val acts = actions.asScala.toSeq
+      require(acts.exists(_.contains("Rebucket")),
+        s"the hot-cell arc never fired — the leg is vacuous: $acts")
+      require(acts.exists(_.contains("Compact")) ||
+        acts.exists(_.contains("Lloyd")),
+        s"no fold ever fired under 10 ingest batches: $acts")
+      // decision log intact: one row per unique incoming doc, every
+      // batch — "unique" by the ingest operator's own exact-fingerprint
+      // contract (the corpus contains genuine dup-text pairs, so two
+      // same-batch near-copies can legitimately collapse; raw doc
+      // count is NOT the invariant)
+      val decisionSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, dup_of BIGINT, jac DOUBLE")
+      val decisions = (0 until nBatches)
+        .map(b => spark.read.schema(decisionSchema)
+          .parquet(s"$lshOut/b$b").count()).sum
+      val expectedDecisions = (0 until nBatches).map { b =>
+        batchDocs(b).toDF("doc_id", "text")
+          .select(md5(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " "))))).as("fp"))
+          .distinct().count()
+      }.sum
+      require(decisions == expectedDecisions,
+        s"lost decisions through the composed soak: $decisions != $expectedDecisions")
+      // the LSH delete is honored THROUGH the folds that followed it:
+      // a probe of a deleted doc's text must never name a deleted id
+      // (its batch-accepted near-copies may legitimately match)
+      val probeDel = Dedup.nearDupCheck(spark, lshDir,
+        Seq(7777777777L -> corpus.head._2).toDF("doc_id", "text"))
+        .collect().map(_.getLong(1)).toSet
+      require(probeDel.intersect(deletedDocs.toSet).isEmpty,
+        s"deleted docs resurfaced after folds: $probeDel")
+      val dLog = (0 until nBatches).flatMap(b =>
+        spark.read.schema(decisionSchema).parquet(s"$lshOut/b$b")
+          .filter(col("dup_of").isNotNull).collect()
+          .map(r => (b, r.getLong(1))))
+      require(!dLog.exists { case (b, d) => b >= 5 && deletedDocs.contains(d) },
+        "a post-delete batch flagged a doc against a deleted index doc")
+      println(f"[servesoak] x$factor%-4d all_signals_composed " +
+        f"lsh_build=$lshBuild%6.2fs ivf_build=$ivfBuild%6.2fs " +
+        s"decisions=$decisions settle_ticks=$settleTicks " +
+        s"actions=${acts.mkString("[", ",", "]")} batch_secs=" +
         batchSecs.map(s => f"$s%.2f").mkString("[", ",", "]"))
     }
     spark.stop()

@@ -296,8 +296,6 @@ object Dedup {
   private def lshBase(indexDir: String, gen: Long) =
     s"$indexDir/${lshPrefix}_g$gen"
 
-  private def lshMetaPath(indexDir: String) = s"$indexDir/lsh_meta"
-
   /** The PERSISTED cell-prefix length of an LSH index (None on a
     * pre-meta layout). prefixLen is a LAYOUT property — the cell paths
     * are `sig_p=substring(sig, 1, len)` — so a probe or append banding
@@ -308,9 +306,7 @@ object Dedup {
     * from the index and treat their parameter as a fallback for
     * pre-meta layouts only. */
   private def readLshPrefixLen(spark: SparkSession, indexDir: String): Option[Int] =
-    if (graft.IndexFs.exists(spark, lshMetaPath(indexDir)))
-      Some(graft.IndexFs.readUtf8(spark, lshMetaPath(indexDir)).trim.toInt)
-    else None
+    graft.GenLifecycle.readMeta(spark, indexDir, "lsh_meta").map(_.trim.toInt)
 
   /** The LIVE generation's prefix length — what the next append/probe
     * resolves and what a re-bucketing decision steps from (the
@@ -323,24 +319,6 @@ object Dedup {
     genLen.orElse(readLshPrefixLen(spark, indexDir)).getOrElse(2)
   }
 
-  /** A generation's cell-mass summary, persisted as `_cell_mass`
-    * inside the generation directory (written with the data like
-    * `_prefix_len`, retired with the directory by GC, invisible to
-    * Spark's file index): line 1 is the hottest cell's row count (the
-    * layout-level signal), the rest the FAT-CELL TAIL —
-    * `cellName\trows` for cells ≥ [[cellMassTailFloor]], heaviest
-    * first, capped — the per-probe two-stage decision input. Cell
-    * mass is a LAYOUT property that only changes at a fold, so the
-    * writer pays one column-pruned count over the cells it just wrote
-    * (footer-cheap — count(1) over partition columns materializes no
-    * data pages) and every probe reads one small metadata file
-    * instead of re-aggregating footers. Appends grow cells without
-    * updating it, deliberately: deltas retire at the next fold, and
-    * the standing base layout is what the crossover is about (an
-    * append-heavy drift that matters trips the hot-cell autopilot
-    * signal first). */
-  private def cellMassPath(root: String) = s"$root/_cell_mass"
-
   /** Cells below this mass are never worth a two-stage read (the
     * measured parity zone starts well above one parquet page), so the
     * persisted tail only carries cells at or above it — the file stays
@@ -349,6 +327,20 @@ object Dedup {
   private[graft] val cellMassTailFloor: Long = 1024L
   private val cellMassTailCap = 4096
 
+  /** A generation's cell-mass summary, persisted as `_cell_mass`
+    * inside the generation directory (written with the data like
+    * `_prefix_len`, retired with the directory by GC, invisible to
+    * Spark's file index): line 1 is the hottest cell's row count (the
+    * layout-level signal), the rest the FAT-CELL TAIL —
+    * `cellName\trows` for cells ≥ [[cellMassTailFloor]], heaviest
+    * first, capped — the per-probe two-stage decision input. Base
+    * cell mass only changes at a fold, so the writer pays one
+    * column-pruned count over the cells it just wrote (footer-cheap —
+    * count(1) over partition columns materializes no data pages) and
+    * every probe reads one small metadata file instead of
+    * re-aggregating footers; rows appended BETWEEN folds reach the
+    * decision through the ledger's per-cell row counts, not this
+    * file. */
   private def writeGenCellMass(spark: SparkSession, root: String): Unit = {
     val cells = spark.read.schema(bandReadSchema).option("basePath", root)
       .parquet(root)
@@ -374,7 +366,7 @@ object Dedup {
     val tail = tailRows.take(cellMassTailCap)
       .map(r => s"band_id=${r.getInt(0)}/sig_p=${r.getString(1)}\t${r.getLong(2)}")
     val head = if (truncated) s"$hottest\ttruncated" else hottest.toString
-    graft.IndexFs.writeUtf8Atomic(spark, cellMassPath(root),
+    graft.GenLifecycle.writeMeta(spark, root, "_cell_mass",
       (head +: tail).mkString("\n"))
   }
 
@@ -382,17 +374,15 @@ object Dedup {
     * on a pre-mass layout. One metadata read. */
   private def readGenCellMassFull(spark: SparkSession,
       root: String): Option[(Long, Map[String, Long], Boolean)] =
-    if (!graft.IndexFs.exists(spark, cellMassPath(root))) None
-    else {
-      val lines = graft.IndexFs.readUtf8(spark, cellMassPath(root))
-        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    graft.GenLifecycle.readMeta(spark, root, "_cell_mass").map { raw =>
+      val lines = raw.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
       val headFields = lines.head.split("\t")
       val tail = lines.drop(1).map { l =>
         val Array(cell, n) = l.split("\t")
         cell -> n.toLong
       }.toMap
-      Some((headFields(0).toLong, tail,
-        headFields.length > 1 && headFields(1) == "truncated"))
+      (headFields(0).toLong, tail,
+        headFields.length > 1 && headFields(1) == "truncated")
     }
 
   private def readGenCellMass(spark: SparkSession, root: String): Option[Long] =
@@ -466,16 +456,19 @@ object Dedup {
     // prefixLen is persisted WITH the layout (before the manifest
     // commit, so a committed index always carries it): probes/appends
     // resolve it from here instead of trusting their caller to match
-    graft.IndexFs.writeUtf8Atomic(spark, lshMetaPath(indexDir),
+    graft.GenLifecycle.writeMeta(spark, indexDir, "lsh_meta",
       prefixLen.toString)
     writeBandCells(bandRows(docs, prefixLen, exactFallback),
       lshBase(indexDir, 0), maxCellRows)
-    // the generation's own length + cell-mass summary, written with
-    // its data (probes derive this generation's cell paths from the
-    // former and the two-stage auto decision from the latter)
-    graft.IndexFs.writeUtf8Atomic(spark,
-      genMetaPath(lshBase(indexDir, 0)), prefixLen.toString)
+    // the generation's own length + cell-mass summary + identity
+    // token, written with its data (probes derive this generation's
+    // cell paths from the first, the two-stage auto decision from the
+    // second; `_id` is the uniform cache-key ingredient — a rebuild
+    // re-uses gen 0 with different content)
+    graft.GenLifecycle.writeMeta(spark, lshBase(indexDir, 0),
+      "_prefix_len", prefixLen.toString)
     writeGenCellMass(spark, lshBase(indexDir, 0))
+    graft.GenLifecycle.writeGenId(spark, lshBase(indexDir, 0))
     graft.GenManifest.commit(spark, indexDir, seq = 0, gen = 0, floor = -1)
   }
 
@@ -530,33 +523,30 @@ object Dedup {
       maxCellRows: Long = defaultMaxCellRows): Unit = {
     val root = s"$indexDir/delta/b$batchId"
     val floor = graft.GenManifest.resolve(spark, indexDir).map(_.floor).getOrElse(-1L)
-    val prior = lshDeltaEntries(spark, indexDir)
-    if (prior.exists(_.id == batchId))
-      graft.GenManifest.writeLedger(spark, indexDir,
-        prior.filterNot(_.id == batchId))
-    writeBandCells(rows, root, maxCellRows)
-    // two-level cell listing at INGEST time (1 + #bands listings) so
-    // probes never pay per-cell existence checks against this delta
-    val cells = graft.IndexFs.listNames(spark, root, "band_id=.*").flatMap { b =>
-      graft.IndexFs.listNames(spark, s"$root/$b", "sig_p=.*").map(p => s"$b/$p")
-    }.sorted
-    // per-cell row counts ride the ledger entry (one footer-cheap
-    // count over the just-written batch-sized delta): the per-probe
-    // two-stage AUTO decision folds committed-delta mass into its
-    // probed-cell intersection with ZERO extra metadata reads, closing
-    // the window where an append-heavy stream fattens cells past the
-    // crossover while the base generation's _cell_mass still answers
-    // one-pass
-    val counts = spark.read.schema(bandReadSchema).option("basePath", root)
-      .parquet(root)
-      .groupBy("band_id", "sig_p").agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => (s"band_id=${r.getInt(0)}/sig_p=${r.getString(1)}", r.getLong(2)))
-      .toMap
-    graft.GenManifest.writeLedger(spark, indexDir,
-      prior.filterNot(e => (e.id == batchId && !e.tomb) || e.id <= floor) :+
-        graft.GenManifest.DeltaEntry(batchId, 0L, Some(cells),
-          rows = Some(cells.map(c => counts.getOrElse(c, 0L)))))
+    graft.GenLifecycle.commitDelta(spark, indexDir,
+      lshDeltaEntries(spark, indexDir), floor, batchId, tomb = false) {
+      writeBandCells(rows, root, maxCellRows)
+      // two-level cell listing at INGEST time (1 + #bands listings) so
+      // probes never pay per-cell existence checks against this delta
+      val cells = graft.IndexFs.listNames(spark, root, "band_id=.*").flatMap { b =>
+        graft.IndexFs.listNames(spark, s"$root/$b", "sig_p=.*").map(p => s"$b/$p")
+      }.sorted
+      // per-cell row counts ride the ledger entry (one footer-cheap
+      // count over the just-written batch-sized delta): the per-probe
+      // two-stage AUTO decision folds committed-delta mass into its
+      // probed-cell intersection with ZERO extra metadata reads,
+      // closing the window where an append-heavy stream fattens cells
+      // past the crossover while the base generation's _cell_mass
+      // still answers one-pass
+      val counts = spark.read.schema(bandReadSchema).option("basePath", root)
+        .parquet(root)
+        .groupBy("band_id", "sig_p").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (s"band_id=${r.getInt(0)}/sig_p=${r.getString(1)}", r.getLong(2)))
+        .toMap
+      graft.GenManifest.DeltaEntry(batchId, 0L, Some(cells),
+        rows = Some(cells.map(c => counts.getOrElse(c, 0L))))
+    }
   }
 
   /** Explicit read schema of an LSH tombstone delta (a doc-id key
@@ -577,9 +567,12 @@ object Dedup {
     * a HIGHER id re-adds the document. Probes subtract the live
     * tombstone set (a broadcast anti-join — deletes are small
     * relative to the corpus); the next fold ([[compactLshIndex]])
-    * drops tombstoned rows physically and retires the tombstone under
-    * the manifest floor (keep-two GC removes its directory two
-    * commits later, after no pinned reader can still subtract it).
+    * drops tombstoned rows physically, and the tombstone RETIRES
+    * under the manifest floor once folded data ids cover its own
+    * (retiring above them could orphan an in-flight data batch — see
+    * the fold's floor note); keep-two GC removes its directory two
+    * commits after retirement. An unretired tombstone keeps applying
+    * idempotently — already-dropped keys subtract as a no-op.
     * This is also the shrink mechanism the downward re-bucketing
     * policy presumes ("a corpus that shrank under retention
     * deletes"). batchId-idempotent like every delta write.
@@ -594,23 +587,18 @@ object Dedup {
     * same-id re-add survives. */
   def deleteFromLshIndex(spark: SparkSession, indexDir: String,
       docIds: DataFrame, batchId: Long): Unit = {
-    val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
-      throw new IllegalStateException(
-        s"no LSH index manifest under $indexDir — persistLshIndex first"))
-    val root = s"$indexDir/delta/t$batchId"
-    val prior = lshDeltaEntries(spark, indexDir)
-    // replay overwrite: retract the entry BEFORE touching the data, so
-    // a concurrent probe never subtracts a half-overwritten key list
-    if (prior.exists(e => e.id == batchId && e.tomb))
-      graft.GenManifest.writeLedger(spark, indexDir,
-        prior.filterNot(e => e.id == batchId && e.tomb))
-    // one file: a tombstone is control-plane sized next to the corpus,
-    // and every probe broadcast-reads it whole
-    docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
-      .coalesce(1).write.mode("overwrite").parquet(root)
-    graft.GenManifest.writeLedger(spark, indexDir,
-      prior.filterNot(e => (e.id == batchId && e.tomb) || e.id <= st.floor) :+
-        graft.GenManifest.DeltaEntry(batchId, 0L, None, tomb = true))
+    val st = graft.GenLifecycle.resolveOrThrow(spark, indexDir,
+      "LSH", "persistLshIndex")
+    // retract → write → commit: a concurrent probe never subtracts a
+    // half-overwritten key list. One file — a tombstone is
+    // control-plane sized and every probe broadcast-reads it whole.
+    graft.GenLifecycle.commitDelta(spark, indexDir,
+      lshDeltaEntries(spark, indexDir), st.floor, batchId, tomb = true) {
+      docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/delta/t$batchId")
+      graft.GenManifest.DeltaEntry(batchId, 0L, None, tomb = true)
+    }
   }
 
   /** The LIVE tombstone set of an entry list, as `(t_doc, t_del)` with
@@ -663,11 +651,8 @@ object Dedup {
     * global — so a re-bucketing compaction is atomic under the
     * manifest swap: a reader pinned to either manifest derives that
     * generation's cell paths from that generation's OWN length. */
-  private def genMetaPath(root: String) = s"$root/_prefix_len"
   private def readGenPrefixLen(spark: SparkSession, root: String): Option[Int] =
-    if (graft.IndexFs.exists(spark, genMetaPath(root)))
-      Some(graft.IndexFs.readUtf8(spark, genMetaPath(root)).trim.toInt)
-    else None
+    graft.GenLifecycle.readMeta(spark, root, "_prefix_len").map(_.trim.toInt)
 
   /** The prefix length a ledger cell name was written at —
     * `band_id=b/sig_p=<prefix>` carries it directly, so every delta's
@@ -860,9 +845,8 @@ object Dedup {
     // the cell-path resolution and both read stages — auto mode must
     // not double the probe's metadata round-trips (the seam-call
     // discipline IndexFsSpec pins)
-    val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
-      throw new IllegalStateException(
-        s"no LSH index manifest under $indexDir — persistLshIndex first"))
+    val st = graft.GenLifecycle.resolveOrThrow(spark, indexDir,
+      "LSH", "persistLshIndex")
     val baseRoot = lshBase(indexDir, st.gen)
     val baseLen = readGenPrefixLen(spark, baseRoot).getOrElse(effPrefix)
     val entries = lshDeltaEntries(spark, indexDir)
@@ -1110,17 +1094,27 @@ object Dedup {
         substring(col("sig"), 1, targetLen))
       val newBase = lshBase(indexDir, st.gen + 1)
       writeBandCells(relabeled, newBase, maxCellRows)
-      graft.IndexFs.writeUtf8Atomic(spark, genMetaPath(newBase),
+      graft.GenLifecycle.writeMeta(spark, newBase, "_prefix_len",
         targetLen.toString)
       writeGenCellMass(spark, newBase)
-      val folded = deltas ++ tombIds
+      graft.GenLifecycle.writeGenId(spark, newBase)
+      // a tombstone RETIRES (floor-covers) only once folded DATA
+      // reaches its id: retiring t<N> while a data batch with id <= N
+      // is still in flight would raise the floor past that batch and
+      // orphan it when it commits (the fold races the sequential
+      // writer — only data ids prove the axis has advanced). An
+      // uncovered tombstone stays live: already applied to this fold,
+      // its subtraction is a no-op until a lower-id data batch lands —
+      // exactly the rows it must still kill.
+      val maxData = if (deltas.nonEmpty) deltas.max else st.floor
+      val folded = deltas ++ tombIds.filter(_ <= maxData)
       graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen + 1,
         floor = if (folded.nonEmpty) folded.max else st.floor)
       // subsequent APPENDS band at the new length; a writer that read
       // the old pointer mid-rebucket still stays servable — its
       // delta's ledger cell names carry their own length and probes
       // derive per-delta paths from them
-      graft.IndexFs.writeUtf8Atomic(spark, lshMetaPath(indexDir),
+      graft.GenLifecycle.writeMeta(spark, indexDir, "lsh_meta",
         targetLen.toString)
     } else {
       graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen, st.floor)

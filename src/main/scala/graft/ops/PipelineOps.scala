@@ -365,6 +365,11 @@ object PipelineOps {
       .write.mode("overwrite").parquet(s"$indexDir/evvec_g$gen")
     signBandRows(evalVecs, "evv")
       .write.mode("overwrite").parquet(s"$indexDir/evband_g$gen")
+    // the uniform identity token (graft.GenLifecycle): persistEvalSem
+    // resets the chain and re-uses gen 0, so any driver-local cache of
+    // eval content must key on this, never on (dir, gen)
+    graft.GenLifecycle.writeGenId(evalVecs.sparkSession,
+      s"$indexDir/evvec_g$gen")
   }
 
   def persistEvalSemIndex(evalVecs: org.apache.spark.sql.DataFrame,
@@ -382,9 +387,8 @@ object PipelineOps {
   def updateEvalSemIndex(evalVecs: org.apache.spark.sql.DataFrame,
       indexDir: String): Unit = {
     val spark = evalVecs.sparkSession
-    val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
-      throw new IllegalStateException(
-        s"no eval index manifest under $indexDir — persistEvalSemIndex first"))
+    val st = graft.GenLifecycle.resolveOrThrow(spark, indexDir,
+      "eval", "persistEvalSemIndex")
     writeEvalSemGen(evalVecs, indexDir, st.gen + 1)
     graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen + 1, st.floor)
     graft.GenManifest.gc(spark, indexDir, evalSemPrefixes)
@@ -395,9 +399,8 @@ object PipelineOps {
     * inference would throw). One manifest resolve per call. */
   private[graft] def resolveEvalSemIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val st = graft.GenManifest.resolve(spark, indexDir).getOrElse(
-      throw new IllegalStateException(
-        s"no eval index manifest under $indexDir — persistEvalSemIndex first"))
+    val st = graft.GenLifecycle.resolveOrThrow(spark, indexDir,
+      "eval", "persistEvalSemIndex")
     (spark.read.schema(evBandReadSchema).parquet(s"$indexDir/evband_g${st.gen}"),
       spark.read.schema(evVecReadSchema).parquet(s"$indexDir/evvec_g${st.gen}"))
   }

@@ -784,9 +784,7 @@ object Similarity {
     s"$indexDir/${pre}_g$gen"
 
   private[graft] def resolveIvf(spark: SparkSession, indexDir: String): graft.GenManifest.State =
-    graft.GenManifest.resolve(spark, indexDir).getOrElse(
-      throw new IllegalStateException(
-        s"no IVF index manifest under $indexDir — persistIvfIndex first"))
+    graft.GenLifecycle.resolveOrThrow(spark, indexDir, "IVF", "persistIvfIndex")
 
   /** Explicit read schema for the label-partitioned corpus — NEVER
     * inferred: the explicit type keeps `label` a BIGINT without a
@@ -922,14 +920,10 @@ object Similarity {
     * gen-keyed cache would silently serve the old coarse quantizer
     * (the prefixLen lesson: identity must be explicit metadata, never
     * inferred from paths). Pre-`_id` layouts simply don't cache. */
-  private def genIdPath(root: String) = s"$root/_id"
   private def writeGenId(spark: SparkSession, root: String): Unit =
-    graft.IndexFs.writeUtf8Atomic(spark, genIdPath(root),
-      java.util.UUID.randomUUID().toString)
+    graft.GenLifecycle.writeGenId(spark, root)
   private def readGenId(spark: SparkSession, root: String): Option[String] =
-    if (graft.IndexFs.exists(spark, genIdPath(root)))
-      Some(graft.IndexFs.readUtf8(spark, genIdPath(root)).trim)
-    else None
+    graft.GenLifecycle.readGenId(spark, root)
 
   /** Driver-local cache of COLLECTED centroid relations, keyed by
     * (indexDir, gen, identity): a committed generation's
@@ -1012,31 +1006,24 @@ object Similarity {
       batchId: Long, maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
     val centroids = servingCentroidsCached(spark, indexDir, st)
     val root = s"$indexDir/delta/b$batchId"
-    val prior = allDeltaEntries(spark, indexDir)
-    // replay overwrite: RETRACT the ledger entry before touching the
-    // delta's data, so a concurrent probe never label-prunes into a
-    // half-overwritten directory — the window's cost is one invisible
-    // (replaying) batch, the same semantics as a torn `_SUCCESS`.
-    if (prior.exists(e => e.id == batchId && !e.tomb))
-      graft.GenManifest.writeLedger(spark, indexDir,
-        prior.filterNot(e => e.id == batchId && !e.tomb))
-    Storage.writeCellClustered(
-      assignToCentroids(centroids, newVecs)
-        .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
-        .select(col("vec_id"), col("label"), col("embedding"), col("norm")),
-      Seq("label"), "vec_id", root, maxCellRows)
-    // ledger commit AFTER the data commit = the delta's visibility
-    // point: one atomic write records the centroid generation that
-    // assigned the labels (the old per-delta `_gen` sidecar) AND the
-    // cell list, read from the WRITTEN layout — one listing at ingest
-    // time so probes never pay per-cell existence checks. Entries the
-    // appender's floor has absorbed are trimmed here (a racing
-    // compaction's floor can only be HIGHER, so trimming by st.floor
-    // is conservative; readers filter by their own resolved floor).
-    val cells = graft.IndexFs.listNames(spark, root, "label=-?\\d+").sorted
-    graft.GenManifest.writeLedger(spark, indexDir,
-      prior.filterNot(e => (e.id == batchId && !e.tomb) || e.id <= st.floor) :+
-        graft.GenManifest.DeltaEntry(batchId, st.gen, Some(cells)))
+    // retract (replay overwrite) → data → ledger commit: the entry is
+    // the delta's visibility point, recording the centroid generation
+    // that assigned the labels AND the cell list, read from the
+    // WRITTEN layout — one listing at ingest time so probes never pay
+    // per-cell existence checks. Entries the appender's floor has
+    // absorbed are trimmed (a racing compaction's floor can only be
+    // HIGHER, so trimming by st.floor is conservative; readers filter
+    // by their own resolved floor).
+    graft.GenLifecycle.commitDelta(spark, indexDir,
+      allDeltaEntries(spark, indexDir), st.floor, batchId, tomb = false) {
+      Storage.writeCellClustered(
+        assignToCentroids(centroids, newVecs)
+          .withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+          .select(col("vec_id"), col("label"), col("embedding"), col("norm")),
+        Seq("label"), "vec_id", root, maxCellRows)
+      val cells = graft.IndexFs.listNames(spark, root, "label=-?\\d+").sorted
+      graft.GenManifest.DeltaEntry(batchId, st.gen, Some(cells))
+    }
   }
 
   /** Explicit read schema of an IVF tombstone delta (a vec-id key
@@ -1057,9 +1044,10 @@ object Similarity {
     * subtracts the live tombstone set with a broadcast anti-join; the
     * next [[compactIvfIndex]] drops tombstoned rows physically —
     * corpus, sketch and PQ cells alike, since the codecs re-derive
-    * from the folded corpus — and retires the tombstone under the
-    * manifest floor (keep-two GC removes its directory two commits
-    * later). Tombstones are label-space INDEPENDENT (key lists, not
+    * from the folded corpus — and the tombstone retires under the
+    * manifest floor once folded data ids cover its own (the
+    * orphan-guard floor rule shared with the LSH fold); keep-two GC
+    * removes its directory two commits after retirement. Tombstones are label-space INDEPENDENT (key lists, not
     * cells), so a Lloyd re-clustering neither stales nor relabels
     * them. batchId-idempotent like every delta write. Same id-axis
     * and single-writer contract as the LSH delete: ids on the data
@@ -1067,18 +1055,15 @@ object Similarity {
   def deleteFromIvfIndex(spark: SparkSession, indexDir: String,
       vecIds: DataFrame, batchId: Long): Unit = {
     val st = resolveIvf(spark, indexDir)
-    val root = s"$indexDir/delta/t$batchId"
-    val prior = allDeltaEntries(spark, indexDir)
-    // replay overwrite: retract the entry BEFORE touching the data, so
-    // a concurrent probe never subtracts a half-overwritten key list
-    if (prior.exists(e => e.id == batchId && e.tomb))
-      graft.GenManifest.writeLedger(spark, indexDir,
-        prior.filterNot(e => e.id == batchId && e.tomb))
-    vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
-      .coalesce(1).write.mode("overwrite").parquet(root)
-    graft.GenManifest.writeLedger(spark, indexDir,
-      prior.filterNot(e => (e.id == batchId && e.tomb) || e.id <= st.floor) :+
-        graft.GenManifest.DeltaEntry(batchId, st.gen, None, tomb = true))
+    // retract → write → commit (the shared discipline): a concurrent
+    // probe never subtracts a half-overwritten key list
+    graft.GenLifecycle.commitDelta(spark, indexDir,
+      allDeltaEntries(spark, indexDir), st.floor, batchId, tomb = true) {
+      vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/delta/t$batchId")
+      graft.GenManifest.DeltaEntry(batchId, st.gen, None, tomb = true)
+    }
   }
 
   /** The LIVE tombstone set of an (already floor-filtered) entry
@@ -1105,12 +1090,9 @@ object Similarity {
     * sidecar tag landed — PRE-LEDGER layouts only; ledgered layouts
     * carry the generation in the ledger entry. */
   private def deltaGen(spark: SparkSession, indexDir: String,
-      id: Long): Option[Long] = {
-    val p = s"$indexDir/delta/b$id/_gen"
-    if (graft.IndexFs.exists(spark, p))
-      Some(graft.IndexFs.readUtf8(spark, p).trim.toLong)
-    else None
-  }
+      id: Long): Option[Long] =
+    graft.GenLifecycle.readMeta(spark, s"$indexDir/delta/b$id", "_gen")
+      .map(_.trim.toLong)
 
   /** Every committed delta's metadata, floor-unfiltered: ONE ledger
     * read when the layout is ledgered (all current layouts —
@@ -1433,7 +1415,13 @@ object Similarity {
           }
         Storage.writeCellClustered(pqCodesOfCb(committed, cb),
           Seq("label"), "vec_id", gdir(indexDir, "pq", gen), maxCellRows)
-        val folded = deltas ++ late ++ tombIds
+        // tombstones retire only once folded DATA covers their id —
+        // retiring one above every folded data id would raise the
+        // floor past an in-flight data batch and orphan it when it
+        // commits (see compactLshIndex); an uncovered tombstone stays
+        // live and idempotently no-ops until lower-id data lands
+        val maxData = (deltas ++ late).maxOption.getOrElse(st.floor)
+        val folded = deltas ++ late ++ tombIds.filter(_ <= maxData)
         graft.GenManifest.commit(spark, indexDir, st.seq + 1, gen,
           floor = if (folded.nonEmpty) folded.max else st.floor,
           lgen = if (lloydIters > 0) gen else st.lgen)

@@ -1524,12 +1524,17 @@ class OpsSpec extends SparkSuite {
     Dedup.deleteFromLshIndex(spark, indexDir, Seq(1L).toDF("doc_id"), batchId = 5L)
     assert(pairs().isEmpty)
 
-    // the fold applies the delete PHYSICALLY and retires the tombstone
-    // under the floor
+    // the fold applies the delete PHYSICALLY — but with NO folded data
+    // ids covering id 5, the tombstone must NOT retire (the orphan
+    // guard: raising the floor to 5 here could bury an in-flight data
+    // batch 5 forever); it stays live and idempotently no-ops
     Dedup.compactLshIndex(spark, indexDir)
     assert(pairs().isEmpty)
     val st = GenManifest.resolve(spark, indexDir).get
-    assert(st.floor === 5L, "fold did not absorb the tombstone")
+    assert(st.floor === -1L,
+      "an uncovered tombstone raised the floor past the data axis")
+    assert(graft.IndexFs.listNames(spark, s"$indexDir/delta", "t\\d+")
+      === Seq("t5"), "uncovered tombstone retired early")
     val bandSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, sig STRING, ss ARRAY<STRING>, band_id INT, sig_p STRING")
     val baseRoot = s"$indexDir/bands_g${st.gen}"
@@ -1538,17 +1543,21 @@ class OpsSpec extends SparkSuite {
     assert(!baseDocs.contains(1L), "fold kept tombstoned rows in the new base")
     assert(baseDocs.contains(2L), "fold dropped a live doc")
 
-    // keep-two GC: the applied tombstone's directory retires on the
-    // SECOND commit after absorption
-    Dedup.compactLshIndex(spark, indexDir)
-    assert(graft.IndexFs.listNames(spark, s"$indexDir/delta", "t\\d+").isEmpty,
-      "applied tombstone survived two compaction passes")
-    assert(pairs().isEmpty)
-
     // a re-add ABOVE the delete resurrects the doc (log-ordered)
     Dedup.appendToLshIndex(spark, indexDir,
       Seq(1L -> seeded).toDF("doc_id", "text"), batchId = 9L)
     assert(pairs() === Seq((11L, 1L)), "re-added doc stayed deleted")
+
+    // now folded data (id 9) covers the tombstone: it retires under
+    // the floor, and keep-two GC removes its directory on the SECOND
+    // commit after retirement — with the resurrected doc untouched
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(GenManifest.resolve(spark, indexDir).get.floor === 9L)
+    assert(pairs() === Seq((11L, 1L)))
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(graft.IndexFs.listNames(spark, s"$indexDir/delta", "t\\d+").isEmpty,
+      "retired tombstone survived two compaction passes")
+    assert(pairs() === Seq((11L, 1L)))
   }
 
   test("LSH tombstone ordering without a fold: delete kills earlier sources only; same-id re-add survives") {
@@ -1620,24 +1629,32 @@ class OpsSpec extends SparkSuite {
       "batched rerank still serves deleted rows")
 
     val afterDelete = served()
-    // fold: physical drop (corpus, sketch, pq re-derive), floor covers
-    // the tombstone, serving unchanged
+    // fold: physical drop (corpus, sketch, pq re-derive); the
+    // tombstone (id 2) is NOT retired yet — folded data tops out at
+    // id 1, and retiring above the data axis could orphan an
+    // in-flight batch 2 (the shared orphan-guard floor rule)
     Similarity.compactIvfIndex(spark, indexDir)
     assert(served() === afterDelete)
     val st = Similarity.resolveIvf(spark, indexDir)
-    assert(st.floor === 2L)
+    assert(st.floor === 1L,
+      "an uncovered tombstone raised the floor past the data axis")
     val gone = spark.read.parquet(s"$indexDir/corpus_g${st.gen}")
       .filter(col("vec_id").isin(1000000L, baseTop)).count()
     assert(gone === 0L, "fold kept tombstoned rows in the new base")
-    // keep-two GC retires the applied tombstone's directory
-    Similarity.compactIvfIndex(spark, indexDir)
-    assert(graft.IndexFs.listNames(spark, s"$indexDir/delta", "t\\d+").isEmpty,
-      "applied tombstone survived two compaction passes")
 
-    // re-add above the delete resurrects
+    // re-add above the delete resurrects; the covering fold then
+    // retires the tombstone and keep-two GC removes its directory
     Similarity.appendToPersistedIvfIndex(spark, indexDir,
       Seq((1000000L, spike)).toDF("vec_id", "embedding"), batchId = 9L)
     assert(served().head === 1000000L, "re-added vector stayed deleted")
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(Similarity.resolveIvf(spark, indexDir).floor === 9L)
+    assert(served().head === 1000000L)
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(graft.IndexFs.listNames(spark, s"$indexDir/delta", "t\\d+").isEmpty,
+      "retired tombstone survived two compaction passes")
+    assert(served().head === 1000000L)
+    assert(!served().contains(baseTop), "deleted base row resurfaced")
   }
 
   test("maintenance autopilot: tiny-batch file pressure trips Compact on file count alone; the signal clears") {
