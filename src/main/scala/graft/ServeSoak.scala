@@ -330,6 +330,48 @@ object ServeSoak {
         batchSecs.map(s => f"$s%.2f").mkString("[", ",", "]"))
     }
 
+    // DELTA SMALL-FILE PRESSURE: the measurement behind
+    // Policy.maxDeltaFiles — a many-tiny-batches backlog taxes every
+    // probe with per-delta cell listings/footers long before row mass
+    // justifies a fold. Build the index, land 40 one-doc deltas
+    // (~80-240 cell dirs of FS metadata), time the SAME probe before,
+    // tick the autopilot with a file floor (row/batch thresholds set
+    // too high to fire — the new signal must do it), and time after.
+    // SPARK_GRAFT_SOAK_FILES=0 skips the leg.
+    if (sys.env.getOrElse("SPARK_GRAFT_SOAK_FILES", "1") == "1") {
+      import spark.implicits._
+      import graft.ops.{Dedup, IndexMaintenance}
+      val fDir = java.nio.file.Files.createTempDirectory("soak-files-lsh").toString
+      Dedup.persistLshIndex(
+        spark.read.parquet(s"$soakDir/documents.parquet"), fDir)
+      val corpus = spark.read.parquet(s"$soakDir/documents.parquet")
+        .orderBy("doc_id").limit(50).select("doc_id", "text")
+        .as[(Long, String)].collect()
+      for (b <- 0 until 40)
+        Dedup.appendToLshIndex(spark, fDir,
+          Seq((9000000000L + b) -> corpus(b % corpus.length)._2
+            .replaceFirst(" [a-z]+$", s" q$b")).toDF("doc_id", "text"),
+          batchId = b + 1L)
+      val probe = probeDocs(soakDir)
+      probe.collect()
+      def probeSecs(n: Int): Seq[Double] = (1 to n).map(_ =>
+        timed(Dedup.nearDupCheck(spark, fDir, probe).collect())._2)
+      val filesBefore = IndexMaintenance.lshSignals(spark, fDir).deltaFiles
+      val before = probeSecs(5)
+      val policy = IndexMaintenance.Policy(backlogRatio = 0.9,
+        backlogBatches = 1000, maxDeltaFiles = 40L)
+      val action = IndexMaintenance.maintainLshIndex(spark, fDir, policy)
+      require(action == IndexMaintenance.Compact,
+        s"file-pressure floor did not trip the fold: $action")
+      val filesAfter = IndexMaintenance.lshSignals(spark, fDir).deltaFiles
+      val after = probeSecs(5)
+      println(f"[servesoak] x$factor%-4d delta_file_pressure " +
+        s"files=$filesBefore->$filesAfter action=$action " +
+        s"probe_before=${before.map(s => f"$s%.2f").mkString("[", ",", "]")} " +
+        s"probe_after=${after.map(s => f"$s%.2f").mkString("[", ",", "]")} " +
+        f"median=${Bench.median(before)}%.2f->${Bench.median(after)}%.2f s")
+    }
+
     // ALL-SIGNALS COMPOSED SOAK: every autopilot arc enabled AT ONCE on
     // BOTH index families — LSH hot/cold re-bucketing, row/batch/file
     // backlog folds, IVF drift → Lloyd with PQ training riding — under
