@@ -861,8 +861,9 @@ object Similarity {
 
   /** Load a [[persistIvfIndex]] layout back into the in-memory form
     * ([[ivfProbe]]/[[appendToIvfIndex]]/drift all work on it). Base
-    * generation only — un-compacted deltas are a serving-path concern
-    * ([[servingCorpus]]); compact first for a full in-memory load.
+    * generation only — un-compacted deltas AND un-applied tombstones
+    * are a serving-path concern ([[servingCorpus]]); compact first
+    * for a full (and delete-honoring) in-memory load.
     * `label` is re-cast to long: parquet partition-column inference
     * narrows small integral values to int. */
   def loadIvfIndex(spark: SparkSession, dir: String): IvfIndex = {

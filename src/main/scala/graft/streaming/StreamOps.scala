@@ -1039,12 +1039,13 @@ object StreamOps {
     * index doc (highest Jaccard, ties to the lowest id) or the
     * in-batch family survivor. */
   /** `twoStageProbe`: None (default) AUTO-selects the probe form once
-    * per micro-batch from the index's persisted fat-cell tail
-    * intersected with the batch's OWN probed cells (resolved inside
+    * per micro-batch from the index's persisted fat-cell tail PLUS the
+    * ledger-recorded committed-delta mass, intersected with the
+    * batch's OWN probed cells (resolved inside
     * [[graft.ops.Dedup.nearDupCheckWithProbe]] — O(1) metadata I/O,
-    * re-read each batch so a mid-stream re-bucket flips the plan with
-    * the layout); Some(x) is the operator override, forcing the form
-    * either way. Decisions are identical in all three modes by the
+    * re-read each batch so a mid-stream re-bucket OR an append-heavy
+    * backlog flips the plan with the layout); Some(x) is the operator
+    * override, forcing the form either way. Decisions are identical in all three modes by the
     * two-stage probe's lossless construction — the knob is purely a
     * read-plan choice. */
   def dedupIngest(docs: DataFrame, indexDir: String, outDir: String,
