@@ -283,14 +283,19 @@ object Dedup {
     * materialized once (releasably) because the slot assignment needs
     * per-cell counts — one cheap count pass over the materialized
     * rows instead of recomputing the band pipeline twice. */
+  /** Returns the per-cell row counts as `(cellDirName, rows)` — the
+    * writer computes them for slot assignment anyway, and the append
+    * path records them in its ledger entry. */
   private def writeBandCells(rows: DataFrame, path: String,
-      maxCellRows: Long = defaultMaxCellRows): Unit =
+      maxCellRows: Long = defaultMaxCellRows): Map[String, Long] =
     // sig-sorted within each cell file: the two-stage probe's stage-2
     // read pushes `sig IN (survivors)` to the scan, and tight per-page
     // sig stats let it skip the pages of the FAT inlined shingle-set
     // column for every non-candidate row (see nearDupCheckWithProbe)
     Storage.writeCellClustered(rows, Seq("band_id", "sig_p"), "doc_id",
       path, maxCellRows, sortCols = Seq("sig"))
+      .map { case (vals, n) =>
+        (s"band_id=${vals(0)}/sig_p=${vals(1)}", n) }.toMap
 
   private val lshPrefix = "bands"
   private def lshBase(indexDir: String, gen: Long) =
@@ -525,25 +530,19 @@ object Dedup {
     val floor = graft.GenManifest.resolve(spark, indexDir).map(_.floor).getOrElse(-1L)
     graft.GenLifecycle.commitDelta(spark, indexDir,
       lshDeltaEntries(spark, indexDir), floor, batchId, tomb = false) {
-      writeBandCells(rows, root, maxCellRows)
+      // per-cell row counts come back FROM THE WRITER (it computes
+      // them for slot assignment anyway — no extra job) and ride the
+      // ledger entry: the per-probe two-stage AUTO decision folds
+      // committed-delta mass into its probed-cell intersection with
+      // ZERO extra metadata reads, closing the window where an
+      // append-heavy stream fattens cells past the crossover while
+      // the base generation's _cell_mass still answers one-pass
+      val counts = writeBandCells(rows, root, maxCellRows)
       // two-level cell listing at INGEST time (1 + #bands listings) so
       // probes never pay per-cell existence checks against this delta
       val cells = graft.IndexFs.listNames(spark, root, "band_id=.*").flatMap { b =>
         graft.IndexFs.listNames(spark, s"$root/$b", "sig_p=.*").map(p => s"$b/$p")
       }.sorted
-      // per-cell row counts ride the ledger entry (one footer-cheap
-      // count over the just-written batch-sized delta): the per-probe
-      // two-stage AUTO decision folds committed-delta mass into its
-      // probed-cell intersection with ZERO extra metadata reads,
-      // closing the window where an append-heavy stream fattens cells
-      // past the crossover while the base generation's _cell_mass
-      // still answers one-pass
-      val counts = spark.read.schema(bandReadSchema).option("basePath", root)
-        .parquet(root)
-        .groupBy("band_id", "sig_p").agg(count(lit(1)).as("n"))
-        .collect()
-        .map(r => (s"band_id=${r.getInt(0)}/sig_p=${r.getString(1)}", r.getLong(2)))
-        .toMap
       graft.GenManifest.DeltaEntry(batchId, 0L, Some(cells),
         rows = Some(cells.map(c => counts.getOrElse(c, 0L))))
     }

@@ -91,10 +91,19 @@ object Storage {
     * own sort for — one sort either way, ours just carries the extra
     * keys. Empty (the default) preserves the historical unordered
     * layout byte-for-byte.
+    *
+    * RETURNS the per-cell row counts (cell column values as
+    * partition-path strings, count) — free to the caller: the slot
+    * assignment needs them anyway, and they are now COLLECTED once
+    * (a cell-cardinality relation) and replayed as a LocalRelation
+    * into the slot join instead of re-evaluating the counts plan per
+    * consumer. The LSH append rides them into its ledger entry,
+    * which keeps the per-probe delta-mass decision input free of a
+    * post-write read-back job.
     */
   private[graft] def writeCellClustered(rows: DataFrame,
       cellCols: Seq[String], hashCol: String, path: String,
-      maxCellRows: Long, sortCols: Seq[String] = Nil): Unit = {
+      maxCellRows: Long, sortCols: Seq[String] = Nil): Seq[(Seq[String], Long)] = {
     require(maxCellRows > 0, s"maxCellRows=$maxCellRows")
     val (rawPinned, release) = graft.Materialize.releasable(rows)
     try {
@@ -112,6 +121,7 @@ object Storage {
         .agg(count(lit(1)).as("_cell_n"))
         .withColumn("_slots", greatest(lit(1L),
           ceil(col("_cell_n").cast("double") / maxCellRows).cast("long")))
+      val countRows = counts.collect()
       // the shuffle's partition count is pinned EXPLICITLY to the total
       // slot count (also the natural write parallelism): an adaptive
       // coalesce of small shuffle blocks would merge a hot cell's
@@ -123,10 +133,11 @@ object Storage {
       // which rolls a task's output to a new file at the limit — so no
       // collision pattern can produce an unbounded file (StorageSpec's
       // skew soak measures this on a 95%-one-cell corpus).
-      val totalRow = counts.agg(sum(col("_slots"))).head()
       val totalSlots =
-        (if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)).toInt max 1
-      val clustered = pinned.join(broadcast(counts), cellCols)
+        countRows.map(_.getAs[Long]("_slots")).sum.toInt max 1
+      val countsLocal = rows.sparkSession.createDataFrame(
+        java.util.Arrays.asList(countRows: _*), counts.schema)
+      val clustered = pinned.join(broadcast(countsLocal), cellCols)
         .withColumn("_slot", pmod(hash(col(hashCol)), col("_slots").cast("int")))
         .repartition(totalSlots, (cellCols :+ "_slot").map(col): _*)
         .drop("_cell_n", "_slots", "_slot")
@@ -136,6 +147,9 @@ object Storage {
       ordered
         .write.mode("overwrite").option("maxRecordsPerFile", maxCellRows)
         .partitionBy(cellCols: _*).parquet(path)
+      countRows.map(r =>
+        (cellCols.map(c => String.valueOf(r.getAs[Any](c))),
+          r.getAs[Long]("_cell_n"))).toSeq
     } finally release()
   }
 }
