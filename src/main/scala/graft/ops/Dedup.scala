@@ -346,7 +346,8 @@ object Dedup {
     * re-aggregating footers; rows appended BETWEEN folds reach the
     * decision through the ledger's per-cell row counts, not this
     * file. */
-  private def writeGenCellMass(spark: SparkSession, root: String): Unit = {
+  private def writeGenCellMass(spark: SparkSession, root: String,
+      calibFloor: Option[Long] = None): Unit = {
     val cells = spark.read.schema(bandReadSchema).option("basePath", root)
       .parquet(root)
       .groupBy("band_id", "sig_p").agg(count(lit(1)).as("n"))
@@ -370,15 +371,21 @@ object Dedup {
     val truncated = tailRows.length > cellMassTailCap
     val tail = tailRows.take(cellMassTailCap)
       .map(r => s"band_id=${r.getInt(0)}/sig_p=${r.getString(1)}\t${r.getLong(2)}")
-    val head = if (truncated) s"$hottest\ttruncated" else hottest.toString
+    // line-1 tags (content-keyed, order-free): `truncated` marks a
+    // capped tail; `floor=N` is the CALIBRATED two-stage floor
+    // ([[calibrateTwoStageFloor]]) — a storage property, so folds
+    // carry it into each new generation's summary
+    val head = (hottest.toString +:
+      (if (truncated) Seq("truncated") else Nil)) ++
+      calibFloor.map(f => s"floor=$f").toSeq
     graft.GenLifecycle.writeMeta(spark, root, "_cell_mass",
-      (head +: tail).mkString("\n"))
+      (head.mkString("\t") +: tail).mkString("\n"))
   }
 
-  /** `(hottest, fat-cell tail, tail-truncated)` of a generation — None
-    * on a pre-mass layout. One metadata read. */
+  /** `(hottest, fat-cell tail, tail-truncated, calibrated floor)` of a
+    * generation — None on a pre-mass layout. One metadata read. */
   private def readGenCellMassFull(spark: SparkSession,
-      root: String): Option[(Long, Map[String, Long], Boolean)] =
+      root: String): Option[(Long, Map[String, Long], Boolean, Option[Long])] =
     graft.GenLifecycle.readMeta(spark, root, "_cell_mass").map { raw =>
       val lines = raw.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
       val headFields = lines.head.split("\t")
@@ -387,7 +394,10 @@ object Dedup {
         cell -> n.toLong
       }.toMap
       (headFields(0).toLong, tail,
-        headFields.length > 1 && headFields(1) == "truncated")
+        headFields.drop(1).contains("truncated"),
+        headFields.drop(1).collectFirst {
+          case f if f.startsWith("floor=") => f.drop(6).toLong
+        })
     }
 
   private def readGenCellMass(spark: SparkSession, root: String): Option[Long] =
@@ -397,8 +407,91 @@ object Dedup {
     * crossover (PERF.md) has the two-stage probe at parity-to-slower
     * on ~4k-row cells and winning 1.7× at ~60k-row cells; 16384 sits
     * above the measured parity zone and below the proven win, i.e.
-    * the flip only fires once cells are unambiguously many-page. */
+    * the flip only fires once cells are unambiguously many-page.
+    * This constant is the local[32]/NVMe measurement — a deployment
+    * on different storage (object-store latency, other page sizes)
+    * has a different parity zone, which is what
+    * [[calibrateTwoStageFloor]] measures and persists per layout;
+    * a persisted floor wins over this fallback. */
   val twoStageCellRowsFloor: Long = 16384L
+
+  /** Rewrite the live generation's calibrated-floor tag, preserving
+    * the summary's hottest/tail/truncated content (atomic — the tag
+    * rides the same `_cell_mass` line every probe already reads, so
+    * honoring it costs ZERO extra metadata I/O). */
+  private[graft] def writeCalibratedFloor(spark: SparkSession,
+      indexDir: String, floor: Long): Unit = {
+    val st = graft.GenLifecycle.resolveOrThrow(spark, indexDir,
+      "LSH", "persistLshIndex")
+    val root = lshBase(indexDir, st.gen)
+    val raw = graft.GenLifecycle.readMeta(spark, root, "_cell_mass")
+      .getOrElse(throw new IllegalStateException(
+        s"no _cell_mass under $root — pre-mass layouts cannot calibrate"))
+    val lines = raw.split("\n").toSeq.filter(_.trim.nonEmpty)
+    val head = lines.head.split("\t").toSeq
+      .filterNot(_.startsWith("floor=")) :+ s"floor=$floor"
+    graft.GenLifecycle.writeMeta(spark, root, "_cell_mass",
+      (head.mkString("\t") +: lines.drop(1)).mkString("\n"))
+  }
+
+  /** CALIBRATE the two-stage floor on THIS deployment's storage: run
+    * `sampleDocs` as a probe in BOTH forms (forced one-pass, forced
+    * two-stage), interleaved `passes` times (min-of-passes — the
+    * bench-noise discipline), and persist a floor derived from the
+    * observed outcome at the probe's measured cell mass `M` (the
+    * heaviest probed base cell):
+    *
+    *   - two-stage WINS (≥5% faster): the crossover is at or below
+    *     `M` here → floor := min(M, current default) — layouts this
+    *     fat serve two-stage from now on;
+    *   - two-stage LOSES: the crossover is above `M` → floor :=
+    *     max(M + 1, fallback) — the measured statement is exactly
+    *     "not at M", so everything at or below M stays one-pass.
+    *
+    * The floor persists as a `floor=N` tag on the live generation's
+    * `_cell_mass` line 1 (carried across folds — a storage property),
+    * and every AUTO probe honors it with zero extra metadata reads.
+    * Calibrate with a sample that lands in the layout's fat cells
+    * (e.g. near-copies of hot-family docs); re-run after a storage
+    * migration. Returns the persisted floor. The default 16384
+    * remains honest for uncalibrated layouts (the local measurement,
+    * see [[twoStageCellRowsFloor]]). */
+  def calibrateTwoStageFloor(spark: SparkSession, indexDir: String,
+      sampleDocs: DataFrame, passes: Int = 3): Long = {
+    val st = graft.GenLifecycle.resolveOrThrow(spark, indexDir,
+      "LSH", "persistLshIndex")
+    val baseRoot = lshBase(indexDir, st.gen)
+    val effPrefix = readLshPrefixLen(spark, indexDir).getOrElse(2)
+    val baseLen = readGenPrefixLen(spark, baseRoot).getOrElse(effPrefix)
+    val (_, tail, _, _) = readGenCellMassFull(spark, baseRoot)
+      .getOrElse(throw new IllegalStateException(
+        s"no _cell_mass under $baseRoot — pre-mass layouts cannot calibrate"))
+    val probedCells = bandRows(sampleDocs, effPrefix)
+      .select(col("band_id"), substring(col("sig"), 1, baseLen).as("p"))
+      .distinct().collect()
+      .map(r => s"band_id=${r.getInt(0)}/sig_p=${r.getString(1)}")
+    val m = probedCells.map(c => tail.getOrElse(c, 0L)).maxOption.getOrElse(0L)
+    def timedRun(form: Boolean): Double = {
+      val t0 = System.nanoTime()
+      // releasable form: 2×passes probe pins must not accumulate
+      val (out, release) = nearDupCheckReleasable(spark, indexDir,
+        sampleDocs, jaccardThreshold, Long.MaxValue, effPrefix,
+        broadcastProbe = true, exactFallback = false, twoStage = form)
+      out.count()
+      release()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // interleaved min-of-passes: container drift taxes one sample,
+    // never the comparison
+    val samples = (1 to math.max(1, passes)).map(_ => (timedRun(false), timedRun(true)))
+    val onePass = samples.map(_._1).min
+    val twoStage = samples.map(_._2).min
+    val floor =
+      if (twoStage < onePass * 0.95) math.min(math.max(m, 1L), twoStageCellRowsFloor)
+      else math.max(m + 1, twoStageCellRowsFloor)
+    writeCalibratedFloor(spark, indexDir, floor)
+    floor
+  }
 
   /** The LAYOUT-level fat-cell answer: true when the live base
     * generation's hottest cell carries at least `floor` band rows —
@@ -879,23 +972,30 @@ object Dedup {
     // with lshCellPaths below, and the metadata cost is one
     // O(fat-cells) file read. Explicit Some(x) skips it.
     val twoStageEff = twoStage.getOrElse(
-      readGenCellMassFull(spark, baseRoot).exists { case (hottest, tail, truncated) =>
-        if (twoStageFloor < cellMassTailFloor) hottest >= twoStageFloor
-        else {
-          val probed = prefixesAt(baseLen)
-          probed.exists { case (b, p) =>
-            tail.getOrElse(s"band_id=$b/sig_p=$p", 0L) + deltaMassFor(b, p) >=
-              twoStageFloor
-          } ||
-            // truncated tail: a probed cell ABSENT from it is unknown
-            // (could be fat, cut off by the cap), not known-thin —
-            // degrade to the layout-level hottest answer rather than
-            // silently forfeiting the two-stage win on exactly the
-            // many-fat-cells layouts truncation happens on
-            (truncated && probed.exists { case (b, p) =>
-              !tail.contains(s"band_id=$b/sig_p=$p")
-            } && hottest >= twoStageFloor)
-        }
+      readGenCellMassFull(spark, baseRoot).exists {
+        case (hottest, tail, truncated, calib) =>
+          // a CALIBRATED floor ([[calibrateTwoStageFloor]] — measured
+          // on this deployment's own storage) wins over the caller's
+          // constant, the prefixLen precedent: decision knobs live in
+          // index metadata; the parameter is the pre-calibration
+          // fallback
+          val floor = calib.getOrElse(twoStageFloor)
+          if (floor < cellMassTailFloor) hottest >= floor
+          else {
+            val probed = prefixesAt(baseLen)
+            probed.exists { case (b, p) =>
+              tail.getOrElse(s"band_id=$b/sig_p=$p", 0L) + deltaMassFor(b, p) >=
+                floor
+            } ||
+              // truncated tail: a probed cell ABSENT from it is unknown
+              // (could be fat, cut off by the cap), not known-thin —
+              // degrade to the layout-level hottest answer rather than
+              // silently forfeiting the two-stage win on exactly the
+              // many-fat-cells layouts truncation happens on
+              (truncated && probed.exists { case (b, p) =>
+                !tail.contains(s"band_id=$b/sig_p=$p")
+              } && hottest >= floor)
+          }
       })
     lastTwoStageDecisions.put(indexDir, twoStageEff)
     val tomb = lshTombstones(spark, indexDir, entries, st.floor, belowBatch)
@@ -1095,7 +1195,11 @@ object Dedup {
       writeBandCells(relabeled, newBase, maxCellRows)
       graft.GenLifecycle.writeMeta(spark, newBase, "_prefix_len",
         targetLen.toString)
-      writeGenCellMass(spark, newBase)
+      // the calibrated two-stage floor is a STORAGE property — carry
+      // it from the superseded generation's summary into the new one
+      writeGenCellMass(spark, newBase,
+        calibFloor = readGenCellMassFull(spark, lshBase(indexDir, st.gen))
+          .flatMap(_._4))
       graft.GenLifecycle.writeGenId(spark, newBase)
       // a tombstone RETIRES (floor-covers) only once folded DATA
       // reaches its id: retiring t<N> while a data batch with id <= N

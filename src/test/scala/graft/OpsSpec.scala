@@ -1724,4 +1724,51 @@ class OpsSpec extends SparkSuite {
     assert(decision())
     assert(Dedup.twoStageAuto(spark, indexDir, floor = Dedup.cellMassTailFloor))
   }
+
+  test("calibrated two-stage floor: persisted per layout, wins over the constant, survives folds") {
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-calib").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(
+      (0 until 1200).map(i => (i.toLong, seeded)).toDF("doc_id", "text"),
+      indexDir)
+    val probe = Seq(990001L -> seeded).toDF("doc_id", "text")
+    def decision(): Boolean = {
+      // the DEFAULT constant rides the call — a persisted floor must
+      // be what flips it, exactly the prefixLen persisted-beats-param
+      // discipline
+      val (out, _, release) = Dedup.nearDupCheckWithProbe(spark, indexDir,
+        probe, threshold = 0.4, belowBatch = Long.MaxValue, prefixLen = 2,
+        broadcastProbe = true, exactFallback = false, twoStage = None)
+      out.collect()
+      release()
+      Dedup.lastTwoStageDecision(indexDir).get
+    }
+    // uncalibrated: the clique cells (1200 rows) sit far below the
+    // local default (16384) — one-pass
+    assert(!decision(), "premise broken: default floor already flips")
+
+    // the REAL calibration brackets the crossover at the probe's
+    // measured mass M=1200: win → floor = M; lose → floor = max(M+1,
+    // default). Either way the persisted value is honest for this
+    // container — the mechanism assertions below force both sides.
+    val floor = Dedup.calibrateTwoStageFloor(spark, indexDir, probe, passes = 2)
+    assert(floor == 1200L || floor == Dedup.twoStageCellRowsFloor,
+      s"calibrated floor $floor brackets nothing measurable")
+
+    // persisted floor below the probed mass → AUTO flips with the
+    // caller still passing the default constant
+    Dedup.writeCalibratedFloor(spark, indexDir, 1100L)
+    assert(decision(), "persisted calibrated floor not honored")
+    Dedup.writeCalibratedFloor(spark, indexDir, 1300L)
+    assert(!decision(), "a floor above the probed mass still flipped")
+
+    // a fold carries the tag into the new generation's summary
+    Dedup.writeCalibratedFloor(spark, indexDir, 1100L)
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(2000000L -> "one two three four five six seven").toDF("doc_id", "text"),
+      batchId = 1L)
+    Dedup.compactLshIndex(spark, indexDir)
+    assert(decision(), "calibrated floor lost at the fold")
+  }
 }
