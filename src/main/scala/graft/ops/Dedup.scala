@@ -452,8 +452,10 @@ object Dedup {
     * `_cell_mass` line 1 (carried across folds — a storage property),
     * and every AUTO probe honors it with zero extra metadata reads.
     * Calibrate with a sample that lands in the layout's fat cells
-    * (e.g. near-copies of hot-family docs); re-run after a storage
-    * migration. Returns the persisted floor. The default 16384
+    * (e.g. near-copies of hot-family docs) and AFTER a fold — `M` is
+    * read from the base summary, so un-folded delta mass would make
+    * it an underestimate. Re-run after a storage migration. Returns
+    * the persisted floor. The default 16384
     * remains honest for uncalibrated layouts (the local measurement,
     * see [[twoStageCellRowsFloor]]). */
   def calibrateTwoStageFloor(spark: SparkSession, indexDir: String,
