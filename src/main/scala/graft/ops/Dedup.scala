@@ -1664,6 +1664,77 @@ object Dedup {
         .orderBy("doc_id")
     })
 
+  /** Cross-document repeated-substring detection (the ExactSubstr
+    * shape of Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better", windowed-hash form): any 8-token span
+    * occurring verbatim in TWO OR MORE distinct documents is a
+    * repeated substring; per doc this reports the repeated-window
+    * count and the number of tokens covered by at least one repeated
+    * span — the inputs a training pipeline uses to CUT those spans
+    * (suffix-array ExactSubstr finds arbitrary-length repeats; the
+    * windowed form finds every repeat of length ≥ k with k-bounded
+    * state, the distributable trade). Scale shape: overlapping
+    * windows are generated map-side (one row per token, ~text-sized),
+    * ONE shuffle on the window hash finds cross-doc repeats
+    * (map-side-combined count-distinct over doc ids), one hash join
+    * back tags each doc's repeated windows, and coverage is a
+    * window→token explode bounded by 8× the repeated-window count —
+    * no pairwise work anywhere, state O(distinct windows). */
+  val dedupSubstring = QueryDef(
+    "dedup_substring",
+    Some(s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents),
+            |t AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+            |win AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+7], ' ')) AS h
+            |        FROM t, unnest(generate_series(1, n - 7)) AS g(i)
+            |        WHERE n >= 8),
+            |rep AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+            |rwin AS (SELECT DISTINCT win.doc_id, win.i FROM win JOIN rep ON win.h = rep.h),
+            |rcnt AS (SELECT doc_id, COUNT(*) AS nr FROM rwin GROUP BY doc_id),
+            |cov AS (SELECT doc_id, COUNT(*) AS nc FROM (
+            |          SELECT DISTINCT r.doc_id, r.i + o AS tok
+            |          FROM rwin r, unnest(generate_series(0, 7)) AS q(o))
+            |        GROUP BY doc_id)
+            |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+            |  CAST(greatest(t.n - 7, 0) AS BIGINT) AS n_windows,
+            |  CAST(COALESCE(rcnt.nr, 0) AS BIGINT) AS n_rep_windows,
+            |  CAST(COALESCE(cov.nc, 0) AS BIGINT) AS covered_tokens,
+            |  ${graft.QueryDef.roundedRatioSql("COALESCE(cov.nc, 0)", "t.n", 4)} AS rep_frac
+            |FROM t LEFT JOIN rcnt ON rcnt.doc_id = t.doc_id
+            |       LEFT JOIN cov ON cov.doc_id = t.doc_id
+            |ORDER BY t.doc_id""".stripMargin),
+    (spark, dir) => {
+      val toks = Tables.table(spark, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
+        .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+        .filter(col("n") > 0)
+      // windows used twice (repeat detection + per-doc tagging):
+      // materialize so the tokenize+hash pass runs once
+      val wins = toks.filter(col("n") >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, n - 7), i -> struct(i AS i, md5(concat_ws(' ', slice(ws, i, 8))) AS h))")).as("w"))
+        .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
+        .materialized
+      val rep = wins.groupBy("h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val rwin = wins.join(rep, "h").select("doc_id", "i").distinct()
+        .materialized
+      val rcnt = rwin.groupBy("doc_id").agg(count(lit(1)).as("nr"))
+      val cov = rwin
+        .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("tok"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("nc"))
+      toks.join(rcnt, Seq("doc_id"), "left").join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          greatest(col("n") - 7, lit(0)).cast("long").as("n_windows"),
+          coalesce(col("nr"), lit(0L)).cast("long").as("n_rep_windows"),
+          coalesce(col("nc"), lit(0L)).cast("long").as("covered_tokens"),
+          graft.QueryDef.roundedRatio(
+            coalesce(col("nc"), lit(0L)), col("n"), 4).as("rep_frac"))
+        .orderBy("doc_id")
+    })
+
   /** Semantic near-dup clusters (the SemDeDup shape): connected
     * components over the LSH-bucketed, cosine-verified embedding pair
     * graph — each vector maps to its semantic family's minimum vec_id
@@ -1744,5 +1815,6 @@ object Dedup {
     dedupExact, dedupFingerprint, dedupMinhashLsh, dedupJaccardNgram,
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupClusters,
     dedupLines, dedupSemanticClusters, dedupEditdist, dedupAgainstIndex,
-    dedupAgainstIndexServeOnly, dedupAgainstIndexAfterDelete)
+    dedupAgainstIndexServeOnly, dedupAgainstIndexAfterDelete,
+    dedupSubstring)
 }

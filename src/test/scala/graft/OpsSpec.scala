@@ -1725,6 +1725,79 @@ class OpsSpec extends SparkSuite {
     assert(Dedup.twoStageAuto(spark, indexDir, floor = Dedup.cellMassTailFloor))
   }
 
+  test("tombstone semantics: randomized append/delete/fold/replay interleavings match the log-ordered model") {
+    import graft.ops.Dedup
+    import scala.collection.mutable
+    // the reference model of the delete contract: a doc is visible iff
+    // its LATEST append source survives every delete above it —
+    // maxSrc >= maxDel (tombstone sorts before same-id data; base
+    // rows carry src -1). Every op, every crash-replay of the op, and
+    // every fold in between must leave the probe equal to the model.
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    for (seed <- Seq(11, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val indexDir = java.nio.file.Files
+        .createTempDirectory(s"lsh-model-$seed").toString
+      val baseIds = (1L to 4L).toSeq
+      Dedup.persistLshIndex(
+        baseIds.map(i => (i, seeded)).toDF("doc_id", "text"), indexDir)
+      val appends = mutable.Map[Long, mutable.Set[Long]]()
+      baseIds.foreach(d => appends(d) = mutable.Set(-1L))
+      val deletes = mutable.Map[Long, mutable.Set[Long]]()
+      def visible: Set[Long] = appends.keySet.filter { d =>
+        deletes.get(d).forall(ds => appends(d).max >= ds.max)
+      }.toSet
+      val probe = Seq(990001L -> seeded.replace(" mu", " nu"))
+        .toDF("doc_id", "text")
+      def probed(): Set[Long] = Dedup.nearDupCheck(spark, indexDir, probe)
+        .collect().map(_.getLong(1)).toSet
+      var nextId = 1L
+      for (step <- 1 to 10) {
+        val id = nextId
+        nextId += 1
+        val roll = rnd.nextInt(10)
+        val replay: () => Unit =
+          if (roll < 4) {
+            // append 1-2 docs: a mix of fresh ids and re-adds
+            val docs = (0 until 1 + rnd.nextInt(2)).map { _ =>
+              if (rnd.nextBoolean() && appends.nonEmpty)
+                appends.keys.toSeq.sorted.apply(rnd.nextInt(appends.size))
+              else 100L + step * 10 + rnd.nextInt(3)
+            }.distinct
+            def run(): Unit = Dedup.appendToLshIndex(spark, indexDir,
+              docs.map(d => (d, seeded)).toDF("doc_id", "text"), batchId = id)
+            run()
+            docs.foreach(d => appends.getOrElseUpdate(d, mutable.Set()) += id)
+            run _
+          } else if (roll < 7) {
+            // delete a random non-empty subset of known docs
+            val known = appends.keys.toSeq.sorted
+            val targets = known.filter(_ => rnd.nextBoolean()) match {
+              case Nil => Seq(known(rnd.nextInt(known.size)))
+              case ts  => ts
+            }
+            def run(): Unit = Dedup.deleteFromLshIndex(spark, indexDir,
+              targets.toDF("doc_id"), batchId = id)
+            run()
+            targets.foreach(d =>
+              deletes.getOrElseUpdate(d, mutable.Set()) += id)
+            run _
+          } else {
+            // fold — absorbs the backlog, applies covered tombstones,
+            // keeps uncovered ones live (the orphan guard); replaying
+            // a fold is another manifest-only-or-real fold, also legal
+            Dedup.compactLshIndex(spark, indexDir)
+            () => Dedup.compactLshIndex(spark, indexDir)
+          }
+        assert(probed() === visible, s"seed=$seed step=$step")
+        // crash-replay of the op (absorbed replays included: an append
+        // rewritten below a raised floor must stay invisible)
+        replay()
+        assert(probed() === visible, s"seed=$seed step=$step after replay")
+      }
+    }
+  }
+
   test("calibrated two-stage floor: persisted per layout, wins over the constant, survives folds") {
     import graft.ops.Dedup
     val indexDir = java.nio.file.Files.createTempDirectory("lsh-calib").toString
