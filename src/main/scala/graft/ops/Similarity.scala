@@ -2018,6 +2018,31 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     })
 
+  /** [[simTopkIvfServed]] with a RETENTION DELETE in the lifecycle —
+    * the IVF takedown path oracle-checked end to end: the index is
+    * persisted from the full corpus, every `vec_id % 5 == 1` vector
+    * is tombstone-deleted ([[deleteFromIvfIndex]]), and the same
+    * external probe runs against the shrunk index. The oracle keeps
+    * the centroid means over the FULL corpus (they are a build-time
+    * artifact the delete never rewrites — only a re-clustering fold
+    * would) and excludes the deleted ids from the candidate side
+    * only. A tombstone that leaked into serving (or over-deleted)
+    * flips rows/hash here. */
+  val simTopkIvfAfterDelete = QueryDef(
+    "sim_topk_ivf_after_delete",
+    simTopkIvfExternal.oracle.map(_.replace(
+      "FROM embeddings e JOIN top2 ON e.label = top2.label, q",
+      "FROM embeddings e JOIN top2 ON e.label = top2.label, q\n  WHERE e.vec_id % 5 <> 1")),
+    (spark, dir) => {
+      val indexDir = graft.TempDirs.create("ivf-serve-del")
+      persistIvfIndex(buildIvfIndex(spark, dir), indexDir)
+      deleteFromIvfIndex(spark, indexDir,
+        Tables.table(spark, dir, "embeddings")
+          .filter(col("vec_id") % 5 === 1).select("vec_id"), batchId = 1L)
+      ivfProbeVectorServed(spark, indexDir, externalQueryVec)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    })
+
   /** The SERVE-ONLY leg of [[simTopkIvfServed]]: identical probe and
     * oracle over the session-cached persisted index — built once per
     * sfDir, reused across invocations. This is the steady-state ANN
@@ -2171,5 +2196,6 @@ object Similarity {
     simTopkIvfRerank, simTopkIvfRerankServeOnly,
     simTopkIvfRerankPq, simTopkIvfRerankPqServeOnly,
     simTopkIvfMulti, simTopkIvfIncremental, simTopkIvfExternal,
-    simTopkIvfServed, simTopkIvfServeOnly, simKnnGraph)
+    simTopkIvfServed, simTopkIvfServeOnly, simTopkIvfAfterDelete,
+    simKnnGraph)
 }
