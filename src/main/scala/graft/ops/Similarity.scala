@@ -1048,9 +1048,9 @@ object Similarity {
     * from the folded corpus — and the tombstone retires under the
     * manifest floor once folded data ids cover its own (the
     * orphan-guard floor rule shared with the LSH fold); keep-two GC
-    * removes its directory two commits after retirement. Tombstones are label-space INDEPENDENT (key lists, not
-    * cells), so a Lloyd re-clustering neither stales nor relabels
-    * them. batchId-idempotent like every delta write. Same id-axis
+    * removes its directory two commits after retirement. Tombstones
+    * are label-space INDEPENDENT (key lists, not cells), so a Lloyd
+    * re-clustering neither stales nor relabels them. batchId-idempotent like every delta write. Same id-axis
     * and single-writer contract as the LSH delete: ids on the data
     * batch axis, issued between appends, never racing one. */
   def deleteFromIvfIndex(spark: SparkSession, indexDir: String,
