@@ -99,7 +99,8 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries (-1 markers) must not subtract from the total
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(results)},"queries_median":${j(medians)},"calib":${calib.min},"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(results)},"queries_median":${j(medians)},"calib":${calib.min},"sf":"$sfDir"}"""
+    println(fullLine)
     // streaming-layer throughput (rows/sec per stateful op family,
     // RocksDB provider) — the regression surface batch plans can't
     // show (state store cost, timers, per-micro-batch overhead).
@@ -145,7 +146,30 @@ object Bench {
     // the failed-query names, and the slowest queries.
     val slowest = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(5)
     val failedNames = queries.collect { case (n, _) if failed(n) => "\"" + n + "\"" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"slowest5":${j(slowest.toMap)},"stream_passes":$passes,"streaming_rows_per_sec":$streaming,"streaming_rows_per_sec_median":$streamingMed,"calib":${calib.min},"sf":"$sfDir"}""")
+    val finalLine = s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"slowest5":${j(slowest.toMap)},"stream_passes":$passes,"streaming_rows_per_sec":$streaming,"streaming_rows_per_sec_median":$streamingMed,"calib":${calib.min},"sf":"$sfDir"}"""
+    println(finalLine)
+    // FULL-FIDELITY RECORD, written by Bench itself: the driver keeps
+    // only the output tail (~2000 chars), which truncates the per-query
+    // map to slowest5 — so the committed perf/ record (the benchdiff
+    // input, see perf/README.md) must not depend on an operator
+    // remembering to copy the log. Format = the first total line (full
+    // queries + queries_median maps) + the final compact line (complete
+    // streaming maps), exactly what tools/benchdiff.py::load recovers a
+    // full map from. SPARK_GRAFT_BENCH_RECORD overrides the path; ""
+    // disables; the default lands next to the repo's perf/ directory
+    // when one exists under the working directory (a non-repo cwd
+    // skips quietly — record banking must never fail the bench).
+    val recordPath = sys.env.get("SPARK_GRAFT_BENCH_RECORD").getOrElse(
+      if (new java.io.File("perf").isDirectory) "perf/BENCH_last_full.json" else "")
+    if (recordPath.nonEmpty) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(recordPath),
+          (fullLine + "\n" + finalLine + "\n").getBytes("UTF-8"))
+        System.err.println(s"[bench] full-fidelity record written to $recordPath")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] record write to $recordPath failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -71,4 +71,22 @@ object QueryDef {
       s"CAST((CAST(abs($num) AS HUGEINT) * ${2 * p} + CAST($den AS HUGEINT)) // " +
       s"(2 * CAST($den AS HUGEINT)) AS DOUBLE) / $p)"
   }
+
+  /** Oracle derivation by substitution that FAILS FAST when the base
+    * text drifts: several lifecycle queries (the takedown gates)
+    * derive their oracle from another query's SQL via a targeted
+    * replace — if the base oracle is ever reworded, a plain
+    * `String.replace` silently no-ops and the derived oracle loses
+    * its delete filter, turning the gate into a false-pass. This
+    * helper requires the substitution to have actually happened, so
+    * oracle drift costs one loud assertion instead of a silently
+    * weakened check. */
+  def replacedOracle(base: Option[String], from: String, to: String): Option[String] =
+    base.map { sql =>
+      val replaced = sql.replace(from, to)
+      require(replaced != sql,
+        s"oracle derivation no-op: anchor text not found —\n  anchor: $from\n" +
+          "the base oracle was reworded; update the derived query's anchor")
+      replaced
+    }
 }

@@ -452,10 +452,16 @@ object Dedup {
     * `_cell_mass` line 1 (carried across folds — a storage property),
     * and every AUTO probe honors it with zero extra metadata reads.
     * Calibrate with a sample that lands in the layout's fat cells
-    * (e.g. near-copies of hot-family docs) and AFTER a fold — `M` is
-    * read from the base summary, so un-folded delta mass would make
-    * it an underestimate. Re-run after a storage migration. Returns
-    * the persisted floor. The default 16384
+    * (e.g. near-copies of hot-family docs). `M` is the base summary's
+    * probed-cell mass PLUS the ledger-recorded committed-delta mass
+    * (the same base+delta input the AUTO decision uses), so an
+    * append-heavy un-folded backlog no longer underestimates it; and
+    * a sample that intersects NO fat cell (M below
+    * [[cellMassTailFloor]]) REFUSES to persist — a two-stage "win" at
+    * page-sized cells is container noise, and persisting its floor=1
+    * would pin every future AUTO probe on this layout to the
+    * two-stage plan (carried across folds). Re-run after a storage
+    * migration. Returns the persisted floor. The default 16384
     * remains honest for uncalibrated layouts (the local measurement,
     * see [[twoStageCellRowsFloor]]). */
   def calibrateTwoStageFloor(spark: SparkSession, indexDir: String,
@@ -468,11 +474,28 @@ object Dedup {
     val (_, tail, _, _) = readGenCellMassFull(spark, baseRoot)
       .getOrElse(throw new IllegalStateException(
         s"no _cell_mass under $baseRoot — pre-mass layouts cannot calibrate"))
+    val liveData = lshDeltaEntries(spark, indexDir)
+      .filter(e => !e.tomb && e.id > st.floor)
     val probedCells = bandRows(sampleDocs, effPrefix)
       .select(col("band_id"), substring(col("sig"), 1, baseLen).as("p"))
       .distinct().collect()
-      .map(r => s"band_id=${r.getInt(0)}/sig_p=${r.getString(1)}")
-    val m = probedCells.map(c => tail.getOrElse(c, 0L)).maxOption.getOrElse(0L)
+      .map(r => (r.getInt(0), r.getString(1)))
+    val m = probedCells.map { case (b, p) =>
+      tail.getOrElse(s"band_id=$b/sig_p=$p", 0L) + deltaMassFor(liveData, b, p)
+    }.maxOption.getOrElse(0L)
+    // degenerate-sample guard: below the tail floor the two-stage form
+    // cannot genuinely win (the measured parity zone starts well above
+    // one parquet page), so any observed "win" is noise — and
+    // persisting min(m, …) would pin floor≈1 onto this layout forever.
+    // Refusing (instead of silently returning the default) makes a
+    // mis-aimed calibration sample cost one loud error, not a
+    // persisted perf regression.
+    require(m >= cellMassTailFloor,
+      s"calibration sample probed no fat cell (max probed base+delta " +
+        s"cell mass $m < $cellMassTailFloor): a floor measured on " +
+        "page-sized cells would be noise — aim the sample at the " +
+        "layout's fat cells (_cell_mass tail) or keep the default " +
+        s"$twoStageCellRowsFloor")
     def timedRun(form: Boolean): Double = {
       val t0 = System.nanoTime()
       // releasable form: 2×passes probe pins must not accumulate
@@ -494,6 +517,29 @@ object Dedup {
     writeCalibratedFloor(spark, indexDir, floor)
     floor
   }
+
+  /** Committed-delta row mass attributable to cell `(b, p)` from the
+    * ledger entries' per-cell row counts — zero extra reads (the
+    * counts rode each append's ledger entry). A delta cell recorded at
+    * a DIFFERENT prefix length counts when prefix-compatible —
+    * conservative over-attribution on the transient mixed-length
+    * layouts a rebucket leaves. Shared by the per-probe two-stage AUTO
+    * decision and [[calibrateTwoStageFloor]], so both see the same
+    * base+delta mass. */
+  private def deltaMassFor(liveDataEntries: Seq[graft.GenManifest.DeltaEntry],
+      b: Int, p: String): Long =
+    liveDataEntries.iterator.map { e =>
+      (e.cells, e.rows) match {
+        case (Some(cs), Some(rs)) if cs.length == rs.length =>
+          cs.iterator.zip(rs.iterator).collect {
+            case (c, r) if c.startsWith(s"band_id=$b/sig_p=") && {
+              val cp = c.substring(c.indexOf("sig_p=") + 6)
+              cp.startsWith(p) || p.startsWith(cp)
+            } => r
+          }.sum
+        case _ => 0L
+      }
+    }.sum
 
   /** The LAYOUT-level fat-cell answer: true when the live base
     * generation's hottest cell carries at least `floor` band rows —
@@ -855,8 +901,19 @@ object Dedup {
     * concurrent streams in one JVM never overwrite each other's
     * reading (a ServeSoak per-batch probe-form series must record its
     * OWN index's decision). */
+  /** Access-ordered LRU capped at 64 live index dirs: probe-heavy
+    * long-lived JVMs create per-query temp index dirs (the TempDirs /
+    * dedup_against_index pattern), and an unbounded map would hold one
+    * entry per dead dir for the process lifetime. 64 concurrent
+    * actively-probed indexes per JVM is far above any real topology;
+    * eviction only ever forgets a TEST-SEAM reading, never a decision
+    * input. */
   private val lastTwoStageDecisions =
-    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Boolean](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Boolean]): Boolean = size() > 64
+      })
   private[graft] def lastTwoStageDecision(indexDir: String): Option[Boolean] =
     Option(lastTwoStageDecisions.get(indexDir))
 
@@ -954,19 +1011,6 @@ object Dedup {
     // layouts a rebucket leaves).
     val liveDataEntries = entries
       .filter(e => !e.tomb && e.id > st.floor && e.id < belowBatch)
-    def deltaMassFor(b: Int, p: String): Long =
-      liveDataEntries.iterator.map { e =>
-        (e.cells, e.rows) match {
-          case (Some(cs), Some(rs)) if cs.length == rs.length =>
-            cs.iterator.zip(rs.iterator).collect {
-              case (c, r) if c.startsWith(s"band_id=$b/sig_p=") && {
-                val cp = c.substring(c.indexOf("sig_p=") + 6)
-                cp.startsWith(p) || p.startsWith(cp)
-              } => r
-            }.sum
-          case _ => 0L
-        }
-      }.sum
     // AUTO resolution (twoStage = None): intersect the base
     // generation's persisted fat-cell tail — PLUS the ledger-recorded
     // committed-delta mass — with THIS probe's cells at the base
@@ -986,8 +1030,8 @@ object Dedup {
           else {
             val probed = prefixesAt(baseLen)
             probed.exists { case (b, p) =>
-              tail.getOrElse(s"band_id=$b/sig_p=$p", 0L) + deltaMassFor(b, p) >=
-                floor
+              tail.getOrElse(s"band_id=$b/sig_p=$p", 0L) +
+                deltaMassFor(liveDataEntries, b, p) >= floor
             } ||
               // truncated tail: a probed cell ABSENT from it is unknown
               // (could be fat, cut off by the cap), not known-thin —
@@ -1329,12 +1373,13 @@ object Dedup {
     * leaked (or over-deleted) flips rows/hash here. */
   val dedupAgainstIndexAfterDelete = QueryDef(
     "dedup_against_index_after_delete",
-    Some(s"""${lshSplitCtes.replace(
-              "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0",
-              "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 10 <> 0")}
-            |SELECT probe_id, index_id, ${graft.QueryDef.roundedRatioSql("ni", "nu", 6)} AS jac
-            |FROM j WHERE jac >= $jaccardThreshold
-            |ORDER BY probe_id, index_id""".stripMargin),
+    graft.QueryDef.replacedOracle(
+      Some(s"""$lshSplitCtes
+              |SELECT probe_id, index_id, ${graft.QueryDef.roundedRatioSql("ni", "nu", 6)} AS jac
+              |FROM j WHERE jac >= $jaccardThreshold
+              |ORDER BY probe_id, index_id""".stripMargin),
+      "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0",
+      "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 10 <> 0"),
     (spark, dir) => {
       val docs = Tables.table(spark, dir, "documents")
       val indexDir = graft.TempDirs.create("lsh-index-del")

@@ -2030,9 +2030,9 @@ object Similarity {
     * flips rows/hash here. */
   val simTopkIvfAfterDelete = QueryDef(
     "sim_topk_ivf_after_delete",
-    simTopkIvfExternal.oracle.map(_.replace(
+    graft.QueryDef.replacedOracle(simTopkIvfExternal.oracle,
       "FROM embeddings e JOIN top2 ON e.label = top2.label, q",
-      "FROM embeddings e JOIN top2 ON e.label = top2.label, q\n  WHERE e.vec_id % 5 <> 1")),
+      "FROM embeddings e JOIN top2 ON e.label = top2.label, q\n  WHERE e.vec_id % 5 <> 1"),
     (spark, dir) => {
       val indexDir = graft.TempDirs.create("ivf-serve-del")
       persistIvfIndex(buildIvfIndex(spark, dir), indexDir)

@@ -1844,4 +1844,38 @@ class OpsSpec extends SparkSuite {
     Dedup.compactLshIndex(spark, indexDir)
     assert(decision(), "calibrated floor lost at the fold")
   }
+
+  test("floor calibration: committed-delta mass feeds M; a degenerate sample refuses to persist") {
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-calib-guard").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // base cell mass 400 — BELOW the _cell_mass tail floor (1024), so
+    // the base summary alone attributes ZERO mass to the probed cell
+    Dedup.persistLshIndex(
+      (0 until 400).map(i => (i.toLong, seeded)).toDF("doc_id", "text"),
+      indexDir)
+    // un-folded append pushes the probed cell to 400 base + 1100 delta:
+    // the pre-r13 calibration read base _cell_mass only → M = 0 → a
+    // noise-level two-stage win would have persisted floor = 1 (the
+    // documented-not-enforced "calibrate AFTER a fold" contract)
+    Dedup.appendToLshIndex(spark, indexDir,
+      (1000 until 2100).map(i => (i.toLong, seeded)).toDF("doc_id", "text"),
+      batchId = 1L)
+    val probe = Seq(990001L -> seeded).toDF("doc_id", "text")
+    val floor = Dedup.calibrateTwoStageFloor(spark, indexDir, probe, passes = 1)
+    // M = 0 (base, under the tail floor) + 1100 (ledger delta rows):
+    // win → floor = M; lose → floor = max(M+1, default). Either proves
+    // the ledger mass reached the measurement.
+    assert(floor == 1100L || floor == Dedup.twoStageCellRowsFloor,
+      s"calibrated floor $floor ignored the committed-delta mass (expected 1100 or default)")
+
+    // a sample probing no fat cell refuses loudly instead of pinning a
+    // degenerate floor onto the layout
+    val miss = Seq(990002L -> "one two three four five six seven")
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.calibrateTwoStageFloor(spark, indexDir, miss, passes = 1)
+    }
+    assert(e.getMessage.contains("no fat cell"), e.getMessage)
+  }
 }
