@@ -423,6 +423,46 @@ private[graft] object GenLifecycle {
   def readGenId(spark: SparkSession, root: String): Option[String] =
     readMeta(spark, root, "_id").map(_.trim)
 
+  /** STREAMING-OWNERSHIP marker of a persisted index's delta axis:
+    * the highest batch id a streaming ingest loop has claimed, written
+    * (monotonically) by the loop itself after each batch's writes land
+    * (`dedupIngest`/`annIngest` and their CDC forms). Its existence
+    * makes the delete contract STRUCTURAL instead of documented: a
+    * direct `deleteFrom*Index` call with an id ABOVE the marker would
+    * race the stream's ledger read-modify-write and — because a
+    * tombstone kills every lower-id data delta — silently destroy
+    * every future append the stream lands below that id, so
+    * [[assertTakedownOnAxis]] rejects it loudly (the
+    * `FileTopics.produce` one-producer-mode precedent). Lives INSIDE
+    * `delta/` so a persist-entry-point reset (which drops the delta
+    * dir) clears ownership with the axis itself; underscore-prefixed
+    * and non-`[bt]<id>`-shaped, so delta listings, GC and Spark's file
+    * index never see it. */
+  def writeStreamAxis(spark: SparkSession, dir: String, batchId: Long): Unit =
+    if (!readStreamAxis(spark, dir).exists(_ >= batchId))
+      IndexFs.writeUtf8Atomic(spark, s"$dir/delta/_stream_axis",
+        batchId.toString)
+
+  def readStreamAxis(spark: SparkSession, dir: String): Option[Long] =
+    readMeta(spark, s"$dir/delta", "_stream_axis").map(_.trim.toLong)
+
+  /** Loud reject for out-of-axis direct takedowns on a streaming-owned
+    * index — deletes at or below the stream's last claimed id remain
+    * legal (a retro takedown from the writer context between batches;
+    * same-id data survives by the log-order rule). Costs metadata I/O
+    * on the DELETE path only, never on probes. */
+  def assertTakedownOnAxis(spark: SparkSession, dir: String,
+      batchId: Long, feedHint: String): Unit =
+    readStreamAxis(spark, dir).foreach { last =>
+      if (batchId > last) throw new IllegalStateException(
+        s"deleteFrom*Index(batchId=$batchId) on $dir, whose delta axis is " +
+          s"owned by a streaming ingest (last claimed batch id $last): an id " +
+          "above the stream's counter would kill every future append below " +
+          s"it. Route the takedown through the ingest loop's deletions feed " +
+          s"($feedHint) or issue it at an id <= $last from the writer " +
+          "context between micro-batches.")
+    }
+
   /** Retract any prior (id, kind) entry, run the data write, append
     * the entry it returns (floor-trimmed). `prior` is the caller's
     * already-resolved entry list — the families differ only in their

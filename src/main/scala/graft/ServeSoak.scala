@@ -465,9 +465,15 @@ object ServeSoak {
           // takes effect from doc-batch 5, the IVF one from the next
           // serve (tombstones apply to all un-scoped probes)
           if (b == 5) {
-            Dedup.deleteFromLshIndex(spark, lshDir,
+            // unchecked forms: the soak driver IS the single writer
+            // and the streams are drained between addData calls, so
+            // this sits in the sequential-writer slot the r13 axis
+            // guard exists to protect — the PUBLIC forms would reject
+            // these ids as above the streams' last claimed batch
+            // (exactly the race an external caller must not run)
+            Dedup.deleteFromLshIndexUnchecked(spark, lshDir,
               deletedDocs.toDF("doc_id"), batchId = 5L)
-            Similarity.deleteFromIvfIndex(spark, ivfDir,
+            Similarity.deleteFromIvfIndexUnchecked(spark, ivfDir,
               Seq(9000000000L).toDF("vec_id"), batchId = 6L)
           }
           val t0 = System.nanoTime()

@@ -717,16 +717,32 @@ object Dedup {
     * policy presumes ("a corpus that shrank under retention
     * deletes"). batchId-idempotent like every delta write.
     *
-    * CONTRACT: `batchId` lives on the SAME monotonic axis as the data
-    * batch ids (an id far above the stream's counter would kill every
-    * future append below it), and deletes come from the index's one
-    * sequential writer context — issued between micro-batches, never
-    * racing an append (the ledger is read-modify-write). Within one
-    * id the tombstone sorts BEFORE the data: deleting at the next
-    * unclaimed batch id takes effect from that very batch, and a
-    * same-id re-add survives. */
+    * CONTRACT, now ENFORCED on streaming-owned indexes: `batchId`
+    * lives on the SAME monotonic axis as the data batch ids (an id
+    * far above the stream's counter would kill every future append
+    * below it), and deletes come from the index's one sequential
+    * writer context — never racing an append (the ledger is
+    * read-modify-write). Once a `dedupIngest`/`dedupIngestCdc` stream
+    * has claimed the axis ([[graft.GenLifecycle.writeStreamAxis]]),
+    * a direct call with an id above the stream's last claimed batch
+    * REJECTS loudly — route takedowns through the ingest loop's
+    * deletions feed (`StreamOps.dedupIngestCdc`, which issues them
+    * inside the loop's own sequential-writer slot), or issue them at
+    * or below the claimed id between micro-batches. Within one id the
+    * tombstone sorts BEFORE the data: a delete at id N takes effect
+    * from batch N, and a same-id re-add survives. */
   def deleteFromLshIndex(spark: SparkSession, indexDir: String,
       docIds: DataFrame, batchId: Long): Unit = {
+    graft.GenLifecycle.assertTakedownOnAxis(spark, indexDir, batchId,
+      "StreamOps.dedupIngestCdc")
+    deleteFromLshIndexUnchecked(spark, indexDir, docIds, batchId)
+  }
+
+  /** The takedown body, axis-check-free — for the ingest loop itself
+    * (which IS the sequential writer claiming the id) and for
+    * graft-internal callers that provably sit in that context. */
+  private[graft] def deleteFromLshIndexUnchecked(spark: SparkSession,
+      indexDir: String, docIds: DataFrame, batchId: Long): Unit = {
     val st = graft.GenLifecycle.resolveOrThrow(spark, indexDir,
       "LSH", "persistLshIndex")
     // retract → write → commit: a concurrent probe never subtracts a
@@ -1335,12 +1351,20 @@ object Dedup {
     * index inside the measured query, so its bench number is
     * build+write+serve end to end — the index lifecycle cost. The
     * serving cost alone is `dedup_against_index_serve_only` below. */
-  val dedupAgainstIndex = QueryDef(
-    "dedup_against_index",
+  /** Shared oracle of the odd-probe-vs-even-index family; the
+    * takedown variants derive theirs by [[graft.QueryDef
+    * .replacedOracle]] on the candidate split's WHERE clause. */
+  private val splitProbeOracle =
     Some(s"""$lshSplitCtes
             |SELECT probe_id, index_id, ${graft.QueryDef.roundedRatioSql("ni", "nu", 6)} AS jac
             |FROM j WHERE jac >= $jaccardThreshold
-            |ORDER BY probe_id, index_id""".stripMargin),
+            |ORDER BY probe_id, index_id""".stripMargin)
+
+  private val splitCandAnchor = "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0"
+
+  val dedupAgainstIndex = QueryDef(
+    "dedup_against_index",
+    splitProbeOracle,
     (spark, dir) => {
       val docs = Tables.table(spark, dir, "documents")
       val indexDir = graft.TempDirs.create("lsh-index")
@@ -1373,13 +1397,8 @@ object Dedup {
     * leaked (or over-deleted) flips rows/hash here. */
   val dedupAgainstIndexAfterDelete = QueryDef(
     "dedup_against_index_after_delete",
-    graft.QueryDef.replacedOracle(
-      Some(s"""$lshSplitCtes
-              |SELECT probe_id, index_id, ${graft.QueryDef.roundedRatioSql("ni", "nu", 6)} AS jac
-              |FROM j WHERE jac >= $jaccardThreshold
-              |ORDER BY probe_id, index_id""".stripMargin),
-      "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0",
-      "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 AND b.doc_id % 10 <> 0"),
+    graft.QueryDef.replacedOracle(splitProbeOracle,
+      splitCandAnchor, s"$splitCandAnchor AND b.doc_id % 10 <> 0"),
     (spark, dir) => {
       val docs = Tables.table(spark, dir, "documents")
       val indexDir = graft.TempDirs.create("lsh-index-del")
@@ -1387,6 +1406,43 @@ object Dedup {
         prefixLen = 1, exactFallback = false)
       deleteFromLshIndex(spark, indexDir,
         docs.filter(col("doc_id") % 10 === 0).select("doc_id"), batchId = 1L)
+      probeOddAgainstIndex(spark, dir, indexDir)
+    })
+
+  /** The CDC-envelope → index-takedown COMPOSITION, oracle-checked:
+    * the deletion keys arrive as RAW Debezium connector records (op
+    * `d`, key in the before-image — the reference's delete path,
+    * `app/dwd/BaseDbApp.java:43` consuming
+    * `app/function/MyDeserializationSchema.java` envelopes), are
+    * parsed by [[Cdc.fromDebezium]], filtered to `type = 'delete'`,
+    * and drive [[deleteFromLshIndex]] — the exact chain
+    * `StreamOps.dedupIngestCdc` runs per micro-batch, here in its
+    * oracle-checkable batch form. Index = even ids; takedown = every
+    * doc_id % 6 == 0 (a different victim set than the after-delete
+    * gate, so the two rows can never shadow each other); probe = odd
+    * ids. The oracle excludes the victims from the candidate index
+    * side only. */
+  val dedupAgainstIndexCdcDelete = QueryDef(
+    "dedup_against_index_cdc_delete",
+    graft.QueryDef.replacedOracle(splitProbeOracle,
+      splitCandAnchor, s"$splitCandAnchor AND b.doc_id % 6 <> 0"),
+    (spark, dir) => {
+      val docs = Tables.table(spark, dir, "documents")
+      val indexDir = graft.TempDirs.create("lsh-index-cdc-del")
+      persistLshIndex(docs.filter(col("doc_id") % 2 === 0), indexDir,
+        prefixLen = 1, exactFallback = false)
+      // the raw connector record: delete ops carry the key in the
+      // BEFORE image (after = null), exactly as the connector emits
+      val raw = docs.filter(col("doc_id") % 6 === 0)
+        .select(concat(
+          lit("""{"before":{"doc_id":"""), col("doc_id"),
+          lit("""},"after":null,"source":{"db":"graft","table":"documents"},"op":"d","ts_ms":1704067200000}"""))
+          .as("value"))
+      val delIds = Cdc.fromDebezium(raw)
+        .filter(col("type") === "delete")
+        .select(get_json_object(col("before"), "$.doc_id")
+          .cast("long").as("doc_id"))
+      deleteFromLshIndex(spark, indexDir, delIds, batchId = 1L)
       probeOddAgainstIndex(spark, dir, indexDir)
     })
 
@@ -1861,5 +1917,5 @@ object Dedup {
     dedupSimhash, dedupEmbeddingCosine, dedupEmbeddingLsh, dedupClusters,
     dedupLines, dedupSemanticClusters, dedupEditdist, dedupAgainstIndex,
     dedupAgainstIndexServeOnly, dedupAgainstIndexAfterDelete,
-    dedupSubstring)
+    dedupAgainstIndexCdcDelete, dedupSubstring)
 }

@@ -1050,11 +1050,23 @@ object Similarity {
     * orphan-guard floor rule shared with the LSH fold); keep-two GC
     * removes its directory two commits after retirement. Tombstones
     * are label-space INDEPENDENT (key lists, not cells), so a Lloyd
-    * re-clustering neither stales nor relabels them. batchId-idempotent like every delta write. Same id-axis
-    * and single-writer contract as the LSH delete: ids on the data
-    * batch axis, issued between appends, never racing one. */
+    * re-clustering neither stales nor relabels them. batchId-idempotent
+    * like every delta write. Same id-axis and single-writer contract
+    * as the LSH delete, ENFORCED the same way: once an
+    * `annIngest`/`annIngestCdc` stream owns the axis, a direct call
+    * above its last claimed batch id rejects loudly — route takedowns
+    * through `StreamOps.annIngestCdc`'s deletions feed. */
   def deleteFromIvfIndex(spark: SparkSession, indexDir: String,
       vecIds: DataFrame, batchId: Long): Unit = {
+    graft.GenLifecycle.assertTakedownOnAxis(spark, indexDir, batchId,
+      "StreamOps.annIngestCdc")
+    deleteFromIvfIndexUnchecked(spark, indexDir, vecIds, batchId)
+  }
+
+  /** The takedown body, axis-check-free — for the ingest loop itself
+    * (the sequential writer claiming the id). */
+  private[graft] def deleteFromIvfIndexUnchecked(spark: SparkSession,
+      indexDir: String, vecIds: DataFrame, batchId: Long): Unit = {
     val st = resolveIvf(spark, indexDir)
     // retract → write → commit (the shared discipline): a concurrent
     // probe never subtracts a half-overwritten key list

@@ -1005,10 +1005,50 @@ object StreamOps {
   def annIngest(vectors: DataFrame, indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.ops.Similarity.appendToPersistedIvfIndex(
             batch.sparkSession, indexDir, batch.toDF(), batchId)
+          // claim the delta axis: from here on a direct out-of-axis
+          // deleteFromIvfIndex rejects loudly (route takedowns through
+          // annIngestCdc's deletions feed)
+          graft.GenLifecycle.writeStreamAxis(batch.sparkSession, indexDir, batchId)
+        }
     }
+
+  /** CDC-DRIVEN ANN ingest — the stream-driven takedown arc for the
+    * persisted IVF index (reference analog: CDC `delete` ops flowing
+    * through the pipeline, `app/dwd/BaseDbApp.java:43`): `changes`
+    * carries an `op` column next to `(vec_id, embedding)`; per
+    * micro-batch the delete ops' keys are tombstoned FIRST
+    * ([[graft.ops.Similarity.deleteFromIvfIndexUnchecked]] — issued
+    * inside this loop's own sequential-writer slot, at the batch's own
+    * id, so the takedown takes effect from this very batch while the
+    * batch's own appends survive by the same-id log-order rule), then
+    * the non-delete rows append as the batch's data delta. Replay of a
+    * batch re-issues both (tombstone and delta writes are
+    * batchId-idempotent overwrites), so decisions and index state are
+    * replay-identical. */
+  def annIngestCdc(changes: DataFrame, indexDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        annIngestCdcBatch(batch.toDF(), indexDir, batchId)
+    }
+
+  private[graft] def annIngestCdcBatch(batch: DataFrame, indexDir: String,
+      batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val dels = batch.filter(col("op") === "delete").select("vec_id")
+    if (!dels.isEmpty)
+      graft.ops.Similarity.deleteFromIvfIndexUnchecked(spark, indexDir,
+        dels, batchId)
+    val adds = batch.filter(col("op") =!= "delete")
+      .select("vec_id", "embedding")
+    if (!adds.isEmpty)
+      graft.ops.Similarity.appendToPersistedIvfIndex(spark, indexDir,
+        adds, batchId)
+    graft.GenLifecycle.writeStreamAxis(spark, indexDir, batchId)
+  }
 
   /** Self-building streaming dedup: each micro-batch of `(doc_id,
     * text, ...)` documents is checked against the PERSISTED near-dup
@@ -1200,11 +1240,70 @@ object StreamOps {
               val best = inBatchDups.fold(bestIndex)(bestIndex.unionByName(_))
               uniq.select("doc_id").join(best, Seq("doc_id"), "left")
                 .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+              // claim the delta axis (monotonic): from here on a
+              // direct out-of-axis deleteFromLshIndex rejects loudly —
+              // takedowns route through dedupIngestCdc's deletions
+              // feed or sit at/below the claimed id
+              graft.GenLifecycle.writeStreamAxis(spark, indexDir, batchId)
             } finally releaseFlagged()
           } finally releasePairs()
         } finally { fresh.unpersist(); () }
       } finally { dups.unpersist(); releaseProbe() }
     } finally { uniq.unpersist(); () }
+  }
+
+  /** CDC-DRIVEN dedup ingest — the STREAM-DRIVEN TAKEDOWN arc
+    * (reference analog: CDC `delete` ops flowing through the
+    * pipeline, `app/dwd/BaseDbApp.java:43`): one change stream
+    * carries BOTH document arrivals and deletion orders, so the
+    * takedown rides the index's single sequential-writer axis by
+    * construction instead of by caller discipline. `changes` =
+    * `(op, doc_id, text, …)` in the CDC envelope's type vocabulary
+    * (`delete` rows need only the key; `insert`/`update`/`read` rows
+    * are documents to ingest — the shape `Cdc.fromDebezium` output
+    * maps onto 1:1).
+    *
+    * Per micro-batch, in writer order: (1) the delete ops tombstone
+    * the index AT THE BATCH'S OWN id
+    * ([[graft.ops.Dedup.deleteFromLshIndexUnchecked]] — within one id
+    * the tombstone sorts before the data, so the takedown kills the
+    * base + every lower-id delta while THIS batch's accepted docs
+    * survive: a delete+re-add arriving together behaves exactly like
+    * the reference's CDC upsert); (2) the document rows run the
+    * standard [[dedupIngestBatch]] probe+self-check+append at the
+    * same id — the probe already subtracts tombstones at or below its
+    * own batch, so a doc matching ONLY takedown victims is accepted
+    * from this very batch. Replay is idempotent end to end: the
+    * Spark checkpoint re-delivers the identical change batch, and
+    * tombstone, delta and decision-log writes are all batchId-keyed
+    * overwrites (StreamingSpec pins replay-identical decisions). */
+  def dedupIngestCdc(changes: DataFrame, indexDir: String, outDir: String,
+      threshold: Double = 0.4,
+      twoStageProbe: Option[Boolean] = None,
+      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        dedupIngestCdcBatch(batch.toDF(), indexDir, outDir, batchId,
+          threshold, twoStageProbe, twoStageFloor)
+    }
+
+  private[graft] def dedupIngestCdcBatch(batch: DataFrame, indexDir: String,
+      outDir: String, batchId: Long, threshold: Double,
+      twoStageProbe: Option[Boolean] = None,
+      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val dels = batch.filter(col("op") === "delete").select("doc_id")
+    if (!dels.isEmpty)
+      graft.ops.Dedup.deleteFromLshIndexUnchecked(spark, indexDir, dels,
+        batchId)
+    val adds = batch.filter(col("op") =!= "delete").drop("op")
+    if (!adds.isEmpty)
+      dedupIngestBatch(adds, indexDir, outDir, batchId, threshold,
+        twoStageProbe, twoStageFloor)
+    // a delete-only batch claims the axis too (dedupIngestBatch does
+    // it itself on the add path; writeStreamAxis is monotonic)
+    graft.GenLifecycle.writeStreamAxis(spark, indexDir, batchId)
   }
 
   /** Union of batch-result directories under an explicit schema —

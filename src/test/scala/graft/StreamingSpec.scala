@@ -1039,39 +1039,46 @@ class StreamingSpec extends SparkSuite {
     assert(copies === Seq((999L, 109L)), s"replay double-grew the index: $copies")
   }
 
-  test("dedup ingest racing a retention delete: the next batch stops matching, replay decisions identical, later accepts resurrect") {
+  test("stream-driven takedown (CDC feed): deletes take effect from their own batch, replay identical, re-adds resurrect, out-of-axis direct deletes reject") {
     import graft.ops.Dedup
-    val indexDir = java.nio.file.Files.createTempDirectory("dedup-del-idx").toString
-    val outDir = java.nio.file.Files.createTempDirectory("dedup-del-out").toString
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-cdc-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dedup-cdc-out").toString
     val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val textA = "one two three four five six seven eight nine ten eleven twelve"
     Dedup.persistLshIndex(Seq((2L, seeded)).toDF("doc_id", "text"), indexDir)
     val nearSeeded = seeded.replace(" mu", " nu")
     val nearA = textA.replace(" twelve", " fifteen")
 
-    val in = MemoryStream[(Long, String)]
-    val q = StreamOps.dedupIngest(
-      in.toDF().toDF("doc_id", "text"), indexDir, outDir)
+    // ONE change stream carries documents AND deletion orders — the
+    // enforced takedown arc (the r12 between-batches direct-call
+    // pattern is now rejected on a streaming-owned axis, see below)
+    val in = MemoryStream[(String, Long, String)]
+    val q = StreamOps.dedupIngestCdc(
+      in.toDF().toDF("op", "doc_id", "text"), indexDir, outDir)
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("dedup-del-ckpt").toString)
+        java.nio.file.Files.createTempDirectory("dedup-cdc-ckpt").toString)
       .start()
     // batch 0: 101 flags against the seeded doc 2; 103 is accepted
-    in.addData(101L -> nearSeeded, 103L -> textA)
+    in.addData(("insert", 101L, nearSeeded), ("insert", 103L, textA))
     q.processAllAvailable()
-    // takedown between micro-batches, on the stream's own id axis:
-    // batchId 1 = the next unclaimed slot, so it takes effect from
-    // batch 1 (tombstone sorts before same-id data) — doc 2 (base) and
-    // doc 103 (batch-0 delta) both go
-    Dedup.deleteFromLshIndex(spark, indexDir,
-      Seq(2L, 103L).toDF("doc_id"), batchId = 1L)
-    // batch 1: the same near-copies now find NOTHING — both accepted
-    in.addData(111L -> nearSeeded, 113L -> nearA)
+    // batch 1: the takedown of 2 (base) and 103 (batch-0 delta)
+    // arrives IN the change stream, in the same batch as new docs —
+    // the tombstone lands at the batch's own id and sorts before its
+    // data, so both near-copies find NOTHING and are accepted
+    in.addData(("delete", 2L, ""), ("delete", 103L, ""),
+      ("insert", 111L, nearSeeded), ("insert", 113L, nearA))
     q.processAllAvailable()
     // batch 2: copies of batch 1's accepted docs flag against THEM
-    // (ids above the tombstone — the re-add resurrection rule); 121 is
-    // an exact text copy of 111 (guaranteed band match), 123 keeps
-    // textA's band 1 vs 113 (the verified fixture edit)
-    in.addData(121L -> nearSeeded, 123L -> textA)
+    // (ids above the tombstone — the re-add resurrection rule)
+    in.addData(("insert", 121L, nearSeeded), ("insert", 123L, textA))
+    q.processAllAvailable()
+    // batch 3: a DELETE-ONLY change batch (no decision log, axis
+    // still advances); 111 goes
+    in.addData(("delete", 111L, ""))
+    q.processAllAvailable()
+    // batch 4: with 111 gone (and 121 never indexed — it was flagged),
+    // a fresh near-copy of the seeded family is accepted again
+    in.addData(("insert", 131L, nearSeeded))
     q.processAllAvailable()
     q.stop()
 
@@ -1081,17 +1088,90 @@ class StreamingSpec extends SparkSuite {
           (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(decisions(0) === Map(101L -> Some(2L), 103L -> None))
     assert(decisions(1) === Map(111L -> None, 113L -> None),
-      "the delete was invisible to the next micro-batch")
+      "the in-stream delete was invisible to its own batch's probes")
     assert(decisions(2) === Map(121L -> Some(111L), 123L -> Some(113L)),
       "batch-1 accepts (above the tombstone) must serve again")
+    assert(decisions(4) === Map(131L -> None),
+      "the delete-only batch's takedown was invisible downstream")
 
-    // crash replay of batch 1: the tombstone (id == its own batchId)
-    // stays visible — decisions identical, nothing double-grown
-    StreamOps.dedupIngestBatch(
-      Seq(111L -> nearSeeded, 113L -> nearA).toDF("doc_id", "text"),
+    // crash replay of batch 1 (deletes + adds together): tombstone and
+    // delta writes are batchId-keyed overwrites — decisions identical
+    StreamOps.dedupIngestCdcBatch(
+      Seq(("delete", 2L, ""), ("delete", 103L, ""),
+        ("insert", 111L, nearSeeded), ("insert", 113L, nearA))
+        .toDF("op", "doc_id", "text"),
       indexDir, outDir, batchId = 1L, threshold = 0.4)
     assert(decisions(1) === Map(111L -> None, 113L -> None),
       "replayed batch saw a different tombstone view than its original run")
+
+    // LOUD REJECT: the stream claimed the axis through batch 4, so a
+    // direct delete at a higher id — which would kill every future
+    // append below it — throws instead of corrupting the index
+    val e = intercept[IllegalStateException] {
+      Dedup.deleteFromLshIndex(spark, indexDir,
+        Seq(113L).toDF("doc_id"), batchId = 9L)
+    }
+    assert(e.getMessage.contains("owned by a streaming ingest"), e.getMessage)
+    assert(decisions(1) === Map(111L -> None, 113L -> None)) // nothing happened
+    // at-or-below the claimed id stays legal (retro takedown from the
+    // writer context between micro-batches)
+    Dedup.deleteFromLshIndex(spark, indexDir,
+      Seq(113L).toDF("doc_id"), batchId = 4L)
+    val after = Dedup.nearDupCheck(spark, indexDir,
+      Seq(999L -> nearA).toDF("doc_id", "text"))
+      .collect().map(_.getLong(1)).toSet
+    assert(!after.contains(113L), "retro takedown at/below the axis ignored")
+  }
+
+  test("annIngestCdc: stream-driven IVF takedown, same-batch re-add survives, direct out-of-axis delete rejects") {
+    val indexDir = java.nio.file.Files.createTempDirectory("ann-cdc-idx").toString
+    graft.ops.Similarity.persistIvfIndex(
+      graft.ops.Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    val spike = Seq(8f, 8f, 8f, 8f) ++ Seq.fill(60)(0f)
+    val spike2 = Seq(0f, 0f, 0f, 0f, 8f, 8f, 8f, 8f) ++ Seq.fill(56)(0f)
+    def served(): Seq[Long] =
+      graft.ops.Similarity.ivfProbeVectorServed(spark, indexDir, spike)
+        .collect().map(_.getLong(0)).toSeq
+
+    val in = MemoryStream[(String, Long, Seq[Float])]
+    val q = StreamOps.annIngestCdc(
+      in.toDF().toDF("op", "vec_id", "embedding"), indexDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ann-cdc-ckpt").toString)
+      .start()
+    // batch 0: the spike vector arrives
+    in.addData(("insert", 1000000L, spike))
+    q.processAllAvailable()
+    assert(served().head === 1000000L)
+    // batch 1: takedown of the spike + an unrelated add in ONE change
+    // batch — the tombstone applies from this batch, the add survives
+    in.addData(("delete", 1000000L, Seq.empty[Float]),
+      ("insert", 1000001L, spike2))
+    q.processAllAvailable()
+    assert(!served().contains(1000000L), "CDC takedown leaked into serving")
+    val served2 = graft.ops.Similarity
+      .ivfProbeVectorServed(spark, indexDir, spike2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served2.head === 1000001L, "same-batch add must survive the takedown")
+    q.stop()
+
+    // replay of batch 1: idempotent overwrites, state unchanged
+    StreamOps.annIngestCdcBatch(
+      Seq(("delete", 1000000L, Seq.empty[Float]), ("insert", 1000001L, spike2))
+        .toDF("op", "vec_id", "embedding"), indexDir, batchId = 1L)
+    assert(!served().contains(1000000L))
+
+    // loud reject above the claimed axis; at/below stays legal
+    val e = intercept[IllegalStateException] {
+      graft.ops.Similarity.deleteFromIvfIndex(spark, indexDir,
+        Seq(1000001L).toDF("vec_id"), batchId = 8L)
+    }
+    assert(e.getMessage.contains("owned by a streaming ingest"), e.getMessage)
+    // at/below the axis stays legal (a no-op retro key, on a fresh id,
+    // so the CDC batch's own t1 tombstone is not overwritten)
+    graft.ops.Similarity.deleteFromIvfIndex(spark, indexDir,
+      Seq(999999999L).toDF("vec_id"), batchId = 0L)
+    assert(!served().contains(1000000L))
   }
 
   test("dedup ingest with the two-stage probe: decision logs identical to the one-pass mode, replay-safe") {
