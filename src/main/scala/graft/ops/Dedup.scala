@@ -225,8 +225,15 @@ object Dedup {
     * same short-doc contract `dedupIngest` probes with; the
     * oracle-checked `dedup_against_index` turns it off explicitly
     * (its oracle mirrors the shingle pipeline only). */
-  private def bandRows(docs: DataFrame, prefixLen: Int,
-      exactFallback: Boolean = false): DataFrame = {
+  /** Band rows over an ARBITRARY `(doc_id, s)` element relation — the
+    * element-agnostic core of [[bandRows]]: MinHash signatures, the
+    * inlined element set, one row per (doc, band) with the cell
+    * prefix. The multimodal near-dup index feeds byte 8-grams of
+    * binary payloads through exactly this path, so the persisted
+    * layout, probes, deltas, tombstones and folds are IDENTICAL
+    * machinery across modalities. */
+  private[graft] def bandRowsOfElems(elems: DataFrame,
+      prefixLen: Int): DataFrame = {
     // prefixLen=0 would make sig_p the EMPTY STRING, which the
     // partitioned write renders as __HIVE_DEFAULT_PARTITION__ — a path
     // no probe (which builds "sig_p=<prefix>") ever matches, so every
@@ -236,10 +243,9 @@ object Dedup {
     require(prefixLen >= 1,
       s"prefixLen=$prefixLen: must be >= 1 — an empty cell prefix writes " +
         "__HIVE_DEFAULT_PARTITION__ cells that no probe path ever matches")
-    val sh = shinglesOf(docs)
-    val sig = minhashSig(sh)
-    val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
-    val shingled = sig.join(sets, "doc_id")
+    val sig = minhashSig(elems)
+    val sets = elems.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+    sig.join(sets, "doc_id")
       .select(col("doc_id"), col("ss"),
         explode(array(
           struct(lit(0).as("band_id"), col("band0").as("sig")),
@@ -248,6 +254,11 @@ object Dedup {
         col("b.sig").as("sig"),
         substring(col("b.sig"), 1, prefixLen).as("sig_p"),
         col("ss"))
+  }
+
+  private def bandRows(docs: DataFrame, prefixLen: Int,
+      exactFallback: Boolean = false): DataFrame = {
+    val shingled = bandRowsOfElems(shinglesOf(docs), prefixLen)
     if (!exactFallback) shingled
     else {
       val shorts = docs
@@ -593,8 +604,26 @@ object Dedup {
     * `file:`, `hdfs:` or `s3a:` index roots. */
   def persistLshIndex(docs: DataFrame, indexDir: String,
       prefixLen: Int = 2, exactFallback: Boolean = true,
-      maxCellRows: Long = defaultMaxCellRows): Unit = {
-    val spark = docs.sparkSession
+      maxCellRows: Long = defaultMaxCellRows): Unit =
+    persistBandIndex(docs.sparkSession, indexDir,
+      bandRows(docs, prefixLen, exactFallback), prefixLen, maxCellRows)
+
+  /** [[persistLshIndex]] over an ARBITRARY `(doc_id, s)` element
+    * relation — the cross-modality form: the caller supplies the
+    * elements (text shingles, byte grams of binary payloads —
+    * [[Multimodal.payloadGrams]] — token n-grams of code, …) and the
+    * persisted layout, probes, deltas, tombstones, folds and the
+    * maintenance autopilot are the SAME machinery. No short-doc exact
+    * fallback here: that contract is text-specific (the caller's
+    * element extractor defines what "too short to band" means for its
+    * modality). */
+  def persistLshIndexElems(elems: DataFrame, indexDir: String,
+      prefixLen: Int = 2, maxCellRows: Long = defaultMaxCellRows): Unit =
+    persistBandIndex(elems.sparkSession, indexDir,
+      bandRowsOfElems(elems, prefixLen), prefixLen, maxCellRows)
+
+  private def persistBandIndex(spark: SparkSession, indexDir: String,
+      rows: DataFrame, prefixLen: Int, maxCellRows: Long): Unit = {
     graft.GenManifest.reset(spark, indexDir, Seq(lshPrefix))
     // empty delta ledger from birth — "ledger absent" = pre-ledger
     // layout, never a fresh index (the IVF persist discipline)
@@ -604,8 +633,7 @@ object Dedup {
     // resolve it from here instead of trusting their caller to match
     graft.GenLifecycle.writeMeta(spark, indexDir, "lsh_meta",
       prefixLen.toString)
-    writeBandCells(bandRows(docs, prefixLen, exactFallback),
-      lshBase(indexDir, 0), maxCellRows)
+    writeBandCells(rows, lshBase(indexDir, 0), maxCellRows)
     // the generation's own length + cell-mass summary + identity
     // token, written with its data (probes derive this generation's
     // cell paths from the first, the two-stage auto decision from the
@@ -978,6 +1006,44 @@ object Dedup {
       indexDir: String, probeDocs: DataFrame, threshold: Double,
       belowBatch: Long, prefixLen: Int, broadcastProbe: Boolean,
       exactFallback: Boolean, twoStage: Option[Boolean] = Some(false),
+      twoStageFloor: Long = twoStageCellRowsFloor): (DataFrame, DataFrame, () => Unit) =
+    nearDupCheckWithProbeRows(spark, indexDir,
+      len => bandRows(probeDocs, len, exactFallback), threshold,
+      belowBatch, prefixLen, broadcastProbe, twoStage, twoStageFloor)
+
+  /** [[nearDupCheck]] over an ARBITRARY `(doc_id, s)` probe element
+    * relation against an index persisted by [[persistLshIndexElems]]
+    * — the cross-modality serving form (the multimodal near-dup
+    * probes byte grams through this). Same result contract
+    * `(probe_id, index_id, jac, n_inter, n_union)`, same AUTO
+    * two-stage machinery, same tombstone subtraction. */
+  def nearDupCheckElems(spark: SparkSession, indexDir: String,
+      probeElems: DataFrame, threshold: Double = jaccardThreshold,
+      belowBatch: Long = Long.MaxValue, prefixLen: Int = 2,
+      broadcastProbe: Boolean = true,
+      twoStage: Option[Boolean] = Some(false)): DataFrame =
+    nearDupCheckElemsWithProbe(spark, indexDir, probeElems, threshold,
+      belowBatch, prefixLen, broadcastProbe, twoStage)._1
+
+  /** [[nearDupCheckElems]] plus the pinned probe band rows and their
+    * release handle — the ingest-loop form (the multimodal
+    * `mmDedupIngest` reuses the pinned rows for its within-batch
+    * self-check and delta append, the [[nearDupCheckWithProbe]]
+    * discipline). */
+  private[graft] def nearDupCheckElemsWithProbe(spark: SparkSession,
+      indexDir: String, probeElems: DataFrame, threshold: Double,
+      belowBatch: Long = Long.MaxValue, prefixLen: Int = 2,
+      broadcastProbe: Boolean = true,
+      twoStage: Option[Boolean] = Some(false),
+      twoStageFloor: Long = twoStageCellRowsFloor): (DataFrame, DataFrame, () => Unit) =
+    nearDupCheckWithProbeRows(spark, indexDir,
+      len => bandRowsOfElems(probeElems, len), threshold, belowBatch,
+      prefixLen, broadcastProbe, twoStage, twoStageFloor)
+
+  private def nearDupCheckWithProbeRows(spark: SparkSession,
+      indexDir: String, probeBandsAt: Int => DataFrame, threshold: Double,
+      belowBatch: Long, prefixLen: Int, broadcastProbe: Boolean,
+      twoStage: Option[Boolean] = Some(false),
       twoStageFloor: Long = twoStageCellRowsFloor): (DataFrame, DataFrame, () => Unit) = {
     // band the probe at the INDEX's persisted prefixLen — probing at a
     // caller-supplied mismatch builds sig_p paths that exist for no
@@ -985,7 +1051,7 @@ object Dedup {
     // is the pre-meta-layout fallback only)
     val effPrefix = readLshPrefixLen(spark, indexDir).getOrElse(prefixLen)
     val (probe, release) = Materialize.releasable(
-      bandRows(probeDocs, effPrefix, exactFallback)
+      probeBandsAt(effPrefix)
         .select(col("doc_id").as("probe_id"), col("band_id"), col("sig"),
           col("sig_p"), col("ss").as("pss")))
     def emptyResult = spark.createDataFrame(

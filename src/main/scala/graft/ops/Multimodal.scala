@@ -311,23 +311,64 @@ object Multimodal {
     * and signatures only (PlanSpec gates this). The oracle re-runs
     * the identical pipeline over `hex(encode(text))` — the same bytes
     * the payload body carries by construction. */
+  /** Byte 8-gram element relation `(doc_id, s)` of a binary payload
+    * frame — the multimodal analog of the text shingle relation, and
+    * the element input the shared LSH machinery
+    * ([[Dedup.scoredPairsOf]], [[Dedup.persistLshIndexElems]],
+    * [[Dedup.nearDupCheckElems]]) runs on whole.
+    *
+    * Hex body: builtin binary substring + hex — whole-stage codegen,
+    * no UDF; the 29-byte header is planning metadata, the body is the
+    * content a near-dup check is about. Overlapping grams are ~one
+    * per payload byte — 6× the text pipeline's element volume — so
+    * CONTENT-DEFINED SAMPLING (keep a gram iff its md5 leads 0-3,
+    * p=1/4) thins every downstream stage (distinct, minhash, set
+    * shuffle, verify) identically on both engines; unlike a
+    * positional stride it is shift-robust (an insertion re-aligns
+    * nothing — membership depends only on gram CONTENT), the standard
+    * winnowing-style binary-shingling knob. Jaccard downstream is
+    * over the sampled sets — deterministic, oracle-mirrored, an
+    * unbiased estimator of the full-set value (measured: confirmed
+    * pairs 250 = unsampled at sf0.1). The 4× cut is in SHUFFLE MASS —
+    * the binding resource at cluster scale. The payload column never
+    * crosses an exchange: the gram projection is map-side (PlanSpec
+    * gates this structurally for both the batch query and the
+    * index-probe form). */
+  def payloadGrams(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"),
+        hex(expr("substring(payload, 30, octet_length(payload) - 29)")).as("h"))
+      .filter(length(col("h")) >= 16)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, CAST(length(h)/2 AS INT) - 7), i -> substring(h, 2*i - 1, 16))")).as("s"))
+      .filter(substring(md5(col("s")), 1, 1).isin("0", "1", "2", "3"))
+      .distinct()
+
+  /** Oracle CTE prefix shared by the mm near-dup family: hex body →
+    * sampled byte grams → minhash signatures → bands → per-doc gram
+    * sets, mirroring [[payloadGrams]] + the shared banding pipeline
+    * hash-for-hash (the payload body IS the text's UTF-8 encoding by
+    * construction, so `hex(encode(text))` reproduces its bytes). */
+  private val mmGramCtes =
+    """WITH hb AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+      |g0 AS (SELECT DISTINCT doc_id, substr(h, (2*i)-1, 16) AS s
+      |      FROM hb, unnest(generate_series(1, CAST(length(h)/2 AS BIGINT) - 7)) AS t(i)
+      |      WHERE length(h) >= 16),
+      |g AS (SELECT doc_id, s FROM g0 WHERE substr(md5(s), 1, 1) IN ('0','1','2','3')),
+      |sig AS (SELECT doc_id,
+      |  min(substr(md5(s), 1, 8))||min(substr(md5(s), 9, 8))||min(substr(md5(s), 17, 8))||min(substr(md5(s), 25, 8)) AS band0,
+      |  min(substr(md5('x' || s), 1, 8))||min(substr(md5('x' || s), 9, 8))||min(substr(md5('x' || s), 17, 8))||min(substr(md5('x' || s), 25, 8)) AS band1
+      |  FROM g GROUP BY doc_id),
+      |bands AS (SELECT doc_id, 0 AS band_id, band0 AS sig FROM sig
+      |          UNION ALL SELECT doc_id, 1, band1 FROM sig),
+      |sets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM g GROUP BY doc_id)""".stripMargin
+
   val mmNearDup = QueryDef(
     "mm_near_dup",
-    Some(s"""WITH hb AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
-            |g0 AS (SELECT DISTINCT doc_id, substr(h, (2*i)-1, 16) AS s
-            |      FROM hb, unnest(generate_series(1, CAST(length(h)/2 AS BIGINT) - 7)) AS t(i)
-            |      WHERE length(h) >= 16),
-            |g AS (SELECT doc_id, s FROM g0 WHERE substr(md5(s), 1, 1) IN ('0','1','2','3')),
-            |sig AS (SELECT doc_id,
-            |  min(substr(md5(s), 1, 8))||min(substr(md5(s), 9, 8))||min(substr(md5(s), 17, 8))||min(substr(md5(s), 25, 8)) AS band0,
-            |  min(substr(md5('x' || s), 1, 8))||min(substr(md5('x' || s), 9, 8))||min(substr(md5('x' || s), 17, 8))||min(substr(md5('x' || s), 25, 8)) AS band1
-            |  FROM g GROUP BY doc_id),
-            |bands AS (SELECT doc_id, 0 AS band_id, band0 AS sig FROM sig
-            |          UNION ALL SELECT doc_id, 1, band1 FROM sig),
+    Some(s"""$mmGramCtes,
             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             |         FROM bands a JOIN bands b
             |           ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id),
-            |sets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM g GROUP BY doc_id),
             |j AS (SELECT c.doc_a, c.doc_b,
             |        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
             |          / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jac,
@@ -339,40 +380,58 @@ object Multimodal {
             |SELECT doc_a, doc_b, ${graft.QueryDef.roundedRatioSql("ni", "nu", 6)} AS jac
             |FROM j WHERE jac >= 0.5
             |ORDER BY doc_a, doc_b""".stripMargin),
-    (spark, dir) => {
-      // hex body: builtin binary substring + hex — whole-stage
-      // codegen, no UDF; the 29-byte header is planning metadata, the
-      // body is the content a near-dup check is about. Overlapping
-      // grams are ~one per payload byte — 6× the text pipeline's
-      // element volume — so CONTENT-DEFINED SAMPLING (keep a gram iff
-      // its md5 leads 0-3, p=1/4) thins every downstream stage
-      // (distinct, minhash, set shuffle, verify) identically on both
-      // engines; unlike a positional stride it is shift-robust (an
-      // insertion re-aligns nothing — membership depends only on gram
-      // CONTENT), the standard winnowing-style binary-shingling knob.
-      // Jaccard is then over the sampled sets — deterministic,
-      // oracle-mirrored, and an unbiased estimator of the full-set
-      // value (measured: confirmed pairs 250 = unsampled at sf0.1).
-      // Local wall-clock gains only ~20% (the map-side explode + the
-      // sampling hash dominate on NVMe); the 4× cut is in SHUFFLE
-      // MASS — distinct, signature groupBy, inlined-set join — the
-      // binding resource at cluster scale, which local bytesRead
-      // metrics famously understate (CLAUDE.md).
-      val grams = pngPayloads(spark, dir)
-        .select(col("doc_id"),
-          hex(expr("substring(payload, 30, octet_length(payload) - 29)")).as("h"))
-        .filter(length(col("h")) >= 16)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, CAST(length(h)/2 AS INT) - 7), i -> substring(h, 2*i - 1, 16))")).as("s"))
-        .filter(substring(md5(col("s")), 1, 1).isin("0", "1", "2", "3"))
-        .distinct()
-      graft.ops.Dedup.scoredPairsOf(grams, spark)
+    (spark, dir) =>
+      graft.ops.Dedup.scoredPairsOf(payloadGrams(pngPayloads(spark, dir)), spark)
         .filter(col("jac") >= 0.5)
         .select(col("doc_a"), col("doc_b"),
           graft.QueryDef.roundedRatio(col("n_inter"), col("n_union"), 6).as("jac"))
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"))
+
+  /** The multimodal near-dup SERVING story at parity with text
+    * (`dedup_against_index`'s pattern, query 136): the even-id half's
+    * payload grams are persisted as an LSH index
+    * ([[Dedup.persistLshIndexElems]] — the SAME layout, ledger, delta,
+    * tombstone and fold machinery as the text index), and the odd-id
+    * half's grams probe it ([[Dedup.nearDupCheckElems]]). The oracle
+    * recomputes the identical cross-split candidates + exact sampled
+    * Jaccard in SQL. TIMING CONTRACT: index build+persist runs inside
+    * the measured query (the lifecycle cost, like its text twin). */
+  val mmNearDupAgainstIndex = QueryDef(
+    "mm_near_dup_against_index",
+    Some(s"""$mmGramCtes,
+            |cand AS (SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS index_id
+            |         FROM bands a JOIN bands b
+            |           ON a.band_id = b.band_id AND a.sig = b.sig
+            |         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+            |j AS (SELECT c.probe_id, c.index_id,
+            |        CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE)
+            |          / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) AS jac,
+            |        len(list_intersect(sa.ss, sb.ss)) AS ni,
+            |        len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS nu
+            |      FROM cand c
+            |      JOIN sets sa ON sa.doc_id = c.probe_id
+            |      JOIN sets sb ON sb.doc_id = c.index_id)
+            |SELECT probe_id, index_id, ${graft.QueryDef.roundedRatioSql("ni", "nu", 6)} AS jac
+            |FROM j WHERE jac >= 0.5
+            |ORDER BY probe_id, index_id""".stripMargin),
+    (spark, dir) => {
+      val pay = pngPayloads(spark, dir)
+      val indexDir = graft.TempDirs.create("mm-lsh-index")
+      graft.ops.Dedup.persistLshIndexElems(
+        payloadGrams(pay.filter(col("doc_id") % 2 === 0)), indexDir,
+        prefixLen = 1)
+      // probe side is half the corpus with inlined gram sets — the
+      // broadcast hint is off, AQE picks the build side (the
+      // dedup_against_index discipline)
+      graft.ops.Dedup.nearDupCheckElems(spark, indexDir,
+        payloadGrams(pay.filter(col("doc_id") % 2 === 1)),
+        threshold = 0.5, broadcastProbe = false)
+        .select(col("probe_id"), col("index_id"),
+          graft.QueryDef.roundedRatio(col("n_inter"), col("n_union"), 6).as("jac"))
+        .orderBy("probe_id", "index_id")
     })
 
   val defs: Seq[QueryDef] = Seq(mmBinaryMeta, mmMetaAgg, mmFrameSample,
-    mmResizePlan, mmDedupPayload, mmDecodeMeta, mmNearDup)
+    mmResizePlan, mmDedupPayload, mmDecodeMeta, mmNearDup,
+    mmNearDupAgainstIndex)
 }

@@ -1102,15 +1102,47 @@ object StreamOps {
       outDir: String, batchId: Long, threshold: Double,
       twoStageProbe: Option[Boolean] = None,
       twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor,
-      pairsDriverCap: Long = graft.ops.Dedup.inBatchPairsDriverCap): Unit = {
+      pairsDriverCap: Long = graft.ops.Dedup.inBatchPairsDriverCap): Unit =
+    dedupIngestBatchCore(batch, indexDir, outDir, batchId,
+      // the text modality: bag-of-words fingerprint for the exact
+      // within-batch drop, shingle band rows (short-doc exact
+      // fallback ON) for the index probe
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))),
+      uniq => graft.ops.Dedup.nearDupCheckWithProbe(
+        batch.sparkSession, indexDir, uniq, threshold,
+        belowBatch = batchId, prefixLen = 2, broadcastProbe = true,
+        exactFallback = true, twoStage = twoStageProbe,
+        twoStageFloor = twoStageFloor),
+      threshold, pairsDriverCap)
+
+  /** The modality-agnostic ingest-batch core: callers supply (a) the
+    * EXACT-duplicate fingerprint column (bag-of-words md5 for text,
+    * payload md5 for binary media) and (b) the index probe — a
+    * function of the exact-deduped batch returning
+    * `(confirmed pairs, pinned probe band rows, release)`, i.e. the
+    * [[graft.ops.Dedup.nearDupCheckWithProbe]] shape over whatever
+    * element relation the modality bands on. Everything downstream —
+    * within-batch family resolution with the driver-cap fallback,
+    * band-row-reuse append, decision log, axis claim — is shared
+    * verbatim across modalities. */
+  private def dedupIngestBatchCore(batch: DataFrame, indexDir: String,
+      outDir: String, batchId: Long,
+      fp: org.apache.spark.sql.Column,
+      probe: DataFrame => (DataFrame, DataFrame, () => Unit),
+      threshold: Double, pairsDriverCap: Long): Unit = {
     import org.apache.spark.sql.expressions.Window
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val fp = md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
-    val uniq = batch
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(fp).orderBy(col("doc_id"))))
-      .filter(col("rn") === 1).drop("rn")
+    // exact within-batch dedup WITHOUT shuffling the heavy column: the
+    // digest groupBy ships (fp, doc_id) only — map-side-combined min —
+    // and the survivor ids broadcast back into a semi-join, so the
+    // payload/text bytes never cross an exchange (a window over the
+    // full rows would shuffle every byte of the batch once; the
+    // survivor-id set is micro-batch-bounded ids, broadcast-sized).
+    // Same semantics as before: min doc_id per fingerprint survives.
+    val keep = batch.groupBy(fp.as("fp"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val uniq = batch.join(broadcast(keep), Seq("doc_id"), "left_semi")
       .persist()
     try {
       // releasable probe: one check runs per micro-batch for the
@@ -1129,10 +1161,7 @@ object StreamOps {
       // index's persisted fat-cell tail intersected with the batch's
       // own cells, re-read each batch so a mid-stream re-bucket moves
       // the plan WITH the layout; Some(x) stays the operator override.
-      val (dupsRaw, probeRows, releaseProbe) = graft.ops.Dedup.nearDupCheckWithProbe(
-        spark, indexDir, uniq, threshold, belowBatch = batchId,
-        prefixLen = 2, broadcastProbe = true, exactFallback = true,
-        twoStage = twoStageProbe, twoStageFloor = twoStageFloor)
+      val (dupsRaw, probeRows, releaseProbe) = probe(uniq)
       val dups = dupsRaw.persist()
       try {
         val fresh = uniq.join(
@@ -1305,6 +1334,46 @@ object StreamOps {
     // it itself on the add path; writeStreamAxis is monotonic)
     graft.GenLifecycle.writeStreamAxis(spark, indexDir, batchId)
   }
+
+  /** MULTIMODAL dedup-at-ingest — [[dedupIngest]] for a binary-media
+    * stream `(doc_id, payload, …)`: per micro-batch, (1) exact
+    * within-batch dedup by payload digest (byte-identical replicas
+    * collapse, min doc_id survives); (2) the batch's byte 8-grams
+    * ([[graft.ops.Multimodal.payloadGrams]] — map-side, the payload
+    * never crosses an exchange) probe the persisted gram index
+    * ([[graft.ops.Dedup.persistLshIndexElems]]) below this batch;
+    * (3) within-batch near-dup families among the fresh payloads
+    * (same union-find/distributed-fallback machinery); (4) accepted
+    * docs' band rows append as the batch's delta; (5) decision log in
+    * `outDir/b<batchId>`. IDENTICAL index format to the text family,
+    * so tombstone deletes, folds, re-bucketing and the maintenance
+    * autopilot apply unchanged — the serving story the batch query
+    * `mm_near_dup_against_index` oracle-checks. No short-doc exact
+    * fallback: a payload whose body is under 8 bytes has no gram to
+    * match on (the modality's analog of a zero-token doc). */
+  def mmDedupIngest(media: DataFrame, indexDir: String, outDir: String,
+      threshold: Double = 0.5,
+      twoStageProbe: Option[Boolean] = None,
+      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    media.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mmDedupIngestBatch(batch.toDF(), indexDir, outDir, batchId,
+          threshold, twoStageProbe, twoStageFloor)
+    }
+
+  private[graft] def mmDedupIngestBatch(batch: DataFrame, indexDir: String,
+      outDir: String, batchId: Long, threshold: Double,
+      twoStageProbe: Option[Boolean] = None,
+      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor,
+      pairsDriverCap: Long = graft.ops.Dedup.inBatchPairsDriverCap): Unit =
+    dedupIngestBatchCore(batch, indexDir, outDir, batchId,
+      md5(col("payload")),
+      uniq => graft.ops.Dedup.nearDupCheckElemsWithProbe(
+        batch.sparkSession, indexDir,
+        graft.ops.Multimodal.payloadGrams(uniq), threshold,
+        belowBatch = batchId, prefixLen = 2, broadcastProbe = true,
+        twoStage = twoStageProbe, twoStageFloor = twoStageFloor),
+      threshold, pairsDriverCap)
 
   /** Union of batch-result directories under an explicit schema —
     * NEVER inferred: a batch whose result was empty (all probed cells

@@ -446,18 +446,20 @@ class PlanSpec extends SparkSuite {
     assert(fileShape.contains("Aggregate"), fileShape.toString)
   }
 
-  test("mm_near_dup: payload bytes never cross an exchange — grams are extracted map-side") {
+  // the mm pipelines materialize intermediates (separate jobs), so
+  // the exchanges to audit only exist inside those executions —
+  // capture every one via listener (the two-stage-probe precedent)
+  // and walk each tree STRUCTURALLY: any shuffle or broadcast whose
+  // output carries the binary `payload` (or its payload-sized hex
+  // body `h`) would ship megabytes per row at corpus scale; the
+  // contract is that exchanges only ever carry (doc_id, 16-char
+  // gram) and band signatures. Vacuity-guarded: at least
+  // `minExchanges` must be captured or the gate fails.
+  private def auditNoPayloadExchange(minExchanges: Int)(
+      body: => Option[org.apache.spark.sql.execution.QueryExecution]): Unit = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
-    // the gram pipeline materializes intermediates (separate jobs), so
-    // the exchanges to audit only exist inside those executions —
-    // capture every one via listener (the two-stage-probe precedent)
-    // and walk each tree STRUCTURALLY: any shuffle or broadcast whose
-    // output carries the binary `payload` (or its payload-sized hex
-    // body `h`) would ship megabytes per row at corpus scale; the
-    // contract is that exchanges only ever carry (doc_id, 16-char
-    // gram) and band signatures.
     val nExchanges = new java.util.concurrent.atomic.AtomicInteger()
     val violations = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def walk(p: SparkPlan): Unit = {
@@ -488,20 +490,49 @@ class PlanSpec extends SparkSuite {
     }
     spark.listenerManager.register(listener)
     try {
-      val out = SparkEntry.queries("mm_near_dup")(spark, sf("sf0.001"))
-      assert(out.collect().length > 0)
-      walk(out.queryExecution.executedPlan)
+      body.foreach(qe => walk(qe.executedPlan))
       // the listener bus is async: wait until the capture has seen the
       // gram pipeline's shuffles (distinct + signature groupBy at
       // minimum), then give stragglers a beat before judging
       val deadline = System.currentTimeMillis() + 20000
-      while (nExchanges.get() < 2 && System.currentTimeMillis() < deadline)
+      while (nExchanges.get() < minExchanges && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       Thread.sleep(1000)
-      assert(nExchanges.get() >= 2,
-        "no exchanges captured — the gate is vacuous")
+      assert(nExchanges.get() >= minExchanges,
+        s"only ${nExchanges.get()} exchanges captured — the gate is vacuous")
       import scala.jdk.CollectionConverters._
       assert(violations.isEmpty, violations.asScala.mkString("; "))
     } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("mm_near_dup: payload bytes never cross an exchange — grams are extracted map-side") {
+    auditNoPayloadExchange(minExchanges = 2) {
+      val out = SparkEntry.queries("mm_near_dup")(spark, sf("sf0.001"))
+      assert(out.collect().length > 0)
+      Some(out.queryExecution)
+    }
+  }
+
+  test("mm near-dup SERVED form: no payload across an exchange in persist, probe, or ingest batch") {
+    // the whole lifecycle under one audit: index persist from grams,
+    // the against-index probe, and one mmDedupIngest micro-batch —
+    // every exchange any of them runs is captured and checked
+    auditNoPayloadExchange(minExchanges = 2) {
+      val dir = sf("sf0.001")
+      val pay = graft.ops.Multimodal.pngPayloads(spark, dir)
+      val indexDir = java.nio.file.Files.createTempDirectory("mm-plan-idx").toString
+      val outDir = java.nio.file.Files.createTempDirectory("mm-plan-out").toString
+      graft.ops.Dedup.persistLshIndexElems(
+        graft.ops.Multimodal.payloadGrams(
+          pay.filter(col("doc_id") % 2 === 0)), indexDir, prefixLen = 1)
+      val out = graft.ops.Dedup.nearDupCheckElems(spark, indexDir,
+        graft.ops.Multimodal.payloadGrams(pay.filter(col("doc_id") % 2 === 1)),
+        threshold = 0.5, broadcastProbe = false)
+      assert(out.collect().length > 0, "served probe found nothing — vacuous")
+      graft.streaming.StreamOps.mmDedupIngestBatch(
+        pay.filter(col("doc_id") % 2 === 1).limit(50), indexDir, outDir,
+        batchId = 1L, threshold = 0.5)
+      Some(out.queryExecution)
+    }
   }
 }

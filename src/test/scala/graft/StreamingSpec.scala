@@ -1174,6 +1174,74 @@ class StreamingSpec extends SparkSuite {
     assert(!served().contains(1000000L))
   }
 
+  test("mm dedup ingest: payload near-dups flagged across batches, exact copies dropped, replay identical, shared takedown applies") {
+    import graft.ops.{Dedup, Multimodal}
+    val indexDir = java.nio.file.Files.createTempDirectory("mm-ingest-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("mm-ingest-out").toString
+    // 29-byte header (content irrelevant to the gram pipeline) + a
+    // distinct-word body so the sampled gram sets are big enough for
+    // stable Jaccard margins
+    def pay(body: String): Array[Byte] =
+      Array.fill[Byte](29)(0) ++ body.getBytes("UTF-8")
+    val bodyA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu"
+    val bodyB = bodyA.dropRight(4) + "zzzz" // near-dup of A
+    val bodyC = "one red two blue three green four yellow five purple six " +
+      "orange seven white eight black nine brown ten pink eleven gray " +
+      "twelve cyan thirteen magenta fourteen olive fifteen maroon"
+    val bodyC2 = bodyC.dropRight(6) + "minted" // near-dup of C
+    Dedup.persistLshIndexElems(
+      Multimodal.payloadGrams(Seq(2L -> pay(bodyA)).toDF("doc_id", "payload")),
+      indexDir)
+
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.mmDedupIngest(
+      in.toDF().toDF("doc_id", "payload"), indexDir, outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mm-ingest-ckpt").toString)
+      .start()
+    // batch 0: near-copy of the seeded payload (101 flags vs 2), a new
+    // payload (103 accepted), and its byte-identical replica (105 —
+    // dropped by the exact payload-digest pass before any check)
+    in.addData(101L -> pay(bodyB), 103L -> pay(bodyC), 105L -> pay(bodyC))
+    q.processAllAvailable()
+    // batch 1: a near-copy of batch 0's accept flags against the DELTA
+    in.addData(107L -> pay(bodyC2))
+    q.processAllAvailable()
+    q.stop()
+
+    def decisions(b: Int): Map[Long, Option[Long]] =
+      spark.read.parquet(s"$outDir/b$b")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(decisions(0) === Map(101L -> Some(2L), 103L -> None))
+    assert(decisions(1) === Map(107L -> Some(103L)))
+
+    // crash replay of batch 1: identical decisions, index not
+    // double-grown (a fresh probe of bodyC2 finds exactly one near
+    // match — 103; 107 itself was flagged, never indexed)
+    StreamOps.mmDedupIngestBatch(Seq(107L -> pay(bodyC2)).toDF("doc_id", "payload"),
+      indexDir, outDir, batchId = 1L, threshold = 0.5)
+    assert(decisions(1) === Map(107L -> Some(103L)))
+
+    // the SHARED takedown machinery applies unchanged to the mm index
+    // (same layout): retro delete of the seeded doc at/below the axis
+    Dedup.deleteFromLshIndex(spark, indexDir, Seq(2L).toDF("doc_id"),
+      batchId = 1L)
+    val hits = Dedup.nearDupCheckElems(spark, indexDir,
+      Multimodal.payloadGrams(Seq(999L -> pay(bodyB)).toDF("doc_id", "payload")),
+      threshold = 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(!hits.contains(2L), "mm takedown leaked into serving")
+    // and the out-of-axis loud reject holds for the mm index too
+    val e = intercept[IllegalStateException] {
+      Dedup.deleteFromLshIndex(spark, indexDir, Seq(103L).toDF("doc_id"),
+        batchId = 9L)
+    }
+    assert(e.getMessage.contains("owned by a streaming ingest"), e.getMessage)
+  }
+
   test("dedup ingest with the two-stage probe: decision logs identical to the one-pass mode, replay-safe") {
     import graft.ops.Dedup
     val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
