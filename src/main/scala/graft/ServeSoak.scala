@@ -372,6 +372,59 @@ object ServeSoak {
         f"median=${Bench.median(before)}%.2f->${Bench.median(after)}%.2f s")
     }
 
+    // TOMBSTONE ROW-MASS PRESSURE: the measurement behind
+    // Policy.maxTombRows — a single fat takedown is ONE delta file and
+    // zero band rows, so it trips neither the row/batch backlog nor
+    // maxDeltaFiles, yet every probe pays a broadcast anti-join of its
+    // key mass until a fold applies + retires it. Time the SAME probe
+    // at zero tombstones (the minusTombs identity fast path), under
+    // two takedown masses, and after the fold that the tombRows floor
+    // alone trips. Keys are ABSENT ids throughout: the anti-join tax
+    // depends on key mass, not on whether the keys still match
+    // anything. SPARK_GRAFT_SOAK_TOMB=0 skips the leg.
+    if (sys.env.getOrElse("SPARK_GRAFT_SOAK_TOMB", "1") == "1") {
+      import spark.implicits._
+      import graft.ops.{Dedup, IndexMaintenance}
+      val tDir = java.nio.file.Files.createTempDirectory("soak-tomb-lsh").toString
+      Dedup.persistLshIndex(
+        spark.read.parquet(s"$soakDir/documents.parquet"), tDir)
+      val probe = probeDocs(soakDir)
+      probe.collect()
+      def probeSecs(n: Int): Seq[Double] = (1 to n).map(_ =>
+        timed(Dedup.nearDupCheck(spark, tDir, probe).collect())._2)
+      val zero = probeSecs(5)
+      Dedup.deleteFromLshIndex(spark, tDir,
+        spark.range(10000000L, 10200000L).toDF("doc_id"), batchId = 1L)
+      val m200k = probeSecs(5)
+      Dedup.deleteFromLshIndex(spark, tDir,
+        spark.range(20000000L, 21000000L).toDF("doc_id"), batchId = 2L)
+      val m1200k = probeSecs(5)
+      val massBefore = IndexMaintenance.lshSignals(spark, tDir).tombRows
+      require(massBefore == 1200000L,
+        s"ledger-recorded tombstone mass wrong: $massBefore")
+      // a data batch ABOVE the takedowns so the fold RETIRES them (the
+      // orphan-guard floor rule), then the tombRows floor alone trips
+      // the fold — row/batch/file thresholds all quiet
+      Dedup.appendToLshIndex(spark, tDir,
+        Seq(7000000000L -> "tombstone soak filler doc").toDF("doc_id", "text"),
+        batchId = 3L)
+      val tombPolicy = IndexMaintenance.Policy(backlogRatio = 0.9,
+        backlogBatches = 1000, maxTombRows = 100000L)
+      val tombAction = IndexMaintenance.maintainLshIndex(spark, tDir, tombPolicy)
+      require(tombAction == IndexMaintenance.Compact,
+        s"tombstone row-mass floor did not trip the fold: $tombAction")
+      val massAfter = IndexMaintenance.lshSignals(spark, tDir).tombRows
+      require(massAfter == 0L,
+        s"fold did not retire the takedowns: $massAfter")
+      val afterFold = probeSecs(5)
+      println(f"[servesoak] x$factor%-4d tombstone_mass_pressure " +
+        s"mass=$massBefore->$massAfter action=$tombAction " +
+        f"probe_zero=${Bench.median(zero)}%.2fs " +
+        f"probe_200k=${Bench.median(m200k)}%.2fs " +
+        f"probe_1200k=${Bench.median(m1200k)}%.2fs " +
+        f"probe_after_fold=${Bench.median(afterFold)}%.2fs")
+    }
+
     // ALL-SIGNALS COMPOSED SOAK: every autopilot arc enabled AT ONCE on
     // BOTH index families — LSH hot/cold re-bucketing, row/batch/file
     // backlog folds, IVF drift → Lloyd with PQ training riding — under

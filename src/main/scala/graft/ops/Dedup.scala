@@ -781,7 +781,16 @@ object Dedup {
       docIds.select(col("doc_id").cast("long").as("doc_id")).distinct()
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$indexDir/delta/t$batchId")
-      graft.GenManifest.DeltaEntry(batchId, 0L, None, tomb = true)
+      // key count rides the ledger entry (footer-cheap count over the
+      // just-written file): the maintenance autopilot's tombstone
+      // ROW-mass signal must not re-read key lists per tick, and a
+      // single fat takedown taxes every probe with a broadcast
+      // anti-join of exactly this many rows while tripping neither
+      // the row-backlog nor the file-count signal
+      val n = spark.read.schema(lshTombReadSchema)
+        .parquet(s"$indexDir/delta/t$batchId").count()
+      graft.GenManifest.DeltaEntry(batchId, 0L, None, tomb = true,
+        rows = Some(Seq(n)))
     }
   }
 

@@ -67,6 +67,15 @@ object IndexMaintenance {
     * thresholds alone under-fire exactly there. O(1) to compute: the
     * ledger already carries every cell list. Pre-ledger layouts read
     * 0 (the signal is ledger-born, like the cell lists themselves). */
+  /** `tombRows`: LIVE tombstone key mass (Σ recorded key counts over
+    * un-retired tombstone deltas) — the probe-tax signal
+    * `deltaFiles` cannot see: a tombstone counts ONE file, and its
+    * keys are not band/corpus rows, so a single fat takedown (say
+    * 10⁶ ids) taxes every probe with a 10⁶-row broadcast anti-join
+    * while tripping neither `backlogRatio` nor `maxDeltaFiles`. Key
+    * counts ride the delete's own ledger entry (recorded at write —
+    * zero reads here); a pre-r13 tombstone without one falls back to
+    * a footer count of its key list. */
   final case class Signals(
       baseRows: Long,
       deltaRows: Long,
@@ -76,7 +85,8 @@ object IndexMaintenance {
       hottestCellRows: Long = 0L,
       medianCellRows: Long = 0L,
       foldedHottestRows: Long = 0L,
-      deltaFiles: Long = 0L)
+      deltaFiles: Long = 0L,
+      tombRows: Long = 0L)
 
   /** Thresholds. `backlogRatio`: delta mass as a share of the base
     * that justifies paying a fold (each probe reads its cells in EVERY
@@ -108,6 +118,15 @@ object IndexMaintenance {
     * which a fold is justified on FS-metadata pressure alone (0 =
     * disabled — size it to the probe-latency budget per delta file on
     * the deployment's store; see [[Signals.deltaFiles]]). */
+  /** `maxTombRows`: live tombstone key mass at or above which a fold
+    * is justified on probe-side anti-join tax alone (0 = disabled —
+    * size it to the broadcast budget per probe; see
+    * [[Signals.tombRows]]). NOTE a tombstone only RETIRES once folded
+    * DATA ids cover its own (the orphan-guard floor rule), so on a
+    * stream this trigger self-clears at the first fold after the next
+    * data batch; with NO data flowing the fold still applies the
+    * delete physically and the signal persists harmlessly until one
+    * arrives. */
   final case class Policy(
       backlogRatio: Double = 0.10,
       backlogBatches: Int = 8,
@@ -116,13 +135,16 @@ object IndexMaintenance {
       trainPqIters: Int = 0,
       hotCellRows: Long = 0L,
       coldCellRows: Long = 0L,
-      maxDeltaFiles: Long = 0L)
+      maxDeltaFiles: Long = 0L,
+      maxTombRows: Long = 0L)
 
   private def decide(s: Signals, p: Policy): Action =
     if (s.maxDrift.exists(_ > p.driftBound)) LloydRebuild(p.lloydIters)
     else if (s.staleDeltas > 0) Compact // full-read tax + relabel-on-fold
     else if (p.maxDeltaFiles > 0 && s.deltaFiles >= p.maxDeltaFiles)
       Compact // small-file pressure: listing cost, not row mass
+    else if (p.maxTombRows > 0 && s.tombRows >= p.maxTombRows)
+      Compact // probe anti-join tax: key mass, not file count
     else if (s.deltaBatches > 0 &&
       (s.deltaBatches >= p.backlogBatches ||
         s.deltaRows.toDouble >= p.backlogRatio * math.max(1L, s.baseRows)))
@@ -139,6 +161,24 @@ object IndexMaintenance {
     graft.GenManifest.readLedger(spark, indexDir).getOrElse(Seq.empty)
       .filter(_.id > floor)
       .map(e => if (e.tomb) 1L else e.cells.map(_.size.toLong).getOrElse(1L))
+      .sum
+  }
+
+  /** [[Signals.tombRows]] from the ledger — zero data reads for
+    * tombstones written since the counts ride their entries (r13+);
+    * a legacy entry without one costs a footer count of its key list
+    * (explicit one-column schema: an empty delete reads as zero keys,
+    * and only the row COUNT is consulted, so the column name choice
+    * is immaterial across families). */
+  private def tombRowsOf(spark: SparkSession, indexDir: String): Long = {
+    val floor = graft.GenManifest.resolve(spark, indexDir)
+      .map(_.floor).getOrElse(-1L)
+    graft.GenManifest.readLedger(spark, indexDir).getOrElse(Seq.empty)
+      .filter(e => e.tomb && e.id > floor)
+      .map(e => e.rows.map(_.sum).getOrElse(
+        spark.read.schema(
+            org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
+          .parquet(s"$indexDir/delta/t${e.id}").count()))
       .sum
   }
 
@@ -205,7 +245,8 @@ object IndexMaintenance {
         if (worst.isNullAt(0)) None else Some(worst.getDouble(0))
       }
     Signals(base, delta, batches, drift, staleDeltas = stale,
-      deltaFiles = deltaFilesOf(spark, indexDir))
+      deltaFiles = deltaFilesOf(spark, indexDir),
+      tombRows = tombRowsOf(spark, indexDir))
   }
 
   def lshSignals(spark: SparkSession, indexDir: String): Signals = {
@@ -248,7 +289,8 @@ object IndexMaintenance {
     Signals(base, delta, batches, maxDrift = None,
       hottestCellRows = hottest, medianCellRows = median,
       foldedHottestRows = folded,
-      deltaFiles = deltaFilesOf(spark, indexDir))
+      deltaFiles = deltaFilesOf(spark, indexDir),
+      tombRows = tombRowsOf(spark, indexDir))
   }
 
   def planIvf(spark: SparkSession, indexDir: String,

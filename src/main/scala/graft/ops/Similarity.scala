@@ -1075,7 +1075,12 @@ object Similarity {
       vecIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$indexDir/delta/t$batchId")
-      graft.GenManifest.DeltaEntry(batchId, st.gen, None, tomb = true)
+      // key count for the autopilot's tombstone row-mass signal
+      // (footer-cheap; see the LSH twin)
+      val n = spark.read.schema(ivfTombReadSchema)
+        .parquet(s"$indexDir/delta/t$batchId").count()
+      graft.GenManifest.DeltaEntry(batchId, st.gen, None, tomb = true,
+        rows = Some(Seq(n)))
     }
   }
 

@@ -1689,6 +1689,52 @@ class OpsSpec extends SparkSuite {
       IndexMaintenance.NoOp)
   }
 
+  test("tombstone ROW-mass pressure: a fat takedown alone trips Compact; the covering fold retires it and clears the signal") {
+    import graft.ops.{Dedup, IndexMaintenance}
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-tombmass").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val textA = "one two three four five six seven eight nine ten eleven twelve"
+    val textC = "red orange yellow green blue indigo violet septaria umbra ochre sienna teal"
+    Dedup.persistLshIndex(
+      (0 until 100).map(i => (i.toLong, seeded)).toDF("doc_id", "text"),
+      indexDir)
+    // tiny data deltas bracket a FAT takedown (1500 keys — absent ids:
+    // key mass taxes every probe's broadcast anti-join whether or not
+    // the keys still match anything); rows/batches/files all stay far
+    // below their thresholds, so only the new signal can see it
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(200L -> textA).toDF("doc_id", "text"), batchId = 1L)
+    Dedup.deleteFromLshIndex(spark, indexDir,
+      (10000 until 11500).map(_.toLong).toDF("doc_id"), batchId = 2L)
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(201L -> textC).toDF("doc_id", "text"), batchId = 3L)
+    val s = IndexMaintenance.lshSignals(spark, indexDir)
+    assert(s.tombRows === 1500L, s"ledger-recorded key mass wrong: $s")
+    val quiet = IndexMaintenance.Policy(backlogRatio = 0.9,
+      backlogBatches = 100)
+    assert(IndexMaintenance.planLsh(spark, indexDir, quiet) ===
+      IndexMaintenance.NoOp, "premise broken: another threshold fired")
+    // the tombstone row floor alone trips the fold...
+    val tombPolicy = quiet.copy(maxTombRows = 1000L)
+    assert(IndexMaintenance.maintainLshIndex(spark, indexDir, tombPolicy) ===
+      IndexMaintenance.Compact)
+    // ...and because folded data ids (max 3) cover the tombstone (2),
+    // it RETIRES under the floor — signal cleared, no flip-flop
+    assert(IndexMaintenance.lshSignals(spark, indexDir).tombRows === 0L)
+    assert(IndexMaintenance.planLsh(spark, indexDir, tombPolicy) ===
+      IndexMaintenance.NoOp)
+
+    // the IVF family carries the same ledger-borne signal
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivf-tombmass").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), ivfDir)
+    Similarity.deleteFromIvfIndex(spark, ivfDir,
+      (50000 until 51200).map(_.toLong).toDF("vec_id"), batchId = 1L)
+    assert(IndexMaintenance.ivfSignals(spark, ivfDir).tombRows === 1200L)
+    assert(IndexMaintenance.planIvf(spark, ivfDir,
+      quiet.copy(maxTombRows = 1000L)) === IndexMaintenance.Compact)
+  }
+
   test("two-stage AUTO sees committed-delta mass: an append-only layout flips once probed cells clear the floor") {
     import graft.ops.Dedup
     val indexDir = java.nio.file.Files.createTempDirectory("lsh-auto-delta").toString
