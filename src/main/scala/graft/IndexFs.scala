@@ -207,7 +207,7 @@ private[graft] object GenManifest {
   final case class State(seq: Long, gen: Long, floor: Long, lgen: Long)
 
   def manifestIds(spark: SparkSession, dir: String): Seq[Long] =
-    IndexFs.listNames(spark, dir, "m\\d+").map(_.drop(1).toLong).sorted
+    GenLifecycle.versionIds(spark, dir, "m", gated = false).sorted
 
   /** Newest committed state, if any manifest exists. */
   def resolve(spark: SparkSession, dir: String): Option[State] = {
@@ -462,6 +462,47 @@ private[graft] object GenLifecycle {
           s"($feedHint) or issue it at an id <= $last from the writer " +
           "context between micro-batches.")
     }
+
+  /** Ids of `<prefix><id>` children of `dir` strictly below `below` —
+    * the shared listing primitive of every id-versioned layout (dim /
+    * stats state versions `v<id>`, partitioned-stats and index
+    * manifests `m<id>`, exactly-once outputs `batch=<id>`, ingest
+    * decision logs `b<id>`). `gated` = only ids whose directory
+    * carries the `_SUCCESS` commit marker: a version directory EXISTS
+    * from the moment its overwrite starts, so serving or merging
+    * against an ungated listing reads torn state. Pass gated=false
+    * for rename-committed layouts (manifest FILES, renamed batch
+    * dirs) and for GC sweeps, which must see torn directories to
+    * remove them. */
+  def versionIds(spark: SparkSession, dir: String, prefix: String,
+      below: Long = Long.MaxValue, gated: Boolean = true): Seq[Long] =
+    IndexFs.listNames(spark, dir,
+        java.util.regex.Pattern.quote(prefix) + "\\d+")
+      .map(_.drop(prefix.length).toLong)
+      .filter(_ < below)
+      .filter(id => !gated || IndexFs.exists(spark, s"$dir/$prefix$id/_SUCCESS"))
+
+  /** The (base, current) two-version GC rule of the full-copy state
+    * sinks ([[graft.streaming.StreamOps.dimUpsert]]/`statsMerge`):
+    * keep the merge base (newest COMMITTED version strictly below
+    * `batchId`, when the caller had one) and `<prefix><batchId>`
+    * itself; delete every other version — ids ABOVE batchId too
+    * (residue of an abandoned run: old stateDir + fresh checkpoint;
+    * left alive it would be served as "latest" and eventually picked
+    * as a merge base, double-counting the dead run), and torn
+    * uncommitted dirs (ungated sweep). The base survives because the
+    * checkpoint may not have committed this batch yet: a crash there
+    * replays batchId, whose merge MUST find the pre-batch state or it
+    * silently resets the table to the replayed batch alone. */
+  def gcVersions(spark: SparkSession, dir: String, prefix: String,
+      batchId: Long, keepBase: Boolean): Unit = {
+    val keep =
+      if (keepBase) Some(versionIds(spark, dir, prefix, below = batchId).max)
+      else None
+    versionIds(spark, dir, prefix, gated = false)
+      .filter(v => (v < batchId && !keep.contains(v)) || v > batchId)
+      .foreach(v => IndexFs.delete(spark, s"$dir/$prefix$v"))
+  }
 
   /** Retract any prior (id, kind) entry, run the data write, append
     * the entry it returns (floor-trimmed). `prior` is the caller's

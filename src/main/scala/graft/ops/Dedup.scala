@@ -1856,6 +1856,40 @@ object Dedup {
     * back tags each doc's repeated windows, and coverage is a
     * window→token explode bounded by 8× the repeated-window count —
     * no pairwise work anywhere, state O(distinct windows). */
+  /** Overlapping k-token window relation `(doc_id, i, h)` — one row
+    * per window start (1-based), `h` = md5 of the space-joined k-token
+    * span. Generated map-side (tokenize + transform, no shuffle).
+    * SHARED by the batch [[dedupSubstring]] pass and the streaming
+    * [[graft.streaming.StreamOps.substringRepeats]] form: the two legs
+    * must agree byte-for-byte on which spans exist and how they hash,
+    * or the streaming→batch-compaction handoff silently changes the
+    * repeat set on whitespace-variant docs (the corpusIngest
+    * fingerprint convention). */
+  private[graft] def substringWindows(docs: DataFrame, k: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      .filter(col("n") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n - ${k - 1}), i -> struct(i AS i, md5(concat_ws(' ', slice(ws, i, $k))) AS h))")).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
+
+  /** The `rwin` relation of the ExactSubstr pass: distinct
+    * `(doc_id, i)` window starts whose hash occurs in ≥2 DISTINCT
+    * documents. One shuffle on the window hash (map-side-combined
+    * count-distinct), one hash join back — no pairwise work. The
+    * window relation is materialized once (it feeds both the count
+    * aggregate and the join probe side). Shared by the batch QueryDef
+    * and the streaming parity gate in StreamingSpec. */
+  private[graft] def substringRepWindows(docs: DataFrame, k: Int = 8): DataFrame = {
+    val wins = substringWindows(docs, k).materialized
+    val rep = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    wins.join(rep, "h").select("doc_id", "i").distinct()
+  }
+
   val dedupSubstring = QueryDef(
     "dedup_substring",
     Some(s"""WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents),
@@ -1879,23 +1913,15 @@ object Dedup {
             |       LEFT JOIN cov ON cov.doc_id = t.doc_id
             |ORDER BY t.doc_id""".stripMargin),
     (spark, dir) => {
-      val toks = Tables.table(spark, dir, "documents")
+      val docs = Tables.table(spark, dir, "documents")
+      val toks = docs
         .select(col("doc_id"),
           filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
         .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
         .filter(col("n") > 0)
-      // windows used twice (repeat detection + per-doc tagging):
-      // materialize so the tokenize+hash pass runs once
-      val wins = toks.filter(col("n") >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, n - 7), i -> struct(i AS i, md5(concat_ws(' ', slice(ws, i, 8))) AS h))")).as("w"))
-        .select(col("doc_id"), col("w.i").as("i"), col("w.h").as("h"))
-        .materialized
-      val rep = wins.groupBy("h")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("h")
-      val rwin = wins.join(rep, "h").select("doc_id", "i").distinct()
-        .materialized
+      // rwin used twice (repeat count + coverage explode): materialize
+      // it; the window relation is materialized inside the helper
+      val rwin = substringRepWindows(docs).materialized
       val rcnt = rwin.groupBy("doc_id").agg(count(lit(1)).as("nr"))
       val cov = rwin
         .select(col("doc_id"), explode(expr("sequence(i, i + 7)")).as("tok"))

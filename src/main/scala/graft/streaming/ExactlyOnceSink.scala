@@ -42,8 +42,9 @@ object ExactlyOnceSink {
     val spark = batch.sparkSession
     val target = s"$outDir/batch=$batchId"
     if (graft.IndexFs.exists(spark, target)) {
-      val maxCommitted = graft.IndexFs.listNames(spark, outDir, "batch=\\d+")
-        .map(_.stripPrefix("batch=").toLong).max
+      // rename-committed layout: the listing is ungated
+      val maxCommitted = graft.GenLifecycle.versionIds(spark, outDir,
+        "batch=", gated = false).max
       if (batchId < maxCommitted)
         throw new IllegalStateException(
           s"batch=$batchId already exists but commits reach batch=$maxCommitted: " +
@@ -96,8 +97,9 @@ object ExactlyOnceSink {
     * (a legacy outDir without the sidecar falls back to inference,
     * which worked exactly when every batch had data). */
   def readCommitted(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
-    val committed = graft.IndexFs.listNames(spark, outDir, "batch=\\d+")
-      .map(n => s"$outDir/$n")
+    val committed = graft.GenLifecycle.versionIds(spark, outDir,
+        "batch=", gated = false)
+      .map(id => s"$outDir/batch=$id")
     if (committed.isEmpty) spark.emptyDataFrame
     else {
       val ddl = s"$outDir/_schema.ddl"

@@ -115,6 +115,84 @@ class UvDedupProcessor(ttl: TTLConfig)
   }
 }
 
+/** One k-token window occurrence for [[StreamOps.substringRepeats]]:
+  * `h` = the window hash (the state key), `(doc_id, i)` = where it
+  * occurred (1-based window start). */
+final case class WinOcc(doc_id: Long, i: Int, h: String)
+
+/** A repeated-window event: window start `i` of document `doc_id` is
+  * covered by a span that occurs verbatim in ≥2 distinct documents. */
+final case class RepWin(doc_id: Long, i: Int)
+
+/** Per-window-hash state machine for [[StreamOps.substringRepeats]]
+  * (the streaming ExactSubstr pass): each key is one distinct k-token
+  * window hash; state is the first contributing document plus its
+  * occurrences PENDING a second distinct document. The batch rule is
+  * COUNT(DISTINCT doc_id) ≥ 2 ⇒ EVERY occurrence of the hash is a
+  * repeated window (including the first document's), so a one-pass
+  * stream must hold the first document's occurrences back until a
+  * second distinct document proves the repeat — at which point the
+  * pending occurrences AND the new one emit, the pending list clears,
+  * and every later occurrence emits immediately. The union of emitted
+  * `(doc_id, i)` events over the stream's lifetime therefore equals
+  * the batch `rwin` relation exactly (StreamingSpec proves it on the
+  * shared corpus against [[graft.ops.Dedup.substringRepWindows]]).
+  *
+  * State shape at scale: keys shard by window hash across the
+  * cluster's state stores like any keyed agg; one key per DISTINCT
+  * window (the same O(distinct windows) bound as the batch shuffle),
+  * worth (first_doc, pending) before a repeat — pending is bounded by
+  * the hash's repeats WITHIN its first document, ~1 in real text —
+  * and a single boolean after (first/pending cleared on the flip, so
+  * the heavy half of the state is transient by construction). */
+class SubstringRepeatProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[String, WinOcc, RepWin] {
+
+  @transient private var first: ValueState[Long] = _
+  @transient private var rep: ValueState[Boolean] = _
+  @transient private var pending: ListState[RepWin] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    first = getHandle.getValueState[Long]("first", Encoders.scalaLong, ttl)
+    rep = getHandle.getValueState[Boolean]("rep", Encoders.scalaBoolean, ttl)
+    pending = getHandle.getListState[RepWin]("pending",
+      Encoders.product[RepWin], ttl)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[WinOcc],
+      timers: TimerValues): Iterator[RepWin] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RepWin]
+    var isRep = rep.exists() && rep.get()
+    var firstDoc = if (first.exists()) Some(first.get()) else None
+    // (doc_id, i) order: the emitted SET is order-independent (any
+    // arrival order yields the same repeat set — only which doc is
+    // "first" moves, and its occurrences emit either way), the sort
+    // just pins a deterministic within-batch emission order
+    rows.toSeq.sortBy(o => (o.doc_id, o.i)).foreach { o =>
+      if (isRep) out += RepWin(o.doc_id, o.i)
+      else firstDoc match {
+        case None =>
+          firstDoc = Some(o.doc_id)
+          first.update(o.doc_id)
+          pending.appendValue(RepWin(o.doc_id, o.i))
+        case Some(fd) if fd == o.doc_id =>
+          // same doc again (an internal repeat, or the doc re-sent):
+          // NOT a cross-document repeat — the distinct-doc rule
+          pending.appendValue(RepWin(o.doc_id, o.i))
+        case Some(_) =>
+          isRep = true
+          rep.update(true)
+          val it = pending.get()
+          while (it.hasNext) out += it.next()
+          pending.clear()
+          first.clear() // only the boolean survives the flip
+          out += RepWin(o.doc_id, o.i)
+      }
+    }
+    out.iterator
+  }
+}
+
 /** Event row for the streaming forms (the page-log shape of the
   * reference: mid → user_id, page/last_page_id → event_type,
   * epoch ts → event-time timestamp). */
@@ -473,33 +551,10 @@ object StreamOps {
       .filter(col("rn") === 1)
       .drop("rn").withColumn("is_state", lit(true))
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    gcVersions(spark, stateDir, batchId, keepBase = prev.isDefined)
-  }
-
-  /** Version GC for the state sinks: each version is a FULL copy, so
-    * older versions are dead weight — EXCEPT the merge base (newest
-    * below batchId): the checkpoint may not have committed this batch
-    * yet, and a crash there replays batchId, whose merge MUST find the
-    * pre-batch state or it would silently reset the table to the
-    * replayed batch alone. GC therefore keeps (base, current) — at
-    * most two live versions, still O(1) space per stream — and
-    * deletes the rest. Versions ABOVE batchId are deleted too: within
-    * one run batchIds strictly increase, so a higher version can only
-    * be residue of an abandoned run (old stateDir + fresh checkpoint).
-    * Left alive it would be served as "latest" state and eventually
-    * picked as a merge base once batchIds caught up, silently
-    * double-counting the dead run's data. */
-  private def gcVersions(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, batchId: Long, keepBase: Boolean): Unit = {
-    val keep =
-      if (keepBase) Some(rawVersions(spark, stateDir, below = batchId).max)
-      else None
-    graft.IndexFs.listNames(spark, stateDir, "v\\d+")
-      .filter { n =>
-        val v = n.drop(1).toLong
-        (v < batchId && !keep.contains(v)) || v > batchId
-      }
-      .foreach(n => graft.IndexFs.delete(spark, s"$stateDir/$n"))
+    // (base, current) two-version GC — shared with every id-versioned
+    // layout via GenLifecycle (r13 unification; semantics unchanged)
+    graft.GenLifecycle.gcVersions(spark, stateDir, "v", batchId,
+      keepBase = prev.isDefined)
   }
 
   /** DWS stats-table maintenance (the reference's per-window ClickHouse
@@ -532,7 +587,8 @@ object StreamOps {
           sum(col("total_value")).cast("decimal(18,2)").as("total_value"))
     }
     merged.write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-    gcVersions(spark, stateDir, batchId, keepBase = prev.isDefined)
+    graft.GenLifecycle.gcVersions(spark, stateDir, "v", batchId,
+      keepBase = prev.isDefined)
   }
 
   /** Latest merged stats table written by [[statsMerge]], if any. */
@@ -663,19 +719,15 @@ object StreamOps {
         .parquet(days.keys.toSeq.sorted.map(d => s"$stateDir/v$v/dt=$d"): _*)
     }.reduce(_ unionByName _))
 
-  private def manifestIds(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, below: Long): Seq[Long] =
-    graft.IndexFs.listNames(spark, stateDir, "m\\d+")
-      .map(_.drop(1).toLong)
-      .filter(_ < below)
-
   /** (manifestId, day→owning-version) from the newest manifest strictly
     * below `below` — exclusive, the replay contract: a replayed batch
-    * never reads the manifest it is about to overwrite. */
+    * never reads the manifest it is about to overwrite. Manifests are
+    * rename-committed FILES, so their listing is ungated. */
   private def readManifest(spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
       below: Long = Long.MaxValue): (Option[Long], Map[String, Long]) = {
-    val ids = manifestIds(spark, stateDir, below)
+    val ids = graft.GenLifecycle.versionIds(spark, stateDir, "m", below,
+      gated = false)
     if (ids.isEmpty) (None, Map.empty)
     else {
       val id = ids.max
@@ -711,39 +763,31 @@ object StreamOps {
       baseManifestId: Option[Long], live: Set[(Long, String)]): Unit = {
     val keepManifests: Set[Long] = baseManifestId.toSet + batchId
     val liveVersions = live.map(_._1)
-    graft.IndexFs.listNames(spark, stateDir, "m\\d+").foreach { n =>
-      if (!keepManifests.contains(n.drop(1).toLong))
-        graft.IndexFs.delete(spark, s"$stateDir/$n")
-    }
-    graft.IndexFs.listNames(spark, stateDir, "v\\d+").foreach { n =>
-      val v = n.drop(1).toLong
-      if (!liveVersions.contains(v)) graft.IndexFs.delete(spark, s"$stateDir/$n")
-      else graft.IndexFs.listNames(spark, s"$stateDir/$n", "dt=.*").foreach { sub =>
-        if (!live.contains((v, sub.drop("dt=".length))))
-          graft.IndexFs.delete(spark, s"$stateDir/$n/$sub")
+    graft.GenLifecycle.versionIds(spark, stateDir, "m", gated = false)
+      .foreach { id =>
+        if (!keepManifests.contains(id))
+          graft.IndexFs.delete(spark, s"$stateDir/m$id")
       }
-    }
+    graft.GenLifecycle.versionIds(spark, stateDir, "v", gated = false)
+      .foreach { v =>
+        if (!liveVersions.contains(v))
+          graft.IndexFs.delete(spark, s"$stateDir/v$v")
+        else graft.IndexFs.listNames(spark, s"$stateDir/v$v", "dt=.*").foreach { sub =>
+          if (!live.contains((v, sub.drop("dt=".length))))
+            graft.IndexFs.delete(spark, s"$stateDir/v$v/$sub")
+        }
+      }
   }
 
   /** Latest raw compacted state incl. delete tombstones — the merge
     * input; external readers use `latestDimState`. `below` bounds the
     * version (exclusive) so a replayed batch never reads its own
-    * output. */
-  private def rawVersions(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, below: Long): Seq[Long] =
-    graft.IndexFs.listNames(spark, stateDir, "v\\d+")
-      .map(_.drop(1).toLong)
-      .filter(_ < below)
-      // only COMMITTED versions are servable or usable as a merge
-      // base: a v<id> dir exists from the moment its overwrite starts,
-      // so without the _SUCCESS gate a concurrent reader (or a replay
-      // racing a crash-abandoned write) serves a torn "latest" state —
-      // the same delta-visibility discipline as GenManifest.deltaIds
-      .filter(v => graft.IndexFs.exists(spark, s"$stateDir/v$v/_SUCCESS"))
-
+    * output; the GATED listing serves only `_SUCCESS`-committed
+    * versions (the delta-visibility discipline, see
+    * [[graft.GenLifecycle.versionIds]]). */
   private def rawDimState(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, below: Long = Long.MaxValue): Option[DataFrame] = {
-    val versions = rawVersions(spark, stateDir, below)
+    val versions = graft.GenLifecycle.versionIds(spark, stateDir, "v", below)
     if (versions.isEmpty) None
     else Some(spark.read.parquet(s"$stateDir/v${versions.max}"))
   }
@@ -876,6 +920,55 @@ object StreamOps {
         col("window.start").as("stt"), col("window.end").as("edt"),
         col("source"), col("n_docs"), col("n_tokens"))
   }
+
+  /** Streaming ExactSubstr (the Lee et al. 2021 pass,
+    * [[graft.ops.Dedup.dedupSubstring]]'s windowed-hash form, live):
+    * each arriving document explodes map-side into its overlapping
+    * k-token window hashes (the IDENTICAL expression the batch pass
+    * uses — [[graft.ops.Dedup.substringWindows]] is shared), and a
+    * per-hash [[SubstringRepeatProcessor]] emits a `(doc_id, i)`
+    * event for every window whose span is proven to occur in ≥2
+    * distinct documents — retroactively for the first document's
+    * occurrences the moment a second document repeats them. The
+    * accumulated event set over the stream equals the batch `rwin`
+    * relation on the same corpus (the per-doc cut inputs
+    * `n_rep_windows`/`covered_tokens` are one groupBy over it).
+    *
+    * State is stream-lifetime by default — the pass is corpus-global,
+    * the same contract as the batch form; `ttl` bounds it for
+    * rolling-window deployments (repeats farther apart than the TTL
+    * become batch compaction's job, the corpusIngest handoff rule).
+    * TTL requires the processing-time clock (drive tests with
+    * AvailableNow — the no-data micro-batch gotcha); without it the
+    * processor is clockless. */
+  def substringRepeats(docs: DataFrame, k: Int = 8,
+      ttl: Option[java.time.Duration] = None): Dataset[RepWin] = {
+    import docs.sparkSession.implicits._
+    val timeMode =
+      if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    val ttlConfig = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    graft.ops.Dedup.substringWindows(docs, k)
+      .select(col("doc_id"), col("i"), col("h")).as[WinOcc]
+      .groupByKey(_.h)
+      .transformWithState(new SubstringRepeatProcessor(ttlConfig), timeMode,
+        OutputMode.Append())
+  }
+
+  /** [[substringRepeats]] with the ingest-leg sink contract: each
+    * micro-batch's repeated-window events land in `outDir/b<batchId>`
+    * (mode Overwrite — a replayed micro-batch rewrites its own output,
+    * the same batchId-idempotence contract as every other ingest leg;
+    * the state store rolls back to the batch-start version on replay,
+    * so the rewritten events are identical). Read the union with an
+    * explicit `doc_id BIGINT, i INT` schema — an event-free batch
+    * writes only `_SUCCESS` (the never-infer rule). */
+  def substringIngest(docs: DataFrame, outDir: String, k: Int = 8,
+      ttl: Option[java.time.Duration] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    substringRepeats(docs, k, ttl).toDF()
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+      }
 
   /** Streaming ANN serving over a PERSISTED IVF index
     * ([[graft.ops.Similarity.persistIvfIndex]]): each micro-batch of
@@ -1383,8 +1476,9 @@ object StreamOps {
   private def batchResults(spark: org.apache.spark.sql.SparkSession,
       outDir: String,
       schema: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
-    val dirs = graft.IndexFs.listNames(spark, outDir, "b\\d+")
-      .map(n => s"$outDir/$n")
+    val dirs = graft.GenLifecycle.versionIds(spark, outDir, "b",
+        gated = false)
+      .map(id => s"$outDir/b$id")
     if (dirs.isEmpty) None
     else Some(spark.read.schema(schema).parquet(dirs: _*))
   }

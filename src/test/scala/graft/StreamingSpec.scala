@@ -3550,4 +3550,79 @@ class StreamingSpec extends SparkSuite {
       assert(rows === Set(("1001", "alice"), ("1002", "bob"), ("1003", "carol")))
     } finally { q.stop(); server.close() }
   }
+
+  test("streaming ExactSubstr: accumulated rep-window events equal the batch rwin on the shared corpus; each event emits once; crash replay rewrites identically") {
+    import graft.ops.Dedup
+    // transformWithState is RocksDB-only by Spark's own check
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val corpus = spark.read
+        .parquet(s"${sf("sf0.001")}/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      // the batch truth over the SAME corpus, via the SHARED window
+      // relation (Dedup.substringWindows underlies both legs — the
+      // parity claim is about the stateful protocol, not re-agreeing
+      // on tokenization)
+      val expected = Dedup.substringRepWindows(
+          corpus.toSeq.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(expected.size > 1000,
+        s"premise: sf0.001 must carry cross-doc repeated spans (${expected.size})")
+
+      val outDir = java.nio.file.Files.createTempDirectory("substr-out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("substr-ckpt").toString
+      val in = MemoryStream[(Long, String)]
+      def startQ() = StreamOps.substringIngest(
+          in.toDF().toDF("doc_id", "text"), outDir)
+        .option("checkpointLocation", ckpt).start()
+      // three micro-batches: cross-BATCH repeats dominate (a doc's
+      // twin usually lands in another third), so the retro-emission
+      // path (pending flushed when the second doc arrives later) is
+      // load-bearing, not incidental
+      val thirds = corpus.grouped((corpus.length + 2) / 3).toSeq
+      val q = startQ()
+      thirds.foreach { t => in.addData(t.toSeq: _*); q.processAllAvailable() }
+      q.stop()
+
+      val evSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, i INT")
+      def events(b: Int): Seq[(Long, Int)] =
+        spark.read.schema(evSchema).parquet(s"$outDir/b$b")
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val perBatch = thirds.indices.map(events)
+      // batch parity: the union of emitted events IS the batch rwin
+      assert(perBatch.flatten.toSet === expected)
+      // ...and each event emitted exactly once (the pending-then-flip
+      // protocol never double-reports an occurrence)
+      assert(perBatch.map(_.size).sum === expected.size,
+        "an occurrence was emitted more than once across batches")
+
+      // crash replay: drop the LAST batch's commit marker and restart
+      // from the same checkpoint + source — the engine re-runs that
+      // batch against the rolled-back state-store version and must
+      // overwrite b<last> with the identical event set
+      val lastB = thirds.length - 1
+      val lastBefore = perBatch(lastB).toSet
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$ckpt/commits/$lastB"))
+      // the local-FS checkpoint manager writes a checksum sidecar per
+      // commit file; a stale one blocks the replay's rewrite
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$ckpt/commits/.$lastB.crc"))
+      val q2 = startQ()
+      q2.processAllAvailable()
+      q2.stop()
+      assert(events(lastB).toSet === lastBefore,
+        "replayed batch rewrote a different event set")
+      assert(thirds.indices.flatMap(events).toSet === expected)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
