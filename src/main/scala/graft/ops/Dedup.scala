@@ -476,7 +476,17 @@ object Dedup {
     * remains honest for uncalibrated layouts (the local measurement,
     * see [[twoStageCellRowsFloor]]). */
   def calibrateTwoStageFloor(spark: SparkSession, indexDir: String,
-      sampleDocs: DataFrame, passes: Int = 3): Long = {
+      sampleDocs: DataFrame, passes: Int = 3): Long =
+    calibrateTwoStageFloorRows(spark, indexDir,
+      len => bandRows(sampleDocs, len, exactFallback = false), passes)
+
+  /** [[calibrateTwoStageFloor]] over a probe BAND-ROW builder instead
+    * of raw docs — the form the self-aimed calibration feeds (its
+    * sample is band rows lifted from the index itself, there is no
+    * text to band). */
+  private[graft] def calibrateTwoStageFloorRows(spark: SparkSession,
+      indexDir: String, probeBandsAt: Int => DataFrame,
+      passes: Int = 3): Long = {
     val st = graft.GenLifecycle.resolveOrThrow(spark, indexDir,
       "LSH", "persistLshIndex")
     val baseRoot = lshBase(indexDir, st.gen)
@@ -487,7 +497,7 @@ object Dedup {
         s"no _cell_mass under $baseRoot — pre-mass layouts cannot calibrate"))
     val liveData = lshDeltaEntries(spark, indexDir)
       .filter(e => !e.tomb && e.id > st.floor)
-    val probedCells = bandRows(sampleDocs, effPrefix)
+    val probedCells = probeBandsAt(effPrefix)
       .select(col("band_id"), substring(col("sig"), 1, baseLen).as("p"))
       .distinct().collect()
       .map(r => (r.getInt(0), r.getString(1)))
@@ -510,9 +520,9 @@ object Dedup {
     def timedRun(form: Boolean): Double = {
       val t0 = System.nanoTime()
       // releasable form: 2×passes probe pins must not accumulate
-      val (out, release) = nearDupCheckReleasable(spark, indexDir,
-        sampleDocs, jaccardThreshold, Long.MaxValue, effPrefix,
-        broadcastProbe = true, exactFallback = false, twoStage = form)
+      val (out, _, release) = nearDupCheckWithProbeRows(spark, indexDir,
+        probeBandsAt, jaccardThreshold, Long.MaxValue, effPrefix,
+        broadcastProbe = true, twoStage = Some(form))
       out.count()
       release()
       (System.nanoTime() - t0) / 1e9
@@ -528,6 +538,62 @@ object Dedup {
     writeCalibratedFloor(spark, indexDir, floor)
     floor
   }
+
+  /** The persisted calibrated two-stage floor of the live generation,
+    * if one was ever measured (`floor=N` on `_cell_mass` line 1 —
+    * fold-carried, a storage property). None on an uncalibrated or
+    * pre-mass layout. */
+  private[graft] def calibratedFloorOf(spark: SparkSession,
+      indexDir: String): Option[Long] =
+    graft.GenManifest.resolve(spark, indexDir).flatMap(st =>
+      readGenCellMassFull(spark, lshBase(indexDir, st.gen)).flatMap(_._4))
+
+  /** SELF-AIMED calibration sample: probe band rows lifted from the
+    * live base generation's HEAVIEST fat cell — `nDocs` stored rows
+    * re-identified outside the corpus id space (each is a perfect
+    * signature match of its source doc, so the probe exercises the
+    * candidate join and exact verify exactly where the two-stage
+    * split has bytes to save). Collected to the driver (≤ nDocs tiny
+    * rows — one cell read once, not re-read per timed pass) and
+    * re-parallelized. None when the layout records no fat cell: a
+    * floor measured on page-sized cells would be container noise
+    * (the [[calibrateTwoStageFloor]] refusal, answered as absence
+    * here because the autopilot must not die on thin layouts). */
+  private[graft] def selfCalibrationBandRows(spark: SparkSession,
+      indexDir: String, nDocs: Int = 5): Option[DataFrame] =
+    graft.GenManifest.resolve(spark, indexDir).flatMap { st =>
+      val baseRoot = lshBase(indexDir, st.gen)
+      readGenCellMassFull(spark, baseRoot).flatMap { case (_, tail, _, _) =>
+        if (tail.isEmpty) None
+        else {
+          val hotCell = tail.maxBy { case (c, n) => (n, c) }._1
+          // one doc per (band, sig) in a cell, so limit(nDocs) IS
+          // nDocs distinct docs; lowest ids for determinism
+          val sampled = spark.read.schema(bandReadSchema)
+            .option("basePath", baseRoot).parquet(s"$baseRoot/$hotCell")
+            .orderBy("doc_id").limit(nDocs).collect()
+          if (sampled.isEmpty) None
+          else Some(spark.createDataFrame(
+            spark.sparkContext.parallelize(sampled.toSeq.map(r =>
+              org.apache.spark.sql.Row(r.getLong(0) + (1L << 42),
+                r.getString(1), r.getSeq[String](2), r.getInt(3),
+                r.getString(4))), 1),
+            bandReadSchema))
+        }
+      }
+    }
+
+  /** [[calibrateTwoStageFloor]] with the sample aimed automatically
+    * ([[selfCalibrationBandRows]]) — the zero-operator form the
+    * maintenance autopilot runs after a fold on an uncalibrated
+    * layout ([[IndexMaintenance.Policy.calibratePasses]]). Returns
+    * the persisted floor, or None (nothing persisted) when the layout
+    * has no fat cell to measure on — thin layouts keep the honest
+    * default instead of a noise-pinned floor. */
+  def calibrateTwoStageFloorSelf(spark: SparkSession, indexDir: String,
+      passes: Int = 2, nDocs: Int = 5): Option[Long] =
+    selfCalibrationBandRows(spark, indexDir, nDocs).map(probe =>
+      calibrateTwoStageFloorRows(spark, indexDir, _ => probe, passes))
 
   /** Committed-delta row mass attributable to cell `(b, p)` from the
     * ledger entries' per-cell row counts — zero extra reads (the

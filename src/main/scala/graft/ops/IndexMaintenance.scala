@@ -127,6 +127,15 @@ object IndexMaintenance {
     * data batch; with NO data flowing the fold still applies the
     * delete physically and the signal persists harmlessly until one
     * arrives. */
+  /** `calibratePasses` (LSH only): > 0 runs the SELF-AIMED two-stage
+    * floor calibration ([[Dedup.calibrateTwoStageFloorSelf]], this
+    * many interleaved passes) after an executed fold — Compact or
+    * Rebucket — on a layout with NO persisted floor yet. The floor is
+    * a storage property (fold-carried), so one measurement per
+    * storage root suffices and a calibrated layout never re-pays the
+    * probe timing; a layout with no fat cell to measure on is left
+    * uncalibrated (the honest default keeps serving). 0 = disabled —
+    * the manual [[Dedup.calibrateTwoStageFloor]] call stands. */
   final case class Policy(
       backlogRatio: Double = 0.10,
       backlogBatches: Int = 8,
@@ -136,7 +145,8 @@ object IndexMaintenance {
       hotCellRows: Long = 0L,
       coldCellRows: Long = 0L,
       maxDeltaFiles: Long = 0L,
-      maxTombRows: Long = 0L)
+      maxTombRows: Long = 0L,
+      calibratePasses: Int = 0)
 
   private def decide(s: Signals, p: Policy): Action =
     if (s.maxDrift.exists(_ > p.driftBound)) LloydRebuild(p.lloydIters)
@@ -346,6 +356,16 @@ object IndexMaintenance {
       case NoOp => ()
       case Rebucket(len) => Dedup.rebucketLshIndex(spark, indexDir, len)
       case _ => Dedup.compactLshIndex(spark, indexDir)
+    }
+    // deployment-measured two-stage floor, once per storage root: the
+    // fold just rewrote the base (fresh _cell_mass), so an uncalibrated
+    // layout calibrates here — after, never during, the fold — and a
+    // calibrated one (floor is fold-carried) never re-pays the timing
+    if (action != NoOp && policy.calibratePasses > 0 &&
+        Dedup.calibratedFloorOf(spark, indexDir).isEmpty) {
+      Dedup.calibrateTwoStageFloorSelf(spark, indexDir,
+        passes = policy.calibratePasses)
+      ()
     }
     action
   }

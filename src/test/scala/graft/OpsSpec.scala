@@ -1924,4 +1924,63 @@ class OpsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("no fat cell"), e.getMessage)
   }
+
+  test("self-aimed floor calibration: the sample lands in the hottest cell by construction; thin layouts answer None") {
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-selfcal").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(
+      (0 until 1200).map(i => (i.toLong, seeded)).toDF("doc_id", "text"),
+      indexDir)
+    assert(Dedup.calibratedFloorOf(spark, indexDir).isEmpty)
+    val floor = Dedup.calibrateTwoStageFloorSelf(spark, indexDir, passes = 1)
+    // no operator-supplied sample, yet M is the clique cell's 1200:
+    // win → floor = M, lose → floor = max(M+1, default) — honest
+    // either way (the same bracket the manual calibration test pins)
+    assert(floor.exists(f => f == 1200L || f == Dedup.twoStageCellRowsFloor),
+      s"self-calibrated floor $floor brackets nothing measurable")
+    assert(Dedup.calibratedFloorOf(spark, indexDir) === floor,
+      "self-calibrated floor not persisted")
+
+    // a thin layout (no fat cell) answers None and persists nothing —
+    // the autopilot form must not die (or pin noise) where the manual
+    // form refuses loudly
+    val thinDir = java.nio.file.Files.createTempDirectory("lsh-selfcal-thin").toString
+    Dedup.persistLshIndex(
+      (0 until 50).map(i => (i.toLong, s"doc $i w${i * 13} w${i * 7} w${i * 3} tail"))
+        .toDF("doc_id", "text"), thinDir)
+    assert(Dedup.calibrateTwoStageFloorSelf(spark, thinDir, passes = 1).isEmpty)
+    assert(Dedup.calibratedFloorOf(spark, thinDir).isEmpty)
+  }
+
+  test("autopilot-triggered calibration: the first fold on an uncalibrated layout measures the floor; calibrated layouts never re-pay") {
+    import graft.ops.{Dedup, IndexMaintenance}
+    val indexDir = java.nio.file.Files.createTempDirectory("lsh-autocal").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(
+      (0 until 1200).map(i => (i.toLong, seeded)).toDF("doc_id", "text"),
+      indexDir)
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(2000000L -> "one two three four five six seven").toDF("doc_id", "text"),
+      batchId = 1L)
+    val policy = IndexMaintenance.Policy(backlogBatches = 1,
+      calibratePasses = 1)
+    assert(IndexMaintenance.maintainLshIndex(spark, indexDir, policy) ===
+      IndexMaintenance.Compact)
+    val measured = Dedup.calibratedFloorOf(spark, indexDir)
+    assert(measured.exists(f => f == 1200L || f == Dedup.twoStageCellRowsFloor),
+      s"the fold tick did not leave a measured floor: $measured")
+
+    // already-calibrated layout: the next fold CARRIES the floor and
+    // does not re-measure — a sentinel value no calibration could
+    // produce must survive the tick untouched
+    Dedup.writeCalibratedFloor(spark, indexDir, 777L)
+    Dedup.appendToLshIndex(spark, indexDir,
+      Seq(2000001L -> "eight nine ten eleven twelve thirteen fourteen").toDF("doc_id", "text"),
+      batchId = 2L)
+    assert(IndexMaintenance.maintainLshIndex(spark, indexDir, policy) ===
+      IndexMaintenance.Compact)
+    assert(Dedup.calibratedFloorOf(spark, indexDir) === Some(777L),
+      "a calibrated layout re-paid (or lost) its floor at the fold")
+  }
 }
