@@ -49,7 +49,8 @@ object StreamBench {
       safely("uv_dedup_tws")(benchUvDedup(spark, nEvents = 20000 * scale, nBatches = 4)),
       safely("cep_pattern")(benchCep(spark, keysPerBatch = 2000 * scale, nBatches = 4)),
       safely("dedup_ingest")(benchDedupIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
-      safely("ann_serve")(benchAnnServe(spark, sfDir, nQueries = 120 * scale, nBatches = 3))))
+      safely("ann_serve")(benchAnnServe(spark, sfDir, nQueries = 120 * scale, nBatches = 3)),
+      safely("substring_ingest")(benchSubstringIngest(spark, nDocs = 1200 * scale, nBatches = 3))))
 
   /** INTERLEAVED multi-pass run — the streaming analog of Bench's
     * per-query protocol (CLAUDE.md's bench-noise gotcha): the full
@@ -109,7 +110,9 @@ object StreamBench {
         safely(s"uv_dedup_tws_x$m")(
           benchUvDedup(spark, nEvents = 5000 * m, nBatches = 2)),
         safely(s"cep_pattern_x$m")(
-          benchCep(spark, keysPerBatch = 500 * m, nBatches = 2)))
+          benchCep(spark, keysPerBatch = 500 * m, nBatches = 2)),
+        safely(s"substring_ingest_x$m")(
+          benchSubstringIngest(spark, nDocs = 400 * m, nBatches = 2)))
     })
 
   /** [[runScaling]] under the same interleaved min-of-N protocol —
@@ -224,6 +227,39 @@ object StreamBench {
           val g = b * perBatch + i
           // every 5th doc is a near-copy of its predecessor
           val t = if (g % 5 == 4) text(g - 1).replaceFirst("\\bw", "x") else text(g)
+          (g.toLong, t)
+        }: _*)
+        q.processAllAvailable()
+      }
+      (perBatch * nBatches).toLong
+    } finally q.stop()
+  }
+
+  /** Streaming ExactSubstr ([[graft.streaming.StreamOps
+    * .substringIngest]]): per batch one map-side window explode (~9
+    * hashes per 16-token doc) through the per-hash repeat protocol —
+    * value + list state on every key, RocksDB put-heavy (most windows
+    * are first-seen and go to pending) — plus the b<id> event sink.
+    * Every 5th doc is an exact copy of its predecessor, so the
+    * pending-flush (retro-emission) path runs in every batch. */
+  private def benchSubstringIngest(spark: SparkSession, nDocs: Int,
+      nBatches: Int): (Long, Double) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def text(i: Int): String =
+      (0 until 16).map(j => s"w${(i * 7 + j * 13) % 5000}").mkString(" ")
+    val outDir = TempDirs.create("sb-substr-out")
+    val perBatch = nDocs / nBatches
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.substringIngest(
+      in.toDS().toDF("doc_id", "text"), outDir)
+      .option("checkpointLocation", TempDirs.create("sb-substr-ckpt"))
+      .start()
+    try timed {
+      for (b <- 0 until nBatches) {
+        in.addData((0 until perBatch).map { i =>
+          val g = b * perBatch + i
+          val t = if (g % 5 == 4) text(g - 1) else text(g)
           (g.toLong, t)
         }: _*)
         q.processAllAvailable()
