@@ -245,7 +245,11 @@ private[graft] object GenManifest {
     * readers subtract it instead of adding it, and the next fold
     * applies and retires it. `rows` (optional, aligned with `cells`)
     * records each cell's row count at append time — the per-probe
-    * decision inputs that must not re-read delta footers. */
+    * decision inputs that must not re-read delta footers. On a
+    * TOMBSTONE entry (`cells = None`) `rows` is a single-element list
+    * carrying the key-list row count — the autopilot's
+    * `Signals.tombRows` input, recorded at write so the signal costs
+    * zero reads per tick. */
   final case class DeltaEntry(id: Long, gen: Long, cells: Option[Seq[String]],
       tomb: Boolean = false, rows: Option[Seq[Long]] = None)
 
