@@ -1412,7 +1412,20 @@ object StreamOps {
   private[graft] def dedupIngestCdcBatch(batch: DataFrame, indexDir: String,
       outDir: String, batchId: Long, threshold: Double,
       twoStageProbe: Option[Boolean] = None,
-      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor): Unit = {
+      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor): Unit =
+    lshIngestCdcBatch(batch, indexDir, batchId)(adds =>
+      dedupIngestBatch(adds, indexDir, outDir, batchId, threshold,
+        twoStageProbe, twoStageFloor))
+
+  /** The modality-agnostic CDC-envelope skeleton both LSH ingest
+    * families share: delete ops tombstone FIRST at the batch's own id
+    * (within one id the tombstone sorts before the data — a
+    * delete+re-add arriving together is a CDC upsert), the non-delete
+    * rows run the modality's ingest at the same id, and the axis is
+    * claimed even on delete-only batches (the ingest does it itself on
+    * the add path; writeStreamAxis is monotonic). */
+  private def lshIngestCdcBatch(batch: DataFrame, indexDir: String,
+      batchId: Long)(ingestAdds: DataFrame => Unit): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val dels = batch.filter(col("op") === "delete").select("doc_id")
@@ -1420,11 +1433,7 @@ object StreamOps {
       graft.ops.Dedup.deleteFromLshIndexUnchecked(spark, indexDir, dels,
         batchId)
     val adds = batch.filter(col("op") =!= "delete").drop("op")
-    if (!adds.isEmpty)
-      dedupIngestBatch(adds, indexDir, outDir, batchId, threshold,
-        twoStageProbe, twoStageFloor)
-    // a delete-only batch claims the axis too (dedupIngestBatch does
-    // it itself on the add path; writeStreamAxis is monotonic)
+    if (!adds.isEmpty) ingestAdds(adds)
     graft.GenLifecycle.writeStreamAxis(spark, indexDir, batchId)
   }
 
@@ -1467,6 +1476,33 @@ object StreamOps {
         belowBatch = batchId, prefixLen = 2, broadcastProbe = true,
         twoStage = twoStageProbe, twoStageFloor = twoStageFloor),
       threshold, pairsDriverCap)
+
+  /** [[dedupIngestCdc]] for the binary-media modality — one change
+    * stream `(op, doc_id, payload, …)` carries media arrivals AND
+    * deletion orders through [[lshIngestCdcBatch]]'s shared protocol
+    * over [[mmDedupIngestBatch]]: takedowns tombstone the gram index
+    * at the batch's own id inside the sequential-writer slot, a
+    * payload matching ONLY takedown victims is accepted from that
+    * very batch, replay is batchId-keyed overwrite end to end. The
+    * text and media families now carry the identical enforced
+    * stream-driven takedown arc. */
+  def mmDedupIngestCdc(changes: DataFrame, indexDir: String, outDir: String,
+      threshold: Double = 0.5,
+      twoStageProbe: Option[Boolean] = None,
+      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mmDedupIngestCdcBatch(batch.toDF(), indexDir, outDir, batchId,
+          threshold, twoStageProbe, twoStageFloor)
+    }
+
+  private[graft] def mmDedupIngestCdcBatch(batch: DataFrame, indexDir: String,
+      outDir: String, batchId: Long, threshold: Double,
+      twoStageProbe: Option[Boolean] = None,
+      twoStageFloor: Long = graft.ops.Dedup.twoStageCellRowsFloor): Unit =
+    lshIngestCdcBatch(batch, indexDir, batchId)(adds =>
+      mmDedupIngestBatch(adds, indexDir, outDir, batchId, threshold,
+        twoStageProbe, twoStageFloor))
 
   /** Union of batch-result directories under an explicit schema —
     * NEVER inferred: a batch whose result was empty (all probed cells

@@ -1242,6 +1242,71 @@ class StreamingSpec extends SparkSuite {
     assert(e.getMessage.contains("owned by a streaming ingest"), e.getMessage)
   }
 
+  test("mmDedupIngestCdc: stream-driven takedown over the payload modality — same-batch re-accept, replay identical, out-of-axis reject") {
+    import graft.ops.{Dedup, Multimodal}
+    val indexDir = java.nio.file.Files.createTempDirectory("mm-cdc-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("mm-cdc-out").toString
+    def pay(body: String): Array[Byte] =
+      Array.fill[Byte](29)(0) ++ body.getBytes("UTF-8")
+    val bodyA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu"
+    val bodyB = bodyA.dropRight(4) + "zzzz" // near-dup of A
+    Dedup.persistLshIndexElems(
+      Multimodal.payloadGrams(Seq(2L -> pay(bodyA)).toDF("doc_id", "payload")),
+      indexDir)
+
+    // the protocol depth (delete-only batches, resurrect-after-re-add)
+    // is pinned on the text form; this is the COMPOSITION gate — the
+    // shared CDC skeleton over the payload modality's ingest
+    val in = MemoryStream[(String, Long, Array[Byte])]
+    val q = StreamOps.mmDedupIngestCdc(
+      in.toDF().toDF("op", "doc_id", "payload"), indexDir, outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mm-cdc-ckpt").toString)
+      .start()
+    // batch 0: a near-copy flags against the seeded payload
+    in.addData(("insert", 101L, pay(bodyB)))
+    q.processAllAvailable()
+    // batch 1: the takedown of the seeded doc arrives IN the change
+    // stream, in the same batch as another near-copy — the tombstone
+    // lands at the batch's own id and sorts before its data, so the
+    // copy finds nothing and is accepted
+    in.addData(("delete", 2L, Array.empty[Byte]), ("insert", 111L, pay(bodyB)))
+    q.processAllAvailable()
+    // batch 2: a copy of the ORIGINAL now flags against batch 1's
+    // accept (id above the tombstone), never the deleted doc
+    in.addData(("insert", 121L, pay(bodyA)))
+    q.processAllAvailable()
+    q.stop()
+
+    def decisions(b: Int): Map[Long, Option[Long]] =
+      spark.read.parquet(s"$outDir/b$b")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(decisions(0) === Map(101L -> Some(2L)))
+    assert(decisions(1) === Map(111L -> None),
+      "the in-stream mm takedown was invisible to its own batch's probe")
+    assert(decisions(2) === Map(121L -> Some(111L)),
+      "post-delete probe must flag against the re-accept, not the deleted doc")
+
+    // crash replay of the delete+add batch: tombstone, delta and
+    // decision log are batchId-keyed overwrites
+    StreamOps.mmDedupIngestCdcBatch(
+      Seq(("delete", 2L, Array.empty[Byte]), ("insert", 111L, pay(bodyB)))
+        .toDF("op", "doc_id", "payload"),
+      indexDir, outDir, batchId = 1L, threshold = 0.5)
+    assert(decisions(1) === Map(111L -> None),
+      "replayed mm change batch saw a different tombstone view")
+
+    // the stream claimed the axis: a direct delete above it rejects
+    val e = intercept[IllegalStateException] {
+      Dedup.deleteFromLshIndex(spark, indexDir,
+        Seq(111L).toDF("doc_id"), batchId = 9L)
+    }
+    assert(e.getMessage.contains("owned by a streaming ingest"), e.getMessage)
+  }
+
   test("dedup ingest with the two-stage probe: decision logs identical to the one-pass mode, replay-safe") {
     import graft.ops.Dedup
     val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
@@ -2683,6 +2748,43 @@ class StreamingSpec extends SparkSuite {
       qTtl.awaitTermination(120000L)
       val withTtl = spark.table(s"stream_out_$n").as[Ev].collect().map(_.event_id).toSet
       assert(withTtl === tws)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("substringRepeats with TTL runs on the processing-time clock and matches the clockless form inside the window") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // docs 1 and 2 share exactly the 8-token span "a b c d e f g h"
+      // (doc 1 window 1, doc 2 window 3)
+      val d1 = 1L -> "a b c d e f g h i j"
+      val d2 = 2L -> "z z a b c d e f g h"
+      val expected = Set((1L, 1), (2L, 3))
+      // TTL mode needs the processing-time clock, which keeps no-data
+      // micro-batches spinning under processAllAvailable — drive both
+      // forms with AvailableNow (the uvDedupTws TTL precedent)
+      def run(ttl: Option[java.time.Duration]): Set[(Long, Int)] = {
+        val in = MemoryStream[(Long, String)]
+        in.addData(d1, d2)
+        val nm = name()
+        val q = StreamOps.substringRepeats(
+            in.toDF().toDF("doc_id", "text"), ttl = ttl)
+          .writeStream.format("memory").queryName(nm).outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000L)
+        spark.table(nm).as[(Long, Int)].collect().toSet
+      }
+      assert(run(None) === expected)
+      // a 24 h TTL cannot evict inside the test: output identical
+      assert(run(Some(java.time.Duration.ofHours(24))) === expected)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
