@@ -50,7 +50,8 @@ object StreamBench {
       safely("cep_pattern")(benchCep(spark, keysPerBatch = 2000 * scale, nBatches = 4)),
       safely("dedup_ingest")(benchDedupIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
       safely("ann_serve")(benchAnnServe(spark, sfDir, nQueries = 120 * scale, nBatches = 3)),
-      safely("substring_ingest")(benchSubstringIngest(spark, nDocs = 1200 * scale, nBatches = 3))))
+      safely("substring_ingest")(benchSubstringIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
+      safely("mm_ingest")(benchMmIngest(spark, nDocs = 300 * scale, nBatches = 3))))
 
   /** INTERLEAVED multi-pass run — the streaming analog of Bench's
     * per-query protocol (CLAUDE.md's bench-noise gotcha): the full
@@ -112,7 +113,9 @@ object StreamBench {
         safely(s"cep_pattern_x$m")(
           benchCep(spark, keysPerBatch = 500 * m, nBatches = 2)),
         safely(s"substring_ingest_x$m")(
-          benchSubstringIngest(spark, nDocs = 400 * m, nBatches = 2)))
+          benchSubstringIngest(spark, nDocs = 400 * m, nBatches = 2)),
+        safely(s"mm_ingest_x$m")(
+          benchMmIngest(spark, nDocs = 100 * m, nBatches = 2)))
     })
 
   /** [[runScaling]] under the same interleaved min-of-N protocol —
@@ -261,6 +264,49 @@ object StreamBench {
           val g = b * perBatch + i
           val t = if (g % 5 == 4) text(g - 1) else text(g)
           (g.toLong, t)
+        }: _*)
+        q.processAllAvailable()
+      }
+      (perBatch * nBatches).toLong
+    } finally q.stop()
+  }
+
+  /** Multimodal near-dup ingest against a persisted byte-gram LSH
+    * index ([[graft.streaming.StreamOps.mmDedupIngest]]): per batch
+    * one exact payload-digest dedup, one gram probe of the batch's
+    * own cells, one delta append — the text ingest's loop over the
+    * payload modality (the gram pipeline is heavier per doc than
+    * shingling, so the base doc count is half `dedup_ingest`'s).
+    * Every 5th payload is a near-copy of its predecessor. */
+  private def benchMmIngest(spark: SparkSession, nDocs: Int,
+      nBatches: Int): (Long, Double) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def body(i: Int): String =
+      (0 until 24).map(j => s"w${(i * 7 + j * 13) % 5000}").mkString(" ")
+    def pay(i: Int): Array[Byte] = {
+      val b = if (i % 5 == 4) body(i - 1) + " xx" else body(i)
+      Array.fill[Byte](29)(0) ++ b.getBytes("UTF-8")
+    }
+    val indexDir = TempDirs.create("sb-mm-idx")
+    graft.ops.Dedup.persistLshIndexElems(
+      graft.ops.Multimodal.payloadGrams(
+        (0 until 50).map(i => (100000L + i,
+          Array.fill[Byte](29)(0) ++ body(i * 37).getBytes("UTF-8")))
+          .toDF("doc_id", "payload")),
+      indexDir)
+    val outDir = TempDirs.create("sb-mm-out")
+    val perBatch = nDocs / nBatches
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamOps.mmDedupIngest(
+      in.toDS().toDF("doc_id", "payload"), indexDir, outDir)
+      .option("checkpointLocation", TempDirs.create("sb-mm-ckpt"))
+      .start()
+    try timed {
+      for (b <- 0 until nBatches) {
+        in.addData((0 until perBatch).map { i =>
+          val g = b * perBatch + i
+          (g.toLong, pay(g))
         }: _*)
         q.processAllAvailable()
       }

@@ -161,35 +161,33 @@ object IndexMaintenance {
       Compact
     else NoOp
 
-  /** [[Signals.deltaFiles]] from the ledger — one read, O(|entries|).
-    * Live = above the manifest floor; a tombstone counts one file
-    * (its single-file key list taxes every probe until the fold
-    * retires it). */
-  private def deltaFilesOf(spark: SparkSession, indexDir: String): Long = {
-    val floor = graft.GenManifest.resolve(spark, indexDir)
-      .map(_.floor).getOrElse(-1L)
-    graft.GenManifest.readLedger(spark, indexDir).getOrElse(Seq.empty)
-      .filter(_.id > floor)
-      .map(e => if (e.tomb) 1L else e.cells.map(_.size.toLong).getOrElse(1L))
-      .sum
-  }
-
-  /** [[Signals.tombRows]] from the ledger — zero data reads for
-    * tombstones written since the counts ride their entries (r13+);
-    * a legacy entry without one costs a footer count of its key list
+  /** `(`[[Signals.deltaFiles]]`, `[[Signals.tombRows]]`)` in ONE
+    * manifest resolve + ONE ledger read per tick — the two
+    * ledger-borne signals share their inputs. Live = above the
+    * manifest floor; a tombstone counts ONE file toward the file
+    * signal (its single-file key list taxes every probe until the
+    * fold retires it). Tombstone key counts
+    * ride their entries (r13+), so zero data reads; a legacy
+    * tombstone entry without one costs a footer count of its key list
     * (explicit one-column schema: an empty delete reads as zero keys,
     * and only the row COUNT is consulted, so the column name choice
     * is immaterial across families). */
-  private def tombRowsOf(spark: SparkSession, indexDir: String): Long = {
+  private def ledgerSignals(spark: SparkSession,
+      indexDir: String): (Long, Long) = {
     val floor = graft.GenManifest.resolve(spark, indexDir)
       .map(_.floor).getOrElse(-1L)
-    graft.GenManifest.readLedger(spark, indexDir).getOrElse(Seq.empty)
-      .filter(e => e.tomb && e.id > floor)
+    val live = graft.GenManifest.readLedger(spark, indexDir)
+      .getOrElse(Seq.empty).filter(_.id > floor)
+    val files = live
+      .map(e => if (e.tomb) 1L else e.cells.map(_.size.toLong).getOrElse(1L))
+      .sum
+    val tombs = live.filter(_.tomb)
       .map(e => e.rows.map(_.sum).getOrElse(
         spark.read.schema(
             org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
           .parquet(s"$indexDir/delta/t${e.id}").count()))
       .sum
+    (files, tombs)
   }
 
   private def backlogFromStats(stats: DataFrame): (Long, Long, Int) = {
@@ -254,9 +252,9 @@ object IndexMaintenance {
           .agg(max(col("drift"))).head()
         if (worst.isNullAt(0)) None else Some(worst.getDouble(0))
       }
+    val (files, tombs) = ledgerSignals(spark, indexDir)
     Signals(base, delta, batches, drift, staleDeltas = stale,
-      deltaFiles = deltaFilesOf(spark, indexDir),
-      tombRows = tombRowsOf(spark, indexDir))
+      deltaFiles = files, tombRows = tombs)
   }
 
   def lshSignals(spark: SparkSession, indexDir: String): Signals = {
@@ -296,11 +294,11 @@ object IndexMaintenance {
       .agg(sum(col("n_rows")).as("fn"))
       .agg(max(col("fn"))).head()
     val folded = if (foldedRow.isNullAt(0)) 0L else foldedRow.getLong(0)
+    val (files, tombs) = ledgerSignals(spark, indexDir)
     Signals(base, delta, batches, maxDrift = None,
       hottestCellRows = hottest, medianCellRows = median,
       foldedHottestRows = folded,
-      deltaFiles = deltaFilesOf(spark, indexDir),
-      tombRows = tombRowsOf(spark, indexDir))
+      deltaFiles = files, tombRows = tombs)
   }
 
   def planIvf(spark: SparkSession, indexDir: String,
