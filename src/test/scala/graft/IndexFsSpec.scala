@@ -170,4 +170,33 @@ class IndexFsSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     (1 to 8).foreach(b => assert(served.contains(1000000L + b), s"delta b$b not served"))
   }
+
+  test("GenLifecycle.versionIds: the _SUCCESS gate hides torn version dirs from serving, the ungated GC sweep sees them") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("verids").toString
+    // v1 committed; v2 torn (its overwrite started — the dir exists —
+    // but never landed a _SUCCESS); v10 committed (lexicographic vs
+    // numeric id ordering trap: 10 > 2 numerically, "10" < "2" as a
+    // string); m3 a rename-committed manifest FILE (no marker by
+    // design); a non-matching sibling is never listed
+    Files.createDirectories(Paths.get(s"$dir/v1"))
+    Files.write(Paths.get(s"$dir/v1/_SUCCESS"), Array.emptyByteArray)
+    Files.createDirectories(Paths.get(s"$dir/v2"))
+    Files.createDirectories(Paths.get(s"$dir/v10"))
+    Files.write(Paths.get(s"$dir/v10/_SUCCESS"), Array.emptyByteArray)
+    Files.write(Paths.get(s"$dir/m3"), "x\n".getBytes)
+    Files.createDirectories(Paths.get(s"$dir/vtmp"))
+    assert(GenLifecycle.versionIds(spark, dir, "v").sorted === Seq(1L, 10L),
+      "a torn version dir leaked through the gate")
+    assert(GenLifecycle.versionIds(spark, dir, "v", gated = false).sorted ===
+      Seq(1L, 2L, 10L), "the GC sweep must see torn dirs to remove them")
+    assert(GenLifecycle.versionIds(spark, dir, "v", below = 10L).sorted ===
+      Seq(1L), "`below` is exclusive — the replay contract")
+    assert(GenLifecycle.versionIds(spark, dir, "m", gated = false) === Seq(3L))
+    // the two-version GC keep rule over the same fixture: current = 10,
+    // base = newest committed below it (1); the torn 2 goes
+    GenLifecycle.gcVersions(spark, dir, "v", batchId = 10L, keepBase = true)
+    assert(GenLifecycle.versionIds(spark, dir, "v", gated = false).sorted ===
+      Seq(1L, 10L), "GC kept the wrong set")
+  }
 }
