@@ -56,16 +56,46 @@ object Bench {
     // calibration job is timed once per pass; its min is reported so a
     // reader can detect a globally slow session. A failing query
     // reports -1 so a breakage can't masquerade as a fast run.
-    val queries = SparkEntry.queries.toSeq
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the suite to the named
+    // queries — the fast path for pinning one query's drift with idle
+    // interleaved passes (the adjudication protocol in PERF.md) without
+    // paying the full 150-query suite per sample. Unknown names fail
+    // loudly: a typo must not silently measure an empty suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) =>
+        val unknown = names.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(",")}")
+        SparkEntry.queries.toSeq.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries.toSeq
+    }
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val failed = scala.collection.mutable.Set[String]()
     var calib = List.empty[Double]
+    var calibIo = List.empty[Double]
     for (pass <- 0 until runsPerQuery) {
       val c0 = System.nanoTime()
       // double math: long id*id overflows under ANSI at this range
       spark.range(200000000L).selectExpr("sum(CAST(id AS DOUBLE) * id)").collect()
       if (pass > 0) calib ::= (System.nanoTime() - c0) / 1e9
+      // WORKLOAD-SHAPED second probe: `calib` is pure CPU (a codegen'd
+      // range-sum) and misses IO/memory-bandwidth contention, which is
+      // exactly what shifted the per-calib-unit baseline 418→613 s
+      // between the r12 and r13 sessions (PERF.md). This one is a real
+      // parquet scan + hash-agg + one shuffle over a fixed table, so a
+      // session whose drift is decode/bandwidth-shaped moves it while
+      // the CPU probe sits still. Reported as `calib_io` beside
+      // `calib`; benchdiff normalizes by whichever correlates.
+      val i0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(Map("l_quantity" -> "sum", "l_extendedprice" -> "sum"))
+        .collect()
+      if (pass > 0) calibIo ::= (System.nanoTime() - i0) / 1e9
       // rotate execution order per pass so a query is not always
       // preceded by the same neighbor (GC/page-cache correlation);
       // a large stride moves each query to a very different position
@@ -99,7 +129,7 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries (-1 markers) must not subtract from the total
     val total = results.values.filter(_ >= 0).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(results)},"queries_median":${j(medians)},"calib":${calib.min},"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${j(results)},"queries_median":${j(medians)},"calib":${calib.min},"calib_io":${calibIo.min},"sf":"$sfDir"}"""
     println(fullLine)
     // streaming-layer throughput (rows/sec per stateful op family,
     // RocksDB provider) — the regression surface batch plans can't
@@ -110,7 +140,7 @@ object Bench {
     // hang must cost the streaming numbers, not the batch board.
     val slowest0 = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(5)
     val failedNames0 = queries.collect { case (n, _) if failed(n) => "\"" + n + "\"" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames0.mkString("[", ",", "]")},"slowest5":${j(slowest0.toMap)},"streaming_rows_per_sec":"pending","calib":${calib.min},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames0.mkString("[", ",", "]")},"slowest5":${j(slowest0.toMap)},"streaming_rows_per_sec":"pending","calib":${calib.min},"calib_io":${calibIo.min},"sf":"$sfDir"}""")
     // INTERLEAVED min-of-N for the streaming families too (round 11):
     // the per-query protocol exists because single-pass numbers on a
     // shared container lie, and the streaming legs were the last
@@ -146,7 +176,7 @@ object Bench {
     // the failed-query names, and the slowest queries.
     val slowest = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(5)
     val failedNames = queries.collect { case (n, _) if failed(n) => "\"" + n + "\"" }
-    val finalLine = s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"slowest5":${j(slowest.toMap)},"stream_passes":$passes,"streaming_rows_per_sec":$streaming,"streaming_rows_per_sec_median":$streamingMed,"calib":${calib.min},"sf":"$sfDir"}"""
+    val finalLine = s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"slowest5":${j(slowest.toMap)},"stream_passes":$passes,"streaming_rows_per_sec":$streaming,"streaming_rows_per_sec_median":$streamingMed,"calib":${calib.min},"calib_io":${calibIo.min},"sf":"$sfDir"}"""
     println(finalLine)
     // FULL-FIDELITY RECORD, written by Bench itself: the driver keeps
     // only the output tail (~2000 chars), which truncates the per-query

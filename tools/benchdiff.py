@@ -31,7 +31,7 @@ def load(path):
                 p = doc["parsed"]
                 if p.get("queries"):
                     return ({k: float(v) for k, v in p["queries"].items()},
-                            p.get("calib"),
+                            p.get("calib"), p.get("calib_io"),
                             p.get("streaming_rows_per_sec") or {})
     except json.JSONDecodeError:
         pass
@@ -54,9 +54,10 @@ def load(path):
     for k, v in pairs:
         out.setdefault(k, float(v))  # first occurrence = min-based "queries" map
     calib = out.pop("calib", None)
+    calib_io = out.pop("calib_io", None)
     for meta in ("value", "n", "stream_passes"):
         out.pop(meta, None)
-    return out, calib, streaming
+    return out, calib, calib_io, streaming
 
 
 def streaming_section(s_old, s_new, calib_old, calib_new, thr):
@@ -110,8 +111,8 @@ def streaming_section(s_old, s_new, calib_old, calib_new, thr):
 def main():
     if len(sys.argv) < 3:
         sys.exit(__doc__)
-    old, calib_old, s_old = load(sys.argv[1])
-    new, calib_new, s_new = load(sys.argv[2])
+    old, calib_old, io_old, s_old = load(sys.argv[1])
+    new, calib_new, io_new, s_new = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     failed_old = sorted(k for k, v in old.items() if v < 0)
     failed_new = sorted(k for k, v in new.items() if v < 0)
@@ -120,6 +121,9 @@ def main():
     if calib_old and calib_new:
         print(f"calib: old={calib_old:.3f} new={calib_new:.3f} "
               f"(container health ratio {calib_new / calib_old:.2f})")
+    if io_old and io_new:
+        print(f"calib_io: old={io_old:.3f} new={io_new:.3f} "
+              f"(IO/bandwidth health ratio {io_new / io_old:.2f})")
     print(f"comparable queries: {len(both)} "
           f"(old-only: {len(old.keys() - new.keys())}, new-only: {len(new.keys() - old.keys())})")
     tot_o = sum(a for a, _ in both.values())
@@ -130,12 +134,35 @@ def main():
         print(f"FAILED in new: {failed_new}")
     if failed_old:
         print(f"(failed in old: {failed_old})")
+    # Two drift lenses: the CPU probe (calib) and the IO/bandwidth probe
+    # (calib_io, round 14+) bracket the container's two contention
+    # modes. A mover is CODE-SUSPECT only if it stays beyond the
+    # threshold under BOTH normalizations — a query whose drift follows
+    # either probe moved with the container, not the code.
     movers = sorted(((k, a, b, b / a) for k, (a, b) in both.items()
                      if b / a >= thr or a / b >= thr), key=lambda t: -t[3])
+    suspects = []
     if movers:
         print(f"movers (>= {thr}x either way):")
         for k, a, b, r in movers:
-            print(f"  {k:30s} old={a:7.3f} new={b:7.3f} ratio={r:.2f}")
+            line = f"  {k:30s} old={a:7.3f} new={b:7.3f} ratio={r:.2f}"
+            adjs = []
+            if calib_old and calib_new:
+                adjs.append(("cpu", r * calib_old / calib_new))
+            if io_old and io_new:
+                adjs.append(("io", r * io_old / io_new))
+            for tag, adj in adjs:
+                line += f" {tag}_adj={adj:.2f}"
+            if adjs and all(adj >= thr or adj <= 1 / thr for _, adj in adjs):
+                line += " -> CODE-SUSPECT"
+                suspects.append(k)
+            elif adjs:
+                line += " -> container-shaped"
+            print(line)
+        if calib_old and calib_new:
+            print("batch verdict: "
+                  + (f"code-suspect {suspects}" if suspects
+                     else "all movers follow a container probe"))
     else:
         print(f"no movers >= {thr}x in either direction")
     streaming_section(s_old, s_new, calib_old, calib_new, thr)
