@@ -415,23 +415,56 @@ object Multimodal {
             |FROM j WHERE jac >= 0.5
             |ORDER BY probe_id, index_id""".stripMargin),
     (spark, dir) => {
-      val pay = pngPayloads(spark, dir)
       val indexDir = graft.TempDirs.create("mm-lsh-index")
       graft.ops.Dedup.persistLshIndexElems(
-        payloadGrams(pay.filter(col("doc_id") % 2 === 0)), indexDir,
-        prefixLen = 1)
-      // probe side is half the corpus with inlined gram sets — the
-      // broadcast hint is off, AQE picks the build side (the
-      // dedup_against_index discipline)
-      graft.ops.Dedup.nearDupCheckElems(spark, indexDir,
-        payloadGrams(pay.filter(col("doc_id") % 2 === 1)),
-        threshold = 0.5, broadcastProbe = false)
-        .select(col("probe_id"), col("index_id"),
-          graft.QueryDef.roundedRatio(col("n_inter"), col("n_union"), 6).as("jac"))
-        .orderBy("probe_id", "index_id")
+        payloadGrams(pngPayloads(spark, dir).filter(col("doc_id") % 2 === 0)),
+        indexDir, prefixLen = 1)
+      probeMmOddAgainstIndex(spark, dir, indexDir)
     })
+
+  /** The probe leg shared by the mm build+serve and serve-only forms:
+    * odd-id payload grams against a persisted even-id byte-gram index.
+    * The probe side is half the corpus with inlined gram sets — the
+    * broadcast hint is off, AQE picks the build side (the
+    * dedup_against_index discipline). */
+  private def probeMmOddAgainstIndex(spark: SparkSession, dir: String,
+      indexDir: String): DataFrame =
+    graft.ops.Dedup.nearDupCheckElems(spark, indexDir,
+      payloadGrams(pngPayloads(spark, dir).filter(col("doc_id") % 2 === 1)),
+      threshold = 0.5, broadcastProbe = false)
+      .select(col("probe_id"), col("index_id"),
+        graft.QueryDef.roundedRatio(col("n_inter"), col("n_union"), 6).as("jac"))
+      .orderBy("probe_id", "index_id")
+
+  /** One persisted even-id byte-gram LSH index per sfDir per session,
+    * built lazily — the mm serve-only query's amortized index, the
+    * exact analog of [[graft.ops.Dedup.cachedLshIndexDir]]. Dirs are
+    * registered for JVM-exit cleanup. */
+  private val cachedIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def cachedMmLshIndexDir(spark: SparkSession, dir: String): String =
+    cachedIndexDirs.computeIfAbsent(dir, _ => {
+      val indexDir = graft.TempDirs.create("mm-lsh-index-cache")
+      graft.ops.Dedup.persistLshIndexElems(
+        payloadGrams(pngPayloads(spark, dir).filter(col("doc_id") % 2 === 0)),
+        indexDir, prefixLen = 1)
+      indexDir
+    })
+
+  /** The SERVE-ONLY leg of [[mmNearDupAgainstIndex]]: identical probe,
+    * identical oracle, but the byte-gram index is the session-cached
+    * persisted one — built once per sfDir outside the timed slot. This
+    * separates mm SERVING cost from lifecycle cost exactly as the text
+    * family's `dedup_against_index_serve_only` does: the build+persist
+    * form is ~all build (the suite's slowest row), so an mm serving
+    * regression is benchdiff-visible only through this row. */
+  val mmNearDupAgainstIndexServeOnly = QueryDef(
+    "mm_near_dup_against_index_serve_only",
+    mmNearDupAgainstIndex.oracle,
+    (spark, dir) =>
+      probeMmOddAgainstIndex(spark, dir, cachedMmLshIndexDir(spark, dir)))
 
   val defs: Seq[QueryDef] = Seq(mmBinaryMeta, mmMetaAgg, mmFrameSample,
     mmResizePlan, mmDedupPayload, mmDecodeMeta, mmNearDup,
-    mmNearDupAgainstIndex)
+    mmNearDupAgainstIndex, mmNearDupAgainstIndexServeOnly)
 }

@@ -2060,6 +2060,45 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     })
 
+  /** The CDC-envelope → IVF-takedown COMPOSITION, oracle-checked —
+    * the LSH family's `dedup_against_index_cdc_delete` twin (query
+    * 149's pattern) on the vector side: the deletion keys arrive as
+    * RAW Debezium connector records (op `d`, key in the before-image
+    * — the reference's delete path, `app/dwd/BaseDbApp.java:43`
+    * consuming `app/function/MyDeserializationSchema.java`
+    * envelopes), are parsed by [[Cdc.fromDebezium]], filtered to
+    * `type = 'delete'`, and drive [[deleteFromIvfIndex]] — the exact
+    * chain `StreamOps.annIngestCdc` runs per micro-batch, here in its
+    * oracle-checkable batch form. Victim set = `vec_id % 7 == 2`,
+    * distinct from the after-delete gate's `% 5 == 1` so the two rows
+    * can never shadow each other. The oracle keeps the FULL-corpus
+    * centroids (a build-time artifact the delete never rewrites) and
+    * excludes the victims from the candidate side only. */
+  val simTopkIvfCdcDelete = QueryDef(
+    "sim_topk_ivf_cdc_delete",
+    graft.QueryDef.replacedOracle(simTopkIvfExternal.oracle,
+      "FROM embeddings e JOIN top2 ON e.label = top2.label, q",
+      "FROM embeddings e JOIN top2 ON e.label = top2.label, q\n  WHERE e.vec_id % 7 <> 2"),
+    (spark, dir) => {
+      val indexDir = graft.TempDirs.create("ivf-serve-cdc-del")
+      persistIvfIndex(buildIvfIndex(spark, dir), indexDir)
+      // the raw connector record: delete ops carry the key in the
+      // BEFORE image (after = null), exactly as the connector emits
+      val raw = Tables.table(spark, dir, "embeddings")
+        .filter(col("vec_id") % 7 === 2)
+        .select(concat(
+          lit("""{"before":{"vec_id":"""), col("vec_id"),
+          lit("""},"after":null,"source":{"db":"graft","table":"embeddings"},"op":"d","ts_ms":1704067200000}"""))
+          .as("value"))
+      val delIds = Cdc.fromDebezium(raw)
+        .filter(col("type") === "delete")
+        .select(get_json_object(col("before"), "$.vec_id")
+          .cast("long").as("vec_id"))
+      deleteFromIvfIndex(spark, indexDir, delIds, batchId = 1L)
+      ivfProbeVectorServed(spark, indexDir, externalQueryVec)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    })
+
   /** The SERVE-ONLY leg of [[simTopkIvfServed]]: identical probe and
     * oracle over the session-cached persisted index — built once per
     * sfDir, reused across invocations. This is the steady-state ANN
@@ -2214,5 +2253,5 @@ object Similarity {
     simTopkIvfRerankPq, simTopkIvfRerankPqServeOnly,
     simTopkIvfMulti, simTopkIvfIncremental, simTopkIvfExternal,
     simTopkIvfServed, simTopkIvfServeOnly, simTopkIvfAfterDelete,
-    simKnnGraph)
+    simTopkIvfCdcDelete, simKnnGraph)
 }

@@ -1983,4 +1983,30 @@ class OpsSpec extends SparkSuite {
     assert(Dedup.calibratedFloorOf(spark, indexDir) === Some(777L),
       "a calibrated layout re-paid (or lost) its floor at the fold")
   }
+
+  test("derived takedown oracles carry their substituted victim filters") {
+    // replacedOracle's require fires during object init, where an
+    // anchor drift surfaces as ExceptionInInitializerError with the
+    // real message buried in the cause — this test re-asserts the
+    // OUTCOME (each derived oracle actually carries its victim
+    // exclusion) so a drift reads as one clear assertion, not an
+    // initializer stack (advisor r13).
+    import graft.ops.{Dedup, Multimodal, Similarity}
+    val expected = Seq(
+      Dedup.dedupAgainstIndexAfterDelete -> "b.doc_id % 10 <> 0",
+      Dedup.dedupAgainstIndexCdcDelete -> "b.doc_id % 6 <> 0",
+      Similarity.simTopkIvfAfterDelete -> "e.vec_id % 5 <> 1",
+      Similarity.simTopkIvfCdcDelete -> "e.vec_id % 7 <> 2")
+    for ((qd, clause) <- expected)
+      assert(qd.oracle.exists(_.contains(clause)),
+        s"${qd.name}: derived oracle lost its victim filter `$clause`")
+    // the serve-only twins must share their build+serve form's oracle
+    // VERBATIM — same rows, same hash, only the timing contract differs
+    assert(Dedup.dedupAgainstIndexServeOnly.oracle ===
+      Dedup.dedupAgainstIndex.oracle)
+    assert(Multimodal.mmNearDupAgainstIndexServeOnly.oracle ===
+      Multimodal.mmNearDupAgainstIndex.oracle)
+    assert(Similarity.simTopkIvfServeOnly.oracle ===
+      Similarity.simTopkIvfExternal.oracle)
+  }
 }
