@@ -431,13 +431,16 @@ private[graft] object GenLifecycle {
     * the highest batch id a streaming ingest loop has claimed, written
     * (monotonically) by the loop itself after each batch's writes land
     * (`dedupIngest`/`annIngest` and their CDC forms). Its existence
-    * makes the delete contract STRUCTURAL instead of documented: a
+    * makes the writer contract STRUCTURAL instead of documented: a
     * direct `deleteFrom*Index` call with an id ABOVE the marker would
     * race the stream's ledger read-modify-write and — because a
     * tombstone kills every lower-id data delta — silently destroy
     * every future append the stream lands below that id, so
     * [[assertTakedownOnAxis]] rejects it loudly (the
-    * `FileTopics.produce` one-producer-mode precedent). Lives INSIDE
+    * `FileTopics.produce` one-producer-mode precedent); a direct
+    * `appendTo*Index` above the marker pre-claims a future stream id
+    * the stream would retract-and-overwrite, so
+    * [[assertAppendOnAxis]] rejects it the same way. Lives INSIDE
     * `delta/` so a persist-entry-point reset (which drops the delta
     * dir) clears ownership with the axis itself; underscore-prefixed
     * and non-`[bt]<id>`-shaped, so delta listings, GC and Spark's file
@@ -465,6 +468,32 @@ private[graft] object GenLifecycle {
           s"it. Route the takedown through the ingest loop's deletions feed " +
           s"($feedHint) or issue it at an id <= $last from the writer " +
           "context between micro-batches.")
+    }
+
+  /** Loud reject for out-of-axis direct APPENDS on a streaming-owned
+    * index — the write-side twin of [[assertTakedownOnAxis]] (advisor
+    * r13: the delete guard alone left the same caller-discipline hole
+    * open on the append side). A direct append at an id ABOVE the
+    * stream's last claimed batch pre-claims a future stream id, and
+    * the stream's eventual batch at that id would retract-and-
+    * overwrite the foreign delta silently — batchId-keyed idempotent
+    * overwrite is the REPLAY contract, owned by the checkpointed
+    * loop. Appends at or below the axis stay legal from the writer
+    * context between micro-batches; within one id the log-order rule
+    * is unchanged. Costs metadata I/O on the APPEND path only, never
+    * on probes; the ingest loops use the unchecked forms (they ARE
+    * the axis owner). */
+  def assertAppendOnAxis(spark: SparkSession, dir: String,
+      batchId: Long, feedHint: String): Unit =
+    readStreamAxis(spark, dir).foreach { last =>
+      if (batchId > last) throw new IllegalStateException(
+        s"appendTo*Index(batchId=$batchId) on $dir, whose delta axis is " +
+          s"owned by a streaming ingest (last claimed batch id $last): a " +
+          "direct append above the stream's counter pre-claims a future " +
+          "stream id, and the stream's batch at that id would silently " +
+          "retract-and-overwrite it. Route the documents through the " +
+          s"ingest loop's feed ($feedHint) or append at an id <= $last " +
+          "from the writer context between micro-batches.")
     }
 
   /** Ids of `<prefix><id>` children of `dir` strictly below `below` —

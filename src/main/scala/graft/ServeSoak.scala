@@ -625,6 +625,110 @@ object ServeSoak {
         s"actions=${acts.mkString("[", ",", "]")} batch_secs=" +
         batchSecs.map(s => f"$s%.2f").mkString("[", ",", "]"))
     }
+    // MM COMPOSED soak (round 14): the byte-gram index shares every
+    // piece of LSH machinery, but its COST PROFILE — payload-bytes
+    // scan + gram explode map-side, zero payload shuffle — was
+    // unexercised at ×N. One single-family arc: build the ×N gram
+    // index, run a live mmDedupIngestCdc stream (the ENFORCED
+    // takedown path: deletes ride the CDC feed itself), tick the
+    // autopilot until a fold fires, and time the SAME serve probe
+    // before / during / after — the claim is flat serve legs through
+    // folds with the takedown honored across them.
+    // SPARK_GRAFT_SOAK_MM=0 skips the leg.
+    if (sys.env.getOrElse("SPARK_GRAFT_SOAK_MM", "1") == "1") {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.ops.{Dedup, IndexMaintenance, Multimodal}
+      val mmDir = java.nio.file.Files.createTempDirectory("soak-mm-idx").toString
+      val (_, mmBuild) = timed(Dedup.persistLshIndexElems(
+        Multimodal.payloadGrams(Multimodal.pngPayloads(spark, soakDir)),
+        mmDir))
+      // driver-side payload pool: corpus payloads to near-copy, their
+      // byte bodies are the docs' text by construction
+      val pool = Multimodal.pngPayloads(spark, soakDir)
+        .orderBy("doc_id").limit(600)
+        .select("doc_id", "payload").as[(Long, Array[Byte])].collect()
+      def nearCopy(p: Array[Byte]): Array[Byte] =
+        p.dropRight(3) ++ "zz!".getBytes("UTF-8")
+      def fresh(g: Int): Array[Byte] =
+        Array.fill[Byte](29)(0) ++ (0 until 24)
+          .map(j => s"m${(g * 11 + j * 19) % 7919}").mkString(" ")
+          .getBytes("UTF-8")
+      // the serve probe: near-copies of 5 indexed payloads — timed
+      // identically at every stage
+      val probePay = pool.take(5).map { case (id, p) =>
+        (id + 10000000L, nearCopy(p)) }.toSeq.toDF("doc_id", "payload")
+      probePay.collect()
+      def serveSecs(): Double = timed(
+        Dedup.nearDupCheckElems(spark, mmDir,
+          Multimodal.payloadGrams(probePay)).collect())._2
+      val serveBefore = (1 to 3).map(_ => serveSecs()).min
+      val victims = pool.slice(5, 15).map(_._1).toSeq
+      // victim visibility premise: a near-copy of victim 0 must match
+      // it BEFORE the takedown or the after-assert is vacuous
+      val victimProbe = Seq((7777777777L, nearCopy(pool(5)._2)))
+        .toDF("doc_id", "payload")
+      require(Dedup.nearDupCheckElems(spark, mmDir,
+          Multimodal.payloadGrams(victimProbe))
+        .collect().map(_.getLong(1)).contains(victims.head),
+        "mm soak premise broken: victim payload not matched pre-delete")
+      val mmOut = java.nio.file.Files.createTempDirectory("soak-mm-out").toString
+      val in = MemoryStream[(String, Long, Array[Byte])]
+      val q = graft.streaming.StreamOps.mmDedupIngestCdc(
+        in.toDS().toDF("op", "doc_id", "payload"), mmDir, mmOut)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("soak-mm-ckpt").toString)
+        .start()
+      val nBatches = 6
+      val perBatch = 100
+      val policy = IndexMaintenance.Policy(backlogRatio = 0.02,
+        backlogBatches = 3)
+      val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+      val serveDuring =
+        try (0 until nBatches).map { b =>
+          val adds = (0 until perBatch).map { i =>
+            val g = b * perBatch + i
+            if (i % 2 == 0)
+              ("insert", 8500000000L + g, nearCopy(pool(g % pool.length)._2))
+            else ("insert", 8600000000L + g, fresh(g))
+          }
+          // batch 3 carries the takedown IN the change feed — the
+          // enforced stream-driven path, all within the writer slot
+          val rows = if (b == 3)
+            victims.map(v => ("delete", v, Array.empty[Byte])) ++ adds
+          else adds
+          in.addData(rows: _*)
+          q.processAllAvailable()
+          // autopilot ticks BETWEEN batches, same cadence pattern as
+          // the composed leg but sequential (one family, one writer)
+          val a = IndexMaintenance.maintainLshIndex(spark, mmDir, policy)
+          if (a != IndexMaintenance.NoOp) actions += s"b$b:$a"
+          serveSecs()
+        } finally q.stop()
+      // settle: signals must self-clear once ingest stops
+      var settle = 0
+      while (settle < 8 &&
+          IndexMaintenance.planLsh(spark, mmDir, policy) != IndexMaintenance.NoOp) {
+        val a = IndexMaintenance.maintainLshIndex(spark, mmDir, policy)
+        if (a != IndexMaintenance.NoOp) actions += s"settle:$a"
+        settle += 1
+      }
+      require(actions.exists(_.contains("Compact")),
+        s"no fold fired across $nBatches mm ingest batches: $actions")
+      val serveAfter = (1 to 3).map(_ => serveSecs()).min
+      // takedown honored THROUGH the folds: the victim's near-copy
+      // probe must never name a deleted id again
+      val afterDel = Dedup.nearDupCheckElems(spark, mmDir,
+          Multimodal.payloadGrams(victimProbe))
+        .collect().map(_.getLong(1)).toSet
+      require(afterDel.intersect(victims.toSet).isEmpty,
+        s"mm takedown leaked through folds: $afterDel")
+      println(f"[servesoak] x$factor%-4d mm_composed build=$mmBuild%7.2fs " +
+        f"serve_before=$serveBefore%5.2fs serve_after_folds=$serveAfter%5.2fs " +
+        s"serve_during=${serveDuring.map(s => f"$s%.2f").mkString("[", ",", "]")} " +
+        s"actions=${actions.mkString("[", ",", "]")} settle_ticks=$settle")
+    }
     spark.stop()
   }
 }

@@ -258,16 +258,33 @@ object StreamBench {
       in.toDS().toDF("doc_id", "text"), outDir)
       .option("checkpointLocation", TempDirs.create("sb-substr-ckpt"))
       .start()
-    try timed {
-      for (b <- 0 until nBatches) {
-        in.addData((0 until perBatch).map { i =>
-          val g = b * perBatch + i
-          val t = if (g % 5 == 4) text(g - 1) else text(g)
-          (g.toLong, t)
-        }: _*)
-        q.processAllAvailable()
+    try {
+      val r = timed {
+        for (b <- 0 until nBatches) {
+          in.addData((0 until perBatch).map { i =>
+            val g = b * perBatch + i
+            val t = if (g % 5 == 4) text(g - 1) else text(g)
+            (g.toLong, t)
+          }: _*)
+          q.processAllAvailable()
+        }
+        (perBatch * nBatches).toLong
       }
-      (perBatch * nBatches).toLong
+      // STATE-SIZE instrumentation (the one stream-lifetime-unbounded
+      // state surface — VERDICT r13): key count + RocksDB size metrics
+      // from the last batch's progress, so every StreamBench window
+      // banks a bytes-per-distinct-window reading alongside the
+      // throughput (stderr — the JSON tail stays rows/sec-shaped)
+      for (p <- Option(q.lastProgress); so <- p.stateOperators.headOption) {
+        import scala.jdk.CollectionConverters._
+        val sizes = so.customMetrics.entrySet().asScala.toSeq
+          .filter(_.getKey.toLowerCase.matches(".*(size|memory|bytes).*"))
+          .sortBy(_.getKey)
+          .map(e => s"${e.getKey}=${e.getValue}").mkString(" ")
+        System.err.println(s"[streambench] substring_state nDocs=$nDocs " +
+          s"keys=${so.numRowsTotal} updated=${so.numRowsUpdated} $sizes")
+      }
+      r
     } finally q.stop()
   }
 

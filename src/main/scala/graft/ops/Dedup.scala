@@ -738,6 +738,13 @@ object Dedup {
       newDocs: DataFrame, batchId: Long, prefixLen: Int = 2,
       exactFallback: Boolean = false,
       maxCellRows: Long = defaultMaxCellRows): Unit = {
+    // once a dedupIngest/dedupIngestCdc stream owns the delta axis, a
+    // direct append above its counter rejects loudly — the write-side
+    // twin of the takedown guard ([[graft.GenLifecycle
+    // .assertAppendOnAxis]]); the ingest loop itself appends through
+    // the unchecked band-rows form below
+    graft.GenLifecycle.assertAppendOnAxis(spark, indexDir, batchId,
+      "StreamOps.dedupIngest / dedupIngestCdc")
     // the index's persisted prefixLen wins — a caller-supplied
     // mismatch would write delta cells no probe of this index ever
     // lists (prefixLen param = pre-meta-layout fallback only)

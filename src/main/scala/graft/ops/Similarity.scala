@@ -991,6 +991,21 @@ object Similarity {
     * [[appendToIvfIndex]] story. */
   def appendToPersistedIvfIndex(spark: SparkSession, indexDir: String,
       newVecs: DataFrame, batchId: Long,
+      maxCellRows: Long = Dedup.defaultMaxCellRows): Unit = {
+    // once an annIngest/annIngestCdc stream owns the delta axis, a
+    // direct append above its counter rejects loudly — the write-side
+    // twin of the takedown guard; the ingest loop appends through the
+    // unchecked form below (it IS the axis owner)
+    graft.GenLifecycle.assertAppendOnAxis(spark, indexDir, batchId,
+      "StreamOps.annIngest / annIngestCdc")
+    appendToPersistedIvfIndexUnchecked(spark, indexDir, newVecs, batchId,
+      maxCellRows)
+  }
+
+  /** The append body, axis-check-free — for the ingest loop itself
+    * (the sequential writer claiming the id). */
+  private[graft] def appendToPersistedIvfIndexUnchecked(spark: SparkSession,
+      indexDir: String, newVecs: DataFrame, batchId: Long,
       maxCellRows: Long = Dedup.defaultMaxCellRows): Unit =
     appendToPersistedIvfIndexAt(spark, indexDir, resolveIvf(spark, indexDir),
       newVecs, batchId, maxCellRows)

@@ -144,7 +144,34 @@ final case class RepWin(doc_id: Long, i: Int)
   * worth (first_doc, pending) before a repeat — pending is bounded by
   * the hash's repeats WITHIN its first document, ~1 in real text —
   * and a single boolean after (first/pending cleared on the flip, so
-  * the heavy half of the state is transient by construction). */
+  * the heavy half of the state is transient by construction).
+  *
+  * GROWTH BOUND (explicit): the key space is STREAM-LIFETIME-UNBOUNDED
+  * by design — one RocksDB entry per distinct k-token window ever
+  * seen, ~one per corpus token, so a 100 TB stream accumulates
+  * ~corpus-token-count entries sharded across executors. Measured
+  * (PERF.md r14, RocksDB provider): ~60–70 bytes of SST per distinct
+  * window at the benchmark shape, linear in distinct windows across
+  * the 1×/4×/8× legs — the per-entry cost is the 16-hex key plus a
+  * few bytes of column-family value, no superlinear compaction term.
+  * Beyond that budget, pass a `ttl`: state for a window unseen for
+  * the TTL horizon is dropped, bounding the store to the horizon's
+  * distinct-window count. THE EXACTNESS TRADE IS EXPLICIT — an
+  * expired key's next occurrence re-enters PENDING as if first-seen,
+  * so a repeat whose two contributing documents arrive MORE than the
+  * TTL horizon apart is missed (and a flipped key's re-arrivals stop
+  * emitting until re-proven); batch parity holds exactly for repeats
+  * within the horizon, which is the retention contract a bounded
+  * deployment is choosing on purpose.
+  *
+  * DELIVERY CONTRACT: inputs must be exactly-once per `(doc_id, i)`
+  * occurrence — the Spark checkpoint's replay path IS exactly-once
+  * (a replayed micro-batch rewrites its own batchId-keyed output),
+  * but an UPSTREAM at-least-once re-delivery of an already-processed
+  * document re-emits its events for flipped keys: the emitted SET
+  * still equals the batch `rwin` relation, the MULTISET does not.
+  * Dedup upstream (or sink-side `(doc_id, i)` idempotence) is the
+  * caller's job when the source is at-least-once. */
 class SubstringRepeatProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[String, WinOcc, RepWin] {
 
@@ -1099,11 +1126,11 @@ object StreamOps {
     vectors.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.ops.Similarity.appendToPersistedIvfIndex(
+          graft.ops.Similarity.appendToPersistedIvfIndexUnchecked(
             batch.sparkSession, indexDir, batch.toDF(), batchId)
           // claim the delta axis: from here on a direct out-of-axis
-          // deleteFromIvfIndex rejects loudly (route takedowns through
-          // annIngestCdc's deletions feed)
+          // deleteFromIvfIndex OR appendToPersistedIvfIndex rejects
+          // loudly (route changes through annIngestCdc's feed)
           graft.GenLifecycle.writeStreamAxis(batch.sparkSession, indexDir, batchId)
         }
     }
@@ -1129,18 +1156,27 @@ object StreamOps {
 
   private[graft] def annIngestCdcBatch(batch: DataFrame, indexDir: String,
       batchId: Long): Unit = {
-    if (batch.isEmpty) return
+    // same cached-once discipline as lshIngestCdcBatch: one persisted
+    // scan + one two-way conditional count replaces four re-reads of
+    // the (file/Kafka-backed) source per micro-batch
     val spark = batch.sparkSession
-    val dels = batch.filter(col("op") === "delete").select("vec_id")
-    if (!dels.isEmpty)
-      graft.ops.Similarity.deleteFromIvfIndexUnchecked(spark, indexDir,
-        dels, batchId)
-    val adds = batch.filter(col("op") =!= "delete")
-      .select("vec_id", "embedding")
-    if (!adds.isEmpty)
-      graft.ops.Similarity.appendToPersistedIvfIndex(spark, indexDir,
-        adds, batchId)
-    graft.GenLifecycle.writeStreamAxis(spark, indexDir, batchId)
+    val cached = batch.persist()
+    try {
+      val counts = cached.agg(
+        count(when(col("op") === "delete", 1)).as("n_dels"),
+        count(when(col("op") =!= "delete", 1)).as("n_adds")).head()
+      val (nDels, nAdds) = (counts.getLong(0), counts.getLong(1))
+      if (nDels > 0)
+        graft.ops.Similarity.deleteFromIvfIndexUnchecked(spark, indexDir,
+          cached.filter(col("op") === "delete").select("vec_id"), batchId)
+      if (nAdds > 0)
+        graft.ops.Similarity.appendToPersistedIvfIndexUnchecked(spark,
+          indexDir,
+          cached.filter(col("op") =!= "delete").select("vec_id", "embedding"),
+          batchId)
+      if (nDels > 0 || nAdds > 0)
+        graft.GenLifecycle.writeStreamAxis(spark, indexDir, batchId)
+    } finally { cached.unpersist(); () }
   }
 
   /** Self-building streaming dedup: each micro-batch of `(doc_id,
@@ -1360,12 +1396,20 @@ object StreamOps {
                 .select(col("probe_id").as("doc_id"),
                   col("index_id").as("dup_of"), round(col("jac"), 6).as("jac"))
               val best = inBatchDups.fold(bestIndex)(bestIndex.unionByName(_))
-              uniq.select("doc_id").join(best, Seq("doc_id"), "left")
+              // distinct BEFORE the join: a batch carrying the same
+              // doc_id twice with an identical fingerprint keeps both
+              // rows through the survivor semi-join (keep is keyed on
+              // fp, not doc_id), and the decision log's contract — the
+              // soak invariants assume it — is ONE row per unique doc.
+              // Ids-only exchange, micro-batch-bounded.
+              uniq.select("doc_id").distinct()
+                .join(best, Seq("doc_id"), "left")
                 .write.mode("overwrite").parquet(s"$outDir/b$batchId")
               // claim the delta axis (monotonic): from here on a
-              // direct out-of-axis deleteFromLshIndex rejects loudly —
-              // takedowns route through dedupIngestCdc's deletions
-              // feed or sit at/below the claimed id
+              // direct out-of-axis deleteFromLshIndex OR
+              // appendToLshIndex rejects loudly — changes route
+              // through dedupIngestCdc's feed or sit at/below the
+              // claimed id
               graft.GenLifecycle.writeStreamAxis(spark, indexDir, batchId)
             } finally releaseFlagged()
           } finally releasePairs()
@@ -1423,18 +1467,37 @@ object StreamOps {
     * delete+re-add arriving together is a CDC upsert), the non-delete
     * rows run the modality's ingest at the same id, and the axis is
     * claimed even on delete-only batches (the ingest does it itself on
-    * the add path; writeStreamAxis is monotonic). */
+    * the add path; writeStreamAxis is monotonic).
+    *
+    * The micro-batch is PERSISTED for the whole slot: a file/Kafka-
+    * backed batch re-reads its source on every action, and this
+    * skeleton's guards plus the ingest core's own scans (its isEmpty,
+    * the digest groupBy, the survivor semi-join) added up to five
+    * source re-reads per micro-batch — pure control-plane tax on
+    * families measured per-batch-overhead-bound. One job (a cached
+    * two-way conditional count) now decides both empty branches, and
+    * every downstream scan reads the cache; unpersist only after the
+    * axis write lands. */
   private def lshIngestCdcBatch(batch: DataFrame, indexDir: String,
       batchId: Long)(ingestAdds: DataFrame => Unit): Unit = {
-    if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val dels = batch.filter(col("op") === "delete").select("doc_id")
-    if (!dels.isEmpty)
-      graft.ops.Dedup.deleteFromLshIndexUnchecked(spark, indexDir, dels,
-        batchId)
-    val adds = batch.filter(col("op") =!= "delete").drop("op")
-    if (!adds.isEmpty) ingestAdds(adds)
-    graft.GenLifecycle.writeStreamAxis(spark, indexDir, batchId)
+    val cached = batch.persist()
+    try {
+      val counts = cached.agg(
+        count(when(col("op") === "delete", 1)).as("n_dels"),
+        count(when(col("op") =!= "delete", 1)).as("n_adds")).head()
+      val (nDels, nAdds) = (counts.getLong(0), counts.getLong(1))
+      if (nDels > 0)
+        graft.ops.Dedup.deleteFromLshIndexUnchecked(spark, indexDir,
+          cached.filter(col("op") === "delete").select("doc_id"), batchId)
+      if (nAdds > 0)
+        ingestAdds(cached.filter(col("op") =!= "delete").drop("op"))
+      // an entirely empty batch claims no axis (the pre-cache
+      // behavior); null-op rows count in neither branch, exactly as
+      // the two filters would route them
+      if (nDels > 0 || nAdds > 0)
+        graft.GenLifecycle.writeStreamAxis(spark, indexDir, batchId)
+    } finally { cached.unpersist(); () }
   }
 
   /** MULTIMODAL dedup-at-ingest — [[dedupIngest]] for a binary-media

@@ -1039,6 +1039,29 @@ class StreamingSpec extends SparkSuite {
     assert(copies === Seq((999L, 109L)), s"replay double-grew the index: $copies")
   }
 
+  test("dedup ingest: a doc re-delivered WITHIN one micro-batch logs exactly one decision row") {
+    // advisor r13: the survivor set is keyed on fingerprint, so two
+    // rows with the SAME doc_id and identical text (an at-least-once
+    // source re-sending a doc inside one batch) both pass the
+    // left-semi — the decision log must still carry one row per
+    // unique doc, the contract the soak invariants assume
+    import graft.ops.Dedup
+    val indexDir = java.nio.file.Files.createTempDirectory("dedup-dup-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("dedup-dup-out").toString
+    val seeded = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Dedup.persistLshIndex(Seq((2L, seeded)).toDF("doc_id", "text"), indexDir)
+    val textA = "one two three four five six seven eight nine ten eleven twelve"
+    StreamOps.dedupIngestBatch(
+      Seq(103L -> textA, 103L -> textA, 101L -> seeded.replace(" mu", " nu"))
+        .toDF("doc_id", "text"),
+      indexDir, outDir, batchId = 0L, threshold = 0.4)
+    val rows = spark.read.parquet(s"$outDir/b0")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(rows.size === 2, s"decision log not one-row-per-doc: $rows")
+    assert(rows.toMap === Map(103L -> None, 101L -> Some(2L)))
+  }
+
   test("stream-driven takedown (CDC feed): deletes take effect from their own batch, replay identical, re-adds resurrect, out-of-axis direct deletes reject") {
     import graft.ops.Dedup
     val indexDir = java.nio.file.Files.createTempDirectory("dedup-cdc-idx").toString
@@ -1113,6 +1136,15 @@ class StreamingSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("owned by a streaming ingest"), e.getMessage)
     assert(decisions(1) === Map(111L -> None, 113L -> None)) // nothing happened
+    // the write-side twin: a direct APPEND above the stream's counter
+    // pre-claims a future stream id the stream would retract-and-
+    // overwrite — same loud reject (advisor r13)
+    val ea = intercept[IllegalStateException] {
+      Dedup.appendToLshIndex(spark, indexDir,
+        Seq(500L -> "foreign append above the axis").toDF("doc_id", "text"),
+        batchId = 9L)
+    }
+    assert(ea.getMessage.contains("pre-claims a future stream id"), ea.getMessage)
     // at-or-below the claimed id stays legal (retro takedown from the
     // writer context between micro-batches)
     Dedup.deleteFromLshIndex(spark, indexDir,
@@ -1167,6 +1199,13 @@ class StreamingSpec extends SparkSuite {
         Seq(1000001L).toDF("vec_id"), batchId = 8L)
     }
     assert(e.getMessage.contains("owned by a streaming ingest"), e.getMessage)
+    // the write-side twin: a direct IVF append above the axis rejects
+    // the same way (advisor r13)
+    val ea = intercept[IllegalStateException] {
+      graft.ops.Similarity.appendToPersistedIvfIndex(spark, indexDir,
+        Seq((2000000L, spike2)).toDF("vec_id", "embedding"), batchId = 8L)
+    }
+    assert(ea.getMessage.contains("pre-claims a future stream id"), ea.getMessage)
     // at/below the axis stays legal (a no-op retro key, on a fresh id,
     // so the CDC batch's own t1 tombstone is not overwritten)
     graft.ops.Similarity.deleteFromIvfIndex(spark, indexDir,
