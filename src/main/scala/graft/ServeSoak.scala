@@ -645,10 +645,17 @@ object ServeSoak {
         Multimodal.payloadGrams(Multimodal.pngPayloads(spark, soakDir)),
         mmDir))
       // driver-side payload pool: corpus payloads to near-copy, their
-      // byte bodies are the docs' text by construction
+      // byte bodies are the docs' text by construction. Victims and
+      // probe sources need BODY MASS: a short body gives the sampled
+      // 8-byte-gram pipeline so few grams that a tail edit can flip
+      // both band minima (measured at ×100 — the first premise run
+      // tripped on exactly this), so pick docs with ≥64 body bytes.
       val pool = Multimodal.pngPayloads(spark, soakDir)
+        .filter(octet_length(col("payload")) >= 29 + 64)
         .orderBy("doc_id").limit(600)
         .select("doc_id", "payload").as[(Long, Array[Byte])].collect()
+      require(pool.length >= 300,
+        s"mm soak pool too thin (${pool.length}): corpus bodies shrank")
       def nearCopy(p: Array[Byte]): Array[Byte] =
         p.dropRight(3) ++ "zz!".getBytes("UTF-8")
       def fresh(g: Int): Array[Byte] =
@@ -665,9 +672,11 @@ object ServeSoak {
           Multimodal.payloadGrams(probePay)).collect())._2
       val serveBefore = (1 to 3).map(_ => serveSecs()).min
       val victims = pool.slice(5, 15).map(_._1).toSeq
-      // victim visibility premise: a near-copy of victim 0 must match
-      // it BEFORE the takedown or the after-assert is vacuous
-      val victimProbe = Seq((7777777777L, nearCopy(pool(5)._2)))
+      // victim visibility premise: an EXACT copy of victim 0's payload
+      // (identical gram set — the match is structural, not
+      // threshold-marginal) must name it BEFORE the takedown or the
+      // after-assert is vacuous
+      val victimProbe = Seq((7777777777L, pool(5)._2))
         .toDF("doc_id", "payload")
       require(Dedup.nearDupCheckElems(spark, mmDir,
           Multimodal.payloadGrams(victimProbe))

@@ -275,7 +275,12 @@ object StreamBench {
       // from the last batch's progress, so every StreamBench window
       // banks a bytes-per-distinct-window reading alongside the
       // throughput (stderr — the JSON tail stays rows/sec-shaped)
-      for (p <- Option(q.lastProgress); so <- p.stateOperators.headOption) {
+      // lastProgress can be a trailing NO-DATA micro-batch with no
+      // state operators — walk recentProgress backwards for the last
+      // one that actually carries state metrics
+      for (p <- q.recentProgress.reverseIterator
+             .find(_.stateOperators.nonEmpty);
+           so <- p.stateOperators.headOption) {
         import scala.jdk.CollectionConverters._
         val sizes = so.customMetrics.entrySet().asScala.toSeq
           .filter(_.getKey.toLowerCase.matches(".*(size|memory|bytes).*"))

@@ -150,10 +150,11 @@ final case class RepWin(doc_id: Long, i: Int)
   * by design — one RocksDB entry per distinct k-token window ever
   * seen, ~one per corpus token, so a 100 TB stream accumulates
   * ~corpus-token-count entries sharded across executors. Measured
-  * (PERF.md r14, RocksDB provider): ~60–70 bytes of SST per distinct
-  * window at the benchmark shape, linear in distinct windows across
-  * the 1×/4×/8× legs — the per-entry cost is the 16-hex key plus a
-  * few bytes of column-family value, no superlinear compaction term.
+  * (PERF.md r14, RocksDB provider): ~90–200 bytes of SST per LIVE
+  * state row at the benchmark shape, with no superlinear term — and
+  * the row count itself SHRINKS as repeats flip (first+pending clear
+  * to one boolean row), so a repeat-heavy stream's store grows
+  * slower than its distinct-window count.
   * Beyond that budget, pass a `ttl`: state for a window unseen for
   * the TTL horizon is dropped, bounding the store to the horizon's
   * distinct-window count. THE EXACTNESS TRADE IS EXPLICIT — an
