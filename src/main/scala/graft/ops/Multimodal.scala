@@ -464,7 +464,51 @@ object Multimodal {
     (spark, dir) =>
       probeMmOddAgainstIndex(spark, dir, cachedMmLshIndexDir(spark, dir)))
 
+  private val mmSplitCandAnchor =
+    "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0"
+
+  /** The CDC-envelope → BYTE-GRAM-index takedown composition,
+    * oracle-checked — the multimodal twin of
+    * `dedup_against_index_cdc_delete` (and the batch form of the chain
+    * `StreamOps.mmDedupIngestCdc` runs per micro-batch): deletion
+    * orders arrive as RAW Debezium records (op `d`, key in the
+    * before-image), are parsed by [[Cdc.fromDebezium]] and drive
+    * [[Dedup.deleteFromLshIndex]] against the persisted byte-gram
+    * index — the SAME tombstone machinery as text, exercised here on
+    * the payload modality end to end. Index = even-id payload grams;
+    * takedown = every doc_id % 6 == 0 (all even, so every victim is
+    * really in the index; non-vacuous at sf0.01 AND sf0.001 — the
+    * victims carry 3 and 5 confirmed pairs respectively); probe = odd
+    * ids. The oracle excludes victims from the candidate INDEX side
+    * only, via [[graft.QueryDef.replacedOracle]] (OpsSpec re-asserts
+    * the substituted clause). */
+  val mmNearDupAgainstIndexCdcDelete = QueryDef(
+    "mm_near_dup_against_index_cdc_delete",
+    graft.QueryDef.replacedOracle(mmNearDupAgainstIndex.oracle,
+      mmSplitCandAnchor, s"$mmSplitCandAnchor AND b.doc_id % 6 <> 0"),
+    (spark, dir) => {
+      val indexDir = graft.TempDirs.create("mm-lsh-index-cdc-del")
+      graft.ops.Dedup.persistLshIndexElems(
+        payloadGrams(pngPayloads(spark, dir).filter(col("doc_id") % 2 === 0)),
+        indexDir, prefixLen = 1)
+      // the raw connector record: delete ops carry the key in the
+      // BEFORE image (after = null), exactly as the connector emits
+      val raw = Tables.table(spark, dir, "documents")
+        .filter(col("doc_id") % 6 === 0)
+        .select(concat(
+          lit("""{"before":{"doc_id":"""), col("doc_id"),
+          lit("""},"after":null,"source":{"db":"graft","table":"media"},"op":"d","ts_ms":1704067200000}"""))
+          .as("value"))
+      val delIds = Cdc.fromDebezium(raw)
+        .filter(col("type") === "delete")
+        .select(get_json_object(col("before"), "$.doc_id")
+          .cast("long").as("doc_id"))
+      graft.ops.Dedup.deleteFromLshIndex(spark, indexDir, delIds, batchId = 1L)
+      probeMmOddAgainstIndex(spark, dir, indexDir)
+    })
+
   val defs: Seq[QueryDef] = Seq(mmBinaryMeta, mmMetaAgg, mmFrameSample,
     mmResizePlan, mmDedupPayload, mmDecodeMeta, mmNearDup,
-    mmNearDupAgainstIndex, mmNearDupAgainstIndexServeOnly)
+    mmNearDupAgainstIndex, mmNearDupAgainstIndexServeOnly,
+    mmNearDupAgainstIndexCdcDelete)
 }

@@ -1995,6 +1995,7 @@ class OpsSpec extends SparkSuite {
     val expected = Seq(
       Dedup.dedupAgainstIndexAfterDelete -> "b.doc_id % 10 <> 0",
       Dedup.dedupAgainstIndexCdcDelete -> "b.doc_id % 6 <> 0",
+      Multimodal.mmNearDupAgainstIndexCdcDelete -> "b.doc_id % 6 <> 0",
       Similarity.simTopkIvfAfterDelete -> "e.vec_id % 5 <> 1",
       Similarity.simTopkIvfCdcDelete -> "e.vec_id % 7 <> 2")
     for ((qd, clause) <- expected)
