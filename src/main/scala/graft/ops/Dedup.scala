@@ -217,22 +217,25 @@ object Dedup {
   }
 
   /** One row per doc carrying both LSH band signatures AND the
-    * distinct element set, from a SINGLE groupBy over the element
-    * relation. The sig and set aggregations share their grouping key,
-    * so splitting them (the pre-r14 shape) paid a second full pass
-    * over the widest relation in the pipeline plus a sig⋈sets join;
-    * one combined aggregate emits identical values in one pass. The
-    * shuffle carries (doc_id, partial mins, partial set) — same mass
-    * class as the old set aggregation alone, still no payload/text. */
+    * distinct element set, from a SINGLE pass over the element
+    * relation: one collect_set groupBy (the only aggregation — the
+    * pre-r14 shape paid a second full pass for the minhash aggregate
+    * plus a sig⋈sets join), then the band mins computed over the
+    * per-doc array in a codegen'd projection (array_min over
+    * transform — identical values: same md5s, same UTF8String
+    * ordering as a min() aggregate; computing the mins INSIDE the
+    * collect_set's ObjectHashAggregate instead measured 6–14% slower,
+    * because the per-row min updates fall out of whole-stage codegen).
+    * The shuffle carries (doc_id, partial set) — no payload/text. */
   private def docSigSets(elems: DataFrame): DataFrame = {
-    val h1 = md5(col("s"))
-    val h2 = md5(concat(lit("x"), col("s")))
-    def slice(h: org.apache.spark.sql.Column, i: Int) = substring(h, 8 * i + 1, 8)
-    elems.groupBy("doc_id")
-      .agg(
-        concat((0 to 3).map(i => min(slice(h1, i)).as(s"h$i")): _*).as("band0"),
-        concat((0 to 3).map(i => min(slice(h2, i)).as(s"h${i + 4}")): _*).as("band1"),
-        collect_set(col("s")).as("ss"))
+    def sliceMin(hashes: String, i: Int) = array_min(
+      transform(col(hashes), h => substring(h, 8 * i + 1, 8)))
+    elems.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
+      .withColumn("m1", transform(col("ss"), s => md5(s)))
+      .withColumn("m2", transform(col("ss"), s => md5(concat(lit("x"), s))))
+      .select(col("doc_id"), col("ss"),
+        concat((0 to 3).map(i => sliceMin("m1", i)): _*).as("band0"),
+        concat((0 to 3).map(i => sliceMin("m2", i)): _*).as("band1"))
   }
 
   /** One row per (doc, LSH band) carrying everything a near-dup probe
@@ -274,18 +277,12 @@ object Dedup {
     require(prefixLen >= 1,
       s"prefixLen=$prefixLen: must be >= 1 — an empty cell prefix writes " +
         "__HIVE_DEFAULT_PARTITION__ cells that no probe path ever matches")
-    // sig⋈sets — NOT the combined [[docSigSets]] aggregate: measured
-    // A/B (r14) put the combined form 6–14% SLOWER on the index
-    // build/probe paths, because folding the min() slices into the
-    // collect_set's ObjectHashAggregate evicts them from whole-stage
-    // codegen, while the double element pass the combination removes
-    // is already free here (both aggregations sit on one reused
-    // exchange, and the co-partitioned join is shuffle-free).
-    // scoredPairsOf keeps the combined form because there it also
-    // replaces a full extra band pipeline + cache (measured −13–40%).
-    val sig = minhashSig(elems)
-    val sets = elems.groupBy("doc_id").agg(collect_set(col("s")).as("ss"))
-    sig.join(sets, "doc_id")
+    // SINGLE pass, mins in whole-stage codegen ([[docSigSets]]) —
+    // measured r14 same-container A/B vs the r13 sig⋈sets shape:
+    // −10–25% on the index build AND probe rows (the third shape
+    // tried, min()-inside-ObjectHashAggregate, was 6–14% slower than
+    // baseline; see docSigSets's scaladoc for the full ladder).
+    docSigSets(elems)
       .select(col("doc_id"), col("ss"),
         explode(array(
           struct(lit(0).as("band_id"), col("band0").as("sig")),
