@@ -34,6 +34,28 @@ class PlanSpec extends SparkSuite {
   private def occurrences(plan: String, token: String): Int =
     token.r.findAllIn(plan).size
 
+  test("band rows: one aggregation pass, no join — the r14 shape ladder's winner stays pinned") {
+    // the rejected shapes are structurally detectable: sig⋈sets adds a
+    // join over fat array-carrying rows (11.6× slower at the ×100 soak
+    // — PERF.md), min-inside-ObjectHashAggregate adds nothing a plan
+    // string shows, but the join is the expensive regression to pin
+    import spark.implicits._
+    val elems = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("doc_id", "s")
+    val df = graft.ops.Dedup.bandRowsOfElems(elems, 1)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    assert(!plan.contains("Join"),
+      s"band rows re-grew a join over the fat element arrays:\n$plan")
+    // one partial+final ObjectHashAggregate pair (collect_set), and no
+    // second aggregate family (the old separate minhash HashAggregate)
+    assert(occurrences(plan, "ObjectHashAggregate") == 2, plan)
+    assert(occurrences(plan, "(?m)^\\s*[+:]?-? *\\*?\\(?\\d*\\)? ?HashAggregate") == 0, plan)
+  }
+
   test("q2: no cartesian/nested-loop; dims broadcast; derived-ps materialized once") {
     val plan = finalPlan("q2_min_cost_supplier")
     assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(25).mkString("\n"))
