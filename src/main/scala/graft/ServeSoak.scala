@@ -123,7 +123,7 @@ object ServeSoak {
       case (tag, dir) =>
         val docs = spark.read.parquet(s"$dir/documents.parquet").count()
         val vecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
-        val lshDir = java.nio.file.Files.createTempDirectory(s"soak-lsh-$tag").toString
+        val lshDir = TempDirs.create(s"soak-lsh-$tag")
         val (_, lshBuild) = timed(graft.ops.Dedup.persistLshIndex(
           spark.read.parquet(s"$dir/documents.parquet"), lshDir))
         // the HOT-CELL twin: prefixLen=1 is 16 cells per band — at ×N
@@ -134,13 +134,13 @@ object ServeSoak {
         // overhead-bound instead. (prefixLen=0 is REJECTED by the
         // layout: an empty cell prefix writes HIVE-default-partition
         // paths no probe matches.)
-        val lshHotDir = java.nio.file.Files.createTempDirectory(s"soak-lshh-$tag").toString
+        val lshHotDir = TempDirs.create(s"soak-lshh-$tag")
         val (_, lshHotBuild) = timed(graft.ops.Dedup.persistLshIndex(
           spark.read.parquet(s"$dir/documents.parquet"), lshHotDir,
           prefixLen = 1))
         val probe = probeDocs(dir)
         probe.collect() // materialize the probe outside the timed region
-        val ivfDir = java.nio.file.Files.createTempDirectory(s"soak-ivf-$tag").toString
+        val ivfDir = TempDirs.create(s"soak-ivf-$tag")
         val idx = graft.ops.Similarity.buildIvfIndexFrom(
           spark.read.parquet(s"$dir/embeddings.parquet"))
         val (_, ivfBuild) = timed(graft.ops.Similarity.persistIvfIndex(idx, ivfDir))
@@ -148,7 +148,7 @@ object ServeSoak {
         // 3-iteration per-subspace Lloyd refinement — the build delta
         // is the training price, the recall delta the fidelity gain
         val ivfTrainedDir =
-          java.nio.file.Files.createTempDirectory(s"soak-ivft-$tag").toString
+          TempDirs.create(s"soak-ivft-$tag")
         val (_, ivfTrainedBuild) = timed(graft.ops.Similarity.persistIvfIndex(
           idx, ivfTrainedDir, trainPqIters = 3))
         val (plainRecall, rerankRecall, rerankPqRecall, rerankPqTrainedRecall) =
@@ -243,11 +243,11 @@ object ServeSoak {
       import spark.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val idxDir = java.nio.file.Files.createTempDirectory("soak-rbk-idx").toString
+      val idxDir = TempDirs.create("soak-rbk-idx")
       val (_, rbkBuild) = timed(graft.ops.Dedup.persistLshIndex(
         spark.read.parquet(s"$soakDir/documents.parquet"), idxDir,
         prefixLen = 1))
-      val outDir = java.nio.file.Files.createTempDirectory("soak-rbk-out").toString
+      val outDir = TempDirs.create("soak-rbk-out")
       val corpus = spark.read.parquet(s"$soakDir/documents.parquet")
         .orderBy("doc_id").limit(600).select("doc_id", "text")
         .as[(Long, String)].collect()
@@ -269,7 +269,7 @@ object ServeSoak {
       val q = graft.streaming.StreamOps.dedupIngest(
         in.toDS().toDF("doc_id", "text"), idxDir, outDir)
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("soak-rbk-ckpt").toString)
+          TempDirs.create("soak-rbk-ckpt"))
         .start()
       // two uncoordinated transitions under the live stream: UP
       // (1 → 2, the hot-cell repair) at batch 3 and back DOWN
@@ -341,7 +341,7 @@ object ServeSoak {
     if (sys.env.getOrElse("SPARK_GRAFT_SOAK_FILES", "1") == "1") {
       import spark.implicits._
       import graft.ops.{Dedup, IndexMaintenance}
-      val fDir = java.nio.file.Files.createTempDirectory("soak-files-lsh").toString
+      val fDir = TempDirs.create("soak-files-lsh")
       Dedup.persistLshIndex(
         spark.read.parquet(s"$soakDir/documents.parquet"), fDir)
       val corpus = spark.read.parquet(s"$soakDir/documents.parquet")
@@ -385,7 +385,7 @@ object ServeSoak {
     if (sys.env.getOrElse("SPARK_GRAFT_SOAK_TOMB", "1") == "1") {
       import spark.implicits._
       import graft.ops.{Dedup, IndexMaintenance}
-      val tDir = java.nio.file.Files.createTempDirectory("soak-tomb-lsh").toString
+      val tDir = TempDirs.create("soak-tomb-lsh")
       Dedup.persistLshIndex(
         spark.read.parquet(s"$soakDir/documents.parquet"), tDir)
       val probe = probeDocs(soakDir)
@@ -442,12 +442,12 @@ object ServeSoak {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.ops.{Dedup, IndexMaintenance, Similarity}
-      val lshDir = java.nio.file.Files.createTempDirectory("soak-all-lsh").toString
+      val lshDir = TempDirs.create("soak-all-lsh")
       val (_, lshBuild) = timed(Dedup.persistLshIndex(
         spark.read.parquet(s"$soakDir/documents.parquet"), lshDir,
         prefixLen = 1))
-      val lshOut = java.nio.file.Files.createTempDirectory("soak-all-lshout").toString
-      val ivfDir = java.nio.file.Files.createTempDirectory("soak-all-ivf").toString
+      val lshOut = TempDirs.create("soak-all-lshout")
+      val ivfDir = TempDirs.create("soak-all-ivf")
       val (_, ivfBuild) = timed(Similarity.persistIvfIndex(
         Similarity.buildIvfIndexFrom(
           spark.read.parquet(s"$soakDir/embeddings.parquet")), ivfDir))
@@ -505,13 +505,13 @@ object ServeSoak {
       val qd = graft.streaming.StreamOps.dedupIngest(
         docsIn.toDS().toDF("doc_id", "text"), lshDir, lshOut)
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("soak-all-dckpt").toString)
+          TempDirs.create("soak-all-dckpt"))
         .start()
       val vecsIn = MemoryStream[(Long, Seq[Float])]
       val qv = graft.streaming.StreamOps.annIngest(
         vecsIn.toDS().toDF("vec_id", "embedding"), ivfDir)
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("soak-all-vckpt").toString)
+          TempDirs.create("soak-all-vckpt"))
         .start()
       val deletedDocs = corpus.take(10).map(_._1).toSeq
       val batchSecs =
@@ -640,7 +640,7 @@ object ServeSoak {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.ops.{Dedup, IndexMaintenance, Multimodal}
-      val mmDir = java.nio.file.Files.createTempDirectory("soak-mm-idx").toString
+      val mmDir = TempDirs.create("soak-mm-idx")
       val (_, mmBuild) = timed(Dedup.persistLshIndexElems(
         Multimodal.payloadGrams(Multimodal.pngPayloads(spark, soakDir)),
         mmDir))
@@ -682,12 +682,12 @@ object ServeSoak {
           Multimodal.payloadGrams(victimProbe))
         .collect().map(_.getLong(1)).contains(victims.head),
         "mm soak premise broken: victim payload not matched pre-delete")
-      val mmOut = java.nio.file.Files.createTempDirectory("soak-mm-out").toString
+      val mmOut = TempDirs.create("soak-mm-out")
       val in = MemoryStream[(String, Long, Array[Byte])]
       val q = graft.streaming.StreamOps.mmDedupIngestCdc(
         in.toDS().toDF("op", "doc_id", "payload"), mmDir, mmOut)
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("soak-mm-ckpt").toString)
+          TempDirs.create("soak-mm-ckpt"))
         .start()
       val nBatches = 6
       val perBatch = 100

@@ -40,18 +40,51 @@ object StreamBench {
   private def ev(user: Long, id: Long, sec: Long, typ: String): graft.streaming.Ev =
     graft.streaming.Ev(user, id, new Timestamp((baseSec + sec) * 1000L), typ, 1.0, 1)
 
+  /** The six family names, in suite order — the vocabulary
+    * [[selectedFamilies]] validates `SPARK_GRAFT_STREAM_ONLY` against. */
+  private val familyNames = Seq("uv_dedup_tws", "cep_pattern", "dedup_ingest",
+    "ann_serve", "substring_ingest", "mm_ingest")
+
+  /** `SPARK_GRAFT_STREAM_ONLY=fam1,fam2` restricts the streaming suite
+    * to the named families — the streaming twin of Bench's
+    * `SPARK_GRAFT_BENCH_ONLY` (same contract: the fast path for pinning
+    * one family's drift with idle interleaved passes costs minutes, not
+    * a full tail). Applies to BOTH the headline legs and the 1×/4×/8×
+    * scaling legs (a scaling leg rides with its base family's name).
+    * Unknown names fail loudly: a typo must not silently measure an
+    * empty suite. */
+  private[graft] def selectedFamilies(): Set[String] =
+    parseStreamOnly(sys.env.get("SPARK_GRAFT_STREAM_ONLY"))
+
+  private[graft] def parseStreamOnly(raw0: Option[String]): Set[String] =
+    raw0 match {
+      case Some(raw) =>
+        val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names.filterNot(familyNames.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_STREAM_ONLY names unknown families: ${unknown.toSeq.sorted.mkString(",")} " +
+            s"(known: ${familyNames.mkString(",")})")
+        require(names.nonEmpty, "SPARK_GRAFT_STREAM_ONLY is set but names no families")
+        names
+      case None => familyNames.toSet
+    }
+
   /** (family, rows, seconds) per family; a family that fails reports
     * (-1, -1) instead of aborting the others (one broken state-store
     * path must not erase the whole streaming row). ONE pass — the
     * official record runs [[runInterleaved]] over this. */
-  def run(spark: SparkSession, sfDir: String, scale: Int = 1): Seq[(String, Long, Double)] =
+  def run(spark: SparkSession, sfDir: String, scale: Int = 1): Seq[(String, Long, Double)] = {
+    val on = selectedFamilies()
+    def fam(name: String)(body: => (Long, Double)): Option[(String, Long, Double)] =
+      if (on(name)) Some(safely(name)(body)) else None
     withRocks(spark)(Seq(
-      safely("uv_dedup_tws")(benchUvDedup(spark, nEvents = 20000 * scale, nBatches = 4)),
-      safely("cep_pattern")(benchCep(spark, keysPerBatch = 2000 * scale, nBatches = 4)),
-      safely("dedup_ingest")(benchDedupIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
-      safely("ann_serve")(benchAnnServe(spark, sfDir, nQueries = 120 * scale, nBatches = 3)),
-      safely("substring_ingest")(benchSubstringIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
-      safely("mm_ingest")(benchMmIngest(spark, nDocs = 300 * scale, nBatches = 3))))
+      fam("uv_dedup_tws")(benchUvDedup(spark, nEvents = 20000 * scale, nBatches = 4)),
+      fam("cep_pattern")(benchCep(spark, keysPerBatch = 2000 * scale, nBatches = 4)),
+      fam("dedup_ingest")(benchDedupIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
+      fam("ann_serve")(benchAnnServe(spark, sfDir, nQueries = 120 * scale, nBatches = 3)),
+      fam("substring_ingest")(benchSubstringIngest(spark, nDocs = 1200 * scale, nBatches = 3)),
+      fam("mm_ingest")(benchMmIngest(spark, nDocs = 300 * scale, nBatches = 3))).flatten)
+  }
 
   /** INTERLEAVED multi-pass run — the streaming analog of Bench's
     * per-query protocol (CLAUDE.md's bench-noise gotcha): the full
@@ -97,26 +130,30 @@ object StreamBench {
     * Bases are smaller than the headline families' (the signal is the
     * RATIO across multipliers, not the absolute rows/sec) to bound the
     * leg's wall-clock. */
-  def runScaling(spark: SparkSession, sfDir: String): Seq[(String, Long, Double)] =
+  def runScaling(spark: SparkSession, sfDir: String): Seq[(String, Long, Double)] = {
+    val on = selectedFamilies()
+    def fam(base: String, m: Int)(body: => (Long, Double)): Option[(String, Long, Double)] =
+      if (on(base)) Some(safely(s"${base}_x$m")(body)) else None
     withRocks(spark)(Seq(1, 4, 8).flatMap { m =>
       Seq(
-        safely(s"dedup_ingest_x$m")(
+        fam("dedup_ingest", m)(
           benchDedupIngest(spark, nDocs = 400 * m, nBatches = 2)),
-        safely(s"ann_serve_x$m")(
+        fam("ann_serve", m)(
           benchAnnServe(spark, sfDir, nQueries = 80 * m, nBatches = 2)),
         // the RocksDB state-store families get the same amortization
         // curve as the index loops: a state-growth or compaction-stall
         // regression bends THESE multipliers while the one-shot
         // headline legs (overhead-dominated) sit still
-        safely(s"uv_dedup_tws_x$m")(
+        fam("uv_dedup_tws", m)(
           benchUvDedup(spark, nEvents = 5000 * m, nBatches = 2)),
-        safely(s"cep_pattern_x$m")(
+        fam("cep_pattern", m)(
           benchCep(spark, keysPerBatch = 500 * m, nBatches = 2)),
-        safely(s"substring_ingest_x$m")(
+        fam("substring_ingest", m)(
           benchSubstringIngest(spark, nDocs = 400 * m, nBatches = 2)),
-        safely(s"mm_ingest_x$m")(
-          benchMmIngest(spark, nDocs = 100 * m, nBatches = 2)))
+        fam("mm_ingest", m)(
+          benchMmIngest(spark, nDocs = 100 * m, nBatches = 2))).flatten
     })
+  }
 
   /** [[runScaling]] under the same interleaved min-of-N protocol —
     * the amortization-curve legs ride in the official tail map too, so
@@ -387,16 +424,39 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (best, med) = runInterleaved(spark, sfDir, scale, passes)
+    // one-time JIT/codegen warmup, then Bench's two container-health
+    // probes ONCE PER PASS (CPU range-sum + lineitem scan/agg/shuffle)
+    // interleaved with the family suite — a standalone StreamBench
+    // record is now self-normalizing under both drift lenses, which is
+    // what makes a same-container tree A/B of a streaming family
+    // adjudicable without the full batch Bench around it.
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    var calib = List.empty[Double]
+    var calibIo = List.empty[Double]
+    def probes(): Unit = {
+      val c0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(CAST(id AS DOUBLE) * id)").collect()
+      calib ::= (System.nanoTime() - c0) / 1e9
+      val i0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .selectExpr("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(Map("l_quantity" -> "sum", "l_extendedprice" -> "sum"))
+        .collect()
+      calibIo ::= (System.nanoTime() - i0) / 1e9
+    }
+    val (best, med) = summarizePasses(
+      (0 until math.max(1, passes)).map { _ => probes(); run(spark, sfDir, scale) })
     val (sBest, sMed) =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALING", "1") == "0")
         (Seq.empty, Seq.empty)
-      else runScalingInterleaved(spark, sfDir, passes)
+      else summarizePasses(
+        (0 until math.max(1, passes)).map { _ => probes(); runScaling(spark, sfDir) })
     val results = best ++ sBest
     val detail = results.map { case (name, rows, sec) =>
       s"""\"$name\":{\"rows\":$rows,\"sec\":${math.round(sec * 1000) / 1000.0}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"streaming","unit":"rows_per_sec","passes":$passes,"rows_per_sec":${rpsJson(results)},"rows_per_sec_median":${rpsJson(med ++ sMed)},"detail":$detail,"sf":"$sfDir"}""")
+    println(s"""{"metric":"streaming","unit":"rows_per_sec","passes":$passes,"rows_per_sec":${rpsJson(results)},"rows_per_sec_median":${rpsJson(med ++ sMed)},"detail":$detail,"calib":${calib.min},"calib_io":${calibIo.min},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

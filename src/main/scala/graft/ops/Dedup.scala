@@ -1545,7 +1545,11 @@ object Dedup {
             |FROM j WHERE jac >= $jaccardThreshold
             |ORDER BY probe_id, index_id""".stripMargin)
 
-  private val splitCandAnchor = "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0"
+  // private[ops]: Multimodal's byte-gram oracles derive their takedown
+  // clauses from the SAME candidate-split anchor (replacedOracle
+  // requires an exact textual match, so the anchor must have ONE
+  // definition — ADVICE r14)
+  private[ops] val splitCandAnchor = "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0"
 
   val dedupAgainstIndex = QueryDef(
     "dedup_against_index",

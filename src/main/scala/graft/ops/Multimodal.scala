@@ -464,8 +464,10 @@ object Multimodal {
     (spark, dir) =>
       probeMmOddAgainstIndex(spark, dir, cachedMmLshIndexDir(spark, dir)))
 
-  private val mmSplitCandAnchor =
-    "WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0"
+  // one definition of the candidate-split anchor, shared with the text
+  // family (ADVICE r14 — drift between the two literals was caught only
+  // at object init by replacedOracle's require)
+  private val mmSplitCandAnchor = Dedup.splitCandAnchor
 
   /** The CDC-envelope → BYTE-GRAM-index takedown composition,
     * oracle-checked — the multimodal twin of

@@ -53,7 +53,12 @@ class PlanSpec extends SparkSuite {
     // one partial+final ObjectHashAggregate pair (collect_set), and no
     // second aggregate family (the old separate minhash HashAggregate)
     assert(occurrences(plan, "ObjectHashAggregate") == 2, plan)
-    assert(occurrences(plan, "(?m)^\\s*[+:]?-? *\\*?\\(?\\d*\\)? ?HashAggregate") == 0, plan)
+    // prefix char class covers ARBITRARY tree-decoration depth (`:  +-`
+    // under a multi-child branch, etc. — ADVICE r14), so a second
+    // aggregate family regrowing inside a nested subtree still counts;
+    // the preceding "Object" is excluded by requiring the H at a
+    // non-letter boundary within the decoration-only prefix
+    assert(occurrences(plan, "(?m)^[-+:* ()\\d]*HashAggregate") == 0, plan)
   }
 
   test("q2: no cartesian/nested-loop; dims broadcast; derived-ps materialized once") {

@@ -588,4 +588,19 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("StreamBench SPARK_GRAFT_STREAM_ONLY parser: subset honored, typo fails loudly") {
+    // unset → the full six-family suite
+    assert(StreamBench.parseStreamOnly(None).size == 6)
+    assert(StreamBench.parseStreamOnly(Some(" uv_dedup_tws , cep_pattern ")) ==
+      Set("uv_dedup_tws", "cep_pattern"))
+    // a typo must not silently measure an empty suite
+    val e = intercept[IllegalArgumentException] {
+      StreamBench.parseStreamOnly(Some("uv_dedup_tws,cep_patern"))
+    }
+    assert(e.getMessage.contains("cep_patern"))
+    intercept[IllegalArgumentException] {
+      StreamBench.parseStreamOnly(Some(" , "))
+    }
+  }
 }

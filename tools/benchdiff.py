@@ -60,13 +60,16 @@ def load(path):
     return out, calib, calib_io, streaming
 
 
-def streaming_section(s_old, s_new, calib_old, calib_new, thr):
-    """Calib-normalized streaming triage: rows/s scales inversely with
-    container speed, so adjusted throughput = rows_per_sec x calib
-    (calib = seconds for the fixed calibration job — bigger means a
-    slower container). An adjusted ratio near 1 is drift; beyond the
-    threshold it is machine-adjudicated as a regression/improvement,
-    the same contract the per-query movers list applies to seconds."""
+def streaming_section(s_old, s_new, calib_old, calib_new, io_old, io_new, thr):
+    """Calib-normalized streaming triage under BOTH container lenses
+    (round 15 — the batch movers' contract, applied to rows/s): rows/s
+    scales inversely with container speed, so adjusted throughput =
+    rows_per_sec x calib (calib = seconds for the fixed calibration job
+    — bigger means a slower container; same for calib_io, the
+    IO/bandwidth-shaped probe). A family is machine-adjudicated
+    REGRESSION/IMPROVEMENT only if it clears the threshold under EVERY
+    available lens — a family whose drift follows either probe moved
+    with the container, not the code."""
     both = sorted(k for k in s_old.keys() & s_new.keys()
                   if s_old[k] > 0 and s_new[k] > 0)
     # a family whose run FAILED (or emitted 0 rows/s) must be named,
@@ -81,20 +84,34 @@ def streaming_section(s_old, s_new, calib_old, calib_new, thr):
         print(f"  SKIPPED (non-positive rows/s on a side): {skipped}")
     if not both:
         return
-    have_calib = bool(calib_old and calib_new)
-    if not have_calib:
+    lenses = []
+    if calib_old and calib_new:
+        lenses.append(("cpu", calib_old, calib_new))
+    if io_old and io_new:
+        lenses.append(("io", io_old, io_new))
+    if not lenses:
         print("  (no calib on one side — raw ratios only)")
+    if len(lenses) == 1:
+        print(f"  (single lens: {lenses[0][0]} — pre-r14 record on one side)")
     verdicts = []
     for k in both:
         a, b = s_old[k], s_new[k]
         raw = b / a
         line = f"  {k:20s} old={a:8.0f} new={b:8.0f} raw_ratio={raw:.2f}"
-        if have_calib:
-            adj = (b * calib_new) / (a * calib_old)
-            verdict = ("REGRESSION" if adj < 1 / thr
-                       else "IMPROVEMENT" if adj > thr else "drift-ok")
-            line += f" calib_adj={adj:.2f} -> {verdict}"
-            verdicts.append((k, adj, verdict))
+        adjs = [(tag, (b * cn) / (a * co)) for tag, co, cn in lenses]
+        for tag, adj in adjs:
+            line += f" {tag}_adj={adj:.2f}"
+        if adjs:
+            if all(adj < 1 / thr for _, adj in adjs):
+                verdict = "REGRESSION"
+            elif all(adj > thr for _, adj in adjs):
+                verdict = "IMPROVEMENT"
+            elif any(adj < 1 / thr or adj > thr for _, adj in adjs):
+                verdict = "container-shaped"
+            else:
+                verdict = "drift-ok"
+            line += f" -> {verdict}"
+            verdicts.append((k, verdict))
         print(line)
     only_old = sorted(s_old.keys() - s_new.keys())
     only_new = sorted(s_new.keys() - s_old.keys())
@@ -102,8 +119,8 @@ def streaming_section(s_old, s_new, calib_old, calib_new, thr):
         print(f"  old-only: {only_old}")
     if only_new:
         print(f"  new-only: {only_new}")
-    flagged = [k for k, _, v in verdicts if v != "drift-ok"]
-    if have_calib:
+    flagged = [k for k, v in verdicts if v in ("REGRESSION", "IMPROVEMENT")]
+    if lenses:
         print(f"  streaming verdict: "
               + (f"flagged {flagged}" if flagged else "all within drift band"))
 
@@ -165,7 +182,7 @@ def main():
                      else "all movers follow a container probe"))
     else:
         print(f"no movers >= {thr}x in either direction")
-    streaming_section(s_old, s_new, calib_old, calib_new, thr)
+    streaming_section(s_old, s_new, calib_old, calib_new, io_old, io_new, thr)
 
 
 if __name__ == "__main__":
