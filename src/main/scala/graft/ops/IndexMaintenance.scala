@@ -42,6 +42,14 @@ object IndexMaintenance {
     * (probe I/O is proportional to probed-cell mass, so a cell that
     * outgrew the layout taxes every probe that lands in it). */
   final case class Rebucket(newPrefixLen: Int) extends Action
+  /** IVF only: fold + re-cluster into a LARGER coarse quantizer
+    * ([[Similarity.compactIvfIndex]] with `expandToK`) — the IVF
+    * analog of the LSH hot-cell rebucket. The coarse-centroid count
+    * is otherwise fixed at build time, so on a growing corpus every
+    * cell fattens linearly and probe cost follows (nprobe·N/k); this
+    * action re-sizes k toward √N when the MEAN cell outgrows the
+    * policy's mass bound. */
+  final case class ExpandK(newK: Int, iters: Int) extends Action
 
   /** Decision inputs, all control-plane sized. `maxDrift` is None for
     * index families without a drift concept (LSH) or when there are no
@@ -76,6 +84,11 @@ object IndexMaintenance {
     * counts ride the delete's own ledger entry (recorded at write —
     * zero reads here); a pre-r13 tombstone without one falls back to
     * a footer count of its key list. */
+  /** `cellCount` (IVF): live coarse cells in the base generation — the
+    * current k. With `baseRows`/`deltaRows` it yields the POST-FOLD
+    * mean cell mass `(baseRows + deltaRows) / cellCount`, the growth
+    * signal [[Policy.hotCellMass]] reads (per-cell counts already ride
+    * the stats relation; this is one control-plane aggregation). */
   final case class Signals(
       baseRows: Long,
       deltaRows: Long,
@@ -86,7 +99,8 @@ object IndexMaintenance {
       medianCellRows: Long = 0L,
       foldedHottestRows: Long = 0L,
       deltaFiles: Long = 0L,
-      tombRows: Long = 0L)
+      tombRows: Long = 0L,
+      cellCount: Long = 0L)
 
   /** Thresholds. `backlogRatio`: delta mass as a share of the base
     * that justifies paying a fold (each probe reads its cells in EVERY
@@ -127,6 +141,17 @@ object IndexMaintenance {
     * data batch; with NO data flowing the fold still applies the
     * delete physically and the signal persists harmlessly until one
     * arrives. */
+  /** `hotCellMass` (IVF only): MEAN post-fold cell mass
+    * (`(baseRows + deltaRows) / cellCount`) at or above which the
+    * layout re-clusters into a larger coarse quantizer, k re-sized
+    * toward √N (0 = disabled — the right default for bounded corpora;
+    * size it to the per-probe scan budget on growing ones: a probe
+    * reads ≈ nprobe × meanCellMass corpus rows). The IVF twin of the
+    * LSH `hotCellRows` arc; the expansion IS a Lloyd fold, so it
+    * subsumes any pending Compact/LloydRebuild this tick, and the
+    * signal self-clears once the new k holds the mean under the bound
+    * (√N > current k is also required — a corpus that already sits at
+    * the classic sizing won't churn). */
   /** `calibratePasses` (LSH only): > 0 runs the SELF-AIMED two-stage
     * floor calibration ([[Dedup.calibrateTwoStageFloorSelf]], this
     * many interleaved passes) after an executed fold — Compact or
@@ -144,6 +169,7 @@ object IndexMaintenance {
       trainPqIters: Int = 0,
       hotCellRows: Long = 0L,
       coldCellRows: Long = 0L,
+      hotCellMass: Long = 0L,
       maxDeltaFiles: Long = 0L,
       maxTombRows: Long = 0L,
       calibratePasses: Int = 0)
@@ -241,8 +267,10 @@ object IndexMaintenance {
   }
 
   def ivfSignals(spark: SparkSession, indexDir: String): Signals = {
-    val (base, delta, batches) = backlogFromStats(
-      Similarity.ivfIndexStats(spark, indexDir))
+    val stats = Similarity.ivfIndexStats(spark, indexDir)
+    val (base, delta, batches) = backlogFromStats(stats)
+    val cells = stats.filter(col("root") === "base")
+      .select("label").distinct().count()
     val stale = Similarity.deltaIdsByLabelSpace(spark, indexDir,
       Similarity.resolveIvf(spark, indexDir))._2.size
     val drift =
@@ -254,7 +282,7 @@ object IndexMaintenance {
       }
     val (files, tombs) = ledgerSignals(spark, indexDir)
     Signals(base, delta, batches, drift, staleDeltas = stale,
-      deltaFiles = files, tombRows = tombs)
+      deltaFiles = files, tombRows = tombs, cellCount = cells)
   }
 
   def lshSignals(spark: SparkSession, indexDir: String): Signals = {
@@ -302,8 +330,21 @@ object IndexMaintenance {
   }
 
   def planIvf(spark: SparkSession, indexDir: String,
-      policy: Policy = Policy()): Action =
-    decide(ivfSignals(spark, indexDir), policy)
+      policy: Policy = Policy()): Action = {
+    val s = ivfSignals(spark, indexDir)
+    // growth check FIRST: the expansion is itself a Lloyd fold, so it
+    // subsumes any backlog/drift-justified action this tick (the LSH
+    // hot-cell precedence, applied to the mean because IVF cell mass
+    // is geometry-driven — one naturally dense cluster must not
+    // re-size the whole quantizer, but a corpus that outgrew k moves
+    // the MEAN no matter how the mass is shaped)
+    val n = s.baseRows + s.deltaRows
+    lazy val kTarget = math.ceil(math.sqrt(n.toDouble)).toInt
+    if (policy.hotCellMass > 0 && s.cellCount > 0 &&
+        n / s.cellCount >= policy.hotCellMass && kTarget > s.cellCount)
+      ExpandK(kTarget, math.max(1, policy.lloydIters))
+    else decide(s, policy)
+  }
 
   def planLsh(spark: SparkSession, indexDir: String,
       policy: Policy = Policy()): Action = {
@@ -343,6 +384,10 @@ object IndexMaintenance {
       case LloydRebuild(iters) =>
         Similarity.compactIvfIndex(spark, indexDir, lloydIters = iters,
           trainPqIters = policy.trainPqIters)
+      case ExpandK(k, iters) =>
+        Similarity.compactIvfIndex(spark, indexDir, lloydIters = iters,
+          trainPqIters = policy.trainPqIters, expandToK = Some(k))
+      case Rebucket(_) => () // LSH-only action, unreachable from planIvf
     }
     action
   }

@@ -1288,6 +1288,80 @@ object Similarity {
     (cur, release)
   }
 
+  /** Seed centroids for a k-EXPANSION re-cluster ([[compactIvfIndex]]
+    * `expandToK`): the existing k centroids plus `kTarget − k` fresh
+    * seeds drawn from the corpus — per current cell, the vectors
+    * FARTHEST from their centroid (d2-descending, `vec_id` tie-break:
+    * the in-cell points a fatter k would give their own cell), with
+    * seats allocated across cells proportionally to cell mass
+    * (largest-remainder over the k-row mass table, label tie-break —
+    * control-plane arithmetic). Fully DETERMINISTIC — no RNG: the seed
+    * set is a function of corpus + centroids alone, so a
+    * crash-replayed expansion recomputes the same generation, the same
+    * replay contract every other fold obeys. Lloyd refinement follows
+    * in the caller: a redundant seed (two far points in one tight
+    * clump) separates or empties there, and an emptied cell simply
+    * vanishes from the rebuilt label space ([[buildIvfIndexFrom]]
+    * groups by assigned label) — the committed k may land slightly
+    * under `kTarget`, which the mean-mass signal tolerates by
+    * construction. Cost: one label-partitioned window pass over the
+    * corpus (the same shuffle class as the fold's own cell-clustered
+    * write) plus a k-row collect; new labels extend the existing label
+    * space above its max, in the SOURCE label type. */
+  private[graft] def expandCentroidSeeds(centroids: DataFrame,
+      corpus: DataFrame, kTarget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = centroids.sparkSession
+    val labelType = centroids.schema("label").dataType
+    // k rows — control-plane; deterministic order for seat allocation
+    val masses = corpus.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("mass")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val k = centroids.count()
+    val addK = kTarget - k
+    if (addK <= 0 || masses.isEmpty) return centroids
+    val total = masses.map(_._2).sum.toDouble
+    val floors = masses.map { case (l, m) =>
+      (l, m, (addK * m / total).toLong) }
+    val quota = scala.collection.mutable.Map(
+      floors.map { case (l, _, f) => (l, f) }.toSeq: _*)
+    var rem = addK - floors.map(_._3).sum
+    // largest fractional remainder first, label tie-break; a quota
+    // above a cell's own row count self-caps at the rank filter below
+    // (a seed must be a real vector), shorting the committed k — the
+    // degenerate kTarget > k + N case only
+    for ((l, _, _) <- floors.sortBy { case (l, m, f) =>
+        (-(addK * m / total - f), l) } if rem > 0) {
+      quota(l) += 1; rem -= 1
+    }
+    val quotaDf = spark.createDataFrame(
+      quota.toSeq.filter(_._2 > 0).sorted).toDF("label", "quota")
+    val d2 = aggregate(
+      zip_with(col("cent"), col("embedding"),
+        (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy("label")
+      .orderBy(col("d2").desc, col("vec_id").asc)
+    val seeds = corpus
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"))
+      .join(broadcast(centroids.select(
+        col("label").cast("long").as("label"), col("cent"))), "label")
+      .select(col("label"), col("vec_id"), col("embedding"), d2.as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(quotaDf), "label")
+      .filter(col("rn") <= col("quota"))
+    // fresh labels extend the space above its max; the global window
+    // runs over ≤ addK rows (≈ √N — control-plane sized)
+    val maxLabel = centroids.agg(max(col("label"))).head()
+      .getAs[Number](0).longValue
+    val gw = Window.orderBy(col("label"), col("rn"))
+    val fresh = seeds.select(
+      (lit(maxLabel) + row_number().over(gw)).cast(labelType).as("label"),
+      col("embedding").cast("array<double>").as("cent"))
+    centroids.select(col("label"), col("cent")).unionByName(fresh)
+  }
+
   /** Fold every committed delta into a NEW base generation and commit
     * it by atomic manifest rename ([[graft.GenManifest]] protocol —
     * the versioned-manifest discipline of `statsMergePartitioned`
@@ -1305,6 +1379,18 @@ object Similarity {
     * refreshed stats, and reassigned labels — the drift-repair
     * rebuild. With 0 the centroids/stats are carried to the new
     * generation unchanged.
+    *
+    * `expandToK = Some(kTarget)` re-clusters INTO A LARGER COARSE
+    * QUANTIZER (k ∝ √N is the classic sizing: per-probe cost ≈
+    * nprobe·N/k + k, minimized near √N — at fixed k a ×100 corpus
+    * makes every cell ×100 fatter and probe cost grows linearly):
+    * the current centroids are widened with deterministic far-point
+    * seeds ([[expandCentroidSeeds]]) and the fold Lloyd-refines
+    * against the widened set (`lloydIters` forced ≥ 1). Mixed-k
+    * serving through the transition is already correct for free —
+    * probes resolve ONE manifest and the centroid relation is
+    * per-generation, exactly the rebucket discipline of
+    * [[Dedup.rebucketLshIndex]].
     *
     * CONCURRENCY CONTRACT: serving may race any compaction (probes
     * resolve one manifest and use it end to end), and INGEST may race
@@ -1324,9 +1410,10 @@ object Similarity {
   def compactIvfIndex(spark: SparkSession, indexDir: String,
       lloydIters: Int = 0,
       maxCellRows: Long = Dedup.defaultMaxCellRows,
-      trainPqIters: Int = 0): Unit =
+      trainPqIters: Int = 0,
+      expandToK: Option[Int] = None): Unit =
     compactIvfIndexHooked(spark, indexDir, lloydIters, maxCellRows, () => (),
-      trainPqIters)
+      trainPqIters, expandToK)
 
   /** [[compactIvfIndex]] with a test seam fired after the (possibly
     * re-clustering) fold but BEFORE the late-delta re-listing — the
@@ -1334,13 +1421,18 @@ object Similarity {
     * catch-up window. */
   private[graft] def compactIvfIndexHooked(spark: SparkSession,
       indexDir: String, lloydIters: Int, maxCellRows: Long,
-      beforeCatchUp: () => Unit, trainPqIters: Int = 0): Unit = {
+      beforeCatchUp: () => Unit, trainPqIters: Int = 0,
+      expandToK: Option[Int] = None): Unit = {
+    // k-expansion IS a re-cluster: seeds are inert without at least one
+    // Lloyd assignment pass (labels/stats would not reflect them)
+    val iters =
+      if (expandToK.isDefined) math.max(1, lloydIters) else lloydIters
     val st = resolveIvf(spark, indexDir)
     val allEntries = deltaEntriesAbove(spark, indexDir, st)
     val entries = allEntries.filterNot(_.tomb)
     val tombIds = allEntries.filter(_.tomb).map(_.id)
     val deltas = entries.map(_.id)
-    if (deltas.nonEmpty || tombIds.nonEmpty || lloydIters > 0) {
+    if (deltas.nonEmpty || tombIds.nonEmpty || iters > 0) {
       val curCentroids = servingCentroidsAt(spark, indexDir, st)
       // a delta assigned against a superseded label space is RELABELED
       // against the current centroids before folding — a
@@ -1367,13 +1459,26 @@ object Similarity {
         entries.map(e => Dedup.minusTombs(readDelta(e), tomb, e.id, "vec_id")))
         .reduce(_ unionByName _)
       val gen = st.gen + 1
+      // k-expansion: materialize the folded corpus ONCE (the seed scan,
+      // the seed window pass and Lloyd's first assignment would
+      // otherwise each re-run the base+delta+anti-join lineage), then
+      // widen the centroid relation with the deterministic far-point
+      // seeds before the refine re-clusters against it
+      val (allM, releaseAll) = expandToK match {
+        case Some(_) => graft.Materialize.releasable(all)
+        case None => (all, () => ())
+      }
+      val seeded = expandToK match {
+        case Some(kt) => expandCentroidSeeds(curCentroids, allM, kt)
+        case None => curCentroids
+      }
       val idx0 = IvfIndex(
-        curCentroids,
-        all,
+        seeded,
+        allM,
         spark.read.parquet(gdir(indexDir, "stats", st.gen)))
       // lloydRefine's corpus already carries norms (buildIvfIndexFrom)
       val (refined, releaseRefined) =
-        if (lloydIters > 0) lloydRefineReleasable(idx0, lloydIters)
+        if (iters > 0) lloydRefineReleasable(idx0, iters)
         else (idx0, () => ())
       try {
         beforeCatchUp()
@@ -1392,7 +1497,7 @@ object Similarity {
         // below that tombstone, so it stays live and applies to
         // exactly the rows that predate it.
         val lateAll =
-          if (lloydIters > 0)
+          if (iters > 0)
             deltaEntriesAbove(spark, indexDir, st)
               .filterNot(e => deltas.contains(e.id) && !e.tomb)
               .filterNot(e => tombIds.contains(e.id) && e.tomb)
@@ -1457,8 +1562,8 @@ object Similarity {
         val folded = deltas ++ late ++ tombIds.filter(_ <= maxData)
         graft.GenManifest.commit(spark, indexDir, st.seq + 1, gen,
           floor = if (folded.nonEmpty) folded.max else st.floor,
-          lgen = if (lloydIters > 0) gen else st.lgen)
-      } finally releaseRefined()
+          lgen = if (iters > 0) gen else st.lgen)
+      } finally { releaseRefined(); releaseAll() }
     } else {
       graft.GenManifest.commit(spark, indexDir, st.seq + 1, st.gen, st.floor,
         lgen = st.lgen)

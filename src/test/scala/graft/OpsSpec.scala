@@ -1251,6 +1251,99 @@ class OpsSpec extends SparkSuite {
       "cold clause re-fired below the length-1 floor")
   }
 
+  test("maintenance autopilot: mean cell mass expands IVF k toward √N, recall held, signal clears") {
+    // The IVF analog of the LSH hot-cell rebucket (VERDICT r14 item 3):
+    // at fixed k a growing corpus fattens every cell linearly and probe
+    // cost follows (nprobe·N/k). Fixture: 24 tight blobs around
+    // near-orthogonal directions, INDEXED COARSELY at k=4 (six blobs
+    // per coarse cell — the "k outgrown by N" shape). The expansion
+    // tick must re-cluster toward √600 ≈ 25 cells, serve correctly
+    // through the atomic swap, hold recall at the SAME nprobe, and
+    // self-clear.
+    import graft.ops.IndexMaintenance
+    import graft.ops.IndexMaintenance._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val blobs = Array.fill(24)(unit())
+    val vecs = (0 until 600).map { i =>
+      val b = i % 24
+      val noise = unit()
+      val e = blobs(b).indices.map(d => (blobs(b)(d) + 0.15 * noise(d)).toFloat)
+      (i.toLong, b % 4, e)
+    }
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val indexDir = graft.TempDirs.create("ivf-expandk")
+    Similarity.persistIvfIndex(Similarity.buildIvfIndexFrom(emb), indexDir)
+
+    val s0 = IndexMaintenance.ivfSignals(spark, indexDir)
+    assert(s0.cellCount === 4L && s0.baseRows === 600L)
+    // disabled (default 0) must not expand
+    assert(IndexMaintenance.planIvf(spark, indexDir) === NoOp)
+    // mean mass 150 over the bound → ExpandK toward √600 = 25
+    val pol = Policy(hotCellMass = 100L, lloydIters = 3, driftBound = 1e9)
+    assert(IndexMaintenance.planIvf(spark, indexDir, pol) === ExpandK(25, 3))
+
+    // brute-force ground truth (exact cosine over all 600) per query
+    def bf(qid: Long): Set[Long] = {
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qe"))
+      val cos = Similarity.dot(col("embedding"), col("qe")) /
+        (sqrt(Similarity.dot(col("embedding"), col("embedding"))) *
+          sqrt(Similarity.dot(col("qe"), col("qe"))))
+      emb.filter(col("vec_id") =!= qid).crossJoin(broadcast(q))
+        .select(col("vec_id"), cos.as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+    }
+    def servedRecall(): Double = {
+      val qids = Seq(0L, 5L, 13L, 42L)
+      val rs = qids.map { qid =>
+        val ivf = Similarity.ivfProbeVectorServed(spark, indexDir,
+          vecs(qid.toInt)._3, k = 10, nprobe = 2)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        ivf.intersect(bf(qid)).size.toDouble / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val recallBefore = servedRecall()
+
+    assert(IndexMaintenance.maintainIvfIndex(spark, indexDir, pol)
+      === ExpandK(25, 3))
+    // the committed generation re-clustered into MORE cells (Lloyd may
+    // empty a redundant seed, so ≤ 25), label space generation bumped
+    val s1 = IndexMaintenance.ivfSignals(spark, indexDir)
+    assert(s1.cellCount > 4L && s1.cellCount <= 25L,
+      s"k did not expand: ${s1.cellCount}")
+    val st = GenManifest.resolve(spark, indexDir).get
+    assert(st.lgen === st.gen, "expansion did not bump the label-space gen")
+    // recall at the SAME nprobe holds through the transition: the fine
+    // cells concentrate each blob instead of splitting it across six
+    val recallAfter = servedRecall()
+    assert(recallAfter >= 0.9 && recallAfter >= recallBefore - 0.05,
+      s"recall dropped through k-expansion: $recallBefore → $recallAfter")
+    // signal cleared: mean mass now ≈ 600/k < bound, and √N no longer
+    // exceeds the live k — the same policy no-ops (no churn)
+    assert(IndexMaintenance.planIvf(spark, indexDir, pol) === NoOp,
+      s"expansion signal did not clear (k=${s1.cellCount})")
+    // the expanded layout keeps serving appends: a delta lands, probes
+    // see it, and the backlog clause (not ExpandK) owns the next fold
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      emb.orderBy("vec_id").limit(2)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      batchId = 1L)
+    val probed = Similarity.ivfProbeVectorServed(spark, indexDir,
+      vecs(0)._3, k = 10, nprobe = 2).select("vec_id")
+      .collect().map(_.getLong(0))
+    assert(probed.contains(1000000L),
+      "appended twin of vec 0 invisible to the post-expansion probe")
+    assert(IndexMaintenance.planIvf(spark, indexDir,
+      pol.copy(backlogBatches = 1, backlogRatio = 10.0)) === Compact)
+  }
+
   test("two-stage auto-selection reads the persisted cell mass; ingest decisions identical in auto mode") {
     // VERDICT r10 item 3: the probe form is selected from the LAYOUT —
     // `_cell_mass` written with each generation — not a caller knob.
