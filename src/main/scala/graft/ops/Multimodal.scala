@@ -464,6 +464,49 @@ object Multimodal {
     (spark, dir) =>
       probeMmOddAgainstIndex(spark, dir, cachedMmLshIndexDir(spark, dir)))
 
+  /** The odd-id probe GRAM RELATION, materialized once per sfDir per
+    * session (small parquet: sampled 8-byte grams, ids + 16-hex strings
+    * only) — the serving-row analog of the soak's `probePay` discipline
+    * (compute the probe payload outside the timed slot). */
+  private val cachedProbeGramDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def cachedMmProbeGramsDir(spark: SparkSession,
+      dir: String): String =
+    cachedProbeGramDirs.computeIfAbsent(dir, _ => {
+      val d = graft.TempDirs.create("mm-probe-grams")
+      payloadGrams(pngPayloads(spark, dir).filter(col("doc_id") % 2 === 1))
+        .write.mode("overwrite").parquet(d)
+      d
+    })
+
+  /** The SHARP mm serving row (VERDICT r14 "what's wrong" 2):
+    * [[mmNearDupAgainstIndexServeOnly]] is an honest serve-only split,
+    * but ~90% of its slot is the probe-side gram pipeline (hex + gram
+    * explode + md5 sampling over the odd half's payload bytes), so an
+    * index-serving regression moves the row only ~10% — thin
+    * signal-to-noise for the regression it exists to catch. THIS row
+    * pre-materializes the probe gram relation once per session (the
+    * soak's `probePay` discipline) and times ONLY the serving path:
+    * cell-pruned index scan + band bucket join + exact sampled-Jaccard
+    * verify. Identical results and oracle to the build form; the
+    * serve_only row stays for round-over-round continuity. */
+  val mmNearDupAgainstIndexProbeOnly = QueryDef(
+    "mm_near_dup_against_index_probe_only",
+    mmNearDupAgainstIndex.oracle,
+    (spark, dir) => {
+      // explicit schema — the never-infer rule for batch-output dirs
+      val grams = spark.read.schema(
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, s STRING"))
+        .parquet(cachedMmProbeGramsDir(spark, dir))
+      graft.ops.Dedup.nearDupCheckElems(spark,
+        cachedMmLshIndexDir(spark, dir), grams,
+        threshold = 0.5, broadcastProbe = false)
+        .select(col("probe_id"), col("index_id"),
+          graft.QueryDef.roundedRatio(col("n_inter"), col("n_union"), 6).as("jac"))
+        .orderBy("probe_id", "index_id")
+    })
+
   // one definition of the candidate-split anchor, shared with the text
   // family (ADVICE r14 — drift between the two literals was caught only
   // at object init by replacedOracle's require)
@@ -512,5 +555,5 @@ object Multimodal {
   val defs: Seq[QueryDef] = Seq(mmBinaryMeta, mmMetaAgg, mmFrameSample,
     mmResizePlan, mmDedupPayload, mmDecodeMeta, mmNearDup,
     mmNearDupAgainstIndex, mmNearDupAgainstIndexServeOnly,
-    mmNearDupAgainstIndexCdcDelete)
+    mmNearDupAgainstIndexProbeOnly, mmNearDupAgainstIndexCdcDelete)
 }

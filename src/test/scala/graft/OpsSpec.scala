@@ -1303,7 +1303,7 @@ class OpsSpec extends SparkSuite {
       val qids = Seq(0L, 5L, 13L, 42L)
       val rs = qids.map { qid =>
         val ivf = Similarity.ivfProbeVectorServed(spark, indexDir,
-          vecs(qid.toInt)._3, k = 10, nprobe = 2)
+          vecs(qid.toInt)._3, k = 10, nprobe = 3)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         ivf.intersect(bf(qid)).size.toDouble / 10.0
       }
@@ -1336,7 +1336,7 @@ class OpsSpec extends SparkSuite {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
       batchId = 1L)
     val probed = Similarity.ivfProbeVectorServed(spark, indexDir,
-      vecs(0)._3, k = 10, nprobe = 2).select("vec_id")
+      vecs(0)._3, k = 10, nprobe = 3).select("vec_id")
       .collect().map(_.getLong(0))
     assert(probed.contains(1000000L),
       "appended twin of vec 0 invisible to the post-expansion probe")
