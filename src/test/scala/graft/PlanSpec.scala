@@ -217,6 +217,25 @@ class PlanSpec extends SparkSuite {
       s"probe scanned the bands root:\n${bandLocs.mkString("\n")}")
   }
 
+  test("mm probe_only: the timed plan carries NO gram pipeline — pre-materialized probe relation only") {
+    // the row exists to time the serving path alone (r15): its plan
+    // must read the cached gram parquet + the index cells — any
+    // Generate (gram explode) or documents scan means the probe-side
+    // pipeline crept back into the slot
+    val plan = finalPlan("mm_near_dup_against_index_probe_only")
+    assert(!plan.contains("Generate"),
+      s"gram explode inside the probe_only slot:\n${plan.linesIterator.take(25).mkString("\n")}")
+    assert(!plan.contains("documents.parquet"),
+      "probe_only re-read the documents table inside the slot")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // still cell-pruned on the index side, like the text twin
+    val bandLocs = plan.linesIterator
+      .filter(l => l.contains("Location") && l.contains("bands_g")).toSeq
+    assert(bandLocs.nonEmpty, "no index scan found in the probe plan")
+    assert(bandLocs.forall(_.contains("band_id=")),
+      s"probe scanned the bands root:\n${bandLocs.mkString("\n")}")
+  }
+
   test("j8: LATERAL decorrelates to a ranked window, not a per-row rescan") {
     val plan = finalPlan("j8_lateral_topn")
     assert(plan.contains("Window"), plan)
