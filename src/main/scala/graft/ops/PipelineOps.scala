@@ -98,13 +98,21 @@ object PipelineOps {
       val clean = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
       val nTok = size(filter(split(col("clean"), " "), w => length(w) > 0))
-      val bucket = substring(md5(col("clean")), 1, 2)
+      // dedup identity AND split bucket both ride the 128-bit digest,
+      // computed map-side — the cleaned text itself never crosses the
+      // dedup exchange (`dedup_exact`'s digest-groupBy discipline: at
+      // corpus scale the rank shuffle ships 32 hex chars per row, not
+      // the document body). The oracle partitions by the clean text —
+      // identical groups absent an md5 collision.
+      val bucket = substring(col("h"), 1, 2)
       Tables.table(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), clean.as("clean"))
         .withColumn("n_tok", nTok)
         .filter(col("n_tok") >= 30)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          md5(col("clean")).as("h"))
         .withColumn("rn", row_number().over(
-          Window.partitionBy("clean").orderBy("doc_id")))
+          Window.partitionBy("h").orderBy("doc_id")))
         .filter(col("rn") === 1)
         .withColumn("split",
           when(bucket < "1a", "test").when(bucket < "34", "val").otherwise("train"))

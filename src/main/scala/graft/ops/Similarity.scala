@@ -1305,8 +1305,13 @@ object Similarity {
     * groups by assigned label) — the committed k may land slightly
     * under `kTarget`, which the mean-mass signal tolerates by
     * construction. Cost: one label-partitioned window pass over the
-    * corpus (the same shuffle class as the fold's own cell-clustered
-    * write) plus a k-row collect; new labels extend the existing label
+    * corpus on NARROW rows — `(label, vec_id, d2)` only, the embedding
+    * column dropped BEFORE the rank shuffle and fetched back for the
+    * ≤ `kTarget − k` winners by a broadcast hash join (map-side, no
+    * second corpus shuffle) — plus a k-row collect; the r13/r14 band
+    * ladder's lesson applied preemptively: a per-label sort that
+    * carries the full vector payload spills at soak scale where the
+    * narrow form never does. New labels extend the existing label
     * space above its max, in the SOURCE label type. */
   private[graft] def expandCentroidSeeds(centroids: DataFrame,
       corpus: DataFrame, kTarget: Int): DataFrame = {
@@ -1342,15 +1347,18 @@ object Similarity {
       lit(0.0), (acc, v) => acc + v)
     val w = Window.partitionBy("label")
       .orderBy(col("d2").desc, col("vec_id").asc)
-    val seeds = corpus
+    val winners = corpus
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("embedding"))
       .join(broadcast(centroids.select(
         col("label").cast("long").as("label"), col("cent"))), "label")
-      .select(col("label"), col("vec_id"), col("embedding"), d2.as("d2"))
+      .select(col("label"), col("vec_id"), d2.as("d2"))
       .withColumn("rn", row_number().over(w))
       .join(broadcast(quotaDf), "label")
       .filter(col("rn") <= col("quota"))
+      .select(col("label"), col("vec_id"), col("rn"))
+    val seeds = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(winners), "vec_id")
     // fresh labels extend the space above its max; the global window
     // runs over ≤ addK rows (≈ √N — control-plane sized)
     val maxLabel = centroids.agg(max(col("label"))).head()

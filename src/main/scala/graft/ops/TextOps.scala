@@ -222,8 +222,12 @@ object TextOps {
            |ORDER BY source, doc_id""".stripMargin),
     (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+      // hash computed map-side, text dropped BEFORE the rank shuffle:
+      // only (source, doc_id, h) cross the exchange — ordering by the
+      // materialized h is identical to ordering by md5(text)
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
       Tables.table(spark, dir, "documents")
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 20)
         .select("source", "doc_id")
@@ -520,8 +524,11 @@ object TextOps {
       val quota = cnt.crossJoin(broadcast(totalSw))
         .select(col("source").as("q_source"),
           expr("(200 * sw) div total_sw").as("quota"))
-      val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
-      docs.withColumn("rn", row_number().over(w))
+      // hash computed map-side, text dropped BEFORE the rank shuffle
+      // (sample_stratified's narrow-row discipline)
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      docs.select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("rn", row_number().over(w))
         .join(broadcast(quota), col("q_source") === col("source"))
         .filter(col("rn") <= col("quota"))
         .select("source", "doc_id")

@@ -581,4 +581,90 @@ class PlanSpec extends SparkSuite {
       Some(out.queryExecution)
     }
   }
+
+  test("document samplers rank on the digest: text never crosses a sample/dedup exchange") {
+    // sample_stratified / sample_mix order their per-source rank by
+    // md5(text), and pipeline_clean_dedup_sample dedups on the cleaned
+    // content — in every case the BODY is consumed map-side into a
+    // 32-hex digest and only (ids, digest) cross the rank exchange.
+    // Regrowing a text-carrying shuffle is the band ladder's
+    // sort-spill shape on the corpus-sized table, invisible at bench
+    // SF — pin it structurally.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    for (q <- Seq("sample_stratified", "sample_mix", "pipeline_clean_dedup_sample")) {
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      assert(df.collect().length > 0, s"$q returned no rows — gate vacuous")
+      var fat = List.empty[String]
+      var nShuffles = 0
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          case e: ShuffleExchangeLike =>
+            nShuffles += 1
+            e.output.filter(a => a.name == "text" || a.name == "clean")
+              .foreach(a => fat ::= s"$q: ${a.name} crosses ${e.nodeName}")
+          case _ => ()
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case other => other.children
+        }
+        kids.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(nShuffles >= 1, s"$q: no shuffle captured — gate vacuous")
+      assert(fat.isEmpty, fat.mkString("; "))
+    }
+  }
+
+  test("ivf k-expansion seeds: the corpus rank shuffle is narrow; winner embeddings ride a broadcast join") {
+    // the r13/r14 band-ladder lesson, pinned preemptively on the seed
+    // pass: a per-label rank sort that carries the full vector payload
+    // sort-spills at soak scale. The only exchange allowed to carry
+    // `embedding` is the ≤(kTarget−k)-row fresh-label window
+    // (control-plane, single partition); the corpus-sized label-hash
+    // shuffle ships (label, vec_id, d2) and the winners' embeddings
+    // come back via a broadcast hash join, map-side.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val corpus = Seq.tabulate(60) { i =>
+      (i.toLong, (i % 3).toLong, Array.tabulate(4)(d => (i * 7 % 13 + d).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val cents = Seq.tabulate(3)(b =>
+      (b.toLong, Seq.fill(4)(b.toDouble))).toDF("label", "cent")
+    val df = graft.ops.Similarity.expandCentroidSeeds(cents, corpus, 8)
+    // collect() (not count()) so the walked plan is THIS df's own
+    // AQE-final execution, not a separate aggregate QueryExecution
+    assert(df.collect().length === 8, "seed widening did not reach kTarget")
+    var shuffles = List.empty[ShuffleExchangeLike]
+    var bhj = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case e: ShuffleExchangeLike => shuffles ::= e
+        case _: BroadcastHashJoinExec => bhj += 1
+        case _ => ()
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      kids.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    val fat = shuffles.filter(_.output.exists(_.name == "embedding"))
+    assert(shuffles.size > fat.size,
+      "no narrow shuffle captured — the rank pass went missing entirely")
+    assert(fat.forall(_.outputPartitioning.numPartitions == 1),
+      "embedding crossed a corpus-sized exchange: " +
+        fat.map(e => s"${e.nodeName}(${e.outputPartitioning})").mkString("; "))
+    assert(bhj >= 1, "winner embeddings not fetched by a broadcast hash join")
+  }
 }
