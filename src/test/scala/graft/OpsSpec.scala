@@ -1251,6 +1251,35 @@ class OpsSpec extends SparkSuite {
       "cold clause re-fired below the length-1 floor")
   }
 
+  test("expandCentroidSeeds is a pure function of (corpus, centroids): partition-order independent") {
+    // The crash-replay contract for the k-expansion fold rests on the
+    // seed set being DETERMINISTIC — no RNG, ties broken by vec_id in
+    // the far-point rank and by (label, rn) in the fresh-label
+    // numbering — so a replayed expansion recomputes the same
+    // generation. Pin the strongest practical form: the same corpus at
+    // a different partitioning (and row arrival order) yields the
+    // bit-identical seed relation, including the narrow-rank +
+    // broadcast-winner-join shape's join back to embeddings.
+    import graft.ops.Similarity
+    import spark.implicits._
+    val corpus = Seq.tabulate(120) { i =>
+      (i.toLong, (i % 4).toLong,
+        Array.tabulate(8)(d => ((i * 13 + d * 5) % 23).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val cents = Seq.tabulate(4)(b =>
+      (b.toLong, Seq.fill(8)(b.toDouble))).toDF("label", "cent")
+    def seedSet(c: org.apache.spark.sql.DataFrame): Set[(Long, Seq[Double])] =
+      Similarity.expandCentroidSeeds(cents, c, 11)
+        .select(col("label").cast("long"), col("cent"))
+        .as[(Long, Seq[Double])].collect().toSet
+    val a = seedSet(corpus)
+    val b = seedSet(corpus.repartition(7, col("vec_id")))
+    val c = seedSet(corpus.orderBy(col("vec_id").desc).coalesce(1))
+    assert(a.size === 11, s"expected 11 seed centroids, got ${a.size}")
+    assert(a === b, "seed set depends on hash partitioning")
+    assert(a === c, "seed set depends on row arrival order")
+  }
+
   test("maintenance autopilot: mean cell mass expands IVF k toward √N, recall held, signal clears") {
     // The IVF analog of the LSH hot-cell rebucket (VERDICT r14 item 3):
     // at fixed k a growing corpus fattens every cell linearly and probe
