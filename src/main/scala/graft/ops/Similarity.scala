@@ -1892,13 +1892,22 @@ object Similarity {
         (c, x) => (c - x.cast("double")) * (c - x.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
     val wq = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
-    val probes = queryCols(batch.select(col("query_id"), col("qe"))
-        .withColumn("qnorm", sqrt(dot(col("qe"), col("qe")))))
+    // The per-query centroid rank runs on NARROW rows: the old shape
+    // shipped the query payload (qe + the codec's per-query columns)
+    // through the rank exchange and sort ×k — k-multiplied fat bytes
+    // that sort-spill once batches are table-sized and k tracks √N
+    // (the k-expansion arc makes both true). Now (query_id, label, d2)
+    // ranks, and the payload joins back onto the ≤ nprobeWide winners
+    // per query, crossing exactly one exchange un-multiplied — the
+    // narrow-rank discipline of expandCentroidSeeds/the samplers.
+    val qrel = queryCols(batch.select(col("query_id"), col("qe"))
+      .withColumn("qnorm", sqrt(dot(col("qe"), col("qe")))))
+    val ranked = batch.select(col("query_id"), col("qe"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d2", d2)
+      .select(col("query_id"), col("label"), d2.as("d2"))
       .withColumn("rk", row_number().over(wq)).filter(col("rk") <= nprobeWide)
-      .drop("cent", "d2", "rk")
-      .persist()
+      .select(col("query_id"), col("label"))
+    val probes = ranked.join(qrel, Seq("query_id")).persist()
     val releaseProbes = () => { probes.unpersist(); () }
     val touched = probes.select("label").distinct()
       .collect().map(_.getAs[Number](0).longValue).sorted.toIndexedSeq

@@ -1045,12 +1045,17 @@ object StreamOps {
     val wc = Window.partitionBy("query_id").orderBy(col("d2"), col("label"))
     // pinned: the touched-label list (control plane) and the serving
     // join both consume the assignment — without the pin the
-    // |batch|×k_coarse fold runs twice
-    val probes = batch.select(col("query_id"), col("qe"))
+    // |batch|×k_coarse fold runs twice. The rank itself runs on NARROW
+    // rows ((query_id, label, d2) — the batch scaffold's discipline):
+    // qe joins back onto the ≤ nprobe winners, never ×k-multiplied
+    // through the rank exchange and sort.
+    val ranked = batch.select(col("query_id"), col("qe"))
       .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qe"), col("label"), d2.as("d2"))
+      .select(col("query_id"), col("label"), d2.as("d2"))
       .withColumn("rk", row_number().over(wc)).filter(col("rk") <= nprobe)
-      .select(col("query_id"), col("qe"), col("label"))
+      .select(col("query_id"), col("label"))
+    val probes = ranked
+      .join(batch.select(col("query_id"), col("qe")), Seq("query_id"))
       .persist()
     try {
       val touched = probes.select("label").distinct()

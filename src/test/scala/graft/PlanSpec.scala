@@ -620,6 +620,93 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ivf batch rerank: the centroid-rank sort is narrow — query payload never rides a d2 sort") {
+    // batchRerankScaffold's per-query centroid rank runs on
+    // (query_id, label, d2); the query payload (qe, qnorm, codec
+    // columns) joins back onto the <= nprobeWide winners. The old
+    // shape k-multiplied the payload through the rank exchange+sort —
+    // a sort-spill once batches are table-sized and k tracks √N. The
+    // precise pin: ANY sort ordering on d2 must not output a payload
+    // column (the join-back's own sorts, if merge is chosen, never
+    // involve d2).
+    // the rank executes INSIDE the operator call (the pinned probes
+    // relation's touched-label collect), so capture every execution
+    // via a listener and poll — the two-stage-probe gate's pattern
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val payload = Set("qe", "qnorm", "qamax", "q8q")
+    val d2Sorts = new java.util.concurrent.atomic.AtomicInteger()
+    val fat = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case s: SortExec
+            if s.sortOrder.exists(_.child.references.exists(_.name == "d2")) =>
+          d2Sorts.incrementAndGet()
+          s.output.filter(a => payload(a.name))
+            .foreach(a => fat.add(s"${a.name} rides a d2 sort"))
+        case _ => ()
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case st: QueryStageExec => Seq(st.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        // the probes relation is pinned: the rank lives in the CACHED
+        // plan behind the InMemoryTableScan boundary (no children)
+        case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+        case other => other.children
+      }
+      kids.foreach(walk)
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = walk(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // the scaffold is the streaming batch-rerank spine (the batch
+    // QueryDefs probe single vectors through TakeOrderedAndProject,
+    // already narrow) — drive it directly on a small persisted index
+    // with a multi-query batch, both codecs
+    import spark.implicits._
+    import graft.ops.Similarity
+    val corpus = Seq.tabulate(90) { i =>
+      (i.toLong, (i % 3).toLong,
+        Array.tabulate(8)(d => ((i * 11 + d * 3) % 17).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val indexDir = graft.TempDirs.create("plan-rerank-ivf")
+    Similarity.persistIvfIndex(Similarity.buildIvfIndexFrom(corpus), indexDir)
+    val batch = Seq.tabulate(6) { i =>
+      (1000L + i, Seq.tabulate(8)(d => ((i * 7 + d) % 17).toFloat))
+    }.toDF("query_id", "qe")
+    spark.listenerManager.register(listener)
+    try {
+      for (pq <- Seq(false, true)) {
+        val (out, release) =
+          if (pq) Similarity.ivfProbeBatchRerankedServedPqReleasable(
+            spark, indexDir, batch, k = 3, nprobeWide = 4, rerankCells = 2,
+            poolSize = 20)
+          else Similarity.ivfProbeBatchRerankedServedReleasable(
+            spark, indexDir, batch, k = 3, nprobeWide = 4, rerankCells = 2,
+            poolSize = 20)
+        assert(out.collect().length > 0, s"rerank batch (pq=$pq) empty — gate vacuous")
+        walk(out.queryExecution.executedPlan)
+        release()
+      }
+      // async listener bus: wait for the rank stages, then a beat
+      val deadline = System.currentTimeMillis() + 20000
+      while (d2Sorts.get() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(1000)
+      assert(d2Sorts.get() >= 2, s"only ${d2Sorts.get()} d2 sorts captured — gate vacuous")
+      import scala.jdk.CollectionConverters._
+      assert(fat.isEmpty, fat.asScala.mkString("; "))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("ivf k-expansion seeds: the corpus rank shuffle is narrow; winner embeddings ride a broadcast join") {
     // the r13/r14 band-ladder lesson, pinned preemptively on the seed
     // pass: a per-label rank sort that carries the full vector payload
