@@ -264,16 +264,31 @@ object TextOps {
         .select(col("doc_id"),
           filter(split(col("text"), " "), x => length(x) > 0).as("ws"))
         .filter(size(col("ws")) >= 2)
-      val perDoc = docs.select(
-        col("doc_id"),
-        size(col("ws")).cast("long").as("n_tokens"),
-        size(array_distinct(col("ws"))).cast("long").as("vocab"))
-      val top = docs
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("b"))
-        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("top_ct"))
-      perDoc.join(top, "doc_id")
+      // top bigram count is a PER-DOC scalar: sort the doc's own
+      // bigram array and take the longest run of equal adjacent
+      // elements — identical to MAX(count per distinct bigram), since
+      // sorting makes equal strings adjacent. Computed in one map-side
+      // projection: the old shape tokenized the corpus twice, exploded
+      // every bigram through a (doc_id, b) exchange, aggregated twice
+      // and self-joined — three corpus-token-sized shuffles for a
+      // value that never needed to leave its row.
+      val bgSorted =
+        "array_sort(transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"
+      val topCt = s"""aggregate(
+        $bgSorted,
+        named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+        (acc, x) -> named_struct(
+          'prev', x,
+          'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+          'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+        acc -> acc.best)"""
+      docs
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ws"))).cast("long").as("vocab"),
+          expr(topCt).as("top_ct"))
         .select(
           col("doc_id"), col("n_tokens"), col("vocab"),
           graft.QueryDef.roundedRatio(

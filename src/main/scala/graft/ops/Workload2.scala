@@ -268,7 +268,15 @@ object Workload2 {
     (spark, dir) => {
       val l = Tables.table(spark, dir, "lineitem")
       val p = Tables.table(spark, dir, "part").filter(col("p_brand") === "Brand#23")
+      // the brand restriction commutes BELOW the per-part aggregate:
+      // pq groups on l_partkey and is consumed only through the inner
+      // join with the brand-filtered fact rows, so semi-joining the
+      // aggregate's input against the brand's partkeys first keeps
+      // every surviving part's (qty_sum, cnt) identical while the
+      // corpus-sized shuffle carries only that brand's rows (~1/|brands|)
       val pq = Tables.table(spark, dir, "lineitem")
+        .join(broadcast(p.select(col("p_partkey").as("pq_sel"))),
+          col("pq_sel") === col("l_partkey"), "left_semi")
         .groupBy(col("l_partkey").as("pq_partkey"))
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).as("qty_sum"),

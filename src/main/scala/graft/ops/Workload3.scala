@@ -82,8 +82,25 @@ object Workload3 {
       // lineitem scan + composite-key shuffle don't run twice; the
       // correlated scalar subquery still decorrelates over the
       // checkpointed relation, which is the shape the query exists
-      // to prove.
-      derivedPs(Tables.table(spark, dir, "lineitem"))
+      // to prove. BOTH references restrict ps to EUROPE suppliers
+      // (outer joins s⋈n⋈r, the subquery s2⋈n2⋈r2), and suppkey is a
+      // ps group key, so the region restriction commutes below the
+      // aggregation: the lineitem semi join keeps every surviving
+      // pair's MIN identical while the corpus shuffle AND the
+      // materialized relation shrink to the EUROPE share (~1/5). The
+      // SQL's own region joins remain as written (now a no-op
+      // re-verification), keeping the decorrelation shape intact.
+      val sup = Tables.table(spark, dir, "supplier")
+      val nat = Tables.table(spark, dir, "nation")
+      val reg = Tables.table(spark, dir, "region")
+        .filter(col("r_name") === "EUROPE")
+      val eligible = sup
+        .join(broadcast(nat), nat("n_nationkey") === sup("s_nationkey"))
+        .join(broadcast(reg), reg("r_regionkey") === nat("n_regionkey"))
+        .select(col("s_suppkey"))
+      derivedPs(Tables.table(spark, dir, "lineitem")
+          .join(broadcast(eligible),
+            col("s_suppkey") === col("l_suppkey"), "left_semi"))
         .materialized.createOrReplaceTempView("v_ps")
       Tables.table(spark, dir, "part").createOrReplaceTempView("v_part")
       Tables.table(spark, dir, "supplier").createOrReplaceTempView("v_supplier")
@@ -151,12 +168,19 @@ object Workload3 {
       val s = Tables.table(spark, dir, "supplier")
       val n = Tables.table(spark, dir, "nation")
         .filter(col("n_name").isin("NATION_3", "NATION_8"))
-      val ps = derivedPs(l)
-      // nation filter travels through the supplier broadcast join, so
-      // ps rows from other nations never reach the per-part shuffle
-      val v = ps
-        .join(s.join(broadcast(n), n("n_nationkey") === s("s_nationkey"))
-          .select(col("s_suppkey")), col("s_suppkey") === col("ps_suppkey"))
+      // the nation restriction commutes BELOW the ps aggregation:
+      // suppkey IS a ps group key, so semi-joining lineitem against
+      // the two nations' suppliers FIRST leaves every surviving
+      // (part, supplier) pair's aggregates untouched while the
+      // corpus-sized shuffle carries only qualifying rows (~2/25 of
+      // suppliers) instead of all of lineitem. supplier is a primary
+      // key, so semi ≡ the old inner join on the restriction.
+      val eligible = s
+        .join(broadcast(n), n("n_nationkey") === s("s_nationkey"))
+        .select(col("s_suppkey"))
+      val v = derivedPs(
+          l.join(broadcast(eligible),
+            col("s_suppkey") === col("l_suppkey"), "left_semi"))
         .groupBy("ps_partkey")
         .agg(expr("SUM(ps_supplycost * ps_availqty)").as("stock_val"))
         .materialized // read twice: total + filter (Spark inlines CTEs)
@@ -202,18 +226,29 @@ object Workload3 {
             |ORDER BY s.s_name, n.n_name""".stripMargin),
     (spark, dir) => {
       val l = Tables.table(spark, dir, "lineitem")
-      val ps = derivedPs(l).drop("ps_supplycost")
-      val shipped = l
-        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q95"))
       val redParts = Tables.table(spark, dir, "part")
         .filter(col("p_name").like("%red%")).select(col("p_partkey"))
-      val qualifying = shipped
-        .join(ps, col("ps_partkey") === col("l_partkey") &&
-          col("ps_suppkey") === col("l_suppkey"))
-        .join(redParts, col("p_partkey") === col("l_partkey"), "left_semi")
+      // ONE conditional aggregation computes both `ps` (all-time qty)
+      // and `shipped` (1995 qty) — the two CTEs group on the SAME
+      // (partkey, suppkey) key, so the oracle's shipped⋈ps join is a
+      // per-group zip: two lineitem scans + two corpus shuffles
+      // collapse to one scan + one shuffle. The red-part restriction
+      // commutes below the aggregate because p_partkey IS a group key
+      // (a broadcast semi join at the scan, so non-red rows never
+      // reach the exchange). A pair absent from `shipped` (no 1995
+      // rows) gets q95 = NULL here and the share predicate NULL-drops
+      // it — the same rows the oracle's inner join drops.
+      val qualifying = l
+        .join(broadcast(redParts),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("ps_availqty"),
+          sum(when(
+            col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-01-01").cast("timestamp"),
+            col("l_quantity").cast("decimal(18,2)"))).as("q95"))
         .filter(expr("q95 * 3 > ps_availqty * 2"))
         .select(col("l_suppkey")).distinct()
       val s = Tables.table(spark, dir, "supplier")
