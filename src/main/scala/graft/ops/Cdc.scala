@@ -174,12 +174,17 @@ object Cdc {
       // S3 + apply: parse the JSON envelope payload, keep latest per
       // key, drop deletes.
       val w = Window.partitionBy("pk").orderBy(col("seq").desc)
+      // json_tuple = ONE parse of the payload for both fields where
+      // get_json_object ×2 parsed it twice per row (the
+      // Cdc.fromDebezium / VARIANT parse-once discipline); flat-key
+      // extraction is identical, including NULL on missing/invalid
       cdc.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1 && col("op") =!= "delete")
+        .select(col("pk"), json_tuple(col("data"), "status", "total"))
         .select(
           col("pk"),
-          get_json_object(col("data"), "$.status").as("status"),
-          get_json_object(col("data"), "$.total").cast("double").as("total"))
+          col("c0").as("status"),
+          col("c1").cast("double").as("total"))
         .orderBy("pk")
     })
 
@@ -209,14 +214,21 @@ object Cdc {
     (spark, dir) => {
       val cdc = changeStream(spark, dir)
       val w = Window.partitionBy("pk").orderBy("seq")
+      // version ranks the FILTERED (non-delete) rows, like the
+      // oracle's outer ROW_NUMBER after its WHERE; json_tuple parses
+      // the payload once for both fields (s3's discipline)
       cdc
         .withColumn("valid_to", lead(col("seq"), 1).over(w))
         .filter(col("op") =!= "delete")
+        .withColumn("version", row_number()
+          .over(Window.partitionBy("pk").orderBy("seq")).cast("long"))
+        .select(col("pk"), col("version"), col("seq"), col("valid_to"),
+          json_tuple(col("data"), "status", "total"))
         .select(
           col("pk"),
-          row_number().over(Window.partitionBy("pk").orderBy("seq")).cast("long").as("version"),
-          get_json_object(col("data"), "$.status").as("status"),
-          get_json_object(col("data"), "$.total").cast("double").as("total"),
+          col("version"),
+          col("c0").as("status"),
+          col("c1").cast("double").as("total"),
           col("seq").cast("long").as("valid_from"),
           col("valid_to").cast("long").as("valid_to"),
           when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
@@ -258,10 +270,12 @@ object Cdc {
       seqd.crossJoin(broadcast(cut))
         .filter(col("op") =!= "delete" && col("seq") <= col("s") &&
           (col("valid_to").isNull || col("valid_to") > col("s")))
+        .select(col("pk"), col("seq"),
+          json_tuple(col("data"), "status", "total"))
         .select(
           col("pk"),
-          get_json_object(col("data"), "$.status").as("status"),
-          get_json_object(col("data"), "$.total").cast("double").as("total"),
+          col("c0").as("status"),
+          col("c1").cast("double").as("total"),
           col("seq").cast("long").as("valid_from"))
         .orderBy("pk")
     })

@@ -72,17 +72,27 @@ object Core {
       // DuckDB's json functions ERROR on malformed JSON where Spark's
       // NULL-route — without it the first genuinely dirty row would
       // crash the oracle instead of exercising the contract.
-      val kStr = get_json_object(col("props"), "$.k")
-      val integral = kStr.rlike(integralRe)
+      // parse ONCE per row: the old single-Project form referenced
+      // get_json_object(props, '$.k') three times (two regex-gate
+      // conditions + the cast branch) and codegen's subexpression
+      // elimination does not fold a conditional branch occurrence into
+      // the unconditional ones. Staged aliases keep one parse and one
+      // regex evaluation; CollapseProject cannot re-inline them — it
+      // never duplicates a non-cheap producer used more than once (no
+      // barrier needed, unlike the Filter-duplication case
+      // ParseOnceRule handles).
       Tables.events(spark, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("_k"))
+        .select(col("event_id"), col("_k"),
+          col("_k").rlike(integralRe).as("_ok"))
         .select(
           col("event_id"),
-          when(integral,
-            expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")).as("k"),
+          when(col("_ok"), expr("try_cast(_k AS BIGINT)")).as("k"),
           // dirtiness from the regex gate, NOT from k's nullness: an
           // integral-but-overflowing value nulls the cast on both
           // engines yet is clean by the contract on both
-          when(integral, 0L).otherwise(1L).as("is_dirty"))
+          when(col("_ok"), 0L).otherwise(1L).as("is_dirty"))
         .orderBy("event_id")
     })
 
@@ -205,14 +215,22 @@ object Core {
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType))
+      // parse ONCE per row (p1's staged-alias discipline): the old
+      // single-Project form evaluated from_json up to four times per
+      // row (gate condition, cast branch, map_keys ×2). A malformed
+      // props NULL-routes identically: element_at/map_keys of the NULL
+      // map are NULL, so k_val/n_keys/keys all stay NULL.
       Tables.events(spark, dir)
+        .select(col("event_id"), m.as("_m"))
+        .select(col("event_id"),
+          element_at(col("_m"), "k").as("_kv"),
+          map_keys(col("_m")).as("_mk"))
         .select(
           col("event_id"),
-          when(element_at(m, "k").rlike(integralRe),
-            expr("try_cast(element_at(from_json(props, 'map<string,string>'), 'k') AS BIGINT)"))
-            .as("k_val"),
-          size(map_keys(m)).cast("long").as("n_keys"),
-          array_join(map_keys(m), ",").as("keys"))
+          when(col("_kv").rlike(integralRe),
+            expr("try_cast(_kv AS BIGINT)")).as("k_val"),
+          size(col("_mk")).cast("long").as("n_keys"),
+          array_join(col("_mk"), ",").as("keys"))
         .orderBy("event_id")
     })
 
