@@ -168,24 +168,30 @@ object Bench {
         System.err.println(s"[bench] streaming bench failed: ${e.getMessage}")
         ("""{"failed":-1}""", "{}")
       }
-    // COMPACT SUMMARY LAST (and nothing after it): the driver keeps only
-    // the final ~2000 chars of output, and the full per-query map above
-    // is ~3.5k chars — in rounds 4 and 5 the suite total and any failure
-    // markers printed first were truncated away. This self-contained
-    // line is ~400 chars, so the tail window always carries the total,
-    // the failed-query names, and the slowest queries.
+    // FULL-FIDELITY SUMMARY LAST (and nothing after it): the driver
+    // parses the FINAL JSON line for its round-over-round per-query
+    // comparison, so `queries`/`queries_median` must ride THIS line —
+    // in rounds 12-15 they rode only the first line and
+    // PERF_r{14,15}.json came back with an empty `per_query` map and a
+    // null geomean (VERDICT r15 item 1: every per-query claim had to be
+    // re-verified from builder-side records). The compact ~400-char
+    // summary still prints ABOVE (it was the final line through r15;
+    // kept so a tail-window reader always sees total/failed/slowest5
+    // even if a long line is clipped), but the authoritative last line
+    // now carries the complete per-query maps alongside the streaming
+    // maps and calib probes.
     val slowest = results.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(5)
     val failedNames = queries.collect { case (n, _) if failed(n) => "\"" + n + "\"" }
-    val finalLine = s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"slowest5":${j(slowest.toMap)},"stream_passes":$passes,"streaming_rows_per_sec":$streaming,"streaming_rows_per_sec_median":$streamingMed,"calib":${calib.min},"calib_io":${calibIo.min},"sf":"$sfDir"}"""
+    val compactLine = s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"slowest5":${j(slowest.toMap)},"stream_passes":$passes,"streaming_rows_per_sec":$streaming,"streaming_rows_per_sec_median":$streamingMed,"calib":${calib.min},"calib_io":${calibIo.min},"sf":"$sfDir"}"""
+    println(compactLine)
+    val finalLine = s"""{"metric":"total","value":$total,"unit":"sec","n":${queries.size},"failed":${failedNames.mkString("[", ",", "]")},"queries":${j(results)},"queries_median":${j(medians)},"slowest5":${j(slowest.toMap)},"stream_passes":$passes,"streaming_rows_per_sec":$streaming,"streaming_rows_per_sec_median":$streamingMed,"calib":${calib.min},"calib_io":${calibIo.min},"sf":"$sfDir"}"""
     println(finalLine)
-    // FULL-FIDELITY RECORD, written by Bench itself: the driver keeps
-    // only the output tail (~2000 chars), which truncates the per-query
-    // map to slowest5 — so the committed perf/ record (the benchdiff
-    // input, see perf/README.md) must not depend on an operator
-    // remembering to copy the log. Format = the first total line (full
-    // queries + queries_median maps) + the final compact line (complete
-    // streaming maps), exactly what tools/benchdiff.py::load recovers a
-    // full map from. SPARK_GRAFT_BENCH_RECORD overrides the path; ""
+    // FULL-FIDELITY RECORD, written by Bench itself: the committed
+    // perf/ record (the benchdiff input, see perf/README.md) must not
+    // depend on an operator remembering to copy the log. Format = the
+    // first total line (full queries + queries_median maps) + the final
+    // line (since r16 also full-fidelity, with the streaming maps),
+    // exactly what tools/benchdiff.py::load recovers a full map from. SPARK_GRAFT_BENCH_RECORD overrides the path; ""
     // disables; the default lands next to the repo's perf/ directory
     // when one exists under the working directory (a non-repo cwd
     // skips quietly — record banking must never fail the bench).

@@ -72,6 +72,9 @@ object Soak {
                |    ELSE x END)""".stripMargin).as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // the blown-up dir may be a re-used /tmp path from an earlier run
+    // in the same JVM — drop any lineage-cache entries over it
+    graft.ops.Tables.invalidate(outDir)
   }
 
   def main(args: Array[String]): Unit = {

@@ -686,8 +686,12 @@ object Dedup {
 
   private def readBandRoot(spark: SparkSession, root: String,
       paths: Seq[String]): DataFrame =
-    spark.read.schema(bandReadSchema).option("basePath", root)
-      .parquet(paths: _*)
+    // cell-path reads list on the driver, not via a Spark job — the
+    // path count is probe-bounded (IndexFs.withCellListing)
+    graft.IndexFs.withCellListing(spark) {
+      spark.read.schema(bandReadSchema).option("basePath", root)
+        .parquet(paths: _*)
+    }
 
   /** Persist a MinHash/LSH near-dup index for dedup-AT-INGEST: the
     * band rows land partitioned by `(band_id, sig_p)` — 2×256 cells —

@@ -387,7 +387,12 @@ object IndexMaintenance {
       case ExpandK(k, iters) =>
         Similarity.compactIvfIndex(spark, indexDir, lloydIters = iters,
           trainPqIters = policy.trainPqIters, expandToK = Some(k))
-      case Rebucket(_) => () // LSH-only action, unreachable from planIvf
+      // LSH-only action, unreachable from planIvf — loud, not a silent
+      // (): a future planner edit that leaks a Rebucket into the IVF
+      // path must fail the tick, not skip maintenance forever
+      // (VERDICT r15 item 4)
+      case Rebucket(len) => sys.error(
+        s"planIvf returned Rebucket($len): LSH-only action in the IVF path")
     }
     action
   }

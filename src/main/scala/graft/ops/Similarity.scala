@@ -795,8 +795,12 @@ object Similarity {
 
   private def readCorpusRoot(spark: SparkSession, root: String,
       paths: Seq[String]): DataFrame =
-    spark.read.schema(corpusReadSchema).option("basePath", root)
-      .parquet(paths: _*)
+    // cell-path reads list on the driver, not via a Spark job — the
+    // path count is probe-bounded (IndexFs.withCellListing)
+    graft.IndexFs.withCellListing(spark) {
+      spark.read.schema(corpusReadSchema).option("basePath", root)
+        .parquet(paths: _*)
+    }
 
   /** One committed delta, read in full (batch-sized) — the
     * maintenance scheduler's drift input. */
@@ -1684,8 +1688,10 @@ object Similarity {
         val paths = labels.map(l => s"$pqRoot/label=$l")
           .filter(p => graft.IndexFs.isDir(spark, p))
         if (paths.isEmpty) None
-        else Some(spark.read.schema(pqReadSchema)
-          .option("basePath", pqRoot).parquet(paths: _*))
+        else Some(graft.IndexFs.withCellListing(spark) {
+          spark.read.schema(pqReadSchema)
+            .option("basePath", pqRoot).parquet(paths: _*)
+        })
       } else
         prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), labels)
           .map(pqCodesOfCb(_, cb))
@@ -1771,8 +1777,10 @@ object Similarity {
         val paths = labels.map(l => s"$sketchRoot/label=$l")
           .filter(p => graft.IndexFs.isDir(spark, p))
         if (paths.isEmpty) None
-        else Some(spark.read.schema(sketchReadSchema)
-          .option("basePath", sketchRoot).parquet(paths: _*))
+        else Some(graft.IndexFs.withCellListing(spark) {
+          spark.read.schema(sketchReadSchema)
+            .option("basePath", sketchRoot).parquet(paths: _*)
+        })
       } else
         prunedCorpusRead(spark, gdir(indexDir, "corpus", st.gen), labels)
           .map(sketchOf)
@@ -1808,7 +1816,7 @@ object Similarity {
         .withColumn("q8q", q8Col(col("qe"), col("qamax"))),
       // stage 1: persisted sketch cells (deltas sketched in flight),
       // each scored against its queries' int8 codes
-      stage1 = (st, probes, touched, _) =>
+      stage1 = (st, probes, touched, _, _) =>
         sketchFramesAt(spark, indexDir, st, touched).map(df =>
           df.join(broadcast(
               probes.select("query_id", "label", "qamax", "q8q", "qnorm")),
@@ -1829,11 +1837,17 @@ object Similarity {
     batchRerankScaffold(spark, indexDir, batch, k, nprobeWide, rerankCells,
       poolSize,
       queryCols = identity,
-      stage1 = (st, probes, touched, centroids) => {
+      stage1 = (st, probes, touched, centroids, qrel) => {
         val cb = servingPqCodebookAt(spark, indexDir, st, centroids)
         val entries = deltaEntriesAbove(spark, indexDir, st)
         val tomb = ivfTombstones(spark, indexDir, entries)
-        val qlut = probes.select("query_id", "qe", "qnorm").distinct()
+        // per-query LUT from the ONE-row-per-query relation, not from
+        // `probes`: the old `probes.select(..qe..).distinct()` hashed
+        // and exchanged the query embedding ×nprobeWide rows per query
+        // just to collapse them back — the last payload-carrying
+        // exchange in the serve path (the narrow-rank discipline's
+        // tail; VERDICT r15 item 5)
+        val qlut = qrel.select("query_id", "qe", "qnorm")
           .crossJoin(broadcast(cb))
           .select(col("query_id"), pqLutCol(col("qe")).as("lut"), col("qnorm"))
         val baseAp = pqBaseFrame(spark, indexDir, st, touched, cb, tomb).map(df =>
@@ -1872,14 +1886,17 @@ object Similarity {
     * relation before the centroid assignment (int8: scale + codes;
     * PQ: none — its LUT relation derives inside stage1). `stage1`
     * receives the resolved manifest state, the pinned probe relation,
-    * the touched-label list and the serving centroids; an empty frame
-    * list means "nothing to score" and yields the empty result. */
+    * the touched-label list, the serving centroids and the
+    * one-row-per-query payload relation (qrel — the source for any
+    * per-query derivation, so no stage ever re-distincts the payload
+    * out of `probes`); an empty frame list means "nothing to score"
+    * and yields the empty result. */
   private def batchRerankScaffold(spark: SparkSession, indexDir: String,
       batch: DataFrame, k: Int, nprobeWide: Int, rerankCells: Int,
       poolSize: Int,
       queryCols: DataFrame => DataFrame,
-      stage1: (graft.GenManifest.State, DataFrame, IndexedSeq[Long], DataFrame)
-        => Seq[DataFrame]): (DataFrame, () => Unit) = {
+      stage1: (graft.GenManifest.State, DataFrame, IndexedSeq[Long], DataFrame,
+        DataFrame) => Seq[DataFrame]): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val resultSchema = org.apache.spark.sql.types.StructType.fromDDL(
       "query_id BIGINT, vec_id BIGINT, cos_sim DOUBLE")
@@ -1912,7 +1929,7 @@ object Similarity {
     val touched = probes.select("label").distinct()
       .collect().map(_.getAs[Number](0).longValue).sorted.toIndexedSeq
     if (touched.isEmpty) return (emptyResult, releaseProbes)
-    val apFrames = stage1(st, probes, touched, centroids)
+    val apFrames = stage1(st, probes, touched, centroids, qrel)
     if (apFrames.isEmpty) return (emptyResult, releaseProbes)
     val wp = Window.partitionBy("query_id").orderBy(col("ap").desc, col("vec_id"))
     val wc = Window.partitionBy("query_id").orderBy(col("m").desc, col("label"))
@@ -1931,7 +1948,9 @@ object Similarity {
     val wk = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     val out = corpus
       .join(broadcast(cells), Seq("label")) // each query scores ITS cells only
-      .join(broadcast(probes.select("query_id", "qe", "qnorm").distinct()),
+      // qrel is already one row per query: joining it directly avoids
+      // the distinct's exchange+hash-agg keyed on the qe payload
+      .join(broadcast(qrel.select("query_id", "qe", "qnorm")),
         Seq("query_id"))
       .select(col("query_id"), col("vec_id"), cos.as("cos"))
       .withColumn("rk", row_number().over(wk)).filter(col("rk") <= k)

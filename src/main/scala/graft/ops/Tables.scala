@@ -6,8 +6,33 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver testdata (TESTDATA.md). */
 object Tables {
+  /** Per-session LINEAGE cache (round 16, VERDICT r15 item 2): every
+    * `spark.read.parquet` call re-resolves the relation — file listing
+    * + parquet footer/schema read + reader option resolution — which
+    * the FloorProbe split measured at 0.07-0.3 s per query
+    * CONSTRUCTION, ~40% of the bench tail's per-query floor. The
+    * resolved DataFrame (an analyzed read relation — METADATA, never
+    * data or results; no `.cache()`, nothing persisted across JVMs) is
+    * reused per (session, dir, table), exactly what reading through a
+    * catalog table gives a real deployment for free. Contract: a
+    * table file must not be OVERWRITTEN after it has been read in the
+    * same session (the cached file index would go stale) — every
+    * in-repo writer (Soak.blowUp, SoakQ20, test fixtures) writes a
+    * fresh dir once before its first read; [[invalidate]] is the
+    * escape hatch for anything else. Keys hold the session reference,
+    * so entries die with the JVM; sessions per JVM are few and the
+    * table set is bounded. */
+  private val lineageCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    lineageCache.computeIfAbsent((spark, sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** Drop every cached relation under `dir` (any session) — call after
+    * overwriting a table file a session may already have read. */
+  def invalidate(dir: String): Unit =
+    lineageCache.keySet.removeIf(k => k._2 == dir)
 
   /** Schema-ADAPTIVE events loader. The driver has shipped
     * `events.parquet` in two layouts so far — `ts` as INT64

@@ -273,7 +273,15 @@ object Workload2 {
       // join with the brand-filtered fact rows, so semi-joining the
       // aggregate's input against the brand's partkeys first keeps
       // every surviving part's (qty_sum, cnt) identical while the
-      // corpus-sized shuffle carries only that brand's rows (~1/|brands|)
+      // corpus-sized shuffle carries only that brand's rows (~1/|brands|).
+      // The explicit broadcast hint is SF-bounded (ADVICE r15): one
+      // brand's partkeys ≈ SF×8k longs, which approaches the 512M-row
+      // broadcast cap only near SF ~64k (i.e. the ~100 TB corner) —
+      // there, drop the hint and let AQE pick from measured sizes
+      // (a Bloom pre-filter per guide §3.2 is the replacement shape).
+      // At bench/cluster SFs the hint only removes a wrong
+      // estimate-driven SMJ. Same bound applies to the q2 EUROPE
+      // supplier and q20 red-part hints (both strictly smaller sides).
       val pq = Tables.table(spark, dir, "lineitem")
         .join(broadcast(p.select(col("p_partkey").as("pq_sel"))),
           col("pq_sel") === col("l_partkey"), "left_semi")

@@ -199,9 +199,12 @@ object Workload3 {
     * pair's all-time quantity (3·q95 > 2·availqty, exact decimals —
     * a region filter and a 2/3 share keep the result non-degenerate
     * AND selective at every SF, where a nation pair selects nothing
-    * from sf0.001's ten suppliers). The nested IN chain (supplier ⊇
-    * qualifying pair ⊇ red part) becomes two hash semi joins; the
-    * year-bounded aggregate shares its shuffle key with ps, and the
+    * from sf0.001's ten suppliers). Spark side: the oracle's two CTEs
+    * (`ps` all-time qty, `shipped` 1995 qty) group on the SAME
+    * (partkey, suppkey) key, so they collapse into ONE conditional
+    * aggregation over a single red-part-presemi'd lineitem scan — the
+    * all-time sum and a 1995-window conditional sum side by side in
+    * one groupBy, no separate ps relation and no shipped⋈ps join; the
     * final supplier probe is a semi join against the tiny
     * qualifying-supplier set. */
   val q20ExcessAvailability = QueryDef(

@@ -969,6 +969,41 @@ class OpsSpec extends SparkSuite {
     assert(IndexMaintenance.planIvf(spark, indexDir, pol) === NoOp)
   }
 
+  test("maintenance autopilot: planIvf never plans the LSH-only Rebucket (loud IVF arm)") {
+    // VERDICT r15 item 7: maintainIvfIndex's Rebucket arm is now a
+    // sys.error tripwire, so the planner must be provably unable to
+    // reach it — sweep every trigger family (backlog rows/batches,
+    // file pressure, tombstone mass, drift, hot-cell growth, and the
+    // LSH-shaped hot/cold cell thresholds that WOULD plan a Rebucket
+    // on the LSH side) over a live index with real backlog and assert
+    // no policy yields a Rebucket.
+    import graft.ops.IndexMaintenance
+    import graft.ops.IndexMaintenance._
+    val indexDir = java.nio.file.Files.createTempDirectory("ivf-no-rebucket").toString
+    Similarity.persistIvfIndex(
+      Similarity.buildIvfIndex(spark, sf("sf0.001")), indexDir)
+    val emb = graft.ops.Tables.table(spark, sf("sf0.001"), "embeddings")
+    Similarity.appendToPersistedIvfIndex(spark, indexDir,
+      emb.orderBy("vec_id").limit(2)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+      batchId = 1L)
+    val policies = Seq(
+      Policy(),
+      Policy(backlogBatches = 1),
+      Policy(backlogRatio = 1e-9),
+      Policy(maxDeltaFiles = 1L),
+      Policy(maxTombRows = 1L),
+      Policy(driftBound = 0.0),
+      Policy(hotCellMass = 1L),
+      // the LSH hot/cold cell knobs set aggressively: these are what
+      // plan Rebuckets in planLsh and must stay inert in planIvf
+      Policy(hotCellRows = 1L, coldCellRows = 1000000L))
+    for (p <- policies) {
+      val a = IndexMaintenance.planIvf(spark, indexDir, p)
+      assert(!a.isInstanceOf[Rebucket], s"planIvf($p) planned $a")
+    }
+  }
+
   test("maintenance autopilot: trainPqIters rides every fold; iters=0 keeps the projection fallback") {
     // VERDICT r10 item 4: trained codebooks are generation-coupled and
     // every compaction rewrites the pq codes, so a Policy with

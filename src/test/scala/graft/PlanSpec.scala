@@ -646,6 +646,20 @@ class PlanSpec extends SparkSuite {
           d2Sorts.incrementAndGet()
           s.output.filter(a => payload(a.name))
             .foreach(a => fat.add(s"${a.name} rides a d2 sort"))
+        // r16: the payload may never be an AGGREGATION KEY either — the
+        // old `probes.select(..qe..).distinct()` hashed and exchanged
+        // the query embedding ×nprobeWide per query just to collapse it
+        // back to one row (qrel, the one-row-per-query relation, is the
+        // sanctioned source for per-query payload joins)
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if a.groupingExpressions.exists(_.references.exists(r => payload(r.name))) =>
+          fat.add(s"payload column is a HashAggregate grouping key: ${a.groupingExpressions.flatMap(_.references.map(_.name)).filter(payload).mkString(",")}")
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+            if a.groupingExpressions.exists(_.references.exists(r => payload(r.name))) =>
+          fat.add("payload column is an ObjectHashAggregate grouping key")
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+            if a.groupingExpressions.exists(_.references.exists(r => payload(r.name))) =>
+          fat.add("payload column is a SortAggregate grouping key")
         case _ => ()
       }
       val kids = p match {
@@ -702,6 +716,92 @@ class PlanSpec extends SparkSuite {
         Thread.sleep(100)
       Thread.sleep(1000)
       assert(d2Sorts.get() >= 2, s"only ${d2Sorts.get()} d2 sorts captured — gate vacuous")
+      import scala.jdk.CollectionConverters._
+      assert(fat.isEmpty, fat.asScala.mkString("; "))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("ivf single-probe serving: no distance/score sort outputs the query payload") {
+    // VERDICT r15 item 5 — the batch scaffold's narrow-rank contract,
+    // extended to the SINGLE-probe served paths (ivfProbeVectorServed
+    // and both re-ranked codecs): every sort/top-k keyed on a distance
+    // or score column (d2, cos, ap) must run on narrow rows — the
+    // query payload stays in broadcast relations, never rides a rank.
+    // The re-ranked probes run control-plane collects inside the call,
+    // so capture every execution via a listener (two-stage-probe gate
+    // pattern) and also walk the returned frame's executed plan.
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val payload = Set("qe", "qnorm", "qamax", "q8q", "lut", "q8", "embedding")
+    val rankCols = Set("d2", "cos", "ap")
+    val rankSorts = new java.util.concurrent.atomic.AtomicInteger()
+    val fat = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def check(sortRefs: Seq[String], out: Seq[String], node: String): Unit =
+      if (sortRefs.exists(rankCols)) {
+        rankSorts.incrementAndGet()
+        out.filter(payload).foreach(a =>
+          fat.add(s"$a rides a ${sortRefs.mkString(",")} $node"))
+      }
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case s: SortExec =>
+          check(s.sortOrder.flatMap(_.child.references.map(_.name)),
+            s.output.map(_.name), "SortExec")
+        case t: TakeOrderedAndProjectExec =>
+          // the top-k form the single probes compile to: the sort
+          // itself runs over the CHILD's rows, so the child's output
+          // is what must stay narrow (projectList runs after)
+          check(t.sortOrder.flatMap(_.child.references.map(_.name)),
+            t.child.output.map(_.name), "TakeOrderedAndProject")
+        case _ => ()
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case st: QueryStageExec => Seq(st.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case m: InMemoryTableScanExec => Seq(m.relation.cachedPlan)
+        case other => other.children
+      }
+      kids.foreach(walk)
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = walk(qe.executedPlan)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    import spark.implicits._
+    import graft.ops.Similarity
+    val corpus = Seq.tabulate(90) { i =>
+      (i.toLong, (i % 3).toLong,
+        Array.tabulate(8)(d => ((i * 11 + d * 3) % 17).toFloat))
+    }.toDF("vec_id", "label", "embedding")
+    val indexDir = graft.TempDirs.create("plan-single-probe-ivf")
+    Similarity.persistIvfIndex(Similarity.buildIvfIndexFrom(corpus), indexDir)
+    val qv = Seq.tabulate(8)(d => (d % 5).toFloat)
+    spark.listenerManager.register(listener)
+    try {
+      val plain = Similarity.ivfProbeVectorServed(spark, indexDir, qv, k = 3)
+      assert(plain.collect().nonEmpty, "plain probe empty — gate vacuous")
+      walk(plain.queryExecution.executedPlan)
+      val rr = Similarity.ivfProbeVectorRerankedServed(spark, indexDir, qv,
+        k = 3, nprobeWide = 3, rerankCells = 2, poolSize = 20)
+      assert(rr.collect().nonEmpty, "int8 reranked probe empty — gate vacuous")
+      walk(rr.queryExecution.executedPlan)
+      val pq = Similarity.ivfProbeVectorRerankedServedPq(spark, indexDir, qv,
+        k = 3, nprobeWide = 3, rerankCells = 2, poolSize = 20)
+      assert(pq.collect().nonEmpty, "pq reranked probe empty — gate vacuous")
+      walk(pq.queryExecution.executedPlan)
+      val deadline = System.currentTimeMillis() + 20000
+      while (rankSorts.get() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(1000)
+      assert(rankSorts.get() >= 3,
+        s"only ${rankSorts.get()} rank sorts captured — gate vacuous")
       import scala.jdk.CollectionConverters._
       assert(fat.isEmpty, fat.asScala.mkString("; "))
     } finally spark.listenerManager.unregister(listener)
