@@ -19,14 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 3-word shingle relation: (doc_id, s) distinct. */
+  /** Token 3-gram (3-word shingle) element relation `(doc_id, s)`.
+    * NOT deduplicated:
+    * every consumer is multiplicity-insensitive — [[docSigSets]]
+    * collect_set's by doc_id, [[minhashSig]] min's by doc_id — and a
+    * doc's elements come from ONE exploded row, so duplicates are
+    * partition-local and the consumers' partial aggregation dedups
+    * them map-side. The r16 floor audit found the old `.distinct()`
+    * here paid a full (doc_id, s)-keyed exchange of the pipeline's
+    * widest relation just to feed an aggregation that dedups anyway
+    * (guide §2.4 "a distinct on data that is already unique" — here,
+    * on data whose consumer dedups). The oracle's SELECT DISTINCT g0
+    * stays: SQL min/list(DISTINCT) are equally multiplicity-free, so
+    * results are identical. */
   private def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3)))")).as("s"))
-      .distinct()
 
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.table(spark, dir, "documents"))

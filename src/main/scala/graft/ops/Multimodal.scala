@@ -349,11 +349,18 @@ object Multimodal {
       // the generator; VERDICT r15 item 3). Membership depends only on
       // gram CONTENT, so filter-then-explode ≡ explode-then-filter —
       // the result set (and the oracle) is unchanged.
+      // NOT deduplicated (r16, same reasoning as Dedup.shinglesOf):
+      // every consumer aggregates per doc_id with set/min semantics
+      // (docSigSets collect_set, minhashSig min), a payload's grams
+      // come from one exploded row so duplicates are partition-local
+      // and the partial aggregation dedups them map-side — the old
+      // `.distinct()` paid a full (doc_id, s)-keyed exchange of the
+      // pipeline's widest relation for nothing. Oracle unchanged
+      // (its g0 SELECT DISTINCT feeds the same min/list(DISTINCT)).
       .select(col("doc_id"), explode(expr(
         """filter(
           |  transform(sequence(1, CAST(length(h)/2 AS INT) - 7), i -> substring(h, 2*i - 1, 16)),
           |  g -> substring(md5(g), 1, 1) IN ('0', '1', '2', '3'))""".stripMargin)).as("s"))
-      .distinct()
 
   /** Oracle CTE prefix shared by the mm near-dup family: hex body →
     * sampled byte grams → minhash signatures → bands → per-doc gram
